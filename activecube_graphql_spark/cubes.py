@@ -1,0 +1,177 @@
+"""Concrete test cubes over the fixture star schema (SURVEY §5.3).
+
+* SalesCube  — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (+part/supplier)
+* EventsCube — events (time-series; limit_by / JSON props / streaming twin)
+* DocsCube   — documents (dedup / text analysis)
+* VectorCube — embeddings (similarity search)
+
+Join-pruning design: lineitem⋈orders is a fact-fact shuffle join, so it is
+declared non-broadcast and only materializes when a query touches order
+columns; customer/nation/region/part/supplier are broadcast dimension
+lookups (map-side hash join, no fact shuffle — the right plan at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .model import Cube, Dimension, JoinSpec, Metric, Selector
+
+# ---------------------------------------------------------------- helpers
+
+_DATE_FIELDS = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "date": F.to_date,
+    "month_start": lambda c: F.date_trunc("month", c).cast("date"),
+}
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+ORDERS = frozenset({"orders"})
+CUSTOMER = frozenset({"orders", "customer"})
+NATION = frozenset({"orders", "customer", "nation"})
+REGION = frozenset({"orders", "customer", "nation", "region"})
+PART = frozenset({"part"})
+SUPPLIER = frozenset({"supplier"})
+
+
+class SalesCube(Cube):
+    name = "sales"
+    base_table = "lineitem"
+    joins = [
+        # fact-fact: shuffle join on orderkey; AQE handles skew. Not broadcast.
+        JoinSpec("orders", on=lambda: F.col("l_orderkey") == F.col("o_orderkey"),
+                 how="inner"),
+        JoinSpec("customer", on=lambda: F.col("o_custkey") == F.col("c_custkey"),
+                 how="inner", broadcast=True, depends_on="orders"),
+        JoinSpec("nation", on=lambda: F.col("c_nationkey") == F.col("n_nationkey"),
+                 how="inner", broadcast=True, depends_on="customer"),
+        JoinSpec("region", on=lambda: F.col("n_regionkey") == F.col("r_regionkey"),
+                 how="inner", broadcast=True, depends_on="nation"),
+        JoinSpec("part", on=lambda: F.col("l_partkey") == F.col("p_partkey"),
+                 how="inner", broadcast=True),
+        JoinSpec("supplier", on=lambda: F.col("l_suppkey") == F.col("s_suppkey"),
+                 how="inner", broadcast=True),
+    ]
+    dimensions = {
+        "returnflag": Dimension("l_returnflag"),
+        "linestatus": Dimension("l_linestatus"),
+        "shipdate": Dimension("l_shipdate", fields=dict(_DATE_FIELDS)),
+        "orderdate": Dimension("o_orderdate", fields=dict(_DATE_FIELDS),
+                               requires=ORDERS),
+        "orderstatus": Dimension("o_orderstatus", requires=ORDERS),
+        "orderpriority": Dimension("o_orderpriority", requires=ORDERS),
+        "customer": Dimension("c_name", requires=CUSTOMER),
+        "mktsegment": Dimension("c_mktsegment", requires=CUSTOMER),
+        "nation": Dimension("n_name", requires=NATION),
+        "region": Dimension("r_name", requires=REGION),
+        "brand": Dimension("p_brand", requires=PART),
+        "parttype": Dimension("p_type", requires=PART),
+        "suppname": Dimension("s_name", requires=SUPPLIER),
+    }
+    metrics = {
+        "count": Metric.count(),
+        "quantity": Metric.sum("l_quantity"),
+        "revenue": Metric.sum(_revenue),
+        "avg_price": Metric.avg("l_extendedprice"),
+        "min_price": Metric.min("l_extendedprice"),
+        "max_price": Metric.max("l_extendedprice"),
+        "avg_discount": Metric.avg("l_discount"),
+        "orders": Metric.count_distinct("l_orderkey"),
+        "orders_uniq": Metric.uniq("l_orderkey"),
+        "parts": Metric.count_distinct("l_partkey"),
+        "flags": Metric.collect("l_returnflag", distinct=True),
+        "top_parts": Metric.top_tuples(
+            _revenue, {"partkey": "l_partkey", "price": "l_extendedprice"}, 3),
+    }
+    selectors = {
+        "returnflag": Selector("l_returnflag"),
+        "linestatus": Selector("l_linestatus"),
+        "shipdate": Selector(lambda: F.col("l_shipdate").cast("date")),
+        "quantity": Selector("l_quantity"),
+        "discount": Selector("l_discount"),
+        "extendedprice": Selector("l_extendedprice"),
+        "orderdate": Selector(lambda: F.col("o_orderdate").cast("date"),
+                              requires=ORDERS),
+        "orderstatus": Selector("o_orderstatus", requires=ORDERS),
+        "orderpriority": Selector("o_orderpriority", requires=ORDERS),
+        "mktsegment": Selector("c_mktsegment", requires=CUSTOMER),
+        "nation": Selector("n_name", requires=NATION),
+        "region": Selector("r_name", requires=REGION),
+        "brand": Selector("p_brand", requires=PART),
+        "customer": Selector("c_name", requires=CUSTOMER),
+    }
+
+
+class EventsCube(Cube):
+    name = "events"
+    base_table = "events"
+    joins: list[JoinSpec] = []
+    dimensions = {
+        "event_type": Dimension("event_type"),
+        "user_id": Dimension("user_id"),
+        "ts": Dimension("ts", fields=dict(_DATE_FIELDS)),
+        # JSON payload sub-field dimension (scalar-function family, §2.9)
+        "props": Dimension("props", fields={
+            "k": lambda c: F.get_json_object(c, "$.k").cast("long"),
+        }),
+    }
+    metrics = {
+        "count": Metric.count(),
+        "total": Metric.sum("value"),
+        "avg_value": Metric.avg("value"),
+        "max_value": Metric.max("value"),
+        "users": Metric.count_distinct("user_id"),
+        "users_uniq": Metric.uniq("user_id"),
+    }
+    selectors = {
+        "event_type": Selector("event_type"),
+        "user_id": Selector("user_id"),
+        "value": Selector("value"),
+        "ts": Selector("ts"),
+        "props_k": Selector(lambda: F.get_json_object(F.col("props"), "$.k").cast("long")),
+    }
+
+
+class DocsCube(Cube):
+    name = "documents"
+    base_table = "documents"
+    joins: list[JoinSpec] = []
+    dimensions = {
+        "lang": Dimension("lang"),
+        "source": Dimension("source"),
+    }
+    metrics = {
+        "count": Metric.count(),
+        "chars": Metric.sum("n_chars"),
+        "avg_chars": Metric.avg("n_chars"),
+        "docs": Metric.count_distinct("doc_id"),
+    }
+    selectors = {
+        "lang": Selector("lang"),
+        "source": Selector("source"),
+        "n_chars": Selector("n_chars"),
+    }
+
+
+class VectorCube(Cube):
+    name = "embeddings"
+    base_table = "embeddings"
+    joins: list[JoinSpec] = []
+    dimensions = {
+        "label": Dimension("label"),
+    }
+    metrics = {
+        "count": Metric.count(),
+        "vectors": Metric.count_distinct("vec_id"),
+    }
+    selectors = {
+        "label": Selector("label"),
+        "vec_id": Selector("vec_id"),
+    }

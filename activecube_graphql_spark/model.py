@@ -1,0 +1,277 @@
+"""Cube metadata model: Dimension / Metric / Selector / Cube.
+
+Reference data model (SURVEY.md §1.1): a cube owns three dictionaries —
+``metrics``, ``dimensions``, ``selectors`` (parse_tree.rb:32,119) — plus a
+name, and is itself the root query builder (:205-207). Here each element is
+a small dataclass wrapping *Column-expression factories*, so every cube
+element stays a Catalyst expression (pushdown/pruning stay free) and never
+forces a Python UDF.
+
+Scale design: a cube's backing table is declared as a base fact table plus
+optional star joins (``JoinSpec``). The compiler only materializes the joins
+whose columns the query actually references (``requires`` sets on elements)
+— at 100 TB an unreferenced fact-fact join is the difference between a
+broadcast-only scan and a multi-TB shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import InputArgumentError
+from .functions.selector_ops import apply_operator
+
+# A factory producing the element's column expression. Uses F.col(...) names
+# resolved lazily against the cube's backing view.
+ColumnFactory = Callable[[], Column]
+
+
+def _as_factory(expr: "str | Column | ColumnFactory") -> ColumnFactory:
+    if isinstance(expr, str):
+        return lambda: F.col(expr)
+    if isinstance(expr, Column):
+        return lambda: expr
+    return expr
+
+
+@dataclass
+class Dimension:
+    """A slice-able (group-by) attribute; may expose hierarchical sub-fields
+    looked up by name (parse_tree.rb:29 ``dimension[sub_name]``), e.g. a date
+    dimension exposing year/month/date projections (README.md:47-50).
+    """
+
+    expr: ColumnFactory
+    #: sub-field name → transform over the parent expression
+    fields: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
+    #: joined tables this dimension's columns live in (join pruning)
+    requires: frozenset[str] = frozenset()
+
+    def __post_init__(self) -> None:
+        self.expr = _as_factory(self.expr)
+
+    def column(self, sub: Optional[str] = None) -> Column:
+        base = self.expr()
+        if sub is None:
+            return base
+        if sub not in self.fields:
+            # parse_tree.rb:30 — unknown sub-field under a dimension → error
+            raise InputArgumentError(f"Dimension has no sub-field '{sub}'")
+        return self.fields[sub](base)
+
+
+@dataclass
+class Metric:
+    """An aggregate measure. ``agg(cond)`` returns the aggregate Column; a
+    non-None ``cond`` produces the *conditional* aggregate (metric-scoped
+    filters, parse_tree.rb:88 ``apply_args(metric)`` → F.sum(F.when(...))).
+    """
+
+    agg: Callable[[Optional[Column]], Column]
+    requires: frozenset[str] = frozenset()
+
+    # -- common constructors ------------------------------------------------
+    @staticmethod
+    def _wrap(fn: Callable[[Column], Column], expr: "str | Column | ColumnFactory",
+              requires: frozenset[str] = frozenset()) -> "Metric":
+        factory = _as_factory(expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            return fn(F.when(cond, c)) if cond is not None else fn(c)
+
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
+    def sum(expr, requires=frozenset()) -> "Metric":
+        return Metric._wrap(F.sum, expr, requires)
+
+    @staticmethod
+    def avg(expr, requires=frozenset()) -> "Metric":
+        return Metric._wrap(F.avg, expr, requires)
+
+    @staticmethod
+    def min(expr, requires=frozenset()) -> "Metric":
+        return Metric._wrap(F.min, expr, requires)
+
+    @staticmethod
+    def max(expr, requires=frozenset()) -> "Metric":
+        return Metric._wrap(F.max, expr, requires)
+
+    @staticmethod
+    def count(requires=frozenset()) -> "Metric":
+        def agg(cond: Optional[Column]) -> Column:
+            return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count(F.lit(1))
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
+    def count_distinct(expr, requires=frozenset()) -> "Metric":
+        """Exact distinct (oracle-safe twin of ``uniq``)."""
+        factory = _as_factory(expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            return F.count_distinct(F.when(cond, c)) if cond is not None else F.count_distinct(c)
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
+    def uniq(expr, rsd: float = 0.05, requires=frozenset()) -> "Metric":
+        """ClickHouse ``uniq`` ≈ HLL approximate distinct (SURVEY §2.4 A3).
+        Kept out of hash-checked oracles; tolerance-tested instead."""
+        factory = _as_factory(expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            return (F.approx_count_distinct(F.when(cond, c), rsd)
+                    if cond is not None else F.approx_count_distinct(c, rsd))
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
+    def collect(expr, distinct: bool = False, sort: bool = True,
+                requires=frozenset()) -> "Metric":
+        """Array aggregate (SURVEY §2.4 A5). Sorted by default so results are
+        deterministic under Spark's partition-order nondeterminism."""
+        factory = _as_factory(expr)
+        gather = F.collect_set if distinct else F.collect_list
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            out = gather(F.when(cond, c)) if cond is not None else gather(c)
+            return F.sort_array(out) if sort else out
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
+    def top_tuples(order_expr, struct_fields: dict[str, Any], k: int,
+                   requires=frozenset()) -> "Metric":
+        """Tuple/struct aggregate (SURVEY §2.4 A6): array of named tuples,
+        top-k by ``order_expr`` desc. Field order in the struct is the
+        declared order (reference: ``metric.definition.class.tuple``,
+        response_builder.rb:116-126)."""
+        order_f = _as_factory(order_expr)
+        fields = {name: _as_factory(e) for name, e in struct_fields.items()}
+
+        def agg(cond: Optional[Column]) -> Column:
+            # Sort key leads the struct so sort_array orders by it.
+            st = F.struct(order_f().alias("__ord"),
+                          *[fields[n]().alias(n) for n in fields])
+            if cond is not None:
+                st = F.when(cond, st)
+            arr = F.slice(F.sort_array(F.collect_list(st), asc=False), 1, k)
+            # strip the sort key; keep declared tuple fields
+            return F.transform(arr, lambda s: F.struct(*[s[n].alias(n) for n in fields]))
+        return Metric(agg=agg, requires=requires)
+
+
+@dataclass
+class Selector:
+    """A filterable attribute. ``predicate(op, value)`` returns a boolean
+    Column; operator vocabulary and nil semantics in functions/selector_ops
+    (parse_tree.rb:9,152-153,158-160). Composition into AND/OR trees happens
+    in the query builder (Selector.and/.or ≙ ``&``/``|`` on Columns).
+    """
+
+    expr: ColumnFactory
+    requires: frozenset[str] = frozenset()
+
+    def __post_init__(self) -> None:
+        self.expr = _as_factory(self.expr)
+
+    def predicate(self, op: str, value: Any) -> Column:
+        return apply_operator(self.expr(), op, value)
+
+
+@dataclass
+class JoinSpec:
+    """One star-join edge of a cube's backing view.
+
+    ``broadcast=True`` marks a dimension table small enough to replicate to
+    every executor (region/nation/customer-class lookups) — at 100 TB this
+    turns the join into a map-side hash join with zero shuffle of the fact
+    table. Fact-fact edges (orders⋈lineitem) leave ``broadcast=False`` and
+    rely on shuffle join + AQE skew splitting.
+    """
+
+    table: str
+    on: Callable[[], Column]
+    how: str = "left"
+    broadcast: bool = False
+    #: table that must already be joined for ``on`` to resolve
+    depends_on: Optional[str] = None
+
+
+class Cube:
+    """The central dataset object (SURVEY §1.1): named element dictionaries
+    plus a backing star schema. ``table()`` builds the backing DataFrame with
+    only the joins a query needs (join pruning — see compiler).
+    """
+
+    name: str = "cube"
+    base_table: str = ""
+    joins: list[JoinSpec] = []
+    dimensions: dict[str, Dimension] = {}
+    metrics: dict[str, Metric] = {}
+    selectors: dict[str, Selector] = {}
+
+    def __init__(self, spark: SparkSession, source) -> None:
+        # ``source`` is a SourceRegistry or a path prefix string.
+        from .sources.registry import SourceRegistry
+        if isinstance(source, str):
+            source = SourceRegistry({"default": source})
+        self.spark = spark
+        self.source: SourceRegistry = source
+
+    # -- element lookup with fail-fast validation (parse_tree.rb:30,33) -----
+    def dimension(self, name: str) -> Dimension:
+        try:
+            return self.dimensions[name]
+        except KeyError:
+            raise InputArgumentError(
+                f"Can not find metric or dimension '{name}' in cube {self.name}") from None
+
+    def metric(self, name: str) -> Metric:
+        try:
+            return self.metrics[name]
+        except KeyError:
+            raise InputArgumentError(
+                f"Can not find metric or dimension '{name}' in cube {self.name}") from None
+
+    def selector(self, name: str) -> Selector:
+        try:
+            return self.selectors[name]
+        except KeyError:
+            raise InputArgumentError(
+                f"Unknown selector '{name}' in cube {self.name}") from None
+
+    # -- backing view -------------------------------------------------------
+    def table(self, database: str = "default",
+              required: Optional[frozenset[str]] = None) -> DataFrame:
+        """Backing DataFrame: base fact table plus the star joins in
+        ``required`` (None = all). Broadcast hints applied per JoinSpec."""
+        df = self.source.read(self.spark, database, self.base_table)
+        if not self.joins:
+            return df
+        need = set(required) if required is not None else {j.table for j in self.joins}
+        # close over dependencies (region needs nation, etc.)
+        by_name = {j.table: j for j in self.joins}
+        frontier = list(need)
+        while frontier:
+            j = by_name.get(frontier.pop())
+            if j is not None and j.depends_on and j.depends_on not in need:
+                need.add(j.depends_on)
+                frontier.append(j.depends_on)
+        for j in self.joins:  # declaration order respects dependencies
+            if j.table not in need:
+                continue
+            other = self.source.read(self.spark, database, j.table)
+            if j.broadcast:
+                other = F.broadcast(other)
+            df = df.join(other, on=j.on(), how=j.how)
+        return df
+
+    def query(self, database: str = "default"):
+        from .query import CubeQueryBuilder
+        return CubeQueryBuilder(self, database)

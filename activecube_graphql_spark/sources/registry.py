@@ -1,0 +1,41 @@
+"""SourceRegistry — multi-database routing (SURVEY §2.1 S2).
+
+Reference: one cube can execute against multiple named databases, chosen
+per-request (``cube.connected_to(database:)``, cube_field.rb:33-38;
+README.md:53-68). Here a database name maps to a path prefix (or any
+``spark.read`` format); the cube resolves ``{prefix}/{table}.parquet``.
+
+Scale notes: reads go through ``spark.read.parquet`` so partition discovery,
+predicate pushdown, and column pruning all apply. For a partitioned lake
+layout (e.g. ``/date=2024-01-01/``) the same registry entry picks up
+partition pruning automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import InputArgumentError
+
+
+@dataclass
+class SourceRegistry:
+    """database name → parquet directory prefix."""
+
+    databases: dict[str, str]
+    format: str = "parquet"
+    #: optional per-(db, table) explicit path overrides
+    overrides: dict[tuple[str, str], str] = dc_field(default_factory=dict)
+
+    def path(self, database: str, table: str) -> str:
+        if database not in self.databases:
+            raise InputArgumentError(f"Unknown database '{database}'")
+        if (database, table) in self.overrides:
+            return self.overrides[(database, table)]
+        return os.path.join(self.databases[database], f"{table}.{self.format}")
+
+    def read(self, spark: SparkSession, database: str, table: str) -> DataFrame:
+        return spark.read.format(self.format).load(self.path(database, table))
