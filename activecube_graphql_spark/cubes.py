@@ -113,13 +113,30 @@ class EventsCube(Cube):
     name = "events"
     base_table = "events"
     joins: list[JoinSpec] = []
+
+    @staticmethod
+    def prepare(df):
+        # events.ts is parquet timestamp[ns]; Spark reads it as epoch-nanos
+        # long (session.py nanosAsLong) — truncate to microsecond timestamp,
+        # matching DuckDB's ns→datetime truncation.
+        from pyspark.sql.types import LongType
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     dimensions = {
         "event_type": Dimension("event_type"),
         "user_id": Dimension("user_id"),
-        "ts": Dimension("ts", fields=dict(_DATE_FIELDS)),
+        "event_id": Dimension("event_id"),
+        "value": Dimension("value"),
+        "ts": Dimension("ts", fields={
+            **_DATE_FIELDS,
+            "hour_start": lambda c: F.date_trunc("hour", c),
+            "minute_start": lambda c: F.date_trunc("minute", c),
+        }),
         # JSON payload sub-field dimension (scalar-function family, §2.9)
         "props": Dimension("props", fields={
             "k": lambda c: F.get_json_object(c, "$.k").cast("long"),
+            "k_str": lambda c: F.get_json_object(c, "$.k"),
         }),
     }
     metrics = {

@@ -246,12 +246,18 @@ class Cube:
             raise InputArgumentError(
                 f"Unknown selector '{name}' in cube {self.name}") from None
 
+    @staticmethod
+    def prepare(df: DataFrame) -> DataFrame:
+        """Per-cube column normalization applied right after the base-table
+        scan (e.g. epoch-nanos → timestamp). Identity by default."""
+        return df
+
     # -- backing view -------------------------------------------------------
     def table(self, database: str = "default",
               required: Optional[frozenset[str]] = None) -> DataFrame:
         """Backing DataFrame: base fact table plus the star joins in
         ``required`` (None = all). Broadcast hints applied per JoinSpec."""
-        df = self.source.read(self.spark, database, self.base_table)
+        df = self.prepare(self.source.read(self.spark, database, self.base_table))
         if not self.joins:
             return df
         need = set(required) if required is not None else {j.table for j in self.joins}

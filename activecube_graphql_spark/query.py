@@ -81,6 +81,7 @@ class CubeQueryBuilder:
         self._filters: list[tuple[Column, frozenset[str]]] = []
         self._options: list[tuple[str, Any]] = []
         self._transforms: list[Callable[[DataFrame], DataFrame]] = []
+        self._grouping_mode: str = "groupby"
 
     # ------------------------------------------------------------------ API
     def slice(self, *names: str, alias: Optional[str] = None) -> "CubeQueryBuilder":
@@ -130,11 +131,18 @@ class CubeQueryBuilder:
         return self
 
     # convenience sugar
-    def desc(self, *fields: str):
-        return self.option("desc", list(fields))
+    @staticmethod
+    def _flatten(fields) -> list[str]:
+        out: list[str] = []
+        for f_ in fields:
+            out.extend(f_ if isinstance(f_, (list, tuple)) else [f_])
+        return out
 
-    def asc(self, *fields: str):
-        return self.option("asc", list(fields))
+    def desc(self, *fields):
+        return self.option("desc", self._flatten(fields))
+
+    def asc(self, *fields):
+        return self.option("asc", self._flatten(fields))
 
     def limit(self, n: int):
         return self.option("limit", n)
@@ -144,6 +152,15 @@ class CubeQueryBuilder:
 
     def limit_by(self, each, limit: int, offset: int = 0):
         return self.option("limit_by", {"each": each, "limit": limit, "offset": offset})
+
+    def grouping(self, mode: str) -> "CubeQueryBuilder":
+        """Grouping-sets family (SURVEY §2.4 A7 — beyond-reference parity
+        gap, near-free in Spark): ``groupby`` (default) | ``rollup`` |
+        ``cube`` → ``df.rollup(...)`` / ``df.cube(...)``."""
+        if mode not in ("groupby", "rollup", "cube"):
+            raise InputArgumentError(f"Unknown grouping mode '{mode}'")
+        self._grouping_mode = mode
+        return self
 
     def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "CubeQueryBuilder":
         """Pre-execution query rewrite hook (S3 — ``append_cube_query``,
@@ -227,8 +244,10 @@ class CubeQueryBuilder:
 
         if self._measures:
             if self._slices:
-                out = base.groupBy(*[s.column for s in self._slices]) \
-                          .agg(*[m.column for m in self._measures])
+                grouper = {"groupby": base.groupBy, "rollup": base.rollup,
+                           "cube": base.cube}[self._grouping_mode]
+                out = grouper(*[s.column for s in self._slices]) \
+                    .agg(*[m.column for m in self._measures])
             else:
                 out = base.agg(*[m.column for m in self._measures])
         elif self._slices:

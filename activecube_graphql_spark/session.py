@@ -39,6 +39,10 @@ def get_spark(app_name: str = "activecube-graphql-spark",
         # Timestamps in fixtures are timestamp[us/ns]; keep NTZ-free behavior
         # deterministic across engines.
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture `events.ts` is parquet timestamp[ns]; Spark has no nanos
+        # type — read as epoch-nanos long, cubes convert to microsecond
+        # timestamps (FIXTURES.md note on ns truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's correctness gate: runs every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
+the same parquet, compares row count, column names, and an
+order-insensitive multiset of canonicalized row values.
+
+Usage: python tools/verify_local.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Canonicalize a value the way any sane hasher would see it."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return canon(v.item())
+    return repr(v)
+
+
+def rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from activecube_graphql_spark import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed, passed, skipped = [], [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            if name not in oracles:
+                skipped.append(name)
+                print(f"  ~ {name}: rows-only ({len(srows)} rows)")
+                continue
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+            problems = []
+            if sorted(scols) != sorted(ocols):
+                problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+            elif len(srows) != len(orows):
+                problems.append(f"rowcount {len(srows)} != {len(orows)}")
+            else:
+                sm = rows_multiset(scols, [[r[c] for c in scols] for r in srows])
+                om = rows_multiset(ocols, orows)
+                if sm != om:
+                    diff_s = list((sm - om).items())[:3]
+                    diff_o = list((om - sm).items())[:3]
+                    problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
+            if problems:
+                failed.append(name)
+                print(f"  ✗ {name}: {problems[0][:500]}")
+            else:
+                passed.append(name)
+                print(f"  ✓ {name} ({len(srows)} rows)")
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"  ✗ {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+    print(f"\npassed={len(passed)} failed={len(failed)} rows_only={len(skipped)}")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
