@@ -1,0 +1,162 @@
+"""Unit tests for the reference's quirky semantic rules (SURVEY §5.2 item 3):
+nil-predicate drop, option ordering, injection guard, alias fan-out,
+unknown-name fail-fast, null-aware operators. These are pure-semantics
+checks the oracle harness can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from activecube_graphql_spark import InputArgumentError
+from activecube_graphql_spark.cubes import EventsCube, SalesCube
+
+
+def test_unknown_dimension_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="Can not find"):
+        cube.query().slice("nope")
+
+
+def test_unknown_metric_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="Can not find"):
+        cube.query().measure("nope")
+
+
+def test_unknown_subfield_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="sub-field"):
+        cube.query().slice("shipdate.century")
+
+
+def test_unknown_option_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="not supported"):
+        cube.query().slice("returnflag").measure("count").option("frobnicate", 1)
+
+
+def test_unknown_selector_operator_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="operator"):
+        cube.query().slice("returnflag").measure("count") \
+            .when({"quantity": {"wat": 1}}).df()
+
+
+def test_injection_guard(spark, sf_dir):
+    """parse_tree.rb:113-114 — values containing `_aq.` are rejected."""
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="Unexpected value"):
+        cube.query().when({"returnflag": "_aq.count"})
+    with pytest.raises(InputArgumentError, match="Unexpected value"):
+        cube.query().when({"returnflag": ["ok", "_aq.x"]})
+
+
+def test_nil_predicate_drop(spark, sf_dir):
+    """parse_tree.rb:158-160 — nil under a non-null-aware op drops the
+    predicate entirely (no rows filtered)."""
+    cube = SalesCube(spark, sf_dir)
+    base = cube.query().measure("count", alias="cnt").df().collect()[0][0]
+    dropped = (cube.query().measure("count", alias="cnt")
+               .when({"quantity": {"gt": None}}).df().collect()[0][0])
+    assert dropped == base
+
+
+def test_nil_eq_means_is_null(spark, sf_dir):
+    """eq None must become IS NULL (no NULLs in fixture → zero rows)."""
+    cube = SalesCube(spark, sf_dir)
+    n = (cube.query().measure("count", alias="cnt")
+         .when({"returnflag": {"eq": None}}).df().collect()[0][0])
+    assert n == 0
+
+
+def test_option_order_matters(spark, sf_dir):
+    """O5: [desc, limit] ≠ [limit, desc] (parse_tree.rb:46-68,99)."""
+    cube = EventsCube(spark, sf_dir)
+
+    def build(order):
+        q = cube.query().slice("user_id").measure("total")
+        for name, args in order:
+            q = q.option(name, args)
+        return [r[0] for r in q.df().collect()]
+
+    desc_then_limit = build([("desc", ["total", "user_id"]), ("limit", 3)])
+    limit_then_desc = build([("limit", 3), ("desc", ["total", "user_id"])])
+    # desc-then-limit returns the global top 3; limit-then-desc sorts an
+    # arbitrary 3 — the *sets* generally differ, and desc_then_limit must
+    # be the true top-3.
+    all_totals = build([("desc", ["total", "user_id"])])
+    assert desc_then_limit == all_totals[:3]
+    assert len(limit_then_desc) == 3
+
+
+def test_alias_fanout_same_metric_twice(spark, sf_dir):
+    """R2: the same metric under two aliases with different args."""
+    cube = SalesCube(spark, sf_dir)
+    df = (cube.query().slice("returnflag")
+          .measure("revenue", alias="rev_all")
+          .measure("revenue", alias="rev_r", where={"returnflag": "R"})
+          .relabeled())
+    rows = {r["returnflag"]: r for r in df.collect()}
+    assert set(df.columns) == {"returnflag", "rev_all", "rev_r"}
+    # conditional aggregate: for the R group they agree; others rev_r is None
+    assert rows["R"]["rev_r"] == pytest.approx(rows["R"]["rev_all"])
+    assert rows["N"]["rev_r"] is None
+
+
+def test_no_elements_raises(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError):
+        cube.query().df()
+
+
+def test_join_pruning(spark, sf_dir):
+    """Queries touching only lineitem must not join any other table."""
+    cube = SalesCube(spark, sf_dir)
+    q = cube.query().slice("returnflag").measure("revenue")
+    assert q.required_tables() == frozenset()
+    plan = q.df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    # region slice pulls the whole chain
+    q2 = cube.query().slice("region").measure("count")
+    assert q2.required_tables() == frozenset({"orders", "customer", "nation", "region"})
+
+
+def test_broadcast_dimension_join(spark, sf_dir):
+    """Dimension lookups must plan as broadcast hash joins (no fact shuffle)."""
+    cube = SalesCube(spark, sf_dir)
+    plan = (cube.query().slice("region").measure("revenue").df()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+def test_uniq_tolerance(spark, sf_dir):
+    """A3: approx_count_distinct within rsd bound of exact (SURVEY §5.2.4)."""
+    cube = SalesCube(spark, sf_dir)
+    df = (cube.query().measure("orders").measure("orders_uniq").df().collect()[0])
+    exact, approx = df[0], df[1]
+    assert abs(approx - exact) / exact < 0.15
+
+
+def test_transform_hook(spark, sf_dir):
+    """S3: append_cube_query-style pre-execution rewrite."""
+    cube = SalesCube(spark, sf_dir)
+    df = (cube.query().slice("returnflag").measure("count", alias="cnt")
+          .transform(lambda d: d.filter(F.col("`_aq.returnflag`") == "R"))
+          .relabeled())
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["returnflag"] == "R"
+
+
+def test_tuple_metric_struct_shape(spark, sf_dir):
+    """A6: tuple metrics are ArrayType(StructType) with declared field order
+    (reference: metric.definition.class.tuple, response_builder.rb:116-126)."""
+    from pyspark.sql.types import ArrayType, StructType
+    cube = SalesCube(spark, sf_dir)
+    df = cube.query().slice("returnflag").measure("top_parts").relabeled()
+    t = df.schema["top_parts"].dataType
+    assert isinstance(t, ArrayType) and isinstance(t.elementType, StructType)
+    assert [f.name for f in t.elementType.fields] == ["partkey", "price"]
+    row = df.filter(F.col("returnflag") == "R").collect()[0]
+    assert len(row["top_parts"]) == 3
