@@ -1,0 +1,51 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs every driver query at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; per query: 1 discarded warm-up run then the
+median of 3 timed runs (wall-clock to ``collect()`` return). Prints ONE
+JSON line: {"metric", "value" (suite total sec), "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from activecube_graphql_spark import get_spark
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    spark = get_spark("acgs-bench")
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        fn(spark, sf_dir).collect()  # warm-up (code-gen + file index)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "suite_total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
