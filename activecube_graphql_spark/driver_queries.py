@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cubes import DocsCube, EventsCube, SalesCube
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
 
 
 def _sales(spark: SparkSession, sf_dir: str) -> SalesCube:
@@ -292,6 +295,94 @@ def q_events_hourly(spark, sf_dir):
     return _round(q.relabeled(), {"total": 2})
 
 
+# --------------------------------------------------------------------------
+# Beyond-reference: LLM-data-pipeline operators (SURVEY §7 slice 6)
+# --------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return DocsCube(spark, sf_dir).table()
+
+
+def _embeds(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep the min-doc_id row per (lang, source) key —
+    deterministic survivor selection via min_by under one groupBy."""
+    return dd.exact_dedup(_docs(spark, sf_dir), ["lang", "source"], "doc_id") \
+             .select("doc_id", "lang", "source", "n_chars")
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Document fingerprinting (md5 over normalized text) + distinct-
+    fingerprint count per source — the exact-dedup cardinality probe."""
+    df = tx.with_fingerprint(_docs(spark, sf_dir))
+    return (df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.count_distinct("fingerprint").alias("distinct_fp")))
+
+
+def q_text_stats(spark, sf_dir):
+    """Quality scoring / token counting per language (portable fragments —
+    the oracle runs the *same* rendered expressions)."""
+    df = tx.with_text_stats(_docs(spark, sf_dir))
+    return (df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("token_count"), 4).alias("avg_tokens"),
+                 F.round(F.avg("ws_token_count"), 4).alias("avg_ws_tokens"),
+                 F.round(F.avg("punct_count"), 4).alias("avg_punct"),
+                 F.round(F.avg("stopword_count"), 4).alias("avg_stopwords"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality")))
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-token argmax) → confusion matrix
+    against the labeled lang column."""
+    df = tx.with_lang_id(_docs(spark, sf_dir))
+    return df.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 2-gram Jaccard near-dup pairs (≥ 0.5) via inverted-index
+    similarity join — finds the fixture's planted near-duplicates."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (64 perms, 16 bands). xxhash64-based
+    → not oracle-expressible; rows-only check here, verified against exact
+    Jaccard in tests/test_pipeline_ops.py."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), n=2,
+                                num_perm=64, bands=16, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (rows-only; hamming-near pairs verified
+    against Jaccard near-dups in tests)."""
+    return dd.with_simhash(_docs(spark, sf_dir)) \
+             .select("doc_id", "simhash")
+
+
+def q_embed_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 5 (exact ANN
+    baseline; double math so the SQL oracle matches bit-for-bit)."""
+    corpus = _embeds(spark, sf_dir)
+    return sim.cosine_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45)."""
+    return sim.embedding_cosine_pairs(_embeds(spark, sf_dir), threshold=0.45)
+
+
+def q_embed_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate NN (8 hyperplanes) — the 100 TB scale path;
+    recall vs the brute-force baseline asserted in tests, rows-only here."""
+    corpus = _embeds(spark, sf_dir)
+    return sim.lsh_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue": q_flagship_revenue,
     "global_agg": q_global_agg,
@@ -317,6 +408,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_subfield": q_json_subfield,
     "distinct_slice": q_distinct_slice,
     "events_hourly": q_events_hourly,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embed_topk": q_embed_topk,
+    "embed_neardup": q_embed_neardup,
+    "embed_lsh_ann": q_embed_lsh_ann,
 }
 
 
@@ -500,5 +601,85 @@ ORACLES: dict[str, str] = {
                count(*) AS cnt, round(sum(value), 2) AS total,
                count(DISTINCT user_id) AS users
         FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN (SELECT lang, source, min(doc_id) AS keep_id
+              FROM documents GROUP BY 1, 2) k
+          ON d.doc_id = k.keep_id
+    """,
+    "fingerprint_dedup": f"""
+        SELECT source, count(*) AS cnt,
+               count(DISTINCT {tx.oracle_fragment(tx.FINGERPRINT)})
+                   AS distinct_fp
+        FROM documents GROUP BY 1
+    """,
+    "text_stats": f"""
+        SELECT lang, count(*) AS cnt,
+               round(avg({tx.oracle_fragment(tx.TOKEN_COUNT)}), 4) AS avg_tokens,
+               round(avg({tx.oracle_fragment(tx.WS_TOKEN_COUNT)}), 4) AS avg_ws_tokens,
+               round(avg({tx.oracle_fragment(tx.PUNCT_COUNT)}), 4) AS avg_punct,
+               round(avg({tx.oracle_fragment(tx.STOPWORD_COUNT)}), 4) AS avg_stopwords,
+               round(avg({tx.oracle_fragment(tx.QUALITY)}), 4) AS avg_quality
+        FROM documents GROUP BY 1
+    """,
+    "lang_id": f"""
+        SELECT lang, {tx.oracle_fragment(tx.LANG_ID)} AS lang_pred,
+               count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    """,
+    "ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        sz AS (SELECT doc_id, len(g) AS sz FROM grams),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    "embed_topk": """
+        WITH q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, cast(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        s AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS cosine
+              FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+               rn AS rank FROM r WHERE rn <= 5
+    """,
+    "embed_neardup": """
+        WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cosine, 4) AS cosine
+        FROM p WHERE cosine >= 0.45
     """,
 }

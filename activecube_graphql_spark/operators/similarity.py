@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (SURVEY §7 slice 6).
+
+* **cosine_topk** — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, dot products via ``F.zip_with``+``F.aggregate``
+  (JVM-side, codegen — no Python UDF), per-query top-k via the
+  window+row_number pattern (WindowGroupLimitExec pushes the rank limit
+  below the shuffle). The baseline every ANN variant is checked against.
+* **lsh_ann_topk** — the scale path: random-hyperplane LSH. Deterministic
+  ±1 hyperplanes derived from xxhash64(plane, dim) so results are
+  reproducible with no driver-side randomness; corpus is bucketed by the
+  sign-bit signature, queries probe only their own bucket (plus optional
+  multi-probe neighbors). At 100 TB the bucket join replaces the full
+  cross product: cost O(corpus + queries × bucket_size).
+* **embedding_cosine_pairs** — near-duplicate detection: all pairs with
+  cosine ≥ τ (brute at test scale; LSH-prefiltered variant included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (the query set is small by construction);
+    the corpus is scanned once — a map-side nested loop per partition,
+    then a per-query-group top-k. Ties broken by corpus id (deterministic
+    hash parity with SQL oracles)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 4).alias("cosine"),
+                    F.col("rn").cast("long").alias("rank")))
+
+
+# ----------------------------------------------------------------- LSH ANN
+
+def _plane_coefficients(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane coefficients: coefficient(p, d) from the
+    parity of a seeded integer hash (splitmix64-style scramble) — no
+    driver-side RNG state, reproducible across runs and engines."""
+    coefs = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            x = (p * 1_000_003 + d * 7_919 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 31
+            row.append(1.0 if x & 1 else -1.0)
+        coefs.append(row)
+    return coefs
+
+
+def _hyperplane_signature(vec: Column, planes: int, dim: int) -> Column:
+    """Sign-bit signature under deterministic ±1 hyperplanes. The planes
+    are compile-time constants, so each one is a literal array and the
+    per-row work is ``planes`` fused dot products (codegen, no shuffle)."""
+    v = _as_double(vec)
+    sig = F.lit(0).cast("long")
+    for p, row in enumerate(_plane_coefficients(planes, dim)):
+        coef = F.array(*[F.lit(c) for c in row])
+        s = _dot(coef, v)
+        sig = sig.bitwiseOR(
+            F.when(s >= 0, F.lit(1 << p).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
+                 id_col: str, vec_col: str,
+                 tables: int, planes: int, dim: int) -> DataFrame:
+    """One row per (vector, hash table): bucket = (table, signature).
+    Each table uses its own plane set (offset into the coefficient
+    stream), the standard multi-table LSH trick that trades candidate
+    count for recall."""
+    all_planes = tables * planes
+    sig_bits = _hyperplane_signature(F.col(vec_col), all_planes, dim)
+    tagged = df.select(F.col(id_col).alias(id_alias),
+                       F.col(vec_col).alias(vec_alias),
+                       sig_bits.alias("__sig"))
+    mask = (1 << planes) - 1
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 F.shiftright(F.col("__sig"), t * planes)
+                  .bitwiseAND(F.lit(mask)).alias("h"))
+        for t in range(tables)])
+    return (tagged.withColumn("bucket", F.explode(buckets))
+            .drop("__sig"))
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 tables: int = 8, planes: int = 4, dim: int = 64,
+                 exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: candidates limited to vectors sharing at least
+    one LSH bucket with the query (L hash tables × b hyperplanes each).
+
+    Recall < 1 by construction — validated against cosine_topk recall in
+    tests, never hash-checked against an oracle. Cost model at 100 TB:
+    corpus signatures are one map-only pass; the bucket join touches
+    O(corpus × tables) rows but each candidate pair is scored once
+    (distinct before scoring), versus O(corpus × queries) for brute force."""
+    c = _lsh_buckets(corpus, "neighbor_id", "c_vec", id_col, vec_col,
+                     tables, planes, dim)
+    q = _lsh_buckets(queries, "query_id", "q_vec", id_col, vec_col,
+                     tables, planes, dim)
+    joined = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = joined.select("query_id", "q_vec", "neighbor_id", "c_vec") \
+                 .dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 4).alias("cosine"),
+                    F.col("rn").cast("long").alias("rank")))
+
+
+def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           lsh_prefilter: bool = False,
+                           planes: int = 8, dim: int = 64) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine ≥ threshold.
+
+    ``lsh_prefilter=True`` joins on the hyperplane bucket first (the 100 TB
+    path); False is the exact O(n²) baseline for small corpora/oracles."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if lsh_prefilter:
+        a = a.withColumn("bucket", _hyperplane_signature(F.col("vec_a"), planes, dim))
+        b = b.withColumn("bucket", _hyperplane_signature(F.col("vec_b"), planes, dim))
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (joined
+            .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))

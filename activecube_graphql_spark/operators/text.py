@@ -1,0 +1,120 @@
+"""Text-analysis operators for the LLM-data-pipeline surface (SURVEY §7
+slice 6): token counting, quality scoring, language ID, fingerprinting.
+
+Everything here is a *portable SQL fragment* (functions/portable.py)
+evaluated as a Catalyst expression via ``F.expr`` — JVM-side, whole-stage
+codegen, zero Python UDFs — and rendered verbatim for the DuckDB oracle.
+At 100 TB these are embarrassingly parallel map-only columns: no shuffle,
+no state, fully pipelined with the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import render
+
+# ---------------------------------------------------------------- fragments
+# (text: string column name; all fragments portable Spark/DuckDB)
+
+#: lowercase alpha tokens — the shared tokenization for everything below
+TOKENS = "regexp_extract_all(lower({text}), '[a-z]+', 0)"
+
+TOKEN_COUNT = f"ARRAY_LEN({TOKENS})"
+
+#: whitespace-separated token count (BPE-ish proxy: words + punct runs)
+WS_TOKEN_COUNT = "ARRAY_LEN(regexp_extract_all({text}, '[^ ]+', 0))"
+
+#: punctuation character count / total chars
+PUNCT_COUNT = "length(REGEX_STRIP({text}, '[a-zA-Z0-9 ]'))"
+
+#: stopword-bearing token count (English function words)
+_STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
+STOPWORD_COUNT = (
+    f"ARRAY_LEN(LIST_FILTER({TOKENS}, t -> LIST_HAS(LIST_VAL({_STOPWORDS}), t)))"
+)
+
+#: normalized-text fingerprint: lowercase, strip spaces, md5 (portable hash;
+#: the Spark-only rolling-hash variant lives in dedup.simhash)
+FINGERPRINT = "md5(REGEX_STRIP(lower({text}), '[ ]'))"
+
+#: language-ID scores: count of language-marker tokens
+_LANG_MARKERS = {
+    "en": "'the', 'and', 'of', 'to', 'is'",
+    "de": "'der', 'die', 'und', 'das', 'ist'",
+    "es": "'el', 'la', 'que', 'los', 'una'",
+    "fr": "'le', 'les', 'des', 'est', 'dans'",
+    "zh": "'de', 'le', 'shi', 'zai', 'he'",
+}
+
+
+def _lang_score(lang: str) -> str:
+    return (f"ARRAY_LEN(LIST_FILTER({TOKENS}, "
+            f"t -> LIST_HAS(LIST_VAL({_LANG_MARKERS[lang]}), t)))")
+
+
+#: deterministic argmax with fixed precedence en>de>es>fr>zh, 'und' if no hits
+LANG_ID = (
+    "CASE"
+    f" WHEN {_lang_score('en')} >= {_lang_score('de')}"
+    f"  AND {_lang_score('en')} >= {_lang_score('es')}"
+    f"  AND {_lang_score('en')} >= {_lang_score('fr')}"
+    f"  AND {_lang_score('en')} >= {_lang_score('zh')}"
+    f"  AND {_lang_score('en')} > 0 THEN 'en'"
+    f" WHEN {_lang_score('de')} >= {_lang_score('es')}"
+    f"  AND {_lang_score('de')} >= {_lang_score('fr')}"
+    f"  AND {_lang_score('de')} >= {_lang_score('zh')}"
+    f"  AND {_lang_score('de')} > 0 THEN 'de'"
+    f" WHEN {_lang_score('es')} >= {_lang_score('fr')}"
+    f"  AND {_lang_score('es')} >= {_lang_score('zh')}"
+    f"  AND {_lang_score('es')} > 0 THEN 'es'"
+    f" WHEN {_lang_score('fr')} >= {_lang_score('zh')}"
+    f"  AND {_lang_score('fr')} > 0 THEN 'fr'"
+    f" WHEN {_lang_score('zh')} > 0 THEN 'zh'"
+    " ELSE 'und' END"
+)
+
+#: quality score in [0,1]: length band + stopword presence - punct excess
+QUALITY = (
+    "round(least(1.0, greatest(0.0,"
+    "  0.4 * least(1.0, length({text}) / 500.0)"
+    f" + 0.4 * least(1.0, STOPC / greatest(TOKC, 1) * 5.0)"
+    f" - 0.2 * least(1.0, PUNCTC / greatest(length({{text}}), 1) * 10.0)"
+    " + 0.2)), 4)"
+).replace("STOPC", STOPWORD_COUNT).replace("TOKC", TOKEN_COUNT) \
+ .replace("PUNCTC", PUNCT_COUNT)
+
+
+# ---------------------------------------------------------------- Spark side
+
+def _col(fragment: str, text_col: str) -> Column:
+    return F.expr(render(fragment.format(text=text_col), "spark"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token_count, ws_token_count, punct_count, stopword_count,
+    quality columns — map-only, codegen'd."""
+    return (df
+            .withColumn("token_count", _col(TOKEN_COUNT, text_col))
+            .withColumn("ws_token_count", _col(WS_TOKEN_COUNT, text_col))
+            .withColumn("punct_count", _col(PUNCT_COUNT, text_col))
+            .withColumn("stopword_count", _col(STOPWORD_COUNT, text_col))
+            .withColumn("quality", _col(QUALITY, text_col)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, _col(LANG_ID, text_col))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, _col(FINGERPRINT, text_col))
+
+
+# ---------------------------------------------------------------- oracle side
+
+def oracle_fragment(fragment: str, text_col: str = "text") -> str:
+    """The same fragment rendered for DuckDB — used to assemble oracles."""
+    return render(fragment.format(text=text_col), "duckdb")

@@ -1,0 +1,99 @@
+"""Validation for the LLM-pipeline operators that can't be hash-checked
+against a SQL oracle (SURVEY §5.2 item 4): MinHash-LSH vs exact Jaccard,
+LSH-ANN recall vs brute force, SimHash hamming vs near-dup ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from activecube_graphql_spark.operators import dedup as dd
+from activecube_graphql_spark.operators import similarity as sim
+from activecube_graphql_spark.operators import text as tx
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeds(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_deterministic_survivor(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    out = dd.exact_dedup(df, ["lang", "source"], "doc_id")
+    expected = (df.groupBy("lang", "source").agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    got = {r[0] for r in out.select("doc_id").collect()}
+    want = {r[0] for r in expected.collect()}
+    assert got == want
+
+
+def test_minhash_estimates_jaccard(spark, sf_dir):
+    """MinHash-LSH pairs at threshold τ must (a) recover most exact-Jaccard
+    pairs ≥ τ+0.1 and (b) estimate Jaccard within ±0.2 on shared pairs."""
+    df = _docs(spark, sf_dir)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(df, n=2, threshold=0.4).collect()}
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dd.minhash_lsh_pairs(df, n=2, num_perm=64, bands=16,
+                                         threshold=0.4).collect()}
+    strong = {k for k, v in exact.items() if v >= 0.5}
+    assert strong, "fixture should contain planted near-dups"
+    recall = len(strong & set(est)) / len(strong)
+    assert recall >= 0.9, f"LSH recall {recall} too low"
+    for k in strong & set(est):
+        assert abs(est[k] - exact[k]) <= 0.2
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Planted near-dup pairs (Jaccard ≥ 0.8) must sit within hamming ≤ 16
+    of each other; random pairs should average ~32."""
+    df = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(df, n=2, threshold=0.8)
+    sh = dd.with_simhash(df).select("doc_id", "simhash")
+    joined = (pairs
+              .join(sh.toDF("id_a", "sh_a"), "id_a")
+              .join(sh.toDF("id_b", "sh_b"), "id_b")
+              .withColumn("hamming",
+                          dd.simhash_hamming(F.col("sh_a"), F.col("sh_b"))))
+    rows = joined.collect()
+    assert rows, "expected some Jaccard>=0.8 pairs"
+    assert all(r["hamming"] <= 16 for r in rows), rows
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH ANN top-5 must recover a reasonable fraction of the true top-5.
+    Random gaussian vectors are LSH's worst case (true neighbors sit near
+    cos≈0.35), so the bar is recall, not exactness — exactness comes from
+    cosine_topk."""
+    corpus = _embeds(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    brute = sim.cosine_topk(corpus, queries, k=5)
+    ann = sim.lsh_ann_topk(corpus, queries, k=5)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert a, "ANN returned nothing"
+    assert a <= {(q, n) for q, n in a} # shape sanity
+    recall = len(a & b) / len(b)
+    assert recall > 0.3, f"ANN recall {recall} suspiciously low"
+    # every ANN hit must be a genuine same-bucket neighbor with valid cosine
+    for r in ann.collect():
+        assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    df = tx.with_text_stats(_docs(spark, sf_dir))
+    mm = df.agg(F.min("quality"), F.max("quality")).collect()[0]
+    assert 0.0 <= mm[0] and mm[1] <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark, sf_dir):
+    """Fingerprint must be invariant to case + spacing (normalization)."""
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["fingerprint"]
+           for r in tx.with_fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
