@@ -383,6 +383,22 @@ def q_embed_lsh_ann(spark, sf_dir):
     return sim.lsh_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_sliding_window(spark, sf_dir):
+    """Batch twin of the streaming sliding-window aggregation (§2.10):
+    1-hour windows sliding by 30 minutes."""
+    from .streaming import jobs
+    return jobs.sliding_avg(jobs.events_batch(spark, sf_dir), watermark=None)
+
+
+def q_session_window(spark, sf_dir):
+    """Batch twin of the streaming session-window aggregation (§2.10):
+    per-user sessions closed by a 10-minute inactivity gap. Oracle uses
+    the classic gaps-and-islands formulation."""
+    from .streaming import jobs
+    return jobs.session_counts(jobs.events_batch(spark, sf_dir),
+                               watermark=None)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue": q_flagship_revenue,
     "global_agg": q_global_agg,
@@ -418,6 +434,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
     "embed_lsh_ann": q_embed_lsh_ann,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
 }
 
 
@@ -681,5 +699,32 @@ ORACLES: dict[str, str] = {
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, round(cosine, 4) AS cosine
         FROM p WHERE cosine >= 0.45
+    """,
+    "sliding_window": """
+        SELECT s AS window_start, event_type,
+               round(avg(value), 4) AS avg_value, count(*) AS cnt
+        FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                         - i * INTERVAL 30 MINUTE AS s,
+                     event_type, value
+              FROM events CROSS JOIN unnest([0, 1]) AS t(i))
+        GROUP BY 1, 2
+    """,
+    "session_window": """
+        WITH d AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+        s AS (
+            SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, value
+                ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM d)
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 10 MINUTE AS session_end,
+               user_id, count(*) AS events, round(sum(value), 2) AS total
+        FROM s GROUP BY user_id, sess_id
     """,
 }

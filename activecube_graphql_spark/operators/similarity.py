@@ -39,6 +39,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _unit(col: Column) -> Column:
+    """Pre-normalized double vector — computed once per row so each
+    candidate pair later costs ONE dot product instead of dot+2 norms
+    (3× less arithmetic on the quadratic part of the plan)."""
+    v = _as_double(col)
+    n = _norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_self: bool = True) -> DataFrame:
@@ -49,13 +58,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     then a per-query-group top-k. Ties broken by corpus id (deterministic
     hash parity with SQL oracles)."""
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       _unit(F.col(vec_col)).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      _unit(F.col(vec_col)).alias("c_vec"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -143,6 +152,8 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cand = joined.select("query_id", "q_vec", "neighbor_id", "c_vec") \
                  .dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    # (vectors here are raw, not pre-normalized: the bucket signature needs
+    # the original vector and candidates are few post-LSH)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -161,15 +172,20 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
 
     ``lsh_prefilter=True`` joins on the hyperplane bucket first (the 100 TB
     path); False is the exact O(n²) baseline for small corpora/oracles."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     if lsh_prefilter:
-        a = a.withColumn("bucket", _hyperplane_signature(F.col("vec_a"), planes, dim))
-        b = b.withColumn("bucket", _hyperplane_signature(F.col("vec_b"), planes, dim))
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                      _hyperplane_signature(F.col(vec_col), planes, dim)
+                      .alias("bucket"))
+        b = a.toDF("id_b", "vec_b", "bucket")
         joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (joined
+                .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+    a = df.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vec_b"))
+    joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (joined
-            .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+            .withColumn("cosine", _dot(F.col("vec_a"), F.col("vec_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))

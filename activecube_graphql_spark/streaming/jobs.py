@@ -1,0 +1,127 @@
+"""Structured Streaming surface (SURVEY §2.10 — beyond the reference,
+which is batch-only request/response OLAP).
+
+Design rule: every transformation here is written against a plain
+DataFrame, so the SAME function runs in batch mode (the oracle-checkable
+twin, SURVEY §5.2 item 5) and in streaming mode (``readStream`` input).
+Watermarks are applied only when the input is actually streaming —
+``withWatermark`` is a no-op-with-warning on batch frames, so we gate it.
+
+Scale notes: tumbling/sliding windows + watermark bound state size by
+(watermark horizon / slide) × key cardinality; session windows and
+``dropDuplicatesWithinWatermark`` keep per-key state that the watermark
+expires — all standard Structured Streaming state-store behavior that
+survives cluster-scale input rates because state is hash-partitioned by
+grouping key across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+#: explicit schema for the events stream (streaming sources require one);
+#: ts arrives as epoch-nanos long (see session.py nanosAsLong)
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """epoch-nanos → microsecond timestamp (shared with EventsCube)."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture events table."""
+    # the streaming file source wants a directory; the fixture is a single
+    # file inside sf_dir, so point at the dir with a glob filter
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return normalize_events(raw)
+
+
+def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    if df.isStreaming and delay:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+# ------------------------------------------------------------- operators
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling-window per-type aggregation; late data beyond the
+    watermark is dropped (streaming) / included (batch twin)."""
+    src = _maybe_watermark(events, "ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "cnt", "total"))
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour",
+                slide: str = "30 minutes",
+                watermark: str | None = "2 hours") -> DataFrame:
+    """Sliding-window moving average of value per event_type."""
+    src = _maybe_watermark(events, "ts", watermark)
+    return (src.groupBy(F.window("ts", window, slide).alias("win"),
+                        "event_type")
+            .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "avg_value", "cnt"))
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes",
+                   watermark: str | None = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (F.session_window works in both batch and streaming)."""
+    src = _maybe_watermark(events, "ts", watermark)
+    return (src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("events"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "user_id", "events", "total"))
+
+
+def stream_dedup(events: DataFrame,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on event_id. Streaming:
+    dropDuplicatesWithinWatermark (state expires with the watermark —
+    bounded memory at unbounded input). Batch twin: dropDuplicates."""
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(["event_id"]))
+    return events.dropDuplicates(["event_id"])
+
+
+def run_available_now(sdf: DataFrame, query_name: str,
+                      mode: str = "complete") -> DataFrame:
+    """Drain a (file-)stream to a memory sink with Trigger.AvailableNow and
+    return the materialized result — the replay harness used by tests to
+    compare a streaming run against its batch twin. ``mode``: "complete"
+    for aggregations (emits final window state), "append" for row streams
+    like stream_dedup."""
+    q = (sdf.writeStream.format("memory").queryName(query_name)
+         .outputMode(mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)
