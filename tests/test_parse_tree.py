@@ -1,0 +1,92 @@
+"""ParseTree front-end + nested response shaping (SURVEY §3.2, §2.12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import StructType
+
+from activecube_graphql_spark import InputArgumentError
+from activecube_graphql_spark.cubes import SalesCube
+from activecube_graphql_spark.parse_tree import parse
+
+
+def test_parse_and_execute_flagship(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    tree = parse(cube, {
+        "args": {
+            "shipdate": {"lteq": "1998-09-02"},
+            "options": [("desc", ["revenue"]), ("limit", 3)],
+        },
+        "fields": {
+            "returnflag": {},
+            "revenue": {},
+            "cnt": {"field": "count"},
+        },
+    })
+    df = tree.build_query().relabeled()
+    rows = df.collect()
+    assert df.columns == ["returnflag", "revenue", "cnt"]
+    assert len(rows) == 3
+    assert rows[0]["revenue"] >= rows[1]["revenue"] >= rows[2]["revenue"]
+
+
+def test_unknown_field_fails(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="Can not find"):
+        parse(cube, {"fields": {"bogus": {}}})
+
+
+def test_unknown_subfield_fails(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="sub-field"):
+        parse(cube, {"fields": {"orderdate": {"fields": {"decade": {}}}}})
+
+
+def test_typename_dropped(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    tree = parse(cube, {"fields": {"__typename": {}, "returnflag": {},
+                                   "count": {}}})
+    assert [e.name for e in tree.elements] == ["returnflag", "count"]
+
+
+def test_metric_args_are_metric_scoped(spark, sf_dir):
+    """Args on a metric node → conditional aggregate, not a global WHERE."""
+    cube = SalesCube(spark, sf_dir)
+    tree = parse(cube, {"fields": {
+        "returnflag": {},
+        "all_cnt": {"field": "count"},
+        "r_cnt": {"field": "count", "args": {"returnflag": "R"}},
+    }})
+    rows = {r["returnflag"]: r for r in tree.build_query().relabeled().collect()}
+    assert len(rows) == 3                      # global filter NOT applied
+    assert rows["R"]["r_cnt"] == rows["R"]["all_cnt"]
+    assert rows["N"]["r_cnt"] == 0
+
+
+def test_nested_response_shaping(spark, sf_dir):
+    """R1: dimension with children collects into a struct column whose
+    fields are the requested (aliased) names."""
+    cube = SalesCube(spark, sf_dir)
+    tree = parse(cube, {"fields": {
+        "orderdate": {"fields": {"year": {}, "month": {}}},
+        "revenue": {},
+    }})
+    df = tree.nested_df()
+    t = df.schema["orderdate"].dataType
+    assert isinstance(t, StructType)
+    assert [f.name for f in t.fields] == ["year", "month"]
+    row = df.collect()[0]
+    assert 1995 <= row["orderdate"]["year"] <= 2001
+    assert 1 <= row["orderdate"]["month"] <= 12
+
+
+def test_path_keys_match_reference_scheme(spark, sf_dir):
+    """§1.4: root children keyed _aq.<name>, nested <parent>.<name>."""
+    cube = SalesCube(spark, sf_dir)
+    tree = parse(cube, {"fields": {
+        "orderdate": {"fields": {"year": {}}}, "revenue": {}}})
+    keys = {e.key for e in tree.elements}
+    assert keys == {"_aq.orderdate", "_aq.revenue"}
+    assert tree.elements[0].children[0].key == "_aq.orderdate.year"
+    flat = tree.build_query().df()
+    assert set(flat.columns) == {"_aq.orderdate.year", "_aq.revenue"}
