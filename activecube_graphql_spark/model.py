@@ -203,6 +203,41 @@ class JoinSpec:
     depends_on: Optional[str] = None
 
 
+@dataclass
+class Representation:
+    """One alternative physical backing for a cube (SURVEY §4.3 — the
+    activecube headline feature): typically a pre-aggregated rollup that
+    can answer queries whose slices ⊆ its grain and whose metrics /
+    selectors it re-exposes. The query compiler picks the cheapest
+    representation that covers the request; correctness-neutral by
+    construction (re-aggregation metrics must produce identical results).
+
+    At 100 TB this is the decisive optimization: a daily rollup is often
+    1000× smaller than the raw fact table, and choosing it turns a
+    multi-TB scan into a GB one before Catalyst ever sees the plan.
+    """
+
+    name: str
+    table: str
+    dimensions: dict[str, "Dimension"]
+    metrics: dict[str, "Metric"]
+    selectors: dict[str, "Selector"]
+    #: relative scan cost (e.g. expected row fraction vs the raw table)
+    cost: float = 1.0
+    #: explicit path override (e.g. a materialized rollup parquet)
+    path: Optional[str] = None
+    joins: list["JoinSpec"] = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.joins is None:
+            self.joins = []
+
+    def covers(self, dims: set[str], mets: set[str], sels: set[str]) -> bool:
+        return (dims <= self.dimensions.keys()
+                and mets <= self.metrics.keys()
+                and sels <= self.selectors.keys())
+
+
 class Cube:
     """The central dataset object (SURVEY §1.1): named element dictionaries
     plus a backing star schema. ``table()`` builds the backing DataFrame with
@@ -223,6 +258,40 @@ class Cube:
             source = SourceRegistry({"default": source})
         self.spark = spark
         self.source: SourceRegistry = source
+        #: alternative physical backings (SURVEY §4.3), cheapest-cost wins
+        self.representations: list[Representation] = []
+        #: compiled-plan cache (R3 — response_builder.rb:27-38 analogue):
+        #: canonical query spec → analyzed DataFrame
+        self.plan_cache: dict[str, DataFrame] = {}
+
+    def add_representation(self, rep: Representation) -> None:
+        self.representations.append(rep)
+
+    def choose_representation(self, dims: set[str], mets: set[str],
+                              sels: set[str]) -> Optional[Representation]:
+        """Cheapest registered representation covering the request, or None
+        → compile against the raw cube (cost 1.0 reference point)."""
+        best: Optional[Representation] = None
+        for rep in self.representations:
+            if rep.cost < 1.0 and rep.covers(dims, mets, sels):
+                if best is None or rep.cost < best.cost:
+                    best = rep
+        return best
+
+    def rep_table(self, rep: Representation, database: str) -> DataFrame:
+        """Backing DataFrame for a representation (path override or
+        registry table; representation joins applied unpruned — reps are
+        pre-joined by construction)."""
+        if rep.path is not None:
+            df = self.spark.read.parquet(rep.path)
+        else:
+            df = self.source.read(self.spark, database, rep.table)
+        for j in rep.joins:
+            other = self.source.read(self.spark, database, j.table)
+            if j.broadcast:
+                other = F.broadcast(other)
+            df = df.join(other, on=j.on(), how=j.how)
+        return df
 
     # -- element lookup with fail-fast validation (parse_tree.rb:30,33) -----
     def dimension(self, name: str) -> Dimension:

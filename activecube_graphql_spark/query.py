@@ -13,6 +13,13 @@ Reference semantics replicated (SURVEY §2, §3):
 * a nil argument under a non-null-aware operator silently drops the
   predicate (parse_tree.rb:153,158-160).
 
+The builder is **declarative**: ``slice``/``measure``/``when`` validate
+eagerly (fail-fast, parse_tree.rb:30,33) but store only specs; Columns are
+materialized at ``df()`` against the chosen *representation* — the raw
+star schema or the cheapest covering pre-aggregation (SURVEY §4.3). That
+late binding is what makes aggregate-table selection and the compiled-plan
+cache (R3) possible.
+
 Compilation is declarative end-to-end: ``filter → groupBy → agg →
 (ordered option fold)`` on DataFrames, so Catalyst performs predicate
 pushdown, column pruning, partial aggregation, and AQE re-planning without
@@ -24,6 +31,7 @@ window + ``row_number`` pattern that Spark ≥3.5 rewrites to
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
@@ -31,8 +39,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .errors import InputArgumentError
-from .functions.selector_ops import applicable_operator
-from .model import Cube
+from .functions.selector_ops import OPERATORS, applicable_operator
+from .model import Cube, Representation
 
 PATH_PREFIX = "_aq."  # parse_tree.rb:8 ROOT_CONTEXT_NAME = '_aq'
 
@@ -56,17 +64,17 @@ def _check_injection(value: Any) -> Any:
 
 
 @dataclass
-class _Slice:
+class _SliceSpec:
     key: str
-    column: Column
-    requires: frozenset[str]
+    dimension: str
+    sub: Optional[str]
 
 
 @dataclass
-class _Measure:
+class _MeasureSpec:
     key: str
-    column: Column
-    requires: frozenset[str]
+    metric: str
+    where: Optional[dict]
 
 
 class CubeQueryBuilder:
@@ -76,12 +84,13 @@ class CubeQueryBuilder:
     def __init__(self, cube: Cube, database: str = "default") -> None:
         self.cube = cube
         self.database = database
-        self._slices: list[_Slice] = []
-        self._measures: list[_Measure] = []
-        self._filters: list[tuple[Column, frozenset[str]]] = []
+        self._slices: list[_SliceSpec] = []
+        self._measures: list[_MeasureSpec] = []
+        self._filters: list[dict] = []
         self._options: list[tuple[str, Any]] = []
         self._transforms: list[Callable[[DataFrame], DataFrame]] = []
         self._grouping_mode: str = "groupby"
+        self._use_cache: bool = True
 
     # ------------------------------------------------------------------ API
     def slice(self, *names: str, alias: Optional[str] = None) -> "CubeQueryBuilder":
@@ -91,10 +100,11 @@ class CubeQueryBuilder:
         the same dimension requested twice under different names."""
         for name in names:
             dim_name, _, sub = name.partition(".")
-            dim = self.cube.dimension(dim_name)
-            col = dim.column(sub or None)
+            dim = self.cube.dimension(dim_name)  # fail-fast
+            if sub:
+                dim.column(sub)  # validates the sub-field exists
             key = PATH_PREFIX + (alias or name)
-            self._slices.append(_Slice(key, col.alias(key), dim.requires))
+            self._slices.append(_SliceSpec(key, dim_name, sub or None))
         return self
 
     def measure(self, *names: str, alias: Optional[str] = None,
@@ -103,22 +113,18 @@ class CubeQueryBuilder:
         args to this metric only → conditional aggregate (F8/A4,
         parse_tree.rb:88 apply_args)."""
         for name in names:
-            metric = self.cube.metric(name)
-            cond = None
-            req = metric.requires
+            self.cube.metric(name)  # fail-fast
             if where:
-                cond, wreq = self._predicate(where)
-                req = req | wreq
+                self._validate_args(where)
             key = PATH_PREFIX + (alias or name)
-            self._measures.append(_Measure(key, metric.agg(cond).alias(key), req))
+            self._measures.append(_MeasureSpec(key, name, where))
         return self
 
     def when(self, args: dict) -> "CubeQueryBuilder":
         """Cube-level filter from selector arguments (parse_tree.rb:111-135).
         Supports the full argument grammar F1-F6 (see ``_predicate``)."""
-        pred, req = self._predicate(args)
-        if pred is not None:
-            self._filters.append((pred, req))
+        self._validate_args(args)
+        self._filters.append(args)
         return self
 
     def option(self, name: str, args: Any = None) -> "CubeQueryBuilder":
@@ -168,8 +174,62 @@ class CubeQueryBuilder:
         self._transforms.append(fn)
         return self
 
+    def no_cache(self) -> "CubeQueryBuilder":
+        self._use_cache = False
+        return self
+
+    # ------------------------------------------------------- validation
+    def _validate_args(self, args: dict) -> None:
+        """Eager fail-fast pass over the argument grammar: selector names,
+        operator names, injection guard. Column building happens later."""
+        _check_injection(args)
+        for attr, value in args.items():
+            if attr == "any":
+                for grp in value:
+                    self._validate_args(grp)
+                continue
+            self.cube.selector(attr)  # raises on unknown
+            if isinstance(value, dict):
+                for op in value:
+                    if op not in OPERATORS:
+                        raise InputArgumentError(
+                            f"Unsupported selector operator '{op}'")
+            elif isinstance(value, (list, tuple)) and value \
+                    and all(isinstance(v, dict) for v in value):
+                for h in value:
+                    for op in h:
+                        if op not in OPERATORS:
+                            raise InputArgumentError(
+                                f"Unsupported selector operator '{op}'")
+
+    # --------------------------------------------------- element name sets
+    def _selector_names(self, args: dict) -> set[str]:
+        out: set[str] = set()
+        for attr, value in args.items():
+            if attr == "any":
+                for grp in value:
+                    out |= self._selector_names(grp)
+            else:
+                out.add(attr)
+        return out
+
+    def element_names(self) -> tuple[set[str], set[str], set[str]]:
+        """Dims reported at *grain* granularity (``dim.sub`` compound keys)
+        so representation coverage is checked against the exact requested
+        grain — a daily rollup must not answer an hour-grain slice."""
+        dims = {f"{s.dimension}.{s.sub}" if s.sub else s.dimension
+                for s in self._slices}
+        mets = {m.metric for m in self._measures}
+        sels: set[str] = set()
+        for args in self._filters:
+            sels |= self._selector_names(args)
+        for m in self._measures:
+            if m.where:
+                sels |= self._selector_names(m.where)
+        return dims, mets, sels
+
     # ---------------------------------------------------------- predicates
-    def _predicate(self, args: dict) -> tuple[Optional[Column], frozenset[str]]:
+    def _predicate(self, resolver, args: dict) -> Optional[Column]:
         """Argument grammar → one boolean Column (AND of attrs), or None if
         every predicate was nil-dropped.
 
@@ -179,15 +239,12 @@ class CubeQueryBuilder:
         * [{...}, {...}]          → AND of hashes         (F4, :187-190)
         * any: [grp, grp, ...]    → OR of AND-groups      (F6, :117-118,162-183)
         """
-        _check_injection(args)
         preds: list[Column] = []
-        req: frozenset[str] = frozenset()
         for attr, value in args.items():
             if attr == "any":
                 groups: list[Column] = []
                 for grp in value:
-                    gpred, greq = self._predicate(grp)
-                    req = req | greq
+                    gpred = self._predicate(resolver, grp)
                     if gpred is not None:
                         groups.append(gpred)
                 if groups:
@@ -196,16 +253,14 @@ class CubeQueryBuilder:
                         ored = ored | g
                     preds.append(ored)
                 continue
-            sel = self.cube.selector(attr)
-            req = req | sel.requires
-            for p in self._attr_predicates(sel, value):
-                preds.append(p)
+            sel = resolver.selectors[attr]
+            preds.extend(self._attr_predicates(sel, value))
         if not preds:
-            return None, req
+            return None
         out = preds[0]
         for p in preds[1:]:
             out = out & p
-        return out, req
+        return out
 
     def _attr_predicates(self, sel, value) -> list[Column]:
         if isinstance(value, dict):  # F2 operator hash
@@ -225,41 +280,100 @@ class CubeQueryBuilder:
 
     # ------------------------------------------------------------- compile
     def required_tables(self) -> frozenset[str]:
+        """Join pruning over the RAW representation: tables referenced by
+        any requested element."""
         req: set[str] = set()
         for s in self._slices:
-            req |= s.requires
+            req |= self.cube.dimension(s.dimension).requires
         for m in self._measures:
-            req |= m.requires
-        for p, r in self._filters:
-            req |= r
+            req |= self.cube.metric(m.metric).requires
+            if m.where:
+                for name in self._selector_names(m.where):
+                    req |= self.cube.selector(name).requires
+        for args in self._filters:
+            for name in self._selector_names(args):
+                req |= self.cube.selector(name).requires
         return frozenset(req)
 
-    def df(self) -> DataFrame:
-        """Compile to a DataFrame: filter → groupBy(slices) → agg(measures)
-        → ordered option fold → transform hooks. No-slice queries produce a
-        single global row (P4); no-measure queries a DISTINCT projection."""
-        base = self.cube.table(self.database, required=self.required_tables())
-        for pred, _ in self._filters:
-            base = base.filter(pred)
+    def cache_key(self) -> str:
+        """Canonical spec string — the R3 plan-cache key (the reference
+        memoizes on tree + column-map JSON, response_builder.rb:27-38)."""
+        return json.dumps({
+            "cube": self.cube.name,
+            "db": self.database,
+            "slices": [(s.key, s.dimension, s.sub) for s in self._slices],
+            "measures": [(m.key, m.metric, m.where) for m in self._measures],
+            "filters": self._filters,
+            "options": self._options,
+            "grouping": self._grouping_mode,
+        }, default=str)
 
-        if self._measures:
-            if self._slices:
+    def chosen_representation(self) -> Optional[Representation]:
+        dims, mets, sels = self.element_names()
+        return self.cube.choose_representation(dims, mets, sels)
+
+    def df(self) -> DataFrame:
+        """Compile to a DataFrame: pick representation → filter → groupBy
+        (slices) → agg(measures) → ordered option fold → transform hooks.
+        No-slice queries produce a single global row (P4); no-measure
+        queries a DISTINCT projection."""
+        key = self.cache_key()
+        if self._use_cache and key in self.cube.plan_cache:
+            out = self.cube.plan_cache[key]
+        else:
+            out = self._compile()
+            if self._use_cache:
+                self.cube.plan_cache[key] = out
+        for fn in self._transforms:
+            out = fn(out)
+        return out
+
+    def _compile(self) -> DataFrame:
+        rep = self.chosen_representation()
+        if rep is not None:
+            resolver = rep
+            base = self.cube.rep_table(rep, self.database)
+        else:
+            resolver = self.cube
+            base = self.cube.table(self.database,
+                                   required=self.required_tables())
+
+        for args in self._filters:
+            pred = self._predicate(resolver, args)
+            if pred is not None:
+                base = base.filter(pred)
+
+        slice_cols = []
+        for s in self._slices:
+            compound = f"{s.dimension}.{s.sub}" if s.sub else s.dimension
+            if compound in resolver.dimensions:
+                # representations register sub-field grains as compound
+                # keys mapping directly to a stored/derived column
+                col = resolver.dimensions[compound].column(None)
+            else:
+                col = resolver.dimensions[s.dimension].column(s.sub)
+            slice_cols.append(col.alias(s.key))
+        measure_cols = []
+        for m in self._measures:
+            metric = resolver.metrics[m.metric]
+            cond = self._predicate(resolver, m.where) if m.where else None
+            measure_cols.append(metric.agg(cond).alias(m.key))
+
+        if measure_cols:
+            if slice_cols:
                 grouper = {"groupby": base.groupBy, "rollup": base.rollup,
                            "cube": base.cube}[self._grouping_mode]
-                out = grouper(*[s.column for s in self._slices]) \
-                    .agg(*[m.column for m in self._measures])
+                out = grouper(*slice_cols).agg(*measure_cols)
             else:
-                out = base.agg(*[m.column for m in self._measures])
-        elif self._slices:
-            out = base.select(*[s.column for s in self._slices]).distinct()
+                out = base.agg(*measure_cols)
+        elif slice_cols:
+            out = base.select(*slice_cols).distinct()
         else:
             raise InputArgumentError("Query requests no dimensions or metrics")
 
         state = _FoldState(order=[])
         for name, args in self._options:
             out = _OPTION_APPLIERS[name](out, args, state)
-        for fn in self._transforms:
-            out = fn(out)
         return out
 
     def relabeled(self) -> DataFrame:

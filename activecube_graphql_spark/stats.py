@@ -1,0 +1,44 @@
+"""Execution stats / headers side-channel (SURVEY §2.1 S5).
+
+Reference: per-query execution stats and transport headers are attached to
+the query object out-of-band (cube_field.rb:51-52). Spark-side: wall time,
+row count, the chosen representation, and physical-plan facts harvested
+from ``df.queryExecution`` — returned alongside the rows, never embedded
+in them.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ExecutionStats:
+    wall_seconds: float
+    row_count: int
+    representation: Optional[str]  # None → raw fact table
+    plan_summary: str              # first physical-plan line
+    used_broadcast_join: bool
+    headers: dict[str, Any] = field(default_factory=dict)
+
+
+def execute(builder, headers: Optional[dict] = None):
+    """Run a CubeQueryBuilder and return (rows, ExecutionStats) — the
+    analogue of ``cube_query.stats= / headers= ; cube_query.query``
+    (cube_field.rb:49-53)."""
+    rep = builder.chosen_representation()
+    df = builder.df()
+    t0 = time.perf_counter()
+    rows = df.collect()
+    wall = time.perf_counter() - t0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return rows, ExecutionStats(
+        wall_seconds=round(wall, 4),
+        row_count=len(rows),
+        representation=rep.name if rep is not None else None,
+        plan_summary=plan.splitlines()[0] if plan else "",
+        used_broadcast_join="BroadcastHashJoin" in plan,
+        headers=dict(headers or {}),
+    )
