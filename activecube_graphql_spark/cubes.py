@@ -69,10 +69,16 @@ class SalesCube(Cube):
         "orderpriority": Dimension("o_orderpriority", requires=ORDERS),
         "customer": Dimension("c_name", requires=CUSTOMER),
         "mktsegment": Dimension("c_mktsegment", requires=CUSTOMER),
-        "nation": Dimension("n_name", requires=NATION),
+        # string-function sub-fields (§2.9 string family as P2 projections)
+        "nation": Dimension("n_name", requires=NATION, fields={
+            "initial": lambda c: F.substring(c, 1, 1),
+            "lower": F.lower,
+        }),
         "region": Dimension("r_name", requires=REGION),
         "brand": Dimension("p_brand", requires=PART),
-        "parttype": Dimension("p_type", requires=PART),
+        "parttype": Dimension("p_type", requires=PART, fields={
+            "word1": lambda c: F.regexp_extract(c, r"^(\w+)", 1),
+        }),
         "suppname": Dimension("s_name", requires=SUPPLIER),
     }
     metrics = {

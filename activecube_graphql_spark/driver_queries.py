@@ -295,6 +295,83 @@ def q_events_hourly(spark, sf_dir):
     return _round(q.relabeled(), {"total": 2})
 
 
+def q_db_routing(spark, sf_dir):
+    """S2: multi-database routing — same cube, physical database chosen
+    per-request (cube.connected_to analogue, cube_field.rb:33-38). The
+    'default' database deliberately points at a bogus prefix, so rows can
+    only come from correct routing to 'archive'."""
+    from .sources.registry import SourceRegistry
+    reg = SourceRegistry({"default": "/nonexistent-db", "archive": sf_dir})
+    q = (DocsCube(spark, reg).query(database="archive")
+         .slice("source")
+         .measure("count", alias="cnt")
+         .measure("avg_chars")
+         .asc(["source"]))
+    return _round(q.relabeled(), {"avg_chars": 4})
+
+
+def q_alias_fanout(spark, sf_dir):
+    """P3/R2: the same metric requested twice under different GraphQL
+    aliases with different metric-scoped args, through the ParseTree
+    front-end (response_builder.rb:66-90 alias resolution)."""
+    from .parse_tree import parse
+    spec = {
+        "fields": {
+            "returnflag": {},
+            "revenue": {},
+            "rev_hi": {"field": "revenue",
+                       "args": {"discount": {"gteq": 0.05}}},
+            "rev_lo": {"field": "revenue",
+                       "args": {"discount": {"lt": 0.05}}},
+        },
+        "args": {"options": [("asc", ["returnflag"])]},
+    }
+    df = parse(_sales(spark, sf_dir), spec).build_query().relabeled()
+    return _round(df, {"revenue": 2, "rev_hi": 2, "rev_lo": 2})
+
+
+def q_nested_response(spark, sf_dir):
+    """R1: nested struct response — a dimension with sub-field children
+    re-projected into a struct (response_builder.rb:40-63,92-99 done
+    Spark-side with F.struct); struct serialized to JSON for hash-stable
+    comparison."""
+    from .parse_tree import parse
+    spec = {
+        "fields": {
+            "orderdate": {"fields": {"year": {}, "month": {}}},
+            "revenue": {},
+        },
+        "args": {
+            "orderdate": {"between": ["1995-01-01", "1995-12-31"]},
+            "options": [("asc", ["orderdate.year", "orderdate.month"])],
+        },
+    }
+    df = parse(_sales(spark, sf_dir), spec).nested_df()
+    return df.select(F.to_json("orderdate").alias("od"),
+                     F.round("revenue", 2).alias("revenue"))
+
+
+def q_string_funcs(spark, sf_dir):
+    """§2.9 string family as dimension sub-fields: substring initial of a
+    star-joined dim + regexp_extract first word of p_type."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("nation.initial", alias="initial")
+         .slice("parttype.word1", alias="ptype_word")
+         .measure("count", alias="cnt")
+         .asc(["initial", "ptype_word"]))
+    return q.relabeled()
+
+
+def q_cube_grouping(spark, sf_dir):
+    """A7 (beyond reference): CUBE grouping sets — all slice subsets."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("returnflag", "linestatus")
+         .measure("quantity", alias="qty")
+         .measure("count", alias="cnt")
+         .grouping("cube"))
+    return _round(q.relabeled(), {"qty": 2})
+
+
 # --------------------------------------------------------------------------
 # Beyond-reference: LLM-data-pipeline operators (SURVEY §7 slice 6)
 # --------------------------------------------------------------------------
@@ -383,6 +460,41 @@ def q_embed_lsh_ann(spark, sf_dir):
     return sim.lsh_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
 
 
+def _assets(spark, sf_dir):
+    """Deterministic multimodal asset table synthesized from documents:
+    payload = utf8 bytes of text, typed metadata in plain columns
+    (operators/multimodal.py ASSET_SCHEMA convention)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+         .when(F.col("doc_id") % 3 == 1, "audio/wav")
+         .otherwise("video/mp4").alias("mime"),
+        (F.col("n_chars") % 1920).cast("int").alias("width"),
+        (F.col("n_chars") % 1080).cast("int").alias("height"),
+        (F.col("n_chars") / 100.0).alias("duration_s"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal metadata rollup — binary payload column pruned out of the
+    scan (asserted in tests/test_multimodal.py via the physical plan)."""
+    from .operators import multimodal as mm
+    out = mm.metadata_stats(_assets(spark, sf_dir))
+    return _round(out, {"avg_width": 4, "avg_duration": 4})
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode stubbed with the deterministic fake extractor). The feature
+    vector itself is not SQL-expressible; the oracle checks asset_id/mime/
+    feature_dim — the full Python batch path still executes."""
+    from .operators import multimodal as mm
+    feats = mm.extract_features(_assets(spark, sf_dir), dim=8)
+    return feats.select("asset_id", "mime", "feature_dim")
+
+
 def q_sliding_window(spark, sf_dir):
     """Batch twin of the streaming sliding-window aggregation (§2.10):
     1-hour windows sliding by 30 minutes."""
@@ -424,6 +536,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_subfield": q_json_subfield,
     "distinct_slice": q_distinct_slice,
     "events_hourly": q_events_hourly,
+    "db_routing": q_db_routing,
+    "alias_fanout": q_alias_fanout,
+    "nested_response": q_nested_response,
+    "string_funcs": q_string_funcs,
+    "cube_grouping": q_cube_grouping,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_stats": q_text_stats,
@@ -699,6 +818,64 @@ ORACLES: dict[str, str] = {
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, round(cosine, 4) AS cosine
         FROM p WHERE cosine >= 0.45
+    """,
+    "db_routing": """
+        SELECT source, count(*) AS cnt,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+    "alias_fanout": """
+        SELECT l_returnflag AS returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CASE WHEN l_discount >= 0.05
+                         THEN l_extendedprice * (1 - l_discount) END), 2)
+                   AS rev_hi,
+               round(sum(CASE WHEN l_discount < 0.05
+                         THEN l_extendedprice * (1 - l_discount) END), 2)
+                   AS rev_lo
+        FROM lineitem GROUP BY 1
+    """,
+    "nested_response": """
+        SELECT to_json(struct_pack(year := year(o_orderdate),
+                                   month := month(o_orderdate))) AS od,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE cast(o_orderdate AS DATE)
+              BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    "string_funcs": """
+        SELECT substring(n_name, 1, 1) AS initial,
+               regexp_extract(p_type, '^(\\w+)', 1) AS ptype_word,
+               count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    """,
+    "cube_grouping": """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               round(sum(l_quantity), 2) AS qty, count(*) AS cnt
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "multimodal_meta": """
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               count(*) AS cnt,
+               round(avg(n_chars % 1920), 4) AS avg_width,
+               round(avg(n_chars / 100.0), 4) AS avg_duration
+        FROM documents GROUP BY 1
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               8 AS feature_dim
+        FROM documents
     """,
     "sliding_window": """
         SELECT s AS window_start, event_type,
