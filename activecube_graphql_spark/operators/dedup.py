@@ -28,6 +28,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a badly-under-partitioned input out to the session's default
+    parallelism. Single-file parquet arrives as ONE partition locally, which
+    serializes every per-row compute stage; on a real cluster inputs arrive
+    well-partitioned and this is a no-op (no gratuitous full shuffle)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(sc.defaultParallelism // 2, 2):
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # --------------------------------------------------------------- exact dedup
 
 def exact_dedup(df: DataFrame, key_cols: list[str],
@@ -64,36 +75,159 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        strategy: str = "auto",
+                        dense_vocab_limit: int = 1 << 17,
+                        dense_docs_limit: int = 1 << 20) -> DataFrame:
     """Exact n-gram-Jaccard similarity join: pairs (a < b) with
-    |A∩B| / |A∪B| ≥ threshold. Inverted-index plan (see module docstring).
+    |A∩B| / |A∪B| ≥ threshold.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (stop-shingle skew control — at scale a ubiquitous shingle would
-    otherwise fan out quadratically)."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    _shingles(F.col(text_col), n).alias("sh"))
-            .withColumn("sz", F.size("sh")))
-    sizes = sh.select("id", "sz")
+    Two physical strategies, picked by measured data shape (``auto``):
+
+    * ``index`` — **prefix-filtered inverted-index join** (PPJoin family):
+      each document's shingles are put in a global canonical order (rarest
+      document-frequency first); two documents can reach Jaccard ≥ t only
+      if they share a shingle within each other's first
+      ``|d| - ceil(t*|d|) + 1`` shingles, so only prefixes are exploded
+      into the join. Exact (no false negatives); the join-key distribution
+      is anti-correlated with shingle hotness. The right plan for the
+      realistic sparse regime — web-scale vocabularies where any one
+      shingle appears in a vanishing fraction of documents.
+    * ``bitmap`` — **dense-vocabulary blocked bitmap join**: when the
+      measured vocabulary is small (`distinct shingles ≤ dense_vocab_limit`
+      — the regime where *every* shingle is hot and any token-index join
+      degenerates quadratically), pack each document's shingle set into a
+      bitmap over the vocabulary and compute intersection counts as
+      blocked 0/1 matrix products in numpy via ``mapInPandas`` (float32
+      accumulation is exact for counts < 2^24). Jaccard is then one
+      float64 division of exact integers — bit-identical to a SQL oracle.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs (stop-shingle control; makes the result approximate)."""
+    # shingling is the shared per-doc compute: fan out BEFORE computing it,
+    # persist so the stats probe / pack / verify phases don't recompute it
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"),
+                  _shingles(F.col(text_col), n).alias("sh"))
+          .withColumn("sz", F.size("sh"))
+          .persist())
     inv = sh.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         hot = (inv.groupBy("shingle").count()
                .filter(F.col("count") > max_shingle_df).select("shingle"))
         inv = inv.join(hot, "shingle", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    out = (inter
-           .join(sizes.toDF("id_a", "sz_a"), "id_a")
-           .join(sizes.toDF("id_b", "sz_b"), "id_b")
-           .withColumn("jaccard",
-                       F.col("inter") /
-                       (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
-    return out
+
+    if strategy == "auto":
+        # one cheap aggregation decides the physical plan (engine-side
+        # stats probe, same spirit as AQE's runtime re-planning)
+        vocab_size = inv.select("shingle").distinct().count()
+        n_docs = df.count()
+        strategy = ("bitmap" if vocab_size <= dense_vocab_limit
+                    and n_docs <= dense_docs_limit else "index")
+
+    if strategy == "bitmap":
+        out = _jaccard_bitmap_pairs(sh, inv, threshold)
+    else:
+        out = _jaccard_prefix_index_pairs(sh, inv, threshold)
+    return (out.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _jaccard_prefix_index_pairs(sh: DataFrame, inv: DataFrame,
+                                threshold: float) -> DataFrame:
+    """Sparse-regime path: prefix-filtered inverted-index similarity join,
+    verified with one JVM-side ``array_intersect`` per candidate."""
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    ordered = (inv.join(dfreq, "shingle")
+               .groupBy("id")
+               .agg(F.array_sort(F.collect_list(F.struct("dfq", "shingle")))
+                    .alias("ord")))
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int")
+                  + F.lit(1))
+    pref = (ordered.join(sh.select("id", "sz"), "id")
+            .select("id", F.explode(
+                F.slice("ord", F.lit(1), prefix_len)).alias("p"))
+            .select("id", F.col("p.shingle").alias("shingle")))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    return (cand
+            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                            F.col("sz").alias("sz_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                            F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter"))))
+
+
+def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Dense-regime path: vocabulary-bitmap blocked matrix join.
+
+    Vocabulary (small by the auto-guard) is collected and broadcast; doc
+    bitmaps are packed distributed (mapInPandas), the packed matrix
+    (``docs × vocab/8`` bytes) is broadcast back, and each partition
+    scores its docs against all docs via one 0/1 matmul per Arrow batch.
+    Only surviving pairs (a tiny set) are ever materialized."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = sh.sparkSession
+    vocab = {r["shingle"]: i for i, r in enumerate(
+        inv.select("shingle").distinct().sort("shingle").collect())}
+    nbits = max(len(vocab), 1)
+    bc_vocab = spark.sparkContext.broadcast(vocab)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc_vocab.value
+        for pdf in batches:
+            bms = []
+            for shingles in pdf["sh"]:
+                bits = np.zeros(nbits, dtype=np.uint8)
+                idx = [v[s] for s in shingles if s in v]
+                if idx:
+                    bits[idx] = 1
+                bms.append(np.packbits(bits).tobytes())
+            yield pd.DataFrame({"id": pdf["id"], "bm": bms})
+
+    packed = (sh.select("id", "sh")
+              .mapInPandas(pack, schema="id long, bm binary")
+              .persist())
+    rows = packed.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    allbm = np.unpackbits(
+        np.frombuffer(b"".join(r["bm"] for r in rows), dtype=np.uint8)
+    ).reshape(len(rows), -1)[:, :nbits]
+    sizes = allbm.sum(axis=1).astype(np.float32)
+    bc_mat = spark.sparkContext.broadcast((ids, np.packbits(allbm, axis=1), sizes))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_packed, b_sizes = bc_mat.value
+        bmat = np.unpackbits(b_packed, axis=1)[:, :nbits].astype(np.float32)
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_bits = np.unpackbits(
+                np.frombuffer(b"".join(pdf["bm"]), dtype=np.uint8)
+            ).reshape(len(pdf), -1)[:, :nbits].astype(np.float32)
+            inter = a_bits @ bmat.T          # exact: 0/1 sums < 2^24
+            a_sz = a_bits.sum(axis=1)
+            union = a_sz[:, None] + b_sizes[None, :] - inter
+            union[union == 0.0] = 1.0
+            jac = inter.astype(np.float64) / union.astype(np.float64)
+            ai, bi = np.nonzero((jac >= threshold) &
+                                (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi],
+                                "jaccard": jac[ai, bi]})
+
+    return packed.mapInPandas(score,
+                              schema="id_a long, id_b long, jaccard double")
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -109,8 +243,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     sig = F.transform(
         seeds,
         lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))))
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"),
-                     F.size(sh).alias("sz"))
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), sig.alias("sig"), F.size(sh).alias("sz"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -168,6 +302,7 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     To avoid 64 separate passes over the token array, the per-token ±1
     contributions are accumulated in one ``aggregate`` over an array of
     ``bits`` counters."""
+    df = ensure_parallelism(df)
     toks = F.array_distinct(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)

@@ -13,6 +13,13 @@
   cross product: cost O(corpus + queries × bucket_size).
 * **embedding_cosine_pairs** — near-duplicate detection: all pairs with
   cosine ≥ τ (brute at test scale; LSH-prefiltered variant included).
+  The exact quadratic path uses **numpy-blocked candidate generation**:
+  one side broadcast as a dense matrix, ``mapInPandas`` computing blocked
+  matrix products (Arrow batches in, BLAS in C, tiny candidate sets out),
+  with survivors **re-scored JVM-side by the sequential-order dot** so
+  final values are bit-identical to a SQL oracle regardless of BLAS
+  summation order (the matmul filter keeps an epsilon margin, so it can
+  never drop a true positive).
 """
 
 from __future__ import annotations
@@ -28,6 +35,12 @@ def _as_double(col: Column) -> Column:
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
+
+
+# (measured: a compile-time-unrolled 64-term dot expression is SLOWER than
+# the higher-order-function form on Spark 4 — giant expression trees fall
+# out of codegen while zip_with/aggregate evaluate in a tight JVM loop; the
+# quadratic-part speedups live in the numpy-blocked candidate paths below)
 
 
 def _norm(a: Column) -> Column:
@@ -50,17 +63,18 @@ def _unit(col: Column) -> Column:
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True) -> DataFrame:
+                exclude_self: bool = True, dim: int = 64) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is broadcast (the query set is small by construction);
     the corpus is scanned once — a map-side nested loop per partition,
     then a per-query-group top-k. Ties broken by corpus id (deterministic
     hash parity with SQL oracles)."""
+    from ..operators.dedup import ensure_parallelism
     q = queries.select(F.col(id_col).alias("query_id"),
                        _unit(F.col(vec_col)).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _unit(F.col(vec_col)).alias("c_vec"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"),
+                                          _unit(F.col(vec_col)).alias("c_vec"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -115,8 +129,10 @@ def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
     Each table uses its own plane set (offset into the coefficient
     stream), the standard multi-table LSH trick that trades candidate
     count for recall."""
+    from ..operators.dedup import ensure_parallelism
     all_planes = tables * planes
     sig_bits = _hyperplane_signature(F.col(vec_col), all_planes, dim)
+    df = ensure_parallelism(df)
     tagged = df.select(F.col(id_col).alias(id_alias),
                        F.col(vec_col).alias(vec_alias),
                        sig_bits.alias("__sig"))
@@ -182,10 +198,47 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
                 .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
                 .filter(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+    # Exact path, numpy-blocked: candidates from a blocked matrix product
+    # against the broadcast corpus (epsilon margin → no false negatives),
+    # then exact sequential-order rescoring of the tiny survivor set.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    mat_rows = (df.select(F.col(id_col).alias("id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+                .collect())
+    ids = np.array([r["id"] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in mat_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+    eps = 1e-9
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_unit = bc.value
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_vec = np.stack(pdf["v"].to_numpy())
+            an = np.sqrt((a_vec * a_vec).sum(axis=1))
+            an[an == 0.0] = 1.0
+            scores = (a_vec / an[:, None]) @ b_unit.T
+            ai, bi = np.nonzero((scores >= threshold - eps) &
+                                (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi]})
+
+    from ..operators.dedup import ensure_parallelism
+    cand_schema = "id_a long, id_b long"
+    cand = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    _as_double(F.col(vec_col)).alias("v"))
+            .mapInPandas(gen, schema=cand_schema))
     a = df.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vec_b"))
-    joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return (joined
+    return (cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
             .withColumn("cosine", _dot(F.col("vec_a"), F.col("vec_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))

@@ -97,3 +97,18 @@ def test_fingerprint_whitespace_invariant(spark, sf_dir):
     out = {r["doc_id"]: r["fingerprint"]
            for r in tx.with_fingerprint(df).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_ngram_jaccard_strategies_agree(spark, sf_dir):
+    """Both physical strategies (dense-vocab bitmap matmul and sparse-regime
+    prefix-filtered index join) must produce the identical exact pair set —
+    the auto-selector may route to either depending on measured data shape,
+    so the non-default path needs its own equivalence check."""
+    df = _docs(spark, sf_dir)
+    bm = sorted(map(tuple, dd.ngram_jaccard_pairs(
+        df, n=2, threshold=0.5, strategy="bitmap").collect()))
+    ix = sorted(map(tuple, dd.ngram_jaccard_pairs(
+        df, n=2, threshold=0.5, strategy="index").collect()))
+    assert bm == ix
+    assert len(bm) > 0
+    assert all(j >= 0.5 for _, _, j in bm)
