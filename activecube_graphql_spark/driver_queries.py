@@ -495,6 +495,32 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("asset_id", "mime", "feature_dim")
 
 
+def q_flagship_topn(spark, sf_dir):
+    """Q-F2 composite flagship (BASELINE.md protocol): star join + any: OR
+    tree + conditional measure + desc + limit/offset pagination."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("nation")
+         .measure("revenue")
+         .measure("count", alias="cnt")
+         .measure("revenue", alias="auto_rev",
+                  where={"mktsegment": "AUTOMOBILE"})
+         .when({"any": [{"region": "ASIA"},
+                        {"region": "EUROPE", "orderstatus": "F"}]})
+         .desc(["revenue"])
+         .offset(2)
+         .limit(8))
+    return _round(q.relabeled(), {"revenue": 2, "auto_rev": 2})
+
+
+def q_stateful_user_stats(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState custom stateful operator
+    (streaming path verified in tests/test_streaming.py): final per-user
+    state — event count, value sum, last-seen timestamp."""
+    from .streaming import jobs
+    out = jobs.stateful_user_stats(jobs.events_batch(spark, sf_dir))
+    return out.filter(F.col("user_id") < 300)
+
+
 def q_sliding_window(spark, sf_dir):
     """Batch twin of the streaming sliding-window aggregation (§2.10):
     1-hour windows sliding by 30 minutes."""
@@ -543,6 +569,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_grouping": q_cube_grouping,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "flagship_topn": q_flagship_topn,
+    "stateful_user_stats": q_stateful_user_stats,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_stats": q_text_stats,
@@ -818,6 +846,30 @@ ORACLES: dict[str, str] = {
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, round(cosine, 4) AS cosine
         FROM p WHERE cosine >= 0.45
+    """,
+    "flagship_topn": """
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS cnt,
+               round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                         THEN l_extendedprice * (1 - l_discount) END), 2)
+                   AS auto_rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+           OR (r_name = 'EUROPE' AND o_orderstatus = 'F')
+        GROUP BY 1
+        ORDER BY revenue DESC
+        LIMIT 8 OFFSET 2
+    """,
+    "stateful_user_stats": """
+        SELECT user_id, count(*) AS events,
+               round(sum(value), 2) AS total,
+               epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_ts
+        FROM events WHERE user_id < 300 GROUP BY user_id
     """,
     "db_routing": """
         SELECT source, count(*) AS cnt,

@@ -128,14 +128,41 @@ def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
     """One row per (vector, hash table): bucket = (table, signature).
     Each table uses its own plane set (offset into the coefficient
     stream), the standard multi-table LSH trick that trades candidate
-    count for recall."""
+    count for recall.
+
+    Signatures are computed as ONE numpy matmul per Arrow batch
+    (``V @ P.T`` then sign-bit packing) — the Column-expression form
+    (32 aggregate-dots fused into one expression) costs more in Catalyst
+    compilation than the whole query's execution."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from ..operators.dedup import ensure_parallelism
     all_planes = tables * planes
-    sig_bits = _hyperplane_signature(F.col(vec_col), all_planes, dim)
+    # signatures travel as signed long; bucket extraction uses arithmetic
+    # shiftright, which is only sign-safe while the top bits stay clear
+    assert all_planes <= 62, "tables * planes must be <= 62"
+    pmat = np.array(_plane_coefficients(all_planes, dim), dtype=np.float64)
+    weights = (1 << np.arange(all_planes, dtype=np.uint64)).astype(np.uint64)
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            bits = (v @ pmat.T) >= 0.0
+            sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({"__id": pdf["__id"], "__v": pdf["__v"],
+                                "__sig": sig.astype(np.int64)})
+
     df = ensure_parallelism(df)
-    tagged = df.select(F.col(id_col).alias(id_alias),
-                       F.col(vec_col).alias(vec_alias),
-                       sig_bits.alias("__sig"))
+    src = df.select(F.col(id_col).alias("__id"),
+                    _as_double(F.col(vec_col)).alias("__v"))
+    sig_schema = ("__id long, __v array<double>, __sig long")
+    tagged = (src.mapInPandas(sign, schema=sig_schema)
+              .select(F.col("__id").alias(id_alias),
+                      F.col("__v").alias(vec_alias),
+                      F.col("__sig").alias("__sig")))
     mask = (1 << planes) - 1
     buckets = F.array(*[
         F.struct(F.lit(t).alias("table"),

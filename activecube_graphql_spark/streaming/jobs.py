@@ -113,6 +113,57 @@ def stream_dedup(events: DataFrame,
     return events.dropDuplicates(["event_id"])
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful per-key operator via ``applyInPandasWithState``
+    (SURVEY §2.10): running per-user activity stats — event count, value
+    sum, last-seen timestamp — maintained in explicit group state across
+    micro-batches and emitted on every update.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (here kept deliberately aggregatable so the
+    batch twin — a plain groupBy — can oracle-check the final state).
+    State is hash-partitioned by user_id across executors; per-key state is
+    three scalars, so state-store size is O(distinct users) regardless of
+    input volume."""
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("events", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_ts", LongType()),   # epoch micros
+    ])
+    state_schema = StructType([
+        StructField("events", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_ts", LongType()),
+    ])
+
+    if not events.isStreaming:
+        # batch twin: the final state per key is just an aggregation
+        return (events.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("events"),
+                     F.round(F.sum("value"), 2).alias("total"),
+                     F.unix_micros(F.max("ts")).alias("last_ts")))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        (user_id,) = key
+        events_n, total, last_ts = (state.get if state.exists
+                                    else (0, 0.0, 0))
+        for pdf in pdfs:
+            events_n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            last_ts = max(last_ts, int(ts_us))
+        state.update((events_n, total, last_ts))
+        yield pd.DataFrame({"user_id": [user_id], "events": [events_n],
+                            "total": [round(total, 2)], "last_ts": [last_ts]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(sdf: DataFrame, query_name: str,
                       mode: str = "complete") -> DataFrame:
     """Drain a (file-)stream to a memory sink with Trigger.AvailableNow and

@@ -49,3 +49,15 @@ def test_stream_dedup_equals_batch(spark, sf_dir):
     assert stream_out.count() == batch_out.count()
     assert _multiset(stream_out.select("event_id")) == \
         _multiset(batch_out.select("event_id"))
+
+
+def test_stateful_user_stats_stream_equals_batch(spark, sf_dir):
+    """applyInPandasWithState custom operator: with a single AvailableNow
+    micro-batch every key emits exactly once, and that final state must
+    equal the batch-twin aggregation."""
+    stream_out = jobs.run_available_now(
+        jobs.stateful_user_stats(jobs.events_stream(spark, sf_dir)),
+        "t_stateful", mode="update")
+    batch_out = jobs.stateful_user_stats(jobs.events_batch(spark, sf_dir))
+    assert _multiset(stream_out) == _multiset(batch_out)
+    assert stream_out.count() > 0
