@@ -29,6 +29,9 @@ class SourceRegistry:
     format: str = "parquet"
     #: optional per-(db, table) explicit path overrides
     overrides: dict[tuple[str, str], str] = dc_field(default_factory=dict)
+    #: reader options forwarded to ``spark.read`` (e.g. header/inferSchema
+    #: for csv, multiLine for json)
+    options: dict[str, str] = dc_field(default_factory=dict)
 
     def path(self, database: str, table: str) -> str:
         if database not in self.databases:
@@ -38,4 +41,5 @@ class SourceRegistry:
         return os.path.join(self.databases[database], f"{table}.{self.format}")
 
     def read(self, spark: SparkSession, database: str, table: str) -> DataFrame:
-        return spark.read.format(self.format).load(self.path(database, table))
+        return (spark.read.format(self.format).options(**self.options)
+                .load(self.path(database, table)))

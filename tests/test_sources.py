@@ -1,0 +1,88 @@
+"""Source-layer scale behavior: partition pruning on a date-partitioned
+lake layout (SURVEY §4.2 — the ClickHouse-PK-pruning analogue), and
+SourceRegistry format/override routing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from activecube_graphql_spark.cubes import EventsCube
+from activecube_graphql_spark.model import Selector
+from activecube_graphql_spark.sources.registry import SourceRegistry
+
+
+class PartitionedEventsCube(EventsCube):
+    """EventsCube over the partitioned lake layout: the partition column
+    is exposed as a selector so filters on it hit the directory level."""
+    selectors = {**EventsCube.selectors,
+                 "event_date": Selector("event_date")}
+
+
+@pytest.fixture(scope="module")
+def lake_root(spark, sf_dir, tmp_path_factory):
+    """events re-materialized in the production lake layout:
+    ``events.parquet/event_date=YYYY-MM-DD/part-*.parquet``."""
+    root = str(tmp_path_factory.mktemp("lake"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = EventsCube.prepare(raw).withColumn("event_date", F.to_date("ts"))
+    (df.write.mode("overwrite").partitionBy("event_date")
+       .parquet(f"{root}/events.parquet"))
+    return root
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, lake_root):
+    """A date filter over the partitioned layout must prune partitions at
+    the scan (PartitionFilters in the plan) — at 100 TB this is the
+    difference between scanning one day and the whole lake."""
+    dates = sorted(r[0] for r in spark.read
+                   .parquet(f"{lake_root}/events.parquet")
+                   .select("event_date").distinct().collect())
+    assert len(dates) > 1, "fixture spans a single date; test is vacuous"
+    pick = dates[0].isoformat()
+
+    cube = PartitionedEventsCube(spark, lake_root)
+    q = (cube.query()
+         .slice("event_type")
+         .measure("count", alias="cnt")
+         .when({"event_date": pick}))
+    plan = q.df()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:300]
+
+    # results agree with the unpartitioned fixture filtered the same way
+    got = {tuple(r) for r in q.relabeled().collect()}
+    want = {tuple(r) for r in
+            (EventsCube(spark, sf_dir).table()
+             .filter(F.to_date("ts") == F.lit(pick))
+             .groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect())}
+    assert got == want
+
+
+def test_source_registry_csv_format(spark, sf_dir, tmp_path_factory):
+    """Same registry machinery over a CSV database (format + reader
+    options plumbed through to spark.read)."""
+    root = str(tmp_path_factory.mktemp("csvdb"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (docs.select("doc_id", "lang", "source", "n_chars")
+     .write.mode("overwrite").option("header", True)
+     .csv(f"{root}/documents.csv"))
+
+    reg = SourceRegistry({"csvdb": root}, format="csv",
+                         options={"header": "true", "inferSchema": "true"})
+    out = reg.read(spark, "csvdb", "documents")
+    assert out.count() == docs.count()
+    assert set(out.columns) == {"doc_id", "lang", "source", "n_chars"}
+
+
+def test_source_registry_overrides(spark, sf_dir):
+    """Per-(db, table) path overrides route one table of a database to an
+    explicit location."""
+    reg = SourceRegistry({"default": "/nonexistent"},
+                         overrides={("default", "documents"):
+                                    f"{sf_dir}/documents.parquet"})
+    got = reg.read(spark, "default", "documents")
+    assert got.count() == \
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
