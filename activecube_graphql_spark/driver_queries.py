@@ -495,6 +495,28 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("asset_id", "mime", "feature_dim")
 
 
+def q_preagg_rollup(spark, sf_dir):
+    """§4.3 backing-table selection: the daily rollup representation is
+    attached and covers this request (month grain ⊆ daily grain, algebraic
+    metrics only), so the scan hits the ~1000× smaller pre-aggregation —
+    while the oracle runs on the RAW fact table, proving the rewrite is
+    correctness-neutral."""
+    from .plans.preagg import attach_daily_rollup
+    cube = SalesCube(spark, sf_dir)
+    attach_daily_rollup(cube, sf_dir)
+    q = (cube.query()
+         .slice("shipdate.month_start", alias="month")
+         .measure("revenue")
+         .measure("count", alias="cnt")
+         .measure("avg_price")
+         .when({"shipdate": {"gteq": "1996-01-01", "lt": "1997-01-01"}})
+         .asc(["month"]))
+    rep = q.chosen_representation()
+    assert rep is not None and rep.name == "sales_daily_rollup", \
+        "rollup must cover this query"
+    return _round(q.relabeled(), {"revenue": 2, "avg_price": 4})
+
+
 def q_flagship_topn(spark, sf_dir):
     """Q-F2 composite flagship (BASELINE.md protocol): star join + any: OR
     tree + conditional measure + desc + limit/offset pagination."""
@@ -569,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_grouping": q_cube_grouping,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "preagg_rollup": q_preagg_rollup,
     "flagship_topn": q_flagship_topn,
     "stateful_user_stats": q_stateful_user_stats,
     "dedup_exact": q_dedup_exact,
@@ -846,6 +869,16 @@ ORACLES: dict[str, str] = {
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, round(cosine, 4) AS cosine
         FROM p WHERE cosine >= 0.45
+    """,
+    "preagg_rollup": """
+        SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS month,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS cnt,
+               round(avg(l_extendedprice), 4) AS avg_price
+        FROM lineitem
+        WHERE cast(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND cast(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY 1
     """,
     "flagship_topn": """
         SELECT n_name AS nation,

@@ -108,15 +108,22 @@ def attach_daily_rollup(cube, sf_dir: str,
                         cache_root: str = "/tmp/acgs_preagg") -> Representation:
     """Build (or reuse a previously built) rollup for ``sf_dir`` and attach
     it to ``cube``. Idempotent per sf_dir."""
+    import json
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(cache_root, tag, "sales_daily")
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        raw = cube.spark.read.parquet(
-            os.path.join(sf_dir, "lineitem.parquet")).count()
-        cost = cube.spark.read.parquet(out).count() / max(raw, 1)
+    cost_file = os.path.join(cache_root, tag, "sales_daily_cost.json")
+    # cost is measured once at build time and persisted beside the rollup —
+    # re-deriving it would re-count the raw fact table on every attach
+    # (a full scan per query at 100 TB)
+    if os.path.exists(os.path.join(out, "_SUCCESS")) \
+            and os.path.exists(cost_file):
+        with open(cost_file) as fh:
+            cost = json.load(fh)["cost"]
     else:
         cost = build_daily_sales_rollup(cube.spark, sf_dir, out)
+        with open(cost_file, "w") as fh:
+            json.dump({"cost": cost}, fh)
     rep = daily_sales_representation(out, cost)
     cube.add_representation(rep)
     return rep
