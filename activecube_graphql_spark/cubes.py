@@ -28,9 +28,22 @@ _DATE_FIELDS = {
     "month_start": lambda c: F.date_trunc("month", c).cast("date"),
 }
 
+#: ANSI-SQL twins of the date sub-fields (printer, sql.py)
+_DATE_FIELDS_SQL = {
+    "year": "year({e})",
+    "month": "month({e})",
+    "day": "day({e})",
+    "hour": "hour({e})",
+    "date": "CAST({e} AS DATE)",
+    "month_start": "CAST(date_trunc('month', {e}) AS DATE)",
+}
+
 
 def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+_REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
 
 
 ORDERS = frozenset({"orders"})
@@ -47,24 +60,29 @@ class SalesCube(Cube):
     joins = [
         # fact-fact: shuffle join on orderkey; AQE handles skew. Not broadcast.
         JoinSpec("orders", on=lambda: F.col("l_orderkey") == F.col("o_orderkey"),
-                 how="inner"),
+                 how="inner", on_sql="l_orderkey = o_orderkey"),
         JoinSpec("customer", on=lambda: F.col("o_custkey") == F.col("c_custkey"),
-                 how="inner", broadcast=True, depends_on="orders"),
+                 how="inner", broadcast=True, depends_on="orders",
+                 on_sql="o_custkey = c_custkey"),
         JoinSpec("nation", on=lambda: F.col("c_nationkey") == F.col("n_nationkey"),
-                 how="inner", broadcast=True, depends_on="customer"),
+                 how="inner", broadcast=True, depends_on="customer",
+                 on_sql="c_nationkey = n_nationkey"),
         JoinSpec("region", on=lambda: F.col("n_regionkey") == F.col("r_regionkey"),
-                 how="inner", broadcast=True, depends_on="nation"),
+                 how="inner", broadcast=True, depends_on="nation",
+                 on_sql="n_regionkey = r_regionkey"),
         JoinSpec("part", on=lambda: F.col("l_partkey") == F.col("p_partkey"),
-                 how="inner", broadcast=True),
+                 how="inner", broadcast=True, on_sql="l_partkey = p_partkey"),
         JoinSpec("supplier", on=lambda: F.col("l_suppkey") == F.col("s_suppkey"),
-                 how="inner", broadcast=True),
+                 how="inner", broadcast=True, on_sql="l_suppkey = s_suppkey"),
     ]
     dimensions = {
         "returnflag": Dimension("l_returnflag"),
         "linestatus": Dimension("l_linestatus"),
-        "shipdate": Dimension("l_shipdate", fields=dict(_DATE_FIELDS)),
+        "shipdate": Dimension("l_shipdate", fields=dict(_DATE_FIELDS),
+                              sql_fields=dict(_DATE_FIELDS_SQL)),
         "orderdate": Dimension("o_orderdate", fields=dict(_DATE_FIELDS),
-                               requires=ORDERS),
+                               requires=ORDERS,
+                               sql_fields=dict(_DATE_FIELDS_SQL)),
         "orderstatus": Dimension("o_orderstatus", requires=ORDERS),
         "orderpriority": Dimension("o_orderpriority", requires=ORDERS),
         "customer": Dimension("c_name", requires=CUSTOMER),
@@ -73,18 +91,23 @@ class SalesCube(Cube):
         "nation": Dimension("n_name", requires=NATION, fields={
             "initial": lambda c: F.substring(c, 1, 1),
             "lower": F.lower,
+        }, sql_fields={
+            "initial": "substring({e}, 1, 1)",
+            "lower": "lower({e})",
         }),
         "region": Dimension("r_name", requires=REGION),
         "brand": Dimension("p_brand", requires=PART),
         "parttype": Dimension("p_type", requires=PART, fields={
             "word1": lambda c: F.regexp_extract(c, r"^(\w+)", 1),
+        }, sql_fields={
+            "word1": r"regexp_extract({e}, '^(\w+)', 1)",
         }),
         "suppname": Dimension("s_name", requires=SUPPLIER),
     }
     metrics = {
         "count": Metric.count(),
         "quantity": Metric.sum("l_quantity"),
-        "revenue": Metric.sum(_revenue),
+        "revenue": Metric.sum(_revenue, sql_expr=_REVENUE_SQL),
         "avg_price": Metric.avg("l_extendedprice"),
         "min_price": Metric.min("l_extendedprice"),
         "max_price": Metric.max("l_extendedprice"),
@@ -99,12 +122,13 @@ class SalesCube(Cube):
     selectors = {
         "returnflag": Selector("l_returnflag"),
         "linestatus": Selector("l_linestatus"),
-        "shipdate": Selector(lambda: F.col("l_shipdate").cast("date")),
+        "shipdate": Selector(lambda: F.col("l_shipdate").cast("date"),
+                              sql="CAST(l_shipdate AS DATE)"),
         "quantity": Selector("l_quantity"),
         "discount": Selector("l_discount"),
         "extendedprice": Selector("l_extendedprice"),
         "orderdate": Selector(lambda: F.col("o_orderdate").cast("date"),
-                              requires=ORDERS),
+                              requires=ORDERS, sql="CAST(o_orderdate AS DATE)"),
         "orderstatus": Selector("o_orderstatus", requires=ORDERS),
         "orderpriority": Selector("o_orderpriority", requires=ORDERS),
         "mktsegment": Selector("c_mktsegment", requires=CUSTOMER),
@@ -138,11 +162,18 @@ class EventsCube(Cube):
             **_DATE_FIELDS,
             "hour_start": lambda c: F.date_trunc("hour", c),
             "minute_start": lambda c: F.date_trunc("minute", c),
+        }, sql_fields={
+            **_DATE_FIELDS_SQL,
+            "hour_start": "CAST(date_trunc('hour', {e}) AS TIMESTAMP)",
+            "minute_start": "CAST(date_trunc('minute', {e}) AS TIMESTAMP)",
         }),
         # JSON payload sub-field dimension (scalar-function family, §2.9)
         "props": Dimension("props", fields={
             "k": lambda c: F.get_json_object(c, "$.k").cast("long"),
             "k_str": lambda c: F.get_json_object(c, "$.k"),
+        }, sql_fields={
+            "k": "CAST(json_extract_string({e}, '$.k') AS BIGINT)",
+            "k_str": "json_extract_string({e}, '$.k')",
         }),
     }
     metrics = {
@@ -158,7 +189,8 @@ class EventsCube(Cube):
         "user_id": Selector("user_id"),
         "value": Selector("value"),
         "ts": Selector("ts"),
-        "props_k": Selector(lambda: F.get_json_object(F.col("props"), "$.k").cast("long")),
+        "props_k": Selector(lambda: F.get_json_object(F.col("props"), "$.k").cast("long"),
+                            sql="CAST(json_extract_string(props, '$.k') AS BIGINT)"),
     }
 
 

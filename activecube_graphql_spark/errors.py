@@ -13,3 +13,10 @@ class InputArgumentError(ValueError):
 
 class ShapeError(RuntimeError):
     """Response shape mismatch (reference: response_builder.rb:85,131)."""
+
+
+class NotSqlExpressible(RuntimeError):
+    """A cube element has no declared ANSI-SQL twin, so the query it appears
+    in cannot be printed as SQL (sql.py). Approximate/stateful operators
+    (uniq, streaming state) opt out by design — they are validated by
+    tolerance / batch-twin tests instead of the SQL oracle."""

@@ -76,3 +76,67 @@ def apply_operator(col: Column, op: str, value: Any) -> Column:
     if op == "not_like":
         return ~col.like(value)
     raise InputArgumentError(f"Unsupported selector operator '{op}'")  # pragma: no cover
+
+
+# ------------------------------------------------------------------ SQL twin
+
+def literal_sql(value: Any) -> str:
+    """ANSI-SQL literal for a Python argument value."""
+    import datetime
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, datetime.datetime):
+        return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+    if isinstance(value, datetime.date):
+        return f"DATE '{value.isoformat()}'"
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    raise InputArgumentError(f"No SQL literal for value {value!r}")
+
+
+def operator_sql(expr: str, op: str, value: Any) -> str:
+    """SQL twin of :func:`apply_operator` — identical NULL semantics.
+
+    ``is``/``not`` compile to ``IS [NOT] DISTINCT FROM`` (the null-safe
+    comparison, ≙ Spark ``eqNullSafe``); ``eq/not_eq`` on a nil argument
+    become ``IS [NOT] NULL`` exactly as the Column path does.
+    """
+    if op not in OPERATORS:
+        raise InputArgumentError(f"Unsupported selector operator '{op}'")
+    if op == "eq":
+        return f"({expr} IS NULL)" if value is None else f"({expr} = {literal_sql(value)})"
+    if op == "not_eq":
+        return f"({expr} IS NOT NULL)" if value is None else f"({expr} <> {literal_sql(value)})"
+    if op == "is":
+        return (f"({expr} IS NULL)" if value is None
+                else f"({expr} IS NOT DISTINCT FROM {literal_sql(value)})")
+    if op == "not":
+        return (f"({expr} IS NOT NULL)" if value is None
+                else f"({expr} IS DISTINCT FROM {literal_sql(value)})")
+    if op == "in":
+        items = ", ".join(literal_sql(v) for v in value)
+        return f"({expr} IN ({items}))"
+    if op == "not_in":
+        items = ", ".join(literal_sql(v) for v in value)
+        return f"({expr} NOT IN ({items}))"
+    if op == "gt":
+        return f"({expr} > {literal_sql(value)})"
+    if op == "lt":
+        return f"({expr} < {literal_sql(value)})"
+    if op == "gteq":
+        return f"({expr} >= {literal_sql(value)})"
+    if op == "lteq":
+        return f"({expr} <= {literal_sql(value)})"
+    if op == "between":
+        lo, hi = value
+        return f"({expr} BETWEEN {literal_sql(lo)} AND {literal_sql(hi)})"
+    if op == "like":
+        return f"({expr} LIKE {literal_sql(value)})"
+    if op == "not_like":
+        return f"(NOT ({expr} LIKE {literal_sql(value)}))"
+    raise InputArgumentError(f"Unsupported selector operator '{op}'")  # pragma: no cover

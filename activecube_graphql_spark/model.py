@@ -22,7 +22,7 @@ from typing import Any, Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .errors import InputArgumentError
+from .errors import InputArgumentError, NotSqlExpressible
 from .functions.selector_ops import apply_operator
 
 # A factory producing the element's column expression. Uses F.col(...) names
@@ -43,6 +43,12 @@ class Dimension:
     """A slice-able (group-by) attribute; may expose hierarchical sub-fields
     looked up by name (parse_tree.rb:29 ``dimension[sub_name]``), e.g. a date
     dimension exposing year/month/date projections (README.md:47-50).
+
+    ``sql`` / ``sql_fields`` are the ANSI-SQL twins of the Column factory,
+    consumed by the query SQL printer (sql.py — the activecube role of
+    *generating* SQL from cube metadata). ``sql`` auto-derives when the
+    expression is a plain column name; sub-field templates substitute
+    ``{e}`` for the parent expression.
     """
 
     expr: ColumnFactory
@@ -50,9 +56,26 @@ class Dimension:
     fields: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
     #: joined tables this dimension's columns live in (join pruning)
     requires: frozenset[str] = frozenset()
+    #: SQL twin of ``expr`` (auto when expr is a column name)
+    sql: Optional[str] = None
+    #: sub-field name → SQL template over ``{e}``
+    sql_fields: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        if self.sql is None and isinstance(self.expr, str):
+            self.sql = self.expr
         self.expr = _as_factory(self.expr)
+
+    def column_sql(self, sub: Optional[str] = None) -> str:
+        """SQL expression for this dimension (or one of its sub-fields);
+        raises if no SQL twin was declared (printer-opt-out elements)."""
+        if self.sql is None:
+            raise NotSqlExpressible("dimension has no SQL twin")
+        if sub is None:
+            return self.sql
+        if sub not in self.sql_fields:
+            raise NotSqlExpressible(f"sub-field '{sub}' has no SQL template")
+        return self.sql_fields[sub].format(e=self.sql)
 
     def column(self, sub: Optional[str] = None) -> Column:
         base = self.expr()
@@ -73,50 +96,79 @@ class Metric:
 
     agg: Callable[[Optional[Column]], Column]
     requires: frozenset[str] = frozenset()
+    #: SQL twin: ``sql(cond_sql)`` returns the aggregate's SQL; ``cond_sql``
+    #: is the metric-scoped filter predicate (or None). None → not printable.
+    sql: Optional[Callable[[Optional[str]], str]] = None
+
+    def agg_sql(self, cond_sql: Optional[str] = None) -> str:
+        if self.sql is None:
+            raise NotSqlExpressible("metric has no SQL twin")
+        return self.sql(cond_sql)
 
     # -- common constructors ------------------------------------------------
     @staticmethod
+    def _sql_of(expr, sql_expr: Optional[str]) -> Optional[str]:
+        return sql_expr if sql_expr is not None else (expr if isinstance(expr, str) else None)
+
+    @staticmethod
     def _wrap(fn: Callable[[Column], Column], expr: "str | Column | ColumnFactory",
-              requires: frozenset[str] = frozenset()) -> "Metric":
+              requires: frozenset[str] = frozenset(), fn_sql: Optional[str] = None,
+              sql_expr: Optional[str] = None) -> "Metric":
         factory = _as_factory(expr)
+        e_sql = Metric._sql_of(expr, sql_expr)
 
         def agg(cond: Optional[Column]) -> Column:
             c = factory()
             return fn(F.when(cond, c)) if cond is not None else fn(c)
 
-        return Metric(agg=agg, requires=requires)
+        sql = None
+        if e_sql is not None and fn_sql is not None:
+            def sql(cond_sql: Optional[str], _f=fn_sql, _e=e_sql) -> str:
+                inner = f"CASE WHEN {cond_sql} THEN {_e} END" if cond_sql else _e
+                return f"{_f}({inner})"
+        return Metric(agg=agg, requires=requires, sql=sql)
 
     @staticmethod
-    def sum(expr, requires=frozenset()) -> "Metric":
-        return Metric._wrap(F.sum, expr, requires)
+    def sum(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        return Metric._wrap(F.sum, expr, requires, "sum", sql_expr)
 
     @staticmethod
-    def avg(expr, requires=frozenset()) -> "Metric":
-        return Metric._wrap(F.avg, expr, requires)
+    def avg(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        return Metric._wrap(F.avg, expr, requires, "avg", sql_expr)
 
     @staticmethod
-    def min(expr, requires=frozenset()) -> "Metric":
-        return Metric._wrap(F.min, expr, requires)
+    def min(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        return Metric._wrap(F.min, expr, requires, "min", sql_expr)
 
     @staticmethod
-    def max(expr, requires=frozenset()) -> "Metric":
-        return Metric._wrap(F.max, expr, requires)
+    def max(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        return Metric._wrap(F.max, expr, requires, "max", sql_expr)
 
     @staticmethod
     def count(requires=frozenset()) -> "Metric":
         def agg(cond: Optional[Column]) -> Column:
             return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count(F.lit(1))
-        return Metric(agg=agg, requires=requires)
+
+        def sql(cond_sql: Optional[str]) -> str:
+            return f"count(CASE WHEN {cond_sql} THEN 1 END)" if cond_sql else "count(*)"
+        return Metric(agg=agg, requires=requires, sql=sql)
 
     @staticmethod
-    def count_distinct(expr, requires=frozenset()) -> "Metric":
+    def count_distinct(expr, requires=frozenset(), sql_expr=None) -> "Metric":
         """Exact distinct (oracle-safe twin of ``uniq``)."""
         factory = _as_factory(expr)
+        e_sql = Metric._sql_of(expr, sql_expr)
 
         def agg(cond: Optional[Column]) -> Column:
             c = factory()
             return F.count_distinct(F.when(cond, c)) if cond is not None else F.count_distinct(c)
-        return Metric(agg=agg, requires=requires)
+
+        sql = None
+        if e_sql is not None:
+            def sql(cond_sql: Optional[str], _e=e_sql) -> str:
+                inner = f"CASE WHEN {cond_sql} THEN {_e} END" if cond_sql else _e
+                return f"count(DISTINCT {inner})"
+        return Metric(agg=agg, requires=requires, sql=sql)
 
     @staticmethod
     def uniq(expr, rsd: float = 0.05, requires=frozenset()) -> "Metric":
@@ -132,7 +184,7 @@ class Metric:
 
     @staticmethod
     def collect(expr, distinct: bool = False, sort: bool = True,
-                requires=frozenset()) -> "Metric":
+                requires=frozenset(), sql_expr=None) -> "Metric":
         """Array aggregate (SURVEY §2.4 A5). Sorted by default so results are
         deterministic under Spark's partition-order nondeterminism."""
         factory = _as_factory(expr)
@@ -142,7 +194,16 @@ class Metric:
             c = factory()
             out = gather(F.when(cond, c)) if cond is not None else gather(c)
             return F.sort_array(out) if sort else out
-        return Metric(agg=agg, requires=requires)
+
+        e_sql = Metric._sql_of(expr, sql_expr)
+        sql = None
+        if e_sql is not None and sort:  # unsorted arrays are order-nondeterministic
+            def sql(cond_sql: Optional[str], _e=e_sql, _d=distinct) -> str:
+                inner = f"CASE WHEN {cond_sql} THEN {_e} END" if cond_sql else _e
+                kw = "DISTINCT " if _d else ""
+                # list_filter: collect_list/-set skip NULL inputs; list() keeps them
+                return f"list_sort(list_filter(list({kw}{inner}), x -> x IS NOT NULL))"
+        return Metric(agg=agg, requires=requires, sql=sql)
 
     @staticmethod
     def top_tuples(order_expr, struct_fields: dict[str, Any], k: int,
@@ -176,12 +237,22 @@ class Selector:
 
     expr: ColumnFactory
     requires: frozenset[str] = frozenset()
+    #: SQL twin of ``expr`` (auto when expr is a column name)
+    sql: Optional[str] = None
 
     def __post_init__(self) -> None:
+        if self.sql is None and isinstance(self.expr, str):
+            self.sql = self.expr
         self.expr = _as_factory(self.expr)
 
     def predicate(self, op: str, value: Any) -> Column:
         return apply_operator(self.expr(), op, value)
+
+    def predicate_sql(self, op: str, value: Any) -> str:
+        from .functions.selector_ops import operator_sql
+        if self.sql is None:
+            raise NotSqlExpressible("selector has no SQL twin")
+        return operator_sql(self.sql, op, value)
 
 
 @dataclass
@@ -201,6 +272,8 @@ class JoinSpec:
     broadcast: bool = False
     #: table that must already be joined for ``on`` to resolve
     depends_on: Optional[str] = None
+    #: SQL twin of ``on`` for the query SQL printer (sql.py)
+    on_sql: Optional[str] = None
 
 
 @dataclass

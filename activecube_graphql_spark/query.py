@@ -376,6 +376,13 @@ class CubeQueryBuilder:
             out = _OPTION_APPLIERS[name](out, args, state)
         return out
 
+    def to_sql(self) -> str:
+        """Print this query as one ANSI-SQL statement over the raw star
+        schema (sql.py — the activecube SQL-generation role). Raises
+        :class:`NotSqlExpressible` for elements with no SQL twin."""
+        from .sql import query_sql
+        return query_sql(self)
+
     def relabeled(self) -> DataFrame:
         """``df()`` with the internal ``_aq.`` prefix stripped from output
         column names — the response-facing projection."""

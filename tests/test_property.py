@@ -1,0 +1,172 @@
+"""Property-based correctness: random cube queries vs the DuckDB oracle
+(SURVEY §5.2 item 6).
+
+Hypothesis generates random slice/measure/filter/option combinations over
+SalesCube; each is compiled twice — to a Spark DataFrame (query.py) and to
+ANSI SQL (sql.py) — and the results must agree after canonicalization.
+Because the SQL printer always targets the RAW star schema while the
+DataFrame compiler is free to pick a pre-aggregated representation, every
+passing example also re-proves representation selection correctness-neutral.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMALL
+
+TABLES = ["lineitem", "orders", "customer", "nation", "region", "part",
+          "supplier", "events", "documents", "embeddings"]
+
+_DUCK = None
+_SALES = None
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _engines(spark):
+    global _DUCK, _SALES
+    from activecube_graphql_spark.cubes import SalesCube
+    _DUCK = duckdb.connect()
+    for t in TABLES:
+        _DUCK.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')")
+    _SALES = SalesCube(spark, SF_SMALL)
+    yield
+    _DUCK.close()
+
+
+# ----------------------------------------------------------- value pools
+
+DIMS = ["returnflag", "linestatus", "orderstatus", "orderpriority",
+        "mktsegment", "nation", "region", "brand",
+        "shipdate.year", "shipdate.month", "orderdate.year",
+        "nation.initial", "parttype.word1"]
+
+MEASURES = ["count", "quantity", "revenue", "avg_price", "min_price",
+            "max_price", "avg_discount", "orders", "parts"]
+
+# (selector, operator, value) pool — curated so every choice is type-valid
+PREDICATES = [
+    ("returnflag", "eq", "R"), ("returnflag", "not_eq", "A"),
+    ("returnflag", "in", ["A", "N"]), ("returnflag", "not_in", ["R"]),
+    ("returnflag", "is", "N"), ("returnflag", "not", None),
+    ("linestatus", "eq", "F"), ("linestatus", "eq", "O"),
+    ("quantity", "gt", 25), ("quantity", "lteq", 40),
+    ("quantity", "between", [10, 30]), ("quantity", "gteq", 5),
+    ("quantity", "lt", 48), ("quantity", "gt", None),  # nil-drop
+    ("discount", "gteq", 0.05), ("discount", "lt", 0.08),
+    ("extendedprice", "gt", 20000.0), ("extendedprice", "lteq", 80000.5),
+    ("shipdate", "lteq", "1998-09-02"), ("shipdate", "gteq", "1995-01-01"),
+    ("shipdate", "between", ["1994-01-01", "1997-06-30"]),
+    ("orderstatus", "eq", "F"), ("orderpriority", "like", "1-%"),
+    ("orderpriority", "not_like", "%URGENT%"),
+    ("mktsegment", "in", ["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+    ("nation", "like", "%A%"), ("region", "not_eq", "EUROPE"),
+    ("brand", "eq", "Brand#13"), ("customer", "like", "Customer#%1"),
+]
+
+
+def pred_dicts(draw, n):
+    """n predicate entries folded into one args dict (ANDed)."""
+    picks = [draw(st.sampled_from(PREDICATES)) for _ in range(n)]
+    args: dict = {}
+    for sel, op, val in picks:
+        args.setdefault(sel, {})
+        # later op on same selector overwrites — fine, still valid grammar
+        args[sel][op] = val
+    return args
+
+
+@st.composite
+def cube_queries(draw):
+    n_slices = draw(st.integers(0, 2))
+    slices = draw(st.lists(st.sampled_from(DIMS), min_size=n_slices,
+                           max_size=n_slices, unique=True))
+    n_meas = draw(st.integers(1, 3))
+    measures = draw(st.lists(st.sampled_from(MEASURES), min_size=n_meas,
+                             max_size=n_meas, unique=True))
+    cond_where = (draw(st.booleans()) and
+                  pred_dicts(draw, draw(st.integers(1, 2))) or None)
+    filters = []
+    for _ in range(draw(st.integers(0, 2))):
+        if draw(st.booleans()):
+            filters.append(pred_dicts(draw, draw(st.integers(1, 2))))
+        else:  # any: OR of AND-groups (F6)
+            groups = [pred_dicts(draw, draw(st.integers(1, 2)))
+                      for _ in range(draw(st.integers(1, 3)))]
+            filters.append({"any": groups})
+    grouping = draw(st.sampled_from(["groupby", "groupby", "groupby",
+                                     "rollup", "cube"])) if slices else "groupby"
+    # options: optional total-order sort (all output columns — deterministic
+    # membership for limit/offset), then optional limit/offset/limit_by
+    use_sort = draw(st.booleans())
+    sort_desc = draw(st.booleans())
+    lim = draw(st.sampled_from([None, None, 2, 5, 17]))
+    off = draw(st.sampled_from([None, None, 1, 3]))
+    use_limit_by = (grouping == "groupby" and len(slices) == 2
+                    and draw(st.booleans()))
+    return dict(slices=slices, measures=measures, cond_where=cond_where,
+                filters=filters, grouping=grouping, use_sort=use_sort,
+                sort_desc=sort_desc, lim=lim, off=off,
+                use_limit_by=use_limit_by)
+
+
+def build(spec):
+    q = _SALES.query().no_cache()
+    keys = []
+    for s in spec["slices"]:
+        q = q.slice(s)
+        keys.append(s)
+    for i, m in enumerate(spec["measures"]):
+        where = spec["cond_where"] if i == 0 else None
+        q = q.measure(m, where=where)
+        keys.append(m)
+    for f in spec["filters"]:
+        q = q.when(f)
+    q = q.grouping(spec["grouping"])
+    sorted_yet = False
+    if spec["use_sort"] or spec["lim"] is not None or spec["off"] is not None:
+        # total order over every output column → limit/offset deterministic
+        q = q.desc(keys) if spec["sort_desc"] else q.asc(keys)
+        sorted_yet = True
+    if spec["lim"] is not None:
+        q = q.limit(spec["lim"])
+    if spec["off"] is not None and spec["lim"] is None:
+        q = q.offset(spec["off"])
+    if spec["use_limit_by"] and sorted_yet:
+        q = q.limit_by(spec["slices"][0], limit=2)
+    return q
+
+
+def canon(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(0.0 if not math.isfinite(v) else round(v, 4))
+            elif isinstance(v, list):
+                vals.append(tuple(v))
+            elif hasattr(v, "isoformat"):
+                vals.append(v.isoformat()[:26])
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cube_queries())
+def test_random_cube_query_matches_duckdb(spec):
+    q = build(spec)
+    sql = q.to_sql()
+    duck_rows = _DUCK.execute(sql).fetchall()
+    spark_rows = [tuple(r) for r in q.df().collect()]
+    a, b = canon(spark_rows), canon(duck_rows)
+    assert a == b, f"mismatch for spec={spec}\nsql={sql}\nspark={a[:4]}\nduck={b[:4]}"
