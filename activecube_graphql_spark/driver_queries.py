@@ -460,6 +460,13 @@ def q_embed_lsh_ann(spark, sf_dir):
     return sim.lsh_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_embed_ivf_ann(spark, sf_dir):
+    """IVF approximate NN (sample-trained coarse quantizer, multi-probe) —
+    the second ANN scale path; recall asserted in tests, rows-only here."""
+    corpus = _embeds(spark, sf_dir)
+    return sim.ivf_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
+
+
 def _assets(spark, sf_dir):
     """Deterministic multimodal asset table synthesized from documents:
     payload = utf8 bytes of text, typed metadata in plain columns
@@ -604,6 +611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
     "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
 }

@@ -206,6 +206,104 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rn").cast("long").alias("rank")))
 
 
+# ----------------------------------------------------------------- IVF ANN
+
+def _train_ivf_centroids(df: DataFrame, n_cells: int, id_col: str,
+                         vec_col: str, sample: int = 4096,
+                         iters: int = 5):
+    """Spherical k-means coarse quantizer trained on a deterministic sample
+    (FAISS-style: the quantizer trains on a bounded sample regardless of
+    corpus size — at 100 TB this collect stays a few MB). Sampling order is
+    ``xxhash64(id)`` so training is reproducible with no RNG state; init is
+    the first ``n_cells`` sampled vectors."""
+    import numpy as np
+
+    rows = (df.select(F.col(id_col).alias("id"),
+                      _unit(F.col(vec_col)).alias("v"))
+            .orderBy(F.xxhash64(F.col("id"))).limit(sample).collect())
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    n_cells = min(n_cells, len(x))
+    cent = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        norms = np.sqrt((cent * cent).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        cent = cent / norms[:, None]
+    return cent
+
+
+def _ivf_assign(df: DataFrame, id_alias: str, vec_alias: str,
+                id_col: str, vec_col: str, bc_centroids,
+                nprobe: int) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells — one
+    numpy matmul per Arrow batch against the broadcast centroid matrix
+    (map-only, no shuffle). ``nprobe=1`` for the corpus (each vector lives
+    in exactly one inverted list), >1 for queries (multi-probe recall)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import ensure_parallelism
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc_centroids.value
+        for pdf in batches:
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n = np.sqrt((v * v).sum(axis=1))
+            n[n == 0.0] = 1.0
+            scores = (v / n[:, None]) @ cent.T
+            p = min(nprobe, scores.shape[1])
+            cells = np.argsort(-scores, axis=1)[:, :p]
+            yield pd.DataFrame({
+                "__id": pdf["__id"].to_numpy().repeat(p),
+                "__v": pdf["__v"].to_numpy().repeat(p),
+                "cell": cells.reshape(-1).astype(np.int32)})
+
+    src = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("__id"),
+                   _unit(F.col(vec_col)).alias("__v")))
+    out = src.mapInPandas(assign, schema="__id long, __v array<double>, cell int")
+    return out.select(F.col("__id").alias(id_alias),
+                      F.col("__v").alias(vec_alias), "cell")
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 16, nprobe: int = 6,
+                 exclude_self: bool = True) -> DataFrame:
+    """IVF approximate top-k (the second scale path beside LSH): a coarse
+    quantizer partitions the corpus into ``n_cells`` inverted lists; each
+    query scores only the lists of its ``nprobe`` nearest centroids.
+
+    Cost at 100 TB: centroid training is one bounded-sample collect; cell
+    assignment is a map-only pass; the probe join touches
+    ~corpus × nprobe/n_cells candidate rows instead of the full cross
+    product. Recall tunes with nprobe/n_cells (validated against
+    cosine_topk in tests — approximate, so rows-only at the driver)."""
+    import numpy as np  # noqa: F401  (required by the training path)
+
+    cent = _train_ivf_centroids(corpus, n_cells, id_col, vec_col)
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+    c = _ivf_assign(corpus, "neighbor_id", "c_vec", id_col, vec_col, bc, 1)
+    q = _ivf_assign(queries, "query_id", "q_vec", id_col, vec_col, bc, nprobe)
+    joined = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 4).alias("cosine"),
+                    F.col("rn").cast("long").alias("rank")))
+
+
 def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

@@ -63,6 +63,27 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert all(r["hamming"] <= 16 for r in rows), rows
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF ANN with nprobe=6/16 cells probes ~3/8 of the corpus; on gaussian
+    vectors the true neighbors concentrate in the query's nearest cells, so
+    recall should be well above the probed fraction."""
+    corpus = _embeds(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    brute = sim.cosine_topk(corpus, queries, k=5)
+    ann = sim.ivf_ann_topk(corpus, queries, k=5, n_cells=16, nprobe=6)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert a, "IVF ANN returned nothing"
+    recall = len(a & b) / len(b)
+    assert recall > 0.4, f"IVF recall {recall} suspiciously low"
+    # determinism: same inputs -> same result set (sample-trained quantizer
+    # is hash-ordered, no RNG)
+    a2 = {(r["query_id"], r["neighbor_id"])
+          for r in sim.ivf_ann_topk(corpus, queries, k=5,
+                                    n_cells=16, nprobe=6).collect()}
+    assert a == a2
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN top-5 must recover a reasonable fraction of the true top-5.
     Random gaussian vectors are LSH's worst case (true neighbors sit near
