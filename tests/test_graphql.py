@@ -1,0 +1,150 @@
+"""GraphQL text front-end (graphql.py): reference-README-shaped documents
+must parse, validate, execute, and agree with the builder/SQL paths."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    from activecube_graphql_spark.cubes import SalesCube
+    return SalesCube(spark, SF_SMALL)
+
+
+def test_readme_shaped_document(sales):
+    """The reference README shape: cube field + args + options + nested
+    dimension + metric with args (conditional aggregate)."""
+    from activecube_graphql_spark.graphql import graphql_query
+    tree = graphql_query(sales, """
+      { sales(returnflag: "R",
+              options: {desc: "revenue", limit: 2}) {
+          nation { initial }
+          revenue
+          hi: revenue(discount: {gteq: 0.05})
+      } }""")
+    rows = tree.nested_df().collect()
+    assert 1 <= len(rows) <= 2  # limit: 2 (sf0.001 may have fewer groups)
+    assert set(rows[0].asDict()) == {"nation", "revenue", "hi"}
+    assert set(rows[0]["nation"].asDict()) == {"initial"}
+    if len(rows) == 2:
+        assert rows[0]["revenue"] >= rows[1]["revenue"]
+    assert all(r["hi"] <= r["revenue"] for r in rows)
+
+
+def test_matches_builder_path(sales):
+    from activecube_graphql_spark.graphql import graphql_query
+    tree = graphql_query(sales, """
+      { sales(shipdate: {lteq: "1998-09-02"}) {
+          returnflag linestatus revenue count
+      } }""")
+    got = {tuple(r) for r in tree.build_query().df().collect()}
+    want = {tuple(r) for r in
+            (sales.query().slice("returnflag", "linestatus")
+             .measure("revenue", "count")
+             .when({"shipdate": {"lteq": "1998-09-02"}}).df().collect())}
+    assert got == want
+
+
+def test_matches_sql_oracle(sales):
+    """GraphQL text → builder → printed SQL → DuckDB must agree with the
+    Spark execution of the same document."""
+    from activecube_graphql_spark.graphql import graphql_query
+    tree = graphql_query(sales, """
+      query Q($seg: String = "BUILDING") {
+        sales(mktsegment: $seg, options: {desc: "count", limit: 3}) {
+          nation count quantity
+        } }""")
+    q = tree.build_query()
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_SMALL}/{t}.parquet')")
+    duck = sorted(tuple(r) for r in con.execute(q.to_sql()).fetchall())
+    spark_rows = sorted(tuple(r) for r in q.df().collect())
+    assert [r[0] for r in duck] == [r[0] for r in spark_rows]
+    con.close()
+
+
+def test_variables_supplied_and_defaults(sales):
+    from activecube_graphql_spark.graphql import graphql_query
+    doc = """query ($flag: String = "A", $n: Int = 1) {
+        sales(returnflag: $flag, options: {limit: $n}) { returnflag count }
+    }"""
+    r1 = graphql_query(sales, doc).build_query().relabeled().collect()
+    assert len(r1) == 1 and r1[0]["returnflag"] == "A"
+    r2 = graphql_query(sales, doc, variables={"flag": "N"}) \
+        .build_query().relabeled().collect()
+    assert r2[0]["returnflag"] == "N"
+
+
+def test_option_order_preserved_from_document(sales):
+    """Client-written option order must survive the object literal
+    (sort_node_arguments parity): [limit, desc] wraps in the printed SQL,
+    [desc, limit] does not."""
+    from activecube_graphql_spark.graphql import graphql_query
+    sql_a = graphql_query(sales, """
+      { sales(options: {desc: "count", limit: 100}) { returnflag count } }
+    """).build_query().to_sql()
+    sql_b = graphql_query(sales, """
+      { sales(options: {limit: 100, desc: "count"}) { returnflag count } }
+    """).build_query().to_sql()
+    assert "FROM (" not in sql_a
+    assert "FROM (" in sql_b
+
+
+def test_unknown_field_fails_fast(sales):
+    from activecube_graphql_spark.errors import InputArgumentError
+    from activecube_graphql_spark.graphql import graphql_query
+    with pytest.raises(InputArgumentError, match="Can not find"):
+        graphql_query(sales, "{ sales { nonexistent } }")
+
+
+def test_syntax_and_unsupported_constructs_fail_loudly(sales):
+    from activecube_graphql_spark.errors import InputArgumentError
+    from activecube_graphql_spark.graphql import parse_graphql
+    with pytest.raises(InputArgumentError, match="syntax"):
+        parse_graphql("{ sales { returnflag ~ } }")
+    with pytest.raises(InputArgumentError, match="fragment"):
+        parse_graphql("{ sales { ...frag } }")
+    with pytest.raises(InputArgumentError, match="directives"):
+        parse_graphql('{ sales { returnflag @skip(if: true) } }')
+    with pytest.raises(InputArgumentError, match="only query"):
+        parse_graphql("mutation { sales { returnflag } }")
+    with pytest.raises(InputArgumentError, match="no value"):
+        parse_graphql("{ sales(returnflag: $missing) { count } }")
+
+
+def test_literals_enums_lists_typename(sales):
+    from activecube_graphql_spark.graphql import parse_graphql
+    spec = parse_graphql("""
+      { sales(mktsegment: [BUILDING, "MACHINERY"],
+              quantity: {gteq: 1.5, lt: 40}, returnflag: null) {
+          returnflag
+          __typename
+          count
+      } }""")
+    assert spec["args"]["mktsegment"] == ["BUILDING", "MACHINERY"]
+    assert spec["args"]["quantity"] == {"gteq": 1.5, "lt": 40}
+    assert spec["args"]["returnflag"] is None
+    assert "__typename" in spec["fields"]  # dropped later by ParseTree
+    tree_fields = [e.name for e in
+                   __import__("activecube_graphql_spark.parse_tree",
+                              fromlist=["ParseTree"]).ParseTree(sales, spec).elements]
+    assert tree_fields == ["returnflag", "count"]
+
+
+def test_alias_fanout_from_text(sales):
+    from activecube_graphql_spark.graphql import graphql_query
+    tree = graphql_query(sales, """
+      { sales {
+          returnflag
+          all: count
+          flagged: count(linestatus: "F")
+      } }""")
+    rows = {r["returnflag"]: r for r in
+            tree.build_query().relabeled().collect()}
+    assert all(r["flagged"] <= r["all"] for r in rows.values())
