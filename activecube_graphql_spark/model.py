@@ -99,6 +99,10 @@ class Metric:
     #: SQL twin: ``sql(cond_sql)`` returns the aggregate's SQL; ``cond_sql``
     #: is the metric-scoped filter predicate (or None). None → not printable.
     sql: Optional[Callable[[Optional[str]], str]] = None
+    #: declared tuple-field order for array-of-struct metrics (reference:
+    #: ``metric.definition.class.tuple``, response_builder.rb:116-126);
+    #: children under the metric select these members by name
+    tuple_fields: Optional[tuple[str, ...]] = None
 
     def agg_sql(self, cond_sql: Optional[str] = None) -> str:
         if self.sql is None:
@@ -224,7 +228,8 @@ class Metric:
             arr = F.slice(F.sort_array(F.collect_list(st), asc=False), 1, k)
             # strip the sort key; keep declared tuple fields
             return F.transform(arr, lambda s: F.struct(*[s[n].alias(n) for n in fields]))
-        return Metric(agg=agg, requires=requires)
+        return Metric(agg=agg, requires=requires,
+                      tuple_fields=tuple(struct_fields))
 
 
 @dataclass

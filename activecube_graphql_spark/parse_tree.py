@@ -89,7 +89,18 @@ class ParseTree:
     def _parse_element(self, name: str, node: dict,
                        parent: Optional[Element]) -> Element:
         definition = node.get("field", name)
-        if parent is not None:
+        if parent is not None and parent.kind == "metric":
+            # under a tuple metric → tuple-member lookup by declared name
+            # (response_builder.rb:113-126 — children select tuple fields;
+            # field order from metric.definition.class.tuple)
+            metric = self.cube.metric(parent.definition)
+            if not metric.tuple_fields or definition not in metric.tuple_fields:
+                raise InputArgumentError(
+                    f"Metric '{parent.definition}' has no tuple field "
+                    f"'{definition}'")
+            kind = "tuplefield"
+            key = f"{parent.key}.{name}"
+        elif parent is not None:
             # under a dimension → sub-field lookup (parse_tree.rb:27-30)
             dim = self.cube.dimension(parent.definition)
             if definition not in dim.fields:
@@ -159,6 +170,16 @@ class ParseTree:
                 cols.append(F.struct(*[
                     F.col(f"`{el.key}.{sub.name}`").alias(sub.name)
                     for sub in el.children]).alias(el.name))
+            elif el.kind == "metric" and el.children:
+                # tuple metric: keep only the requested members, renamed to
+                # their requested (alias) names, in request order — the
+                # array-of-tuples re-projection of response_builder.rb:111-138
+                def _project(members):  # single-arg lambda for F.transform
+                    return lambda s: F.struct(*[
+                        s[d].alias(n) for n, d in members])
+                members = [(sub.name, sub.definition) for sub in el.children]
+                cols.append(F.transform(F.col(f"`{el.key}`"),
+                                        _project(members)).alias(el.name))
             else:
                 cols.append(F.col(f"`{el.key}`").alias(el.name))
         return flat.select(*cols)

@@ -90,3 +90,47 @@ def test_path_keys_match_reference_scheme(spark, sf_dir):
     assert tree.elements[0].children[0].key == "_aq.orderdate.year"
     flat = tree.build_query().df()
     assert set(flat.columns) == {"_aq.orderdate.year", "_aq.revenue"}
+
+
+def test_tuple_metric_children_select_members(spark, sf_dir):
+    """A6/R1: children under a tuple metric select tuple members by
+    declared name (response_builder.rb:113-126); the nested response
+    re-projects the array-of-structs to just the requested members,
+    renamed to their requested aliases."""
+    cube = SalesCube(spark, sf_dir)
+    tree = parse(cube, {"fields": {
+        "returnflag": {},
+        "top_parts": {"fields": {"pk": {"field": "partkey"}}},
+    }})
+    df = tree.nested_df()
+    from pyspark.sql.types import ArrayType, StructType as ST
+    t = df.schema["top_parts"].dataType
+    assert isinstance(t, ArrayType) and isinstance(t.elementType, ST)
+    assert [f.name for f in t.elementType.fields] == ["pk"]
+    rows = df.collect()
+    assert rows and all(len(r["top_parts"]) <= 3 for r in rows)
+    assert all(isinstance(e["pk"], int)
+               for r in rows for e in r["top_parts"])
+
+
+def test_tuple_metric_unknown_member_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="has no tuple field"):
+        parse(cube, {"fields": {
+            "top_parts": {"fields": {"nope": {}}}, "count": {}}})
+
+
+def test_scalar_metric_child_fails_fast(spark, sf_dir):
+    cube = SalesCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="has no tuple field"):
+        parse(cube, {"fields": {
+            "revenue": {"fields": {"x": {}}}, "count": {}}})
+
+
+def test_tuple_metric_children_via_graphql_text(spark, sf_dir):
+    from activecube_graphql_spark.graphql import graphql_query
+    cube = SalesCube(spark, sf_dir)
+    tree = graphql_query(cube, """
+      { sales { returnflag top_parts { partkey price } } }""")
+    row = tree.nested_df().collect()[0]
+    assert set(row["top_parts"][0].asDict()) == {"partkey", "price"}
