@@ -566,7 +566,38 @@ def q_session_window(spark, sf_dir):
                                watermark=None)
 
 
+# --------------------------------------------------------------------------
+# GraphQL text front-end, oracle generated by the engine's own SQL printer
+# --------------------------------------------------------------------------
+
+_GRAPHQL_TOPN_DOC = """
+  { sales(shipdate: {gteq: "1996-01-01"},
+          options: {desc: ["orders", "returnflag", "linestatus"], limit: 4}) {
+      returnflag
+      linestatus
+      orders
+      cnt: count
+      min_price
+      max_price
+  } }"""
+
+
+def _graphql_topn_builder(cube):
+    from .graphql import graphql_query
+    return graphql_query(cube, _GRAPHQL_TOPN_DOC).build_query()
+
+
+def q_graphql_topn(spark, sf_dir):
+    """The full reference input path: GraphQL document text → ParseTree →
+    cube query → Spark. Exact aggregates only (count/count_distinct/
+    min/max) so the hash check needs no rounding; total-order sort makes
+    the LIMIT deterministic. The oracle below is generated by sql.py from
+    the same document — DuckDB is still the independent executor."""
+    return _graphql_topn_builder(_sales(spark, sf_dir)).relabeled()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graphql_topn": q_graphql_topn,
     "flagship_revenue": q_flagship_revenue,
     "global_agg": q_global_agg,
     "slice_subfield_year": q_slice_subfield_year,
@@ -618,6 +649,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    # printer-generated (metadata-only cube; no SparkSession needed)
+    "graphql_topn": _graphql_topn_builder(SalesCube(None, "/")).relabeled_sql(),
     "flagship_revenue": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

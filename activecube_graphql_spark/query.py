@@ -390,6 +390,17 @@ class CubeQueryBuilder:
         return d.toDF(*[c[len(PATH_PREFIX):] if c.startswith(PATH_PREFIX) else c
                         for c in d.columns])
 
+    def relabeled_sql(self) -> str:
+        """``to_sql()`` wrapped in an outer projection that strips the
+        ``_aq.`` prefix — the SQL twin of :meth:`relabeled` (column names
+        then match the response-facing DataFrame, e.g. for oracle runs)."""
+        keys = [s.key for s in self._slices] + [m.key for m in self._measures]
+        cols = ", ".join(
+            '"{}" AS "{}"'.format(k.replace('"', '""'),
+                                  k[len(PATH_PREFIX):].replace('"', '""'))
+            for k in keys)
+        return f"SELECT {cols} FROM ({self.to_sql()})"
+
 
 # ---------------------------------------------------------------- options
 

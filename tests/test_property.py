@@ -143,21 +143,35 @@ def build(spec):
     return q
 
 
-def canon(rows):
-    out = []
-    for r in rows:
-        vals = []
-        for v in r:
-            if isinstance(v, float):
-                vals.append(0.0 if not math.isfinite(v) else round(v, 4))
-            elif isinstance(v, list):
-                vals.append(tuple(v))
-            elif hasattr(v, "isoformat"):
-                vals.append(v.isoformat()[:26])
+def _norm_val(v):
+    if isinstance(v, list):
+        return tuple(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return v
+
+
+def _sort_key(row):
+    # floats excluded from the ordering key: rows are unique by their
+    # non-float (slice) columns, and float aggregates may differ in the
+    # last bits between engines
+    return tuple(repr(v) for v in row if not isinstance(v, float))
+
+
+def assert_rows_match(spark_rows, duck_rows, ctx=""):
+    a = sorted((tuple(_norm_val(v) for v in r) for r in spark_rows),
+               key=_sort_key)
+    b = sorted((tuple(_norm_val(v) for v in r) for r in duck_rows),
+               key=_sort_key)
+    assert len(a) == len(b), f"row count {len(a)} != {len(b)}\n{ctx}"
+    for ra, rb in zip(a, b):
+        assert len(ra) == len(rb), ctx
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                assert math.isclose(va, vb, rel_tol=1e-6, abs_tol=1e-8), \
+                    f"{va} != {vb}\n{ctx}"
             else:
-                vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+                assert va == vb, f"{va!r} != {vb!r}\n{ctx}"
 
 
 @settings(max_examples=40, deadline=None,
@@ -168,5 +182,70 @@ def test_random_cube_query_matches_duckdb(spec):
     sql = q.to_sql()
     duck_rows = _DUCK.execute(sql).fetchall()
     spark_rows = [tuple(r) for r in q.df().collect()]
-    a, b = canon(spark_rows), canon(duck_rows)
-    assert a == b, f"mismatch for spec={spec}\nsql={sql}\nspark={a[:4]}\nduck={b[:4]}"
+    assert_rows_match(spark_rows, duck_rows, ctx=f"spec={spec}\nsql={sql}")
+
+
+# ------------------------------------------------------- EventsCube variant
+
+E_DIMS = ["event_type", "ts.year", "ts.month", "ts.day", "ts.date",
+          "ts.hour", "ts.hour_start", "props.k", "props.k_str", "user_id"]
+E_MEASURES = ["count", "total", "avg_value", "max_value", "users"]
+E_PREDICATES = [
+    ("event_type", "eq", "click"), ("event_type", "not_eq", "error"),
+    ("event_type", "in", ["view", "purchase"]),
+    ("event_type", "not_in", ["signup"]),
+    ("value", "gt", 50.0), ("value", "lteq", 200.0),
+    ("value", "between", [10.0, 150.0]),
+    ("user_id", "in", [1, 3, 5, 7]), ("user_id", "lt", 10),
+    ("props_k", "gteq", 40), ("props_k", "lt", 80),
+    ("ts", "gteq", "2024-01-10 00:00:00"),
+    ("ts", "lt", "2024-01-25 00:00:00"),
+]
+
+
+@st.composite
+def events_queries(draw):
+    n_slices = draw(st.integers(1, 2))
+    slices = draw(st.lists(st.sampled_from(E_DIMS), min_size=n_slices,
+                           max_size=n_slices, unique=True))
+    measures = draw(st.lists(st.sampled_from(E_MEASURES), min_size=1,
+                             max_size=3, unique=True))
+    preds = [draw(st.sampled_from(E_PREDICATES))
+             for _ in range(draw(st.integers(0, 2)))]
+    args: dict = {}
+    for sel, op, val in preds:
+        args.setdefault(sel, {})[op] = val
+    lim = draw(st.sampled_from([None, None, 3, 11]))
+    sort_desc = draw(st.booleans())
+    return dict(slices=slices, measures=measures, args=args, lim=lim,
+                sort_desc=sort_desc)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _events_cube(spark):
+    global _EVENTS
+    from activecube_graphql_spark.cubes import EventsCube
+    _EVENTS = EventsCube(spark, SF_SMALL)
+    yield
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events_queries())
+def test_random_events_query_matches_duckdb(spec):
+    q = _EVENTS.query().no_cache()
+    keys = []
+    for s in spec["slices"]:
+        q = q.slice(s)
+        keys.append(s)
+    for m in spec["measures"]:
+        q = q.measure(m)
+        keys.append(m)
+    if spec["args"]:
+        q = q.when(spec["args"])
+    if spec["lim"] is not None:
+        q = (q.desc(keys) if spec["sort_desc"] else q.asc(keys)).limit(spec["lim"])
+    sql = q.to_sql()
+    duck_rows = _DUCK.execute(sql).fetchall()
+    spark_rows = [tuple(r) for r in q.df().collect()]
+    assert_rows_match(spark_rows, duck_rows, ctx=f"spec={spec}\nsql={sql}")
