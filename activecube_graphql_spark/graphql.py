@@ -22,9 +22,16 @@ named/anonymous operations, variables with defaults (`$since: ISO8601
 nested selection sets, arguments of every GraphQL literal kind (int,
 float, string, boolean, null, enum → string, list, input object —
 insertion-ordered, the analogue of ``sort_node_arguments`` preserving
-client-written option order, parse_tree.rb:46-68). Pure Python, no
-dependencies; fragments/directives are rejected loudly rather than
-silently mis-parsed.
+client-written option order, parse_tree.rb:46-68), named fragment
+definitions + spreads and inline fragments (expanded textually with
+cycle detection; type conditions unchecked, like variable types), and
+the standard executable directives ``@skip(if:)`` / ``@include(if:)``
+evaluated against the bound variables. The reference gets all of these
+for free from graphql-ruby (gemspec:28) — its adapter sees only the
+post-expansion selection tree, which is exactly what expansion here
+feeds to ParseTree; children still de-dup first-wins by output name
+(parse_tree.rb:38). Unknown directives are rejected loudly rather than
+silently ignored. Pure Python, no dependencies.
 """
 
 from __future__ import annotations
@@ -105,6 +112,7 @@ class _Parser:
         self.supplied = dict(variables or {})
         self.defaults: dict[str, Any] = {}
         self.declared: set[str] = set()
+        self.fragments: dict[str, list] = {}
 
     # -- token helpers
     def peek(self) -> tuple[str, Any]:
@@ -132,25 +140,50 @@ class _Parser:
 
     # -- grammar
     def document(self) -> dict:
-        kind, val = self.peek()
-        if kind == "name":
-            if val in ("mutation", "subscription"):
+        """Parse every definition (one query operation + any number of
+        fragment definitions, in any order), then expand spreads."""
+        op_items: Optional[list] = None
+
+        def took_operation(items: list) -> None:
+            nonlocal op_items
+            if op_items is not None:
                 raise InputArgumentError(
-                    f"GraphQL: only query operations are supported, got {val}")
-            if val != "query":
-                raise InputArgumentError(
-                    f"GraphQL: unexpected token {val!r} before selection set")
-            self.next()
-            if self.peek()[0] == "name":  # operation name
+                    "GraphQL: only one operation per document is supported")
+            op_items = items
+
+        while self.peek()[0] != "eof":
+            kind, val = self.peek()
+            if kind == "punct" and val == "{":
+                took_operation(self.selection_items())
+            elif kind == "name" and val == "fragment":
                 self.next()
-            if self.at_punct("("):
-                self._variable_definitions()
-        sels = self.selection_set()
-        if self.peek()[0] != "eof":
-            raise InputArgumentError(
-                "GraphQL: trailing content after the selection set "
-                "(fragments are not supported)")
-        return sels
+                name = self.expect_name()
+                if self.expect_name() != "on":
+                    raise InputArgumentError(
+                        f"GraphQL: fragment {name} missing type condition")
+                self.expect_name()  # type condition (unchecked, like var types)
+                self._directives()  # parse position; not executable here
+                self.fragments[name] = self.selection_items()
+            elif kind == "name":
+                if val in ("mutation", "subscription"):
+                    raise InputArgumentError(
+                        f"GraphQL: only query operations are supported, got {val}")
+                if val != "query":
+                    raise InputArgumentError(
+                        f"GraphQL: unexpected token {val!r} before selection set")
+                self.next()
+                if self.peek()[0] == "name":  # operation name
+                    self.next()
+                if self.at_punct("("):
+                    self._variable_definitions()
+                self._directives()
+                took_operation(self.selection_items())
+            else:
+                raise InputArgumentError(
+                    f"GraphQL: unexpected token {val!r} at top level")
+        if op_items is None:
+            raise InputArgumentError("GraphQL: document has no operation")
+        return self._expand(op_items, frozenset())
 
     def _variable_definitions(self) -> None:
         self.expect_punct("(")
@@ -169,16 +202,32 @@ class _Parser:
                 self.defaults[name] = self.value()
         self.expect_punct(")")
 
-    def selection_set(self) -> dict:
+    def selection_items(self) -> list:
+        """A selection set as an ordered item list with spreads kept
+        symbolic — a ``...Frag`` may refer to a fragment defined later in
+        the document, so expansion happens after the whole document is
+        parsed (see :meth:`_expand`). Items: ``("field", out_name, node)``,
+        ``("spread", frag_name)``, ``("inline", items)``. Selections
+        dropped by @skip/@include never produce an item."""
         self.expect_punct("{")
-        fields: dict[str, dict] = {}
+        items: list = []
         while not self.at_punct("}"):
             if self.at_punct("..."):
-                raise InputArgumentError(
-                    "GraphQL: fragments are not supported")
-            if self.at_punct("@"):
-                raise InputArgumentError(
-                    "GraphQL: directives are not supported")
+                self.next()
+                kind, val = self.peek()
+                if kind == "name" and val == "on":  # inline fragment
+                    self.next()
+                    self.expect_name()  # type condition (unchecked)
+                    keep = self._directives()
+                    sub = self.selection_items()
+                    if keep:
+                        items.append(("inline", sub))
+                else:
+                    frag = self.expect_name()
+                    keep = self._directives()
+                    if keep:
+                        items.append(("spread", frag))
+                continue
             name = self.expect_name()
             node: dict[str, Any] = {}
             if self.at_punct(":"):  # alias
@@ -186,14 +235,62 @@ class _Parser:
                 node["field"] = self.expect_name()
             if self.at_punct("("):
                 node["args"] = self._arguments()
-            if self.at_punct("@"):
-                raise InputArgumentError(
-                    "GraphQL: directives are not supported")
+            keep = self._directives()
             if self.at_punct("{"):
-                node["fields"] = self.selection_set()
-            # children de-dup by output name (parse_tree.rb:38): first wins
-            fields.setdefault(name, node)
+                node["fields"] = self.selection_items()
+            if keep:
+                items.append(("field", name, node))
         self.expect_punct("}")
+        return items
+
+    def _directives(self) -> bool:
+        """Parse any directives at the current position; evaluate the two
+        standard executable ones. Returns False when the selection is to
+        be dropped (@skip(if: true) / @include(if: false))."""
+        keep = True
+        while self.at_punct("@"):
+            self.next()
+            name = self.expect_name()
+            args = self._arguments() if self.at_punct("(") else {}
+            if name in ("skip", "include"):
+                cond = args.get("if")
+                if not isinstance(cond, bool):
+                    raise InputArgumentError(
+                        f"GraphQL: @{name} requires a Boolean if: argument")
+                if (name == "skip") == cond:
+                    keep = False
+            else:
+                raise InputArgumentError(
+                    f"GraphQL: unsupported directive @{name}")
+        return keep
+
+    def _expand(self, items: list, active: frozenset) -> dict:
+        """Item list → {out_name: node} field dict. Spreads and inline
+        fragments are flattened in document order; duplicate output names
+        de-dup first-wins, the same rule the reference applies to the
+        post-expansion tree (parse_tree.rb:38 ``uniq(&:name)``)."""
+        fields: dict[str, dict] = {}
+        for item in items:
+            if item[0] == "field":
+                _, name, node = item
+                if "fields" in node:
+                    node = dict(node,
+                                fields=self._expand(node["fields"], active))
+                fields.setdefault(name, node)
+                continue
+            if item[0] == "inline":
+                sub = self._expand(item[1], active)
+            else:  # spread
+                frag = item[1]
+                if frag in active:
+                    raise InputArgumentError(
+                        f"GraphQL: fragment cycle through {frag!r}")
+                if frag not in self.fragments:
+                    raise InputArgumentError(
+                        f"GraphQL: undefined fragment {frag!r}")
+                sub = self._expand(self.fragments[frag], active | {frag})
+            for name, node in sub.items():
+                fields.setdefault(name, node)
         return fields
 
     def _arguments(self) -> dict:

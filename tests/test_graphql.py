@@ -108,14 +108,79 @@ def test_syntax_and_unsupported_constructs_fail_loudly(sales):
     from activecube_graphql_spark.graphql import parse_graphql
     with pytest.raises(InputArgumentError, match="syntax"):
         parse_graphql("{ sales { returnflag ~ } }")
-    with pytest.raises(InputArgumentError, match="fragment"):
+    with pytest.raises(InputArgumentError, match="undefined fragment"):
         parse_graphql("{ sales { ...frag } }")
-    with pytest.raises(InputArgumentError, match="directives"):
-        parse_graphql('{ sales { returnflag @skip(if: true) } }')
+    with pytest.raises(InputArgumentError, match="unsupported directive"):
+        parse_graphql('{ sales { returnflag @deprecated } }')
+    with pytest.raises(InputArgumentError, match="Boolean"):
+        parse_graphql('{ sales { returnflag @skip(if: "yes") } }')
     with pytest.raises(InputArgumentError, match="only query"):
         parse_graphql("mutation { sales { returnflag } }")
     with pytest.raises(InputArgumentError, match="no value"):
         parse_graphql("{ sales(returnflag: $missing) { count } }")
+    with pytest.raises(InputArgumentError, match="cycle"):
+        parse_graphql("""
+          fragment a on Sales { ...b }
+          fragment b on Sales { ...a }
+          { sales { ...a } }""")
+    with pytest.raises(InputArgumentError, match="one operation"):
+        parse_graphql("{ sales { count } } { sales { count } }")
+
+
+def test_fragments_named_inline_and_forward_refs(sales):
+    """Named fragments (defined before AND after the operation), spreads
+    nested through fragments, and inline fragments all expand to the same
+    tree the flat document produces; duplicate names de-dup first-wins."""
+    from activecube_graphql_spark.graphql import parse_graphql
+    spec = parse_graphql("""
+      fragment keys on Sales { returnflag linestatus }
+      { sales {
+          ...keys
+          ... on Sales { revenue ...more }
+          returnflag            # duplicate: first (fragment) wins
+      } }
+      fragment more on Sales { count revenue }
+    """)
+    assert list(spec["fields"]) == ["returnflag", "linestatus", "revenue",
+                                    "count"]
+    flat = parse_graphql("{ sales { returnflag linestatus revenue count } }")
+    assert spec == flat
+
+
+def test_fragment_document_executes(sales):
+    from activecube_graphql_spark.graphql import graphql_query
+    tree = graphql_query(sales, """
+      query Q($flag: String = "R") {
+        sales(returnflag: $flag) { ...body }
+      }
+      fragment body on Sales { linestatus revenue count }""")
+    rows = tree.build_query().relabeled().collect()
+    assert len(rows) >= 1
+    assert set(rows[0].asDict()) == {"linestatus", "revenue", "count"}
+
+
+def test_skip_include_directives(sales):
+    from activecube_graphql_spark.graphql import parse_graphql
+    spec = parse_graphql("""
+      query ($all: Boolean = false) {
+        sales {
+          returnflag
+          count @include(if: $all)
+          revenue @skip(if: $all)
+          ...extra @include(if: $all)
+      } }
+      fragment extra on Sales { quantity }""")
+    assert list(spec["fields"]) == ["returnflag", "revenue"]
+    spec2 = parse_graphql("""
+      query ($all: Boolean = false) {
+        sales {
+          returnflag
+          count @include(if: $all)
+          revenue @skip(if: $all)
+          ...extra @include(if: $all)
+      } }
+      fragment extra on Sales { quantity }""", variables={"all": True})
+    assert list(spec2["fields"]) == ["returnflag", "count", "quantity"]
 
 
 def test_literals_enums_lists_typename(sales):
