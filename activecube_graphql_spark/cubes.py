@@ -116,6 +116,18 @@ class SalesCube(Cube):
         "orders_uniq": Metric.uniq("l_orderkey"),
         "parts": Metric.count_distinct("l_partkey"),
         "flags": Metric.collect("l_returnflag", distinct=True),
+        "any_flag": Metric.any("l_returnflag"),
+        # argMin/argMax over the unique row id (linenumber is 1..7, so
+        # orderkey*10+linenumber is collision-free) — unique ordering key
+        # makes these deterministic and therefore hash-oracle-checkable
+        "last_price": Metric.arg_max(
+            "l_extendedprice",
+            lambda: (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+            order_sql="l_orderkey * 10 + l_linenumber"),
+        "first_price": Metric.arg_min(
+            "l_extendedprice",
+            lambda: (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+            order_sql="l_orderkey * 10 + l_linenumber"),
         "top_parts": Metric.top_tuples(
             _revenue, {"partkey": "l_partkey", "price": "l_extendedprice"}, 3),
     }
@@ -183,6 +195,7 @@ class EventsCube(Cube):
         "max_value": Metric.max("value"),
         "users": Metric.count_distinct("user_id"),
         "users_uniq": Metric.uniq("user_id"),
+        "last_value": Metric.arg_max("value", "event_id"),  # event_id unique
     }
     selectors = {
         "event_type": Selector("event_type"),

@@ -186,6 +186,21 @@ def q_count_distinct(spark, sf_dir):
     return q.relabeled()
 
 
+def q_arg_minmax(spark, sf_dir):
+    """A2 vocabulary completion: ClickHouse argMin/argMax as min_by/max_by
+    over a UNIQUE ordering key (orderkey*10+linenumber), which makes the
+    result deterministic and hash-oracle-checkable; plus a conditional
+    variant (F8 applied to an arg metric: the filter nulls the ordering
+    key, excluding rows — same rule in Spark and DuckDB)."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("returnflag")
+         .measure("first_price")
+         .measure("last_price")
+         .measure("last_price", alias="last_hi_price",
+                  where={"discount": {"gteq": 0.05}}))
+    return q.relabeled()
+
+
 def q_collect_array(spark, sf_dir):
     """A5: array aggregate (collect_set → sorted), string-joined for
     hash-stable comparison."""
@@ -611,6 +626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_like_between": q_filter_like_between,
     "filter_null_ops": q_filter_null_ops,
     "cond_agg": q_cond_agg,
+    "arg_minmax": q_arg_minmax,
     "count_distinct": q_count_distinct,
     "collect_array": q_collect_array,
     "tuple_topk": q_tuple_topk,
@@ -746,6 +762,18 @@ ORACLES: dict[str, str] = {
                               THEN l_extendedprice * (1 - l_discount) END), 2)
                    AS hi_disc_rev,
                count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS hi_disc_cnt
+        FROM lineitem GROUP BY 1
+    """,
+    "arg_minmax": """
+        SELECT l_returnflag AS returnflag,
+               min_by(l_extendedprice, l_orderkey * 10 + l_linenumber)
+                   AS first_price,
+               max_by(l_extendedprice, l_orderkey * 10 + l_linenumber)
+                   AS last_price,
+               max_by(l_extendedprice,
+                      CASE WHEN l_discount >= 0.05
+                           THEN l_orderkey * 10 + l_linenumber END)
+                   AS last_hi_price
         FROM lineitem GROUP BY 1
     """,
     "count_distinct": """

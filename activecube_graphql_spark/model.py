@@ -149,6 +149,61 @@ class Metric:
         return Metric._wrap(F.max, expr, requires, "max", sql_expr)
 
     @staticmethod
+    def any(expr, requires=frozenset()) -> "Metric":
+        """ClickHouse ``any`` — an arbitrary (first-seen) non-null value
+        from the group; completes the standard activecube metric
+        vocabulary (SURVEY §2.4 A2 [P]). Faithfully nondeterministic
+        under parallel execution (partition order), exactly like the
+        original, so it carries no SQL twin and stays out of
+        hash-checked oracles."""
+        factory = _as_factory(expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            c = F.when(cond, c) if cond is not None else c
+            return F.any_value(c, True)  # ignoreNulls
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
+    def _arg_by(fn: Callable[[Column, Column], Column], fn_sql: str,
+                value_expr, order_expr, requires, value_sql, order_sql
+                ) -> "Metric":
+        vf, of = _as_factory(value_expr), _as_factory(order_expr)
+        v_sql = Metric._sql_of(value_expr, value_sql)
+        o_sql = Metric._sql_of(order_expr, order_sql)
+
+        def agg(cond: Optional[Column]) -> Column:
+            # conditional form: null out the ordering key — min_by/max_by
+            # (like DuckDB arg_min/arg_max) ignore rows with NULL keys
+            o = of()
+            o = F.when(cond, o) if cond is not None else o
+            return fn(vf(), o)
+
+        sql = None
+        if v_sql is not None and o_sql is not None:
+            def sql(cond_sql: Optional[str], _v=v_sql, _o=o_sql) -> str:
+                o = f"CASE WHEN {cond_sql} THEN {_o} END" if cond_sql else _o
+                return f"{fn_sql}({_v}, {o})"
+        return Metric(agg=agg, requires=requires, sql=sql)
+
+    @staticmethod
+    def arg_max(value_expr, order_expr, requires=frozenset(),
+                value_sql=None, order_sql=None) -> "Metric":
+        """ClickHouse ``argMax(value, order)`` — the value on the row
+        with the greatest ordering key. Deterministic (hence
+        oracle-checkable) iff the ordering key is unique per group;
+        ``min_by``/``max_by`` is shared Spark/DuckDB SQL vocabulary."""
+        return Metric._arg_by(F.max_by, "max_by", value_expr, order_expr,
+                              requires, value_sql, order_sql)
+
+    @staticmethod
+    def arg_min(value_expr, order_expr, requires=frozenset(),
+                value_sql=None, order_sql=None) -> "Metric":
+        """ClickHouse ``argMin(value, order)`` — see :meth:`arg_max`."""
+        return Metric._arg_by(F.min_by, "min_by", value_expr, order_expr,
+                              requires, value_sql, order_sql)
+
+    @staticmethod
     def count(requires=frozenset()) -> "Metric":
         def agg(cond: Optional[Column]) -> Column:
             return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count(F.lit(1))

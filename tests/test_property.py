@@ -189,7 +189,8 @@ def test_random_cube_query_matches_duckdb(spec):
 
 E_DIMS = ["event_type", "ts.year", "ts.month", "ts.day", "ts.date",
           "ts.hour", "ts.hour_start", "props.k", "props.k_str", "user_id"]
-E_MEASURES = ["count", "total", "avg_value", "max_value", "users"]
+E_MEASURES = ["count", "total", "avg_value", "max_value", "users",
+              "last_value"]  # arg_max over unique event_id: deterministic
 E_PREDICATES = [
     ("event_type", "eq", "click"), ("event_type", "not_eq", "error"),
     ("event_type", "in", ["view", "purchase"]),

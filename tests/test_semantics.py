@@ -160,3 +160,34 @@ def test_tuple_metric_struct_shape(spark, sf_dir):
     assert [f.name for f in t.elementType.fields] == ["partkey", "price"]
     row = df.filter(F.col("returnflag") == "R").collect()[0]
     assert len(row["top_parts"]) == 3
+
+
+def test_any_metric_membership(spark, sf_dir):
+    """A2 `any` (ClickHouse first-value): nondeterministic by design, so
+    the check is membership — the value must belong to the group — plus
+    the conditional variant must respect its metric-scoped filter."""
+    cube = SalesCube(spark, sf_dir)
+    rows = (cube.query().slice("returnflag")
+            .measure("any_flag")
+            .measure("any_flag", alias="any_hi",
+                     where={"discount": {"gteq": 0.05}})
+            .relabeled().collect())
+    assert rows
+    for r in rows:
+        assert r["any_flag"] == r["returnflag"]  # grouped by the same col
+        assert r["any_hi"] == r["returnflag"]
+
+
+def test_arg_max_conditional_excludes_rows(spark, sf_dir):
+    """F8 on argMax: the metric-scoped filter nulls the ordering key, so
+    filtered-out rows can never win; result equals a pre-filtered query."""
+    cube = SalesCube(spark, sf_dir)
+    cond = (cube.query().slice("returnflag")
+            .measure("last_price", alias="p",
+                     where={"discount": {"gteq": 0.05}})
+            .relabeled().collect())
+    pre = (cube.query().slice("returnflag")
+           .measure("last_price", alias="p")
+           .when({"discount": {"gteq": 0.05}})
+           .relabeled().collect())
+    assert {tuple(r) for r in cond} == {tuple(r) for r in pre}
