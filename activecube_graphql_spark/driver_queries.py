@@ -282,6 +282,18 @@ def q_rollup(spark, sf_dir):
     return _round(q.relabeled(), {"revenue": 2})
 
 
+def q_grouping_sets(spark, sf_dir):
+    """A7 (beyond reference): explicit GROUPING SETS — finest grain,
+    one marginal, and the grand total ([])."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("returnflag", "linestatus")
+         .measure("count", alias="cnt")
+         .measure("revenue")
+         .grouping("sets", sets=[["returnflag", "linestatus"],
+                                 ["returnflag"], []]))
+    return _round(q.relabeled(), {"revenue": 2})
+
+
 def q_json_subfield(spark, sf_dir):
     """§2.9 JSON: get_json_object sub-field dimension, typed."""
     q = (_events(spark, sf_dir).query()
@@ -635,6 +647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "offset": q_offset,
     "limit_by": q_limit_by,
     "rollup": q_rollup,
+    "grouping_sets": q_grouping_sets,
     "json_subfield": q_json_subfield,
     "distinct_slice": q_distinct_slice,
     "events_hourly": q_events_hourly,
@@ -840,6 +853,14 @@ ORACLES: dict[str, str] = {
                count(*) AS cnt,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               count(*) AS cnt,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """,
     "json_subfield": """
         SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k,

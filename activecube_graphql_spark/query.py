@@ -90,6 +90,7 @@ class CubeQueryBuilder:
         self._options: list[tuple[str, Any]] = []
         self._transforms: list[Callable[[DataFrame], DataFrame]] = []
         self._grouping_mode: str = "groupby"
+        self._grouping_sets: Optional[list[list[str]]] = None
         self._use_cache: bool = True
 
     # ------------------------------------------------------------------ API
@@ -159,12 +160,21 @@ class CubeQueryBuilder:
     def limit_by(self, each, limit: int, offset: int = 0):
         return self.option("limit_by", {"each": each, "limit": limit, "offset": offset})
 
-    def grouping(self, mode: str) -> "CubeQueryBuilder":
+    def grouping(self, mode: str,
+                 sets: Optional[list[list[str]]] = None) -> "CubeQueryBuilder":
         """Grouping-sets family (SURVEY §2.4 A7 — beyond-reference parity
         gap, near-free in Spark): ``groupby`` (default) | ``rollup`` |
-        ``cube`` → ``df.rollup(...)`` / ``df.cube(...)``."""
-        if mode not in ("groupby", "rollup", "cube"):
+        ``cube`` | ``sets`` → ``df.rollup/cube/groupingSets(...)``.
+        For ``sets``, each entry lists slice output names (the ``.slice``
+        name or alias), e.g. ``sets=[["returnflag", "linestatus"],
+        ["returnflag"], []]``; ``[]`` is the grand total."""
+        if mode not in ("groupby", "rollup", "cube", "sets"):
             raise InputArgumentError(f"Unknown grouping mode '{mode}'")
+        if mode == "sets":
+            if not sets:
+                raise InputArgumentError(
+                    "grouping('sets') requires sets=[[name, ...], ...]")
+            self._grouping_sets = [list(s) for s in sets]
         self._grouping_mode = mode
         return self
 
@@ -306,6 +316,7 @@ class CubeQueryBuilder:
             "filters": self._filters,
             "options": self._options,
             "grouping": self._grouping_mode,
+            "grouping_sets": self._grouping_sets,
         }, default=str)
 
     def chosen_representation(self) -> Optional[Representation]:
@@ -361,9 +372,30 @@ class CubeQueryBuilder:
 
         if measure_cols:
             if slice_cols:
-                grouper = {"groupby": base.groupBy, "rollup": base.rollup,
-                           "cube": base.cube}[self._grouping_mode]
-                out = grouper(*slice_cols).agg(*measure_cols)
+                if self._grouping_mode == "sets":
+                    # groupingSets matches set entries to grouping columns
+                    # by expression; aliased exprs never match (they come
+                    # out all-NULL), so pre-project the slices and group by
+                    # plain column references instead
+                    pre = base.select("*", *slice_cols)
+                    by_name = {s.key[len(PATH_PREFIX):]: pre[f"`{s.key}`"]
+                               for s in self._slices}
+                    set_cols = []
+                    for names in self._grouping_sets or []:
+                        unknown = [n for n in names if n not in by_name]
+                        if unknown:
+                            raise InputArgumentError(
+                                f"grouping set references unknown slice(s) "
+                                f"{unknown}")
+                        set_cols.append([by_name[n] for n in names])
+                    out = (pre.groupingSets(
+                               set_cols,
+                               *[pre[f"`{s.key}`"] for s in self._slices])
+                           .agg(*measure_cols))
+                else:
+                    grouper = {"groupby": base.groupBy, "rollup": base.rollup,
+                               "cube": base.cube}[self._grouping_mode]
+                    out = grouper(*slice_cols).agg(*measure_cols)
             else:
                 out = base.agg(*measure_cols)
         elif slice_cols:

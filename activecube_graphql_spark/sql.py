@@ -246,6 +246,14 @@ def query_sql(builder: "CubeQueryBuilder") -> str:
             sql += " GROUP BY ROLLUP (" + ", ".join(group_exprs) + ")"
         elif builder._grouping_mode == "cube":
             sql += " GROUP BY CUBE (" + ", ".join(group_exprs) + ")"
+        elif builder._grouping_mode == "sets":
+            from .query import PATH_PREFIX
+            by_name = {s.key[len(PATH_PREFIX):]: e
+                       for s, e in zip(builder._slices, group_exprs)}
+            sets_sql = ", ".join(
+                "(" + ", ".join(by_name[n] for n in names) + ")"
+                for names in builder._grouping_sets or [])
+            sql += f" GROUP BY GROUPING SETS ({sets_sql})"
         else:
             sql += " GROUP BY " + ", ".join(group_exprs)
 

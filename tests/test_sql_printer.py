@@ -151,6 +151,16 @@ def test_rollup_and_cube(sales, duck):
     assert assert_match(q, duck) == 12
 
 
+def test_grouping_sets(sales, duck):
+    """Explicit GROUPING SETS with a marginal, a sub-field grain, and the
+    grand total; alias-named slices referenced from the sets."""
+    q = (sales.query().slice("returnflag", alias="rf")
+         .slice("shipdate.year", alias="yr")
+         .measure("count").measure("quantity")
+         .grouping("sets", sets=[["rf", "yr"], ["yr"], []]))
+    assert assert_match(q, duck) > 0
+
+
 def test_distinct_slice_no_measures(sales, duck):
     q = sales.query().slice("returnflag", "linestatus")
     assert assert_match(q, duck) == 6
