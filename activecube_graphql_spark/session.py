@@ -44,6 +44,11 @@ def get_spark(app_name: str = "activecube-graphql-spark",
         # timestamps (FIXTURES.md note on ns truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed tables (bucketed backings, plans/bucketing.py) live
+        # outside the repo; in-memory catalog, so the dir is the only state
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

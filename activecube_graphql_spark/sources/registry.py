@@ -9,6 +9,14 @@ Scale notes: reads go through ``spark.read.parquet`` so partition discovery,
 predicate pushdown, and column pruning all apply. For a partitioned lake
 layout (e.g. ``/date=2024-01-01/``) the same registry entry picks up
 partition pruning automatically.
+
+A database prefix of the form ``catalog:<name_prefix>`` routes reads
+through ``spark.table(f"{name_prefix}{table}")`` instead of a path —
+the entry point for *bucketed* backings (plans/bucketing.py): catalog
+tables carry bucket metadata, which Catalyst turns into shuffle-free
+co-located joins and aggregations on the bucket key. Per-table
+``overrides`` still resolve to paths, so one database can mix bucketed
+facts with plain parquet dimension tables.
 """
 
 from __future__ import annotations
@@ -33,13 +41,21 @@ class SourceRegistry:
     #: for csv, multiLine for json)
     options: dict[str, str] = dc_field(default_factory=dict)
 
+    CATALOG_SCHEME = "catalog:"
+
     def path(self, database: str, table: str) -> str:
         if database not in self.databases:
             raise InputArgumentError(f"Unknown database '{database}'")
         if (database, table) in self.overrides:
             return self.overrides[(database, table)]
-        return os.path.join(self.databases[database], f"{table}.{self.format}")
+        prefix = self.databases[database]
+        if prefix.startswith(self.CATALOG_SCHEME):
+            return prefix + table  # catalog table name, not a filesystem path
+        return os.path.join(prefix, f"{table}.{self.format}")
 
     def read(self, spark: SparkSession, database: str, table: str) -> DataFrame:
+        target = self.path(database, table)
+        if target.startswith(self.CATALOG_SCHEME):
+            return spark.table(target[len(self.CATALOG_SCHEME):])
         return (spark.read.format(self.format).options(**self.options)
-                .load(self.path(database, table)))
+                .load(target))
