@@ -1,0 +1,60 @@
+"""Skew mitigation — salted joins for hot keys (SURVEY §4.2 shuffle/skew).
+
+Spark's own tools cover most skew: AQE splits skewed SortMergeJoin
+partitions at runtime (``spark.sql.adaptive.skewJoin.enabled``, on in
+session.py), and map-side partial aggregation absorbs skewed group-bys
+for algebraic aggregates. The remaining hole is a shuffle join where AQE
+cannot act — stream-static joins, or a build side too large to broadcast
+but with a handful of hot keys on the probe side. At 100 TB one hot key
+(think a NULL-ish default id, or one whale customer) pins a whole
+executor while the rest of the cluster idles.
+
+``salted_join`` applies the classic fix deterministically:
+
+- probe (skewed) side: add ``salt = pmod(hash(<row-unique cols>), n)`` —
+  hash-derived, not ``rand()``, so retried tasks and re-runs salt
+  identically (Spark re-executes tasks; nondeterministic salting can
+  duplicate or drop rows on retry);
+- build side: explode each row into ``n`` copies, one per salt value;
+- join on ``(key, salt)`` — the hot key now spreads over ``n``
+  partitions instead of one.
+
+Cost model: the build side is replicated ``n``× through the shuffle, so
+pick the smallest ``n`` that flattens the skew (8-32 is typical) and
+only route *actually skewed* joins through this path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__aq_salt"
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: Sequence[str],
+                salts: int = 16, how: str = "inner",
+                salt_by: Optional[Sequence[str]] = None) -> DataFrame:
+    """Equi-join ``skewed ⋈ other`` on columns ``on``, spreading each join
+    key over ``salts`` shuffle partitions.
+
+    ``salt_by``: columns of ``skewed`` whose hash assigns the salt
+    (default: all non-key columns — any row-distinguishing subset works;
+    rows identical in ``salt_by`` land in the same bucket, which is
+    correct, just less spread). ``how`` supports inner/left joins (the
+    replicated build side makes right/full-outer multiplicities wrong, so
+    they are rejected)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join does not support how='{how}'")
+    keys = list(on)
+    basis = [c for c in (salt_by if salt_by is not None else
+                         [c for c in skewed.columns if c not in keys])]
+    salt: Column = (F.pmod(F.hash(*[F.col(c) for c in basis]), F.lit(salts))
+                    if basis else F.lit(0))
+    left = skewed.withColumn(_SALT, salt)
+    right = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    out = left.join(right, keys + [_SALT], how)
+    return out.drop(_SALT)

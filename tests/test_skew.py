@@ -1,0 +1,85 @@
+"""Salted joins (plans/skew.py): correctness parity with the plain join,
+deterministic salting, and the (key, salt) shuffle in the plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir):
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return lineitem, part
+
+
+def test_salted_inner_join_matches_plain(frames):
+    from activecube_graphql_spark.plans.skew import salted_join
+    lineitem, part = frames
+    plain = (lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+             .groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"),
+                                     F.sum("l_quantity").alias("q")))
+    lk = lineitem.withColumnRenamed("l_partkey", "p_partkey")
+    salted = (salted_join(lk, part, on=["p_partkey"], salts=8)
+              .groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"),
+                                      F.sum("l_quantity").alias("q")))
+    assert ({tuple(r) for r in salted.collect()}
+            == {tuple(r) for r in plain.collect()})
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from activecube_graphql_spark.plans.skew import salted_join
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "X")], "k int, w string")
+    rows = {tuple(r) for r in
+            salted_join(left, right, on=["k"], salts=4, how="left").collect()}
+    assert rows == {(1, "a", "X"), (2, "b", None), (3, "c", None)}
+
+
+def test_salting_is_deterministic(frames):
+    """Hash-derived salt: identical across runs (task retries must not
+    re-salt differently)."""
+    from activecube_graphql_spark.plans.skew import salted_join
+    lineitem, part = frames
+    lk = lineitem.withColumnRenamed("l_partkey", "p_partkey")
+    a = salted_join(lk, part, on=["p_partkey"], salts=8,
+                    salt_by=["l_orderkey", "l_linenumber"])
+    b = salted_join(lk, part, on=["p_partkey"], salts=8,
+                    salt_by=["l_orderkey", "l_linenumber"])
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+
+
+def test_join_shuffles_on_key_and_salt(frames):
+    """The physical plan must partition by (key, salt), not key alone —
+    that is the whole point: a hot key spreads over `salts` partitions."""
+    from activecube_graphql_spark.plans.skew import salted_join
+    lineitem, part = frames
+    spark = lineitem.sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lk = lineitem.withColumnRenamed("l_partkey", "p_partkey")
+        plan = fmt(salted_join(lk, part, on=["p_partkey"], salts=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+    m = re.search(r"hashpartitioning\(p_partkey#\d+L?, __aq_salt#\d+", plan)
+    assert m, plan[:2000]
+
+
+def test_rejects_right_joins():
+    from activecube_graphql_spark.plans.skew import salted_join
+    with pytest.raises(ValueError, match="how="):
+        salted_join(None, None, on=["k"], how="right")

@@ -86,3 +86,25 @@ def test_source_registry_overrides(spark, sf_dir):
     got = reg.read(spark, "default", "documents")
     assert got.count() == \
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_dynamic_partition_pruning(spark, lake_root):
+    """Join-driven pruning (SURVEY §4.2): when the partitioned fact joins a
+    dimension filtered on a non-partition attribute, Catalyst must inject a
+    runtime subquery into the fact's PartitionFilters (DPP) — the 100 TB
+    equivalent of only reading the partitions the dim filter selects."""
+    fact = spark.read.parquet(f"{lake_root}/events.parquet")
+    dim = (fact.select("event_date").distinct()
+           .withColumn("weekday", F.dayofweek("event_date")))
+    picked = dim.filter(F.col("weekday") == 2)
+    joined = (fact.join(F.broadcast(picked), "event_date")
+              .groupBy("event_type").count())
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # correctness: same as filtering the fact directly by the picked dates
+    dates = [r[0] for r in picked.select("event_date").collect()]
+    want = {tuple(r) for r in
+            fact.filter(F.col("event_date").isin(dates))
+            .groupBy("event_type").count().collect()}
+    assert {tuple(r) for r in joined.collect()} == want
