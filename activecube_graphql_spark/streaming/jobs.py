@@ -164,6 +164,22 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def run_to_parquet(sdf: DataFrame, path: str, checkpoint: str,
+                   mode: str = "append") -> None:
+    """Durable sink: drain the stream to parquet with exactly-once
+    semantics from the checkpoint (restarting with the same checkpoint
+    resumes from the recorded offsets and never re-emits a committed
+    batch). Append mode + watermark is the scale configuration: each
+    window is written once, when the watermark closes it, so the sink
+    only ever receives finalized rows and state stays bounded."""
+    q = (sdf.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_available_now(sdf: DataFrame, query_name: str,
                       mode: str = "complete") -> DataFrame:
     """Drain a (file-)stream to a memory sink with Trigger.AvailableNow and

@@ -61,3 +61,94 @@ def test_stateful_user_stats_stream_equals_batch(spark, sf_dir):
     batch_out = jobs.stateful_user_stats(jobs.events_batch(spark, sf_dir))
     assert _multiset(stream_out) == _multiset(batch_out)
     assert stream_out.count() > 0
+
+
+def test_parquet_sink_watermark_and_checkpoint_restart(spark, tmp_path):
+    """End-to-end durable pipeline (S4 + §2.10): file stream → watermarked
+    tumbling window → append-mode parquet sink with checkpoint.
+    Three properties at once, each load-bearing at scale:
+      1. late data beyond the watermark is DROPPED (bounded state);
+      2. a window is emitted exactly once, when the watermark closes it;
+      3. restarting from the checkpoint resumes at the recorded offsets —
+         committed windows are never re-emitted (exactly-once sink).
+    """
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    schema = StructType([StructField("event_id", LongType()),
+                         StructField("ts_us", LongType()),
+                         StructField("event_type", StringType()),
+                         StructField("value", DoubleType())])
+    hour = 3_600_000_000  # micros
+
+    def write_file(name, rows, mtime):
+        # the file-stream source lists plain files (it does not recurse
+        # into the directories DataFrame writes produce) — write to a
+        # scratch dir and move the single part file into place
+        import glob
+        import shutil
+        df = spark.createDataFrame(rows, schema)
+        scratch = str(tmp_path / f"_scratch_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = glob.glob(f"{scratch}/part-*.parquet")
+        dst = str(src / name)
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))  # file source orders batches by mtime
+
+    now = time.time()
+    # file A: one event in each of hours 0..3
+    write_file("a.parquet",
+               [(i, i * hour + hour // 2, "click", 1.0) for i in range(4)],
+               now - 100)
+    # file B: hours 4..6 — advances the watermark to 4:30
+    write_file("b.parquet",
+               [(10 + i, (4 + i) * hour + hour // 2, "click", 1.0)
+                for i in range(3)],
+               now - 50)
+
+    def stream():
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+               .parquet(str(src)))
+        ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        return (ev.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("value").alias("total"))
+                .select(F.unix_micros(F.col("win.start")).alias("ws"),
+                        "event_type", "cnt", "total"))
+
+    # First drain: batch(A) wm 0 → 1:30; batch(B) wm → 4:30; the final
+    # flush batch emits every window the last watermark closed (end ≤
+    # 4:30) — hours 0..3. Hours 4..6 stay in checkpointed state.
+    jobs.run_to_parquet(stream(), str(out), str(ckpt))
+    first = {(r["ws"], r["cnt"], r["total"])
+             for r in spark.read.parquet(str(out)).collect()}
+    assert first == {(i * hour, 1, 1.0) for i in range(4)}, first
+
+    # Restart from checkpoint with file C: a late hour-0 event (value
+    # 100) arriving when the recovered watermark (4:30) is far past its
+    # window, plus an hour-10 event to advance the watermark to 8:30.
+    # The late row must be DROPPED — were it accepted it would re-create
+    # the evicted hour-0 state and emit a duplicate (0, 1, 100.0) row at
+    # the flush, since 1:00 < 8:30. Hours 4..6 emit; hour 10 stays open.
+    # Committed windows from the first run must not re-emit (exactly-once).
+    write_file("c.parquet",
+               [(99, hour // 4, "click", 100.0),
+                (200, 10 * hour + hour // 2, "click", 1.0)], now)
+    jobs.run_to_parquet(stream(), str(out), str(ckpt))
+    rows = [(r["ws"], r["cnt"], r["total"])
+            for r in spark.read.parquet(str(out)).collect()]
+    assert len(rows) == len(set(rows)), f"duplicate emissions: {rows}"
+    assert {ws // hour for ws, _, _ in set(rows)} == {0, 1, 2, 3, 4, 5, 6}, \
+        sorted(rows)
+    assert all(total == 1.0 for _, _, total in rows), rows  # late row gone
