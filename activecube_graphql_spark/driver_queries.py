@@ -95,6 +95,30 @@ def q_star_join_region(spark, sf_dir):
     return _round(q.relabeled(), {"revenue": 2})
 
 
+def q_bucketed_join(spark, sf_dir):
+    """J2: the fact-fact join over bucketed catalog backings — both sides
+    hash-bucketed on the join key at write time, so the per-query join
+    plans zero Exchange on the key (tests/test_bucketing.py audits the
+    plan; here the oracle checks the results are layout-independent).
+    The catalog table prefix carries the sf tag so different scale
+    factors never alias; bucketize is idempotent per session."""
+    import re
+
+    from .plans.bucketing import bucketed_registry, bucketize
+    prefix = "bkt_" + re.sub(r"\W+", "_", sf_dir.strip("/").split("/")[-1]) + "_"
+    names = bucketize(spark, sf_dir,
+                      tables={"lineitem": "l_orderkey",
+                              "orders": "o_orderkey"},
+                      buckets=8, prefix=prefix)
+    cube = SalesCube(spark, bucketed_registry(sf_dir, tables=names,
+                                              prefix=prefix))
+    q = (cube.query("bucketed")
+         .slice("orderpriority")
+         .measure("count", alias="cnt")
+         .measure("quantity"))
+    return q.relabeled()
+
+
 def q_filter_eq(spark, sf_dir):
     """F1: bare-scalar argument → eq shorthand."""
     q = (_sales(spark, sf_dir).query()
@@ -630,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slice_subfield_year": q_slice_subfield_year,
     "slice_month_start": q_slice_month_start,
     "star_join_region": q_star_join_region,
+    "bucketed_join": q_bucketed_join,
     "filter_eq": q_filter_eq,
     "filter_ophash": q_filter_ophash,
     "filter_in": q_filter_in,
@@ -708,6 +733,12 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE cast(o_orderdate AS DATE) >= DATE '1997-01-01'
           AND cast(o_orderdate AS DATE) < DATE '1998-01-01'
+        GROUP BY 1
+    """,
+    "bucketed_join": """
+        SELECT o_orderpriority AS orderpriority, count(*) AS cnt,
+               sum(l_quantity) AS quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """,
     "star_join_region": """
