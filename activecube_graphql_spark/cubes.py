@@ -117,6 +117,9 @@ class SalesCube(Cube):
         "parts": Metric.count_distinct("l_partkey"),
         "flags": Metric.collect("l_returnflag", distinct=True),
         "any_flag": Metric.any("l_returnflag"),
+        "median_price": Metric.quantile("l_extendedprice", 0.5),
+        "p90_price": Metric.quantile("l_extendedprice", 0.9),
+        "p90_price_approx": Metric.quantile_approx("l_extendedprice", 0.9),
         # argMin/argMax over the unique row id (linenumber is 1..7, so
         # orderkey*10+linenumber is collision-free) — unique ordering key
         # makes these deterministic and therefore hash-oracle-checkable

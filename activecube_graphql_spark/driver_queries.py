@@ -210,6 +210,21 @@ def q_count_distinct(spark, sf_dir):
     return q.relabeled()
 
 
+def q_quantiles(spark, sf_dir):
+    """ClickHouse quantile/median family: EXACT interpolated percentile
+    (Spark `percentile` ≡ DuckDB `quantile_cont`), incl. a conditional
+    variant; the approx scale path (percentile_approx) is tolerance-
+    tested in tests/test_semantics.py, not hash-checked."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("returnflag")
+         .measure("median_price")
+         .measure("p90_price")
+         .measure("p90_price", alias="p90_hi",
+                  where={"discount": {"gteq": 0.05}}))
+    return _round(q.relabeled(),
+                  {"median_price": 4, "p90_price": 4, "p90_hi": 4})
+
+
 def q_arg_minmax(spark, sf_dir):
     """A2 vocabulary completion: ClickHouse argMin/argMax as min_by/max_by
     over a UNIQUE ordering key (orderkey*10+linenumber), which makes the
@@ -664,6 +679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_null_ops": q_filter_null_ops,
     "cond_agg": q_cond_agg,
     "arg_minmax": q_arg_minmax,
+    "quantiles": q_quantiles,
     "count_distinct": q_count_distinct,
     "collect_array": q_collect_array,
     "tuple_topk": q_tuple_topk,
@@ -806,6 +822,15 @@ ORACLES: dict[str, str] = {
                               THEN l_extendedprice * (1 - l_discount) END), 2)
                    AS hi_disc_rev,
                count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS hi_disc_cnt
+        FROM lineitem GROUP BY 1
+    """,
+    "quantiles": """
+        SELECT l_returnflag AS returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(CASE WHEN l_discount >= 0.05
+                                        THEN l_extendedprice END, 0.9), 4)
+                   AS p90_hi
         FROM lineitem GROUP BY 1
     """,
     "arg_minmax": """

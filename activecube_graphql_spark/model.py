@@ -242,6 +242,43 @@ class Metric:
         return Metric(agg=agg, requires=requires)
 
     @staticmethod
+    def quantile(expr, p: float, requires=frozenset(), sql_expr=None
+                 ) -> "Metric":
+        """ClickHouse ``quantile``/``median`` family — EXACT interpolated
+        percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), so
+        it is hash-oracle-checkable. Exact percentile holds all group
+        values; for 100 TB hot paths prefer :meth:`quantile_approx`."""
+        factory = _as_factory(expr)
+        e_sql = Metric._sql_of(expr, sql_expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            c = F.when(cond, c) if cond is not None else c
+            return F.percentile(c, F.lit(p))
+
+        sql = None
+        if e_sql is not None:
+            def sql(cond_sql: Optional[str], _e=e_sql) -> str:
+                inner = f"CASE WHEN {cond_sql} THEN {_e} END" if cond_sql else _e
+                return f"quantile_cont({inner}, {p})"
+        return Metric(agg=agg, requires=requires, sql=sql)
+
+    @staticmethod
+    def quantile_approx(expr, p: float, accuracy: int = 10000,
+                        requires=frozenset()) -> "Metric":
+        """ClickHouse ``quantile`` is itself approximate (reservoir); the
+        Spark twin is ``percentile_approx`` (Greenwald-Khanna, mergeable
+        partial states — constant memory per group at any scale). Kept
+        out of hash oracles; tolerance-tested like ``uniq``."""
+        factory = _as_factory(expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            c = F.when(cond, c) if cond is not None else c
+            return F.percentile_approx(c, F.lit(p), F.lit(accuracy))
+        return Metric(agg=agg, requires=requires)
+
+    @staticmethod
     def collect(expr, distinct: bool = False, sort: bool = True,
                 requires=frozenset(), sql_expr=None) -> "Metric":
         """Array aggregate (SURVEY §2.4 A5). Sorted by default so results are

@@ -191,3 +191,13 @@ def test_arg_max_conditional_excludes_rows(spark, sf_dir):
            .when({"discount": {"gteq": 0.05}})
            .relabeled().collect())
     assert {tuple(r) for r in cond} == {tuple(r) for r in pre}
+
+
+def test_quantile_approx_tolerance(spark, sf_dir):
+    """percentile_approx within accuracy bound of the exact percentile
+    (same pattern as uniq vs count_distinct — SURVEY §5.2 item 4)."""
+    cube = SalesCube(spark, sf_dir)
+    row = (cube.query().measure("p90_price").measure("p90_price_approx")
+           .df().collect()[0])
+    exact, approx = row[0], row[1]
+    assert abs(approx - exact) / exact < 0.02
