@@ -30,7 +30,7 @@ NULL_OPERATORS = frozenset({"eq", "not_eq", "is", "not"})
 OPERATORS = frozenset({
     "eq", "not_eq", "is", "not", "in", "not_in",
     "gt", "lt", "gteq", "lteq", "between",
-    "like", "not_like",
+    "like", "not_like", "ilike", "not_ilike",
 })
 
 
@@ -75,6 +75,10 @@ def apply_operator(col: Column, op: str, value: Any) -> Column:
         return col.like(value)
     if op == "not_like":
         return ~col.like(value)
+    if op == "ilike":
+        return col.ilike(value)
+    if op == "not_ilike":
+        return ~col.ilike(value)
     raise InputArgumentError(f"Unsupported selector operator '{op}'")  # pragma: no cover
 
 
@@ -139,4 +143,8 @@ def operator_sql(expr: str, op: str, value: Any) -> str:
         return f"({expr} LIKE {literal_sql(value)})"
     if op == "not_like":
         return f"(NOT ({expr} LIKE {literal_sql(value)}))"
+    if op == "ilike":
+        return f"({expr} ILIKE {literal_sql(value)})"
+    if op == "not_ilike":
+        return f"(NOT ({expr} ILIKE {literal_sql(value)}))"
     raise InputArgumentError(f"Unsupported selector operator '{op}'")  # pragma: no cover

@@ -65,6 +65,8 @@ PREDICATES = [
     ("shipdate", "between", ["1994-01-01", "1997-06-30"]),
     ("orderstatus", "eq", "F"), ("orderpriority", "like", "1-%"),
     ("orderpriority", "not_like", "%URGENT%"),
+    ("orderpriority", "ilike", "%urgent%"),
+    ("nation", "not_ilike", "%a%"),
     ("mktsegment", "in", ["BUILDING", "MACHINERY", "AUTOMOBILE"]),
     ("nation", "like", "%A%"), ("region", "not_eq", "EUROPE"),
     ("brand", "eq", "Brand#13"), ("customer", "like", "Customer#%1"),
