@@ -517,6 +517,34 @@ class Cube:
             df = df.join(other, on=j.on(), how=j.how)
         return df
 
+    def stream_table(self, database: str = "default",
+                     required: Optional[frozenset[str]] = None) -> DataFrame:
+        """Streaming twin of :meth:`table`: the base fact arrives as a
+        file stream; star joins become stream-static joins (the static
+        dimension side is broadcast per micro-batch — same plan shape the
+        batch path uses, and the standard cluster-scale layout: the fact
+        stream never shuffles for a dimension lookup)."""
+        df = self.prepare(self.source.read_stream(self.spark, database,
+                                                  self.base_table))
+        if not self.joins:
+            return df
+        need = set(required) if required is not None else {j.table for j in self.joins}
+        by_name = {j.table: j for j in self.joins}
+        frontier = list(need)
+        while frontier:
+            j = by_name.get(frontier.pop())
+            if j is not None and j.depends_on and j.depends_on not in need:
+                need.add(j.depends_on)
+                frontier.append(j.depends_on)
+        for j in self.joins:
+            if j.table not in need:
+                continue
+            other = self.source.read(self.spark, database, j.table)  # static
+            if j.broadcast:
+                other = F.broadcast(other)
+            df = df.join(other, on=j.on(), how=j.how)
+        return df
+
     def query(self, database: str = "default"):
         from .query import CubeQueryBuilder
         return CubeQueryBuilder(self, database)

@@ -339,6 +339,69 @@ class CubeQueryBuilder:
             out = fn(out)
         return out
 
+    def _slice_cols(self, resolver) -> list:
+        cols = []
+        for s in self._slices:
+            compound = f"{s.dimension}.{s.sub}" if s.sub else s.dimension
+            if compound in resolver.dimensions:
+                # representations register sub-field grains as compound
+                # keys mapping directly to a stored/derived column
+                col = resolver.dimensions[compound].column(None)
+            else:
+                col = resolver.dimensions[s.dimension].column(s.sub)
+            cols.append(col.alias(s.key))
+        return cols
+
+    def _measure_cols(self, resolver) -> list:
+        cols = []
+        for m in self._measures:
+            metric = resolver.metrics[m.metric]
+            cond = self._predicate(resolver, m.where) if m.where else None
+            cols.append(metric.agg(cond).alias(m.key))
+        return cols
+
+    def stream_df(self, watermark: Optional[tuple[str, str]] = None
+                  ) -> DataFrame:
+        """Compile the SAME cube query against the streaming backing
+        (beyond-reference: the reference is batch-only, SURVEY §2.10).
+        The fact table arrives via ``readStream``; star joins become
+        stream-static broadcast joins; slices/measures/filters compile
+        identically, so any EventsCube query gains a streaming twin
+        through one code path.
+
+        ``watermark=("ts", "2 hours")`` bounds state for windowed/keyed
+        aggregation. Sort/limit options and rollup/cube/sets grouping
+        have no streaming equivalent pre-sink and are rejected — apply
+        ordering in the sink or a ``foreachBatch``."""
+        if self._options:
+            raise InputArgumentError(
+                "streaming queries support no sort/limit options; apply "
+                "them in the sink or via foreachBatch")
+        if self._grouping_mode != "groupby":
+            raise InputArgumentError(
+                "streaming queries support plain groupBy grouping only")
+        base = self.cube.stream_table(self.database,
+                                      required=self.required_tables())
+        if watermark is not None:
+            wm_col, delay = watermark
+            base = base.withWatermark(wm_col, delay)
+        for args in self._filters:
+            pred = self._predicate(self.cube, args)
+            if pred is not None:
+                base = base.filter(pred)
+        slice_cols = self._slice_cols(self.cube)
+        measure_cols = self._measure_cols(self.cube)
+        if measure_cols:
+            out = (base.groupBy(*slice_cols).agg(*measure_cols)
+                   if slice_cols else base.agg(*measure_cols))
+        elif slice_cols:
+            out = base.select(*slice_cols).distinct()
+        else:
+            raise InputArgumentError("Query requests no dimensions or metrics")
+        for fn in self._transforms:
+            out = fn(out)
+        return out
+
     def _compile(self) -> DataFrame:
         rep = self.chosen_representation()
         if rep is not None:
@@ -354,21 +417,8 @@ class CubeQueryBuilder:
             if pred is not None:
                 base = base.filter(pred)
 
-        slice_cols = []
-        for s in self._slices:
-            compound = f"{s.dimension}.{s.sub}" if s.sub else s.dimension
-            if compound in resolver.dimensions:
-                # representations register sub-field grains as compound
-                # keys mapping directly to a stored/derived column
-                col = resolver.dimensions[compound].column(None)
-            else:
-                col = resolver.dimensions[s.dimension].column(s.sub)
-            slice_cols.append(col.alias(s.key))
-        measure_cols = []
-        for m in self._measures:
-            metric = resolver.metrics[m.metric]
-            cond = self._predicate(resolver, m.where) if m.where else None
-            measure_cols.append(metric.agg(cond).alias(m.key))
+        slice_cols = self._slice_cols(resolver)
+        measure_cols = self._measure_cols(resolver)
 
         if measure_cols:
             if slice_cols:

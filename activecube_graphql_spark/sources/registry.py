@@ -59,3 +59,21 @@ class SourceRegistry:
             return spark.table(target[len(self.CATALOG_SCHEME):])
         return (spark.read.format(self.format).options(**self.options)
                 .load(target))
+
+    def read_stream(self, spark: SparkSession, database: str,
+                    table: str) -> DataFrame:
+        """Streaming twin of :meth:`read` over the same registry entry.
+        File-stream sources need an explicit schema and a directory, so
+        the schema comes from a (lazy, metadata-only) batch read and a
+        single-file path becomes dir + pathGlobFilter."""
+        target = self.path(database, table)
+        if target.startswith(self.CATALOG_SCHEME):
+            raise InputArgumentError(
+                "catalog-backed tables have no file-stream source")
+        schema = self.read(spark, database, table).schema
+        reader = (spark.readStream.format(self.format).schema(schema)
+                  .options(**self.options))
+        if os.path.isdir(target):  # directory layout (e.g. partitioned lake)
+            return reader.load(target)
+        directory, base = os.path.split(target.rstrip("/"))
+        return reader.option("pathGlobFilter", base).load(directory)

@@ -152,3 +152,58 @@ def test_parquet_sink_watermark_and_checkpoint_restart(spark, tmp_path):
     assert {ws // hour for ws, _, _ in set(rows)} == {0, 1, 2, 3, 4, 5, 6}, \
         sorted(rows)
     assert all(total == 1.0 for _, _, total in rows), rows  # late row gone
+
+
+def test_cube_query_streaming_twin(spark, sf_dir):
+    """Beyond-reference: the SAME cube-query API compiles to a streaming
+    plan (builder.stream_df) — filters, JSON sub-field slices, and
+    conditional aggregates included — and the drained result equals the
+    batch compilation of the identical builder chain."""
+    from activecube_graphql_spark.cubes import EventsCube
+    cube = EventsCube(spark, sf_dir)
+
+    def build(q):
+        return (q.slice("event_type")
+                .slice("ts.hour_start", alias="hour")
+                .measure("count", alias="cnt")
+                .measure("total")
+                .measure("total", alias="big_total",
+                         where={"value": {"gteq": 100.0}})
+                .when({"event_type": {"not_eq": "error"}}))
+
+    sdf = build(cube.query()).stream_df(watermark=("ts", "2 hours"))
+    assert sdf.isStreaming
+    got = jobs.run_available_now(sdf.withColumnRenamed("_aq.cnt", "cnt"),
+                                 "cube_stream_twin", mode="complete")
+    want = build(cube.query()).df()
+    assert _multiset(got) == _multiset(
+        want.withColumnRenamed("_aq.cnt", "cnt"))
+
+
+def test_cube_query_streaming_rejects_options(spark, sf_dir):
+    from activecube_graphql_spark.cubes import EventsCube
+    from activecube_graphql_spark.errors import InputArgumentError
+    import pytest
+    cube = EventsCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="foreachBatch"):
+        (cube.query().slice("event_type").measure("count")
+         .desc("count").limit(3).stream_df())
+    with pytest.raises(InputArgumentError, match="groupBy"):
+        (cube.query().slice("event_type").measure("count")
+         .grouping("rollup").stream_df())
+
+
+def test_cube_query_streaming_star_join(spark, sf_dir):
+    """Stream-static join: a SalesCube query with broadcast dimension
+    lookups compiles and drains in streaming mode too."""
+    from activecube_graphql_spark.cubes import SalesCube
+    cube = SalesCube(spark, sf_dir)
+
+    def build(q):
+        return (q.slice("returnflag").measure("count", alias="cnt")
+                .when({"mktsegment": "BUILDING"}))
+
+    sdf = build(cube.query()).stream_df()
+    assert sdf.isStreaming
+    got = jobs.run_available_now(sdf, "cube_stream_star", mode="complete")
+    assert _multiset(got) == _multiset(build(cube.query()).df())
