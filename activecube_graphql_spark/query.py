@@ -131,7 +131,15 @@ class CubeQueryBuilder:
     def option(self, name: str, args: Any = None) -> "CubeQueryBuilder":
         """Append a query option in client order (parse_tree.rb:99,127-130).
         Known: asc, desc, asc_by_integer, desc_by_integer, limit, offset,
-        limit_by. Unknown names fail fast."""
+        limit_by, grouping. Unknown names fail fast."""
+        if name == "grouping":
+            # pre-aggregation switch, not a post-agg fold step — reachable
+            # from the GraphQL front-end as options: {grouping: rollup}
+            # or {grouping: {mode: sets, sets: [[...], ...]}}
+            if isinstance(args, dict):
+                return self.grouping(args.get("mode", "groupby"),
+                                     sets=args.get("sets"))
+            return self.grouping(args)
         if name not in _OPTION_APPLIERS:
             raise InputArgumentError(f"Option '{name}' is not supported")
         self._options.append((name, _check_injection(args)))

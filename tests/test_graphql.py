@@ -213,3 +213,20 @@ def test_alias_fanout_from_text(sales):
     rows = {r["returnflag"]: r for r in
             tree.build_query().relabeled().collect()}
     assert all(r["flagged"] <= r["all"] for r in rows.values())
+
+
+def test_grouping_option_from_text(sales):
+    """A7 reachable from the GraphQL surface: options: {grouping: rollup}
+    adds the super-aggregate rows over the same document without it."""
+    from activecube_graphql_spark.graphql import graphql_query
+    plain = graphql_query(sales, """
+      { sales { returnflag linestatus count } }""").build_query()
+    rolled = graphql_query(sales, """
+      { sales(options: {grouping: rollup}) {
+          returnflag linestatus count } }""").build_query()
+    n_plain = plain.df().count()
+    rows = rolled.relabeled().collect()
+    assert len(rows) == n_plain + len(
+        {r["returnflag"] for r in rows if r["returnflag"] is not None}) + 1
+    assert any(r["returnflag"] is None and r["linestatus"] is None
+               for r in rows)
