@@ -75,6 +75,9 @@ def bucketize(spark: SparkSession, src_dir: str, tables: dict[str, str],
         (df.write.format("parquet")
            .bucketBy(buckets, key).sortBy(key)
            .saveAsTable(name))
+        # row/size stats feed CBO join ordering and AQE thresholds —
+        # cheap at write time, unavailable to plain path-based scans
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
     return out
 
 
