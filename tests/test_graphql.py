@@ -230,3 +230,72 @@ def test_grouping_option_from_text(sales):
         {r["returnflag"] for r in rows if r["returnflag"] is not None}) + 1
     assert any(r["returnflag"] is None and r["linestatus"] is None
                for r in rows)
+
+
+# ---------------------------------------------------- property: text ≡ builder
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+G_DIMS = ["returnflag", "linestatus", "orderstatus", "mktsegment", "region"]
+G_METRICS = ["count", "revenue", "quantity", "orders", "min_price"]
+G_FILTERS = [("returnflag", '"R"', "R"),
+             ("quantity", "{gteq: 10}", {"gteq": 10}),
+             ("mktsegment", '[BUILDING, "MACHINERY"]',
+              ["BUILDING", "MACHINERY"])]
+
+
+@st.composite
+def graphql_specs(draw):
+    dims = draw(st.lists(st.sampled_from(G_DIMS), min_size=1, max_size=2,
+                         unique=True))
+    mets = draw(st.lists(st.sampled_from(G_METRICS), min_size=1, max_size=3,
+                         unique=True))
+    filt = draw(st.none() | st.sampled_from(G_FILTERS))
+    # desc arg passed scalar, exactly as the text front-end delivers it
+    # (the option applier accepts scalar or list)
+    opts = draw(st.permutations(
+        [("desc", f'"{mets[0]}"', mets[0]), ("limit", "7", 7),
+         ("offset", "2", 2)]))[:draw(st.integers(0, 3))]
+    frag = draw(st.booleans())
+    return dims, mets, filt, opts, frag
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(graphql_specs())
+def test_graphql_document_equals_builder_chain(spec):
+    """Any document over the cube vocabulary must compile to the SAME
+    query IR (canonical cache key) as the equivalent builder-API chain —
+    argument order, option order, filters, and fragment indirection
+    included. Metadata-only: no Spark execution."""
+    from activecube_graphql_spark.cubes import SalesCube
+    from activecube_graphql_spark.graphql import graphql_query
+    dims, mets, filt, opts, frag = spec
+    cube = SalesCube(None, "/")  # metadata-only cube
+
+    args = []
+    if filt is not None:
+        args.append(f"{filt[0]}: {filt[1]}")
+    if opts:
+        args.append("options: {" +
+                    ", ".join(f"{n}: {lit}" for n, lit, _ in opts) + "}")
+    arg_txt = f"({', '.join(args)})" if args else ""
+    body = " ".join(dims + mets)
+    if frag:
+        doc = (f"{{ sales{arg_txt} {{ ...f }} }} "
+               f"fragment f on Sales {{ {body} }}")
+    else:
+        doc = f"{{ sales{arg_txt} {{ {body} }} }}"
+    via_text = graphql_query(cube, doc).build_query()
+
+    q = cube.query()
+    for d in dims:
+        q = q.slice(d)
+    for m in mets:
+        q = q.measure(m)
+    if filt is not None:
+        q = q.when({filt[0]: filt[2]})
+    for n, _, val in opts:
+        q = q.option(n, val)
+    assert via_text.cache_key() == q.cache_key(), doc
