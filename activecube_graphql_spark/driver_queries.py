@@ -500,6 +500,24 @@ def q_minhash_lsh(spark, sf_dir):
                                 num_perm=64, bands=16, threshold=0.5)
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Corpus-level dedup: exact-Jaccard near-dup pairs → distributed
+    connected components (min-label propagation) → per-cluster sizes.
+    Deterministic (canonical label = min doc_id), so the cluster rows are
+    stable; the full pair→component→canonicalize pipeline is unit-tested
+    against a Python union-find oracle in tests/test_pipeline_ops.py.
+    The oracle computes the same components in DuckDB via a recursive-CTE
+    transitive closure + min-reachable label (exact on the small fixture
+    graph; the Spark path stays iterative label propagation — the form
+    that scales)."""
+    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.5)
+    comps = dd.connected_components(pairs, "id_a", "id_b")
+    return (comps.groupBy(F.col("comp").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("size"),
+                 F.array_join(F.sort_array(F.collect_list("node")), ",")
+                  .alias("members")))
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (rows-only; hamming-near pairs verified
     against Jaccard near-dups in tests)."""
@@ -708,6 +726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "neardup_clusters": q_neardup_clusters,
     "simhash": q_simhash,
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
@@ -987,6 +1006,45 @@ ORACLES: dict[str, str] = {
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    "neardup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        sz AS (SELECT doc_id, len(g) AS sz FROM grams),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+        nodes AS (SELECT id_a AS n FROM pairs
+                  UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs
+                  UNION SELECT n, n FROM nodes),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS node, min(dst) AS comp
+                 FROM reach GROUP BY src)
+        SELECT comp AS cluster, count(*) AS size,
+               string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+                   AS members
+        FROM comp GROUP BY 1
     """,
     "embed_topk": """
         WITH q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv

@@ -328,3 +328,59 @@ def simhash_hamming(col_a: Column, col_b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints = popcount(xor)."""
     x = col_a.bitwiseXOR(col_b)
     return F.bit_count(x)
+
+
+# --------------------------------------------- near-dup clustering & pruning
+
+def connected_components(pairs: DataFrame, left: str, right: str,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected similarity-pair graph →
+    ``(node, component)`` where ``component`` is the smallest node id in
+    the component (deterministic canonical label).
+
+    This is the missing step between *pair detection* (MinHash/SimHash/
+    cosine emit A~B, B~C) and *corpus dedup* (A, B, C are ONE duplicate
+    group; keeping pairwise winners would under- or over-delete).
+
+    Algorithm: distributed min-label propagation — each iteration is one
+    join + one min-aggregation, both hash-partitioned on the node id, so
+    every step is a plain shuffle-bounded Spark job (the GraphX/Pregel
+    pattern without the GraphX dependency). Iterations needed ≈ graph
+    diameter, which for near-dup graphs is tiny (dup groups are cliques
+    or short chains from transitive similarity). ``localCheckpoint``
+    truncates the growing lineage each round; convergence is detected by
+    counting label changes (one lightweight action per round).
+    """
+    edges = (pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+             .union(pairs.select(F.col(right).alias("src"),
+                                 F.col(left).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # neighbor labels: for each edge src<-dst bring dst's current comp
+        nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .select(F.col("src").alias("node"), "comp"))
+        new_labels = (nbr.unionByName(labels)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def neardup_canonicalize(df: DataFrame, pairs: DataFrame, id_col: str,
+                         left: str, right: str) -> DataFrame:
+    """Corpus-level near-dup pruning: keep ONE representative (the
+    smallest id) per connected duplicate group, pass singletons through
+    untouched. The anti-join drops only nodes labeled into a component
+    they don't canonically represent."""
+    comps = connected_components(pairs, left, right)
+    losers = comps.filter(F.col("node") != F.col("comp")) \
+                  .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -133,3 +133,57 @@ def test_ngram_jaccard_strategies_agree(spark, sf_dir):
     assert bm == ix
     assert len(bm) > 0
     assert all(j >= 0.5 for _, _, j in bm)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must agree with a driver-side union-find on a
+    graph with chains (transitive similarity), a clique, and disjoint
+    pairs — the shapes near-dup graphs actually take."""
+    import random
+    from activecube_graphql_spark.operators import dedup as dd
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 10)]          # chain 0..10
+    edges += [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    edges += [(30, 31), (40, 41), (50, 51)]
+    edges += [(rng.randint(60, 99), rng.randint(60, 99)) for _ in range(40)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["comp"]
+           for r in dd.connected_components(pairs, "a", "b").collect()}
+    assert got == want
+
+
+def test_neardup_canonicalize_keeps_one_per_group(spark, sf_dir):
+    """End-to-end corpus pruning: pairs → components → one surviving
+    representative (min doc_id) per duplicate group; singletons pass."""
+    from activecube_graphql_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = dd.connected_components(pairs, "id_a", "id_b")
+    kept = dd.neardup_canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+    n_docs = docs.count()
+    n_dup_nodes = comps.count()
+    n_groups = comps.select("comp").distinct().count()
+    assert kept.count() == n_docs - (n_dup_nodes - n_groups)
+    # every surviving doc in a dup group is its group's min id
+    from pyspark.sql import functions as F
+    survivors = (comps.join(kept, comps.node == kept.doc_id, "left_semi")
+                 .groupBy("comp").agg(F.collect_list("node").alias("m")))
+    for r in survivors.collect():
+        assert r["m"] == [r["comp"]]
