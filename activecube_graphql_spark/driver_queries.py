@@ -500,6 +500,37 @@ def q_minhash_lsh(spark, sf_dir):
                                 num_perm=64, bands=16, threshold=0.5)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (beyond-reference time-series op): each purchase picks
+    up the same user's most recent click at-or-before it. Spark side is
+    the union+window single-shuffle form (operators/timeseries.py); the
+    oracle is DuckDB's NATIVE ASOF JOIN — two independent
+    implementations of the operator semantics."""
+    from .operators.timeseries import asof_join
+    ev = _events(spark, sf_dir).table()
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("value").alias("click_value")))
+    return (asof_join(purchases, clicks, on="ts", by=["user_id"])
+            .select("user_id", F.unix_micros("ts").alias("t"), "value",
+                    "click_value", F.unix_micros("ts_r").alias("click_t")))
+
+
+def q_resampled(spark, sf_dir):
+    """Regular-grid resampling with gap fill: hourly bins per event_type
+    spanning each group's [first, last] bin, empty bins emitted with
+    cnt=0 (NULL total) — no silent holes in the series."""
+    from .operators.timeseries import resample
+    out = resample(_events(spark, sf_dir).table(), on="ts",
+                   by=["event_type"], step="1 hour",
+                   aggs={"cnt": F.count(F.lit(1)),
+                         "total": F.round(F.sum("value"), 2)})
+    return (out.fillna({"cnt": 0})
+            .select("event_type", F.unix_micros("bin_start").alias("bin"),
+                    "cnt", "total"))
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Corpus-level dedup: exact-Jaccard near-dup pairs → distributed
     connected components (min-label propagation) → per-cluster sizes.
@@ -727,6 +758,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
+    "asof_join": q_asof_join,
+    "resampled": q_resampled,
     "simhash": q_simhash,
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
@@ -1006,6 +1039,31 @@ ORACLES: dict[str, str] = {
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    "asof_join": """
+        WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          value AS click_value
+                   FROM events WHERE event_type = 'click')
+        SELECT p.user_id, epoch_us(p.ts) AS t, p.value,
+               c.click_value, epoch_us(c.ts) AS click_t
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "resampled": """
+        WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events),
+        b AS (SELECT event_type, date_trunc('hour', ts) AS bin,
+                     count(*) AS cnt, round(sum(value), 2) AS total
+              FROM e GROUP BY 1, 2),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(min(bin), max(bin),
+                                                INTERVAL 1 HOUR)) AS bin
+                  FROM b GROUP BY event_type)
+        SELECT s.event_type, epoch_us(s.bin) AS bin,
+               coalesce(b.cnt, 0) AS cnt, b.total
+        FROM spine s LEFT JOIN b USING (event_type, bin)
     """,
     "neardup_clusters": """
         WITH RECURSIVE toks AS (
