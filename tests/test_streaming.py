@@ -207,3 +207,78 @@ def test_cube_query_streaming_star_join(spark, sf_dir):
     assert sdf.isStreaming
     got = jobs.run_available_now(sdf, "cube_stream_star", mode="complete")
     assert _multiset(got) == _multiset(build(cube.query()).df())
+
+
+def test_incremental_daily_rollup_maintenance(spark, sf_dir, tmp_path):
+    """§4.3 pre-agg kept fresh by a stream: each micro-batch re-aggregates
+    only the days it touched from the raw source and dynamic-overwrites
+    those partitions. After every increment the rollup equals the batch
+    aggregation of the full feed; replaying with the same checkpoint
+    changes nothing (idempotent); untouched day-partitions keep their
+    files untouched on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    feed = tmp_path / "feed"
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    feed.mkdir()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = [r[0] for r in
+            (ev.select(F.to_date(F.timestamp_micros(
+                F.expr("ts div 1000"))).alias("d"))
+             .distinct().orderBy("d").collect())]
+    assert len(days) >= 3
+    split = days[len(days) // 2]
+
+    def emit(name, pred):
+        (ev.filter(pred).coalesce(1).write.mode("overwrite")
+           .parquet(str(feed / name)))
+        import glob as g
+        import shutil
+        (part,) = g.glob(str(feed / name / "part-*.parquet"))
+        shutil.move(part, str(feed / f"{name}.parquet"))
+        shutil.rmtree(str(feed / name))
+
+    day_col = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    emit("first", day_col <= F.lit(split))
+
+    from activecube_graphql_spark.streaming import jobs
+
+    def expected():
+        raw = jobs.events_batch(spark, str(feed), glob="*.parquet")
+        return {tuple(r) for r in
+                (raw.groupBy(F.to_date("ts").alias("event_date"),
+                             "event_type")
+                 .agg(F.count(F.lit(1)).alias("cnt"),
+                      F.round(F.sum("value"), 2).alias("total"))
+                 .collect())}
+
+    def rolled():
+        df = spark.read.parquet(rollup)
+        return {(r["event_date"], r["event_type"], r["cnt"], r["total"])
+                for r in df.collect()}
+
+    jobs.maintain_daily_rollup(spark, str(feed), rollup, ckpt)
+    assert rolled() == expected()
+
+    # record mtimes of the already-final partitions, then append new days
+    old_parts = {p: os.path.getmtime(os.path.join(rollup, p))
+                 for p in os.listdir(rollup) if p.startswith("event_date=")}
+    emit("second", day_col > F.lit(split))
+    jobs.maintain_daily_rollup(spark, str(feed), rollup, ckpt)
+    assert rolled() == expected()
+
+    # untouched day-partitions were not rewritten by the increment
+    untouched = [p for p in old_parts
+                 if p < f"event_date={split.isoformat()}"]
+    assert untouched
+    for p in untouched:
+        assert os.path.getmtime(os.path.join(rollup, p)) == old_parts[p], p
+
+    # replay with the same checkpoint: no new input → nothing changes
+    before = rolled()
+    jobs.maintain_daily_rollup(spark, str(feed), rollup, ckpt)
+    assert rolled() == before
