@@ -118,6 +118,9 @@ class SalesCube(Cube):
         "flags": Metric.collect("l_returnflag", distinct=True),
         "any_flag": Metric.any("l_returnflag"),
         "median_price": Metric.quantile("l_extendedprice", 0.5),
+        "stddev_price": Metric.stddev("l_extendedprice"),
+        "var_price": Metric.variance("l_extendedprice"),
+        "qty_price_corr": Metric.corr("l_quantity", "l_extendedprice"),
         "p90_price": Metric.quantile("l_extendedprice", 0.9),
         "p90_price_approx": Metric.quantile_approx("l_extendedprice", 0.9),
         # argMin/argMax over the unique row id (linenumber is 1..7, so

@@ -225,6 +225,22 @@ def q_quantiles(spark, sf_dir):
                   {"median_price": 4, "p90_price": 4, "p90_hi": 4})
 
 
+def q_stats_moments(spark, sf_dir):
+    """Statistical moments: sample stddev/variance and two-column Pearson
+    correlation (+ conditional corr). Rounding chosen per magnitude:
+    variance ~1e9 → 2 decimals absorbs fp-association error; corr is
+    normalized → 6 decimals."""
+    q = (_sales(spark, sf_dir).query()
+         .slice("returnflag")
+         .measure("stddev_price")
+         .measure("var_price")
+         .measure("qty_price_corr")
+         .measure("qty_price_corr", alias="corr_hi",
+                  where={"quantity": {"gteq": 25}}))
+    return _round(q.relabeled(), {"stddev_price": 4, "var_price": 2,
+                                  "qty_price_corr": 6, "corr_hi": 6})
+
+
 def q_arg_minmax(spark, sf_dir):
     """A2 vocabulary completion: ClickHouse argMin/argMax as min_by/max_by
     over a UNIQUE ordering key (orderkey*10+linenumber), which makes the
@@ -729,6 +745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cond_agg": q_cond_agg,
     "arg_minmax": q_arg_minmax,
     "quantiles": q_quantiles,
+    "stats_moments": q_stats_moments,
     "count_distinct": q_count_distinct,
     "collect_array": q_collect_array,
     "tuple_topk": q_tuple_topk,
@@ -874,6 +891,16 @@ ORACLES: dict[str, str] = {
                               THEN l_extendedprice * (1 - l_discount) END), 2)
                    AS hi_disc_rev,
                count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS hi_disc_cnt
+        FROM lineitem GROUP BY 1
+    """,
+    "stats_moments": """
+        SELECT l_returnflag AS returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+               round(var_samp(l_extendedprice), 2) AS var_price,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(corr(CASE WHEN l_quantity >= 25 THEN l_quantity END,
+                          CASE WHEN l_quantity >= 25 THEN l_extendedprice END),
+                     6) AS corr_hi
         FROM lineitem GROUP BY 1
     """,
     "quantiles": """

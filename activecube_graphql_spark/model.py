@@ -242,6 +242,42 @@ class Metric:
         return Metric(agg=agg, requires=requires)
 
     @staticmethod
+    def stddev(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        """Sample standard deviation (ClickHouse ``stddevSamp``)."""
+        return Metric._wrap(F.stddev_samp, expr, requires, "stddev_samp",
+                            sql_expr)
+
+    @staticmethod
+    def variance(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        """Sample variance (ClickHouse ``varSamp``)."""
+        return Metric._wrap(F.var_samp, expr, requires, "var_samp", sql_expr)
+
+    @staticmethod
+    def corr(x_expr, y_expr, requires=frozenset(),
+             x_sql=None, y_sql=None) -> "Metric":
+        """Pearson correlation of two expressions (ClickHouse ``corr``) —
+        the first two-argument metric; the conditional form nulls both
+        inputs so filtered rows drop from the pair set."""
+        fx, fy = _as_factory(x_expr), _as_factory(y_expr)
+        sx = Metric._sql_of(x_expr, x_sql)
+        sy = Metric._sql_of(y_expr, y_sql)
+
+        def agg(cond: Optional[Column]) -> Column:
+            x, y = fx(), fy()
+            if cond is not None:
+                x, y = F.when(cond, x), F.when(cond, y)
+            return F.corr(x, y)
+
+        sql = None
+        if sx is not None and sy is not None:
+            def sql(cond_sql: Optional[str], _x=sx, _y=sy) -> str:
+                if cond_sql:
+                    _x = f"CASE WHEN {cond_sql} THEN {_x} END"
+                    _y = f"CASE WHEN {cond_sql} THEN {_y} END"
+                return f"corr({_x}, {_y})"
+        return Metric(agg=agg, requires=requires, sql=sql)
+
+    @staticmethod
     def quantile(expr, p: float, requires=frozenset(), sql_expr=None
                  ) -> "Metric":
         """ClickHouse ``quantile``/``median`` family — EXACT interpolated
