@@ -572,6 +572,21 @@ def q_simhash(spark, sf_dir):
              .select("doc_id", "simhash")
 
 
+def q_embed_stats(spark, sf_dir):
+    """§2.9 array math, JVM-side (no UDF): per-cluster-tag vector count,
+    mean L2 norm, and mean dimension-0 component over the embeddings
+    table — F.aggregate/zip-free norm via aggregate(acc + x*x)."""
+    e = _embeds(spark, sf_dir)
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x.cast("double")))
+    return (e.withColumn("norm", norm)
+            .withColumn("d0", F.element_at("embedding", 1).cast("double"))
+            .groupBy(F.pmod("vec_id", F.lit(7)).alias("tag"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("norm"), 4).alias("avg_norm"),
+                 F.round(F.avg("d0"), 4).alias("avg_d0")))
+
+
 def q_embed_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 5 (exact ANN
     baseline; double math so the SQL oracle matches bit-for-bit)."""
@@ -778,6 +793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "resampled": q_resampled,
     "simhash": q_simhash,
+    "embed_stats": q_embed_stats,
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
     "embed_lsh_ann": q_embed_lsh_ann,
@@ -1130,6 +1146,14 @@ ORACLES: dict[str, str] = {
                string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
                    AS members
         FROM comp GROUP BY 1
+    """,
+    "embed_stats": """
+        SELECT vec_id % 7 AS tag, count(*) AS n,
+               round(avg(sqrt(list_dot_product(cast(embedding AS DOUBLE[]),
+                                               cast(embedding AS DOUBLE[])))),
+                     4) AS avg_norm,
+               round(avg(cast(embedding[1] AS DOUBLE)), 4) AS avg_d0
+        FROM embeddings GROUP BY 1
     """,
     "embed_topk": """
         WITH q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
