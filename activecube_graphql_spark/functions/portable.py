@@ -7,46 +7,65 @@ impossible by construction. Only a small macro vocabulary is supported;
 everything else must be shared ANSI SQL.
 
 Macros:
-    ARRAY_LEN(x)        → size(x)               | len(x)
-    LIST_FILTER(x, l)   → filter(x, l)          | list_filter(x, l)
-    LIST_VAL(a, b, ...) → array(a, b, ...)      | list_value(a, b, ...)
-    LIST_HAS(arr, x)    → array_contains(arr,x) | list_contains(arr,x)
-    REGEX_STRIP(x, p)   → regexp_replace(x,p,'')| regexp_replace(x,p,'','g')
+    ARRAY_LEN(x)         → size(x)                | len(x)
+    LIST_FILTER(x, l)    → filter(x, l)           | list_filter(x, l)
+    LIST_TRANSFORM(x, l) → transform(x, l)        | list_transform(x, l)
+    LIST_DISTINCT(x)     → array_distinct(x)      | list_distinct(x)
+    LIST_VAL(a, b, ...)  → array(a, b, ...)       | list_value(a, b, ...)
+    LIST_HAS(arr, x)     → array_contains(arr,x)  | list_contains(arr,x)
+    REGEX_STRIP(x, p)    → regexp_replace(x,p,'') | regexp_replace(x,p,'','g')
+    LIST_SUM(x)          → aggregate(x, 0L, +)    | cast(coalesce(
+                                                      list_sum(x),0) as bigint)
+    INT_SEQ(a, b)        → sequence(a, b)         | range(a, (b) + 1)
+                           (both inclusive of b; a must be ≤ b)
 """
 
 from __future__ import annotations
 
-import re
+from collections.abc import Callable
 
 _MACROS = {
     "spark": {
         "ARRAY_LEN": "size",
         "LIST_FILTER": "filter",
+        "LIST_TRANSFORM": "transform",
+        "LIST_DISTINCT": "array_distinct",
         "LIST_VAL": "array",
         "LIST_HAS": "array_contains",
     },
     "duckdb": {
         "ARRAY_LEN": "len",
         "LIST_FILTER": "list_filter",
+        "LIST_TRANSFORM": "list_transform",
+        "LIST_DISTINCT": "list_distinct",
         "LIST_VAL": "list_value",
         "LIST_HAS": "list_contains",
     },
 }
 
-_STRIP_RE = re.compile(r"REGEX_STRIP\(")
+
+def _split_args(inner: str) -> list[str]:
+    """Split a macro argument list on top-level commas."""
+    args, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(inner[start:i].strip())
+            start = i + 1
+    args.append(inner[start:].strip())
+    return args
 
 
-def render(sql: str, engine: str) -> str:
-    """Render a portable fragment for ``engine`` ('spark' | 'duckdb')."""
-    if engine not in _MACROS:
-        raise ValueError(f"unknown engine {engine!r}")
-    out = sql
-    for macro, fn in _MACROS[engine].items():
-        out = out.replace(macro + "(", fn + "(")
-    # REGEX_STRIP needs arg rewriting, not just a rename
-    while "REGEX_STRIP(" in out:
-        start = out.index("REGEX_STRIP(")
-        open_i = start + len("REGEX_STRIP(")
+def _rewrite(out: str, name: str, fn: Callable[[list[str]], str]) -> str:
+    """Replace every ``name(args...)`` call (balanced-paren aware, inner
+    calls first so nested macros of the same name rewrite cleanly)."""
+    token = name + "("
+    while token in out:
+        start = out.rindex(token)  # innermost-last occurrence first
+        open_i = start + len(token)
         depth, i = 1, open_i
         while depth:
             if out[i] == "(":
@@ -54,10 +73,44 @@ def render(sql: str, engine: str) -> str:
             elif out[i] == ")":
                 depth -= 1
             i += 1
-        inner = out[open_i:i - 1]
-        if engine == "spark":
-            repl = f"regexp_replace({inner}, '')"
-        else:
-            repl = f"regexp_replace({inner}, '', 'g')"
-        out = out[:start] + repl + out[i:]
+        args = _split_args(out[open_i:i - 1])
+        out = out[:start] + fn(args) + out[i:]
+    return out
+
+
+_SUM_COUNTER = [0]
+
+
+def render(sql: str, engine: str) -> str:
+    """Render a portable fragment for ``engine`` ('spark' | 'duckdb')."""
+    if engine not in _MACROS:
+        raise ValueError(f"unknown engine {engine!r}")
+    out = sql
+
+    # arg-rewriting macros first (their names would survive plain renames)
+    if engine == "spark":
+        def _sum(args: list[str]) -> str:
+            # unique lambda vars per occurrence — Spark rejects shadowed
+            # lambda variable names in nested higher-order functions
+            _SUM_COUNTER[0] += 1
+            k = _SUM_COUNTER[0]
+            return (f"aggregate({args[0]}, cast(0 as bigint), "
+                    f"(acc_{k}, v_{k}) -> acc_{k} + v_{k})")
+
+        out = _rewrite(out, "LIST_SUM", _sum)
+        out = _rewrite(out, "INT_SEQ",
+                       lambda a: f"sequence({a[0]}, {a[1]})")
+        out = _rewrite(out, "REGEX_STRIP",
+                       lambda a: f"regexp_replace({a[0]}, {a[1]}, '')")
+    else:
+        out = _rewrite(out, "LIST_SUM",
+                       lambda a: f"cast(coalesce(list_sum({a[0]}), 0) "
+                                 f"as bigint)")
+        out = _rewrite(out, "INT_SEQ",
+                       lambda a: f"range({a[0]}, ({a[1]}) + 1)")
+        out = _rewrite(out, "REGEX_STRIP",
+                       lambda a: f"regexp_replace({a[0]}, {a[1]}, '', 'g')")
+
+    for macro, fn in _MACROS[engine].items():
+        out = out.replace(macro + "(", fn + "(")
     return out

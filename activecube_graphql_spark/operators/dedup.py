@@ -32,9 +32,20 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Fan a badly-under-partitioned input out to the session's default
     parallelism. Single-file parquet arrives as ONE partition locally, which
     serializes every per-row compute stage; on a real cluster inputs arrive
-    well-partitioned and this is a no-op (no gratuitous full shuffle)."""
+    well-partitioned and this is a no-op (no gratuitous full shuffle).
+
+    The probe is ``df.inputFiles()`` — logical-plan metadata only, no
+    RDD conversion and no job (``.rdd.getNumPartitions()`` would force
+    physical planning per call). Many source files → the scan is already
+    parallel → pass through untouched. Few/zero files (single-file
+    fixture, in-memory frames) → round-robin repartition, which AQE may
+    coalesce again downstream if the stage turns out cheap."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < max(sc.defaultParallelism // 2, 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # plans with no file source (e.g. streaming)
+        n_files = 0
+    if n_files < max(sc.defaultParallelism // 2, 2):
         return df.repartition(sc.defaultParallelism)
     return df
 
@@ -78,7 +89,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         max_shingle_df: int | None = None,
                         strategy: str = "auto",
                         dense_vocab_limit: int = 1 << 17,
-                        dense_docs_limit: int = 1 << 20) -> DataFrame:
+                        dense_bits_limit: int = 1 << 31) -> DataFrame:
     """Exact n-gram-Jaccard similarity join: pairs (a < b) with
     |A∩B| / |A∪B| ≥ threshold.
 
@@ -119,11 +130,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     if strategy == "auto":
         # one cheap aggregation decides the physical plan (engine-side
-        # stats probe, same spirit as AQE's runtime re-planning)
+        # stats probe, same spirit as AQE's runtime re-planning). The
+        # bitmap path broadcasts a docs × vocab bit matrix, so the guard
+        # bounds the PRODUCT (packed bytes = docs × vocab / 8 — the
+        # default cap is 2^31 bits ≈ 256 MB), not each factor alone:
+        # 2^17 vocab × 2^20 docs would otherwise admit a 16 GB collect.
         vocab_size = inv.select("shingle").distinct().count()
         n_docs = df.count()
         strategy = ("bitmap" if vocab_size <= dense_vocab_limit
-                    and n_docs <= dense_docs_limit else "index")
+                    and n_docs * max(vocab_size, 1) <= dense_bits_limit
+                    else "index")
 
     if strategy == "bitmap":
         out = _jaccard_bitmap_pairs(sh, inv, threshold)
@@ -247,19 +263,11 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"), sig.alias("sig"), F.size(sh).alias("sz"))
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3,
-                      num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5) -> DataFrame:
-    """Banded-LSH candidate generation + MinHash-estimated Jaccard.
-
-    rows_per_band = num_perm // bands; two docs collide if any band of
-    their signatures hashes equal. Candidates are verified by the full
-    signature agreement fraction (the MinHash estimate of Jaccard), and
-    kept if ≥ threshold. Shuffle cost: O(docs × bands) bucket rows, then
-    joins only inside buckets — the 100 TB-safe shape."""
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+def _minhash_candidates(sigs: DataFrame, bands: int,
+                        rows_per_band: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature frame ``(id, sig)``:
+    two docs meet iff some band of their signatures hashes equal —
+    shuffle is O(docs × bands) bucket rows, joins only inside buckets."""
     buckets = sigs.select(
         "id",
         F.explode(F.transform(
@@ -273,10 +281,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                                      lambda h: h.cast("string")))
                            ).alias("bucket")))).alias("bb"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b, (F.col("a.bb") == F.col("b.bb")) &
+    return (a.join(b, (F.col("a.bb") == F.col("b.bb")) &
                    (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> DataFrame:
+    """Banded-LSH candidate generation + MinHash-estimated Jaccard.
+
+    rows_per_band = num_perm // bands; two docs collide if any band of
+    their signatures hashes equal. Candidates are verified by the full
+    signature agreement fraction (the MinHash estimate of Jaccard), and
+    kept if ≥ threshold. Shuffle cost: O(docs × bands) bucket rows, then
+    joins only inside buckets — the 100 TB-safe shape."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    cand = _minhash_candidates(sigs, bands, rows_per_band)
     sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (cand.join(sig_a, "id_a").join(sig_b, "id_b")
@@ -288,6 +312,51 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("est_jaccard") >= threshold)
            .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")))
     return est
+
+
+def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         num_perm: int = 128, bands: int = 64,
+                         threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate generation + **exact-Jaccard verification** —
+    the standard production dedup pipeline shape (candidates from banded
+    LSH, survivors confirmed against the real shingle sets).
+
+    Output: pairs (a < b) with TRUE Jaccard ≥ threshold that collided in
+    at least one band. With the default 64 bands × 2 rows, a pair at
+    Jaccard j collides with probability 1 − (1 − j²)^64 — ≥ 1 − 1e-8 at
+    j = 0.5 — so the emitted set equals the exact-Jaccard pair set w.h.p.
+    and is hash-checkable against the same DuckDB oracle as
+    :func:`ngram_jaccard_pairs` (the driver-facing correctness row the
+    estimate-only :func:`minhash_lsh_pairs` cannot have, since xxhash64
+    signatures are not oracle-expressible).
+
+    Scale shape is unchanged: O(docs × bands) bucket shuffle for
+    candidates, then one shingle-set join per surviving candidate —
+    never all-pairs."""
+    rows_per_band = num_perm // bands
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"),
+                  _shingles(F.col(text_col), n).alias("sh"))
+          .withColumn("sz", F.size("sh"))
+          .persist())
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    sigs = sh.select(
+        "id",
+        F.transform(seeds, lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s, i)))).alias("sig"))
+    cand = _minhash_candidates(sigs, bands, rows_per_band)
+    return (cand
+            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                            F.col("sz").alias("sz_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                            F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
 # ------------------------------------------------------------------- SimHash
@@ -358,6 +427,7 @@ def connected_components(pairs: DataFrame, left: str, right: str,
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         # neighbor labels: for each edge src<-dst bring dst's current comp
         nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -371,6 +441,13 @@ def connected_components(pairs: DataFrame, left: str, right: str,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning split components would make downstream
+        # canonicalization under-delete duplicates — fail loudly instead
+        # (a graph whose diameter exceeds max_iter needs a bigger budget)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter")
     return labels.select("node", "comp")
 
 

@@ -307,12 +307,20 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           lsh_prefilter: bool = False,
-                           planes: int = 8, dim: int = 64) -> DataFrame:
+                           lsh_prefilter: bool | None = None,
+                           planes: int = 8, dim: int = 64,
+                           exact_rows_limit: int = 1 << 17) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine ≥ threshold.
 
     ``lsh_prefilter=True`` joins on the hyperplane bucket first (the 100 TB
-    path); False is the exact O(n²) baseline for small corpora/oracles."""
+    path); ``False`` is the exact O(n²) baseline for small corpora/oracles,
+    which broadcasts the whole corpus as a dense matrix — correct only
+    while that matrix is small. The default ``None`` **auto-routes by a
+    size probe** (one count): exact while rows ≤ ``exact_rows_limit``
+    (≈ 67 MB broadcast at dim 64), LSH-prefiltered beyond — so the
+    default plan never drags an unbounded corpus to the driver."""
+    if lsh_prefilter is None:
+        lsh_prefilter = df.count() > exact_rows_limit
     if lsh_prefilter:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
                       _hyperplane_signature(F.col(vec_col), planes, dim)

@@ -13,6 +13,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Runtime-settable SQL confs every read path depends on.  These are applied
+#: to the *caller's* session (whatever it is) so correctness never depends on
+#: who built the SparkSession — an externally-created vanilla session (e.g. a
+#: driver harness calling ``queries()[name](spark, sf_dir)``) must read the
+#: fixtures identically to one built by :func:`get_spark`.
+#:
+#: - ``nanosAsLong``: fixture ``events.ts`` is parquet timestamp[ns]; Spark
+#:   has no nanos type, so read as epoch-nanos long (cubes convert to
+#:   microsecond timestamps).  Verified runtime-settable on Spark 4.x.
+#: - ``session.timeZone=UTC``: hour/day truncations and date extraction must
+#:   agree with the DuckDB oracle, which computes in UTC.
+#: - ``arrow``: every mapInPandas/pandas_udf boundary goes through Arrow.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply :data:`RUNTIME_CONFS` to an arbitrary live session (idempotent,
+    cheap — conf reads/writes are driver-local).  Called from every source
+    read path so the engine is self-sufficient wrt session configuration."""
+    for key, want in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:  # pragma: no cover - static confs on exotic builds
+            pass
+    return spark
+
+
 def get_spark(app_name: str = "activecube-graphql-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the session.

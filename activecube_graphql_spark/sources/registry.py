@@ -27,6 +27,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 
 from ..errors import InputArgumentError
+from ..session import ensure_runtime_confs
 
 
 @dataclass
@@ -54,6 +55,7 @@ class SourceRegistry:
         return os.path.join(prefix, f"{table}.{self.format}")
 
     def read(self, spark: SparkSession, database: str, table: str) -> DataFrame:
+        ensure_runtime_confs(spark)
         target = self.path(database, table)
         if target.startswith(self.CATALOG_SCHEME):
             return spark.table(target[len(self.CATALOG_SCHEME):])
@@ -66,6 +68,7 @@ class SourceRegistry:
         File-stream sources need an explicit schema and a directory, so
         the schema comes from a (lazy, metadata-only) batch read and a
         single-file path becomes dir + pathGlobFilter."""
+        ensure_runtime_confs(spark)
         target = self.path(database, table)
         if target.startswith(self.CATALOG_SCHEME):
             raise InputArgumentError(

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
+from ..session import ensure_runtime_confs
+
 #: explicit schema for the events stream (streaming sources require one);
 #: ts arrives as epoch-nanos long (see session.py nanosAsLong)
 EVENTS_SCHEMA = StructType([
@@ -45,6 +47,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   glob: str = "events.parquet") -> DataFrame:
     """File-source stream over an events feed directory (default: the
     single-file fixture table, selected with a glob filter)."""
+    ensure_runtime_confs(spark)
     raw = (spark.readStream.schema(EVENTS_SCHEMA)
            .option("pathGlobFilter", glob)
            .parquet(sf_dir))
@@ -53,6 +56,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
 
 def events_batch(spark: SparkSession, sf_dir: str,
                  glob: str = "events.parquet") -> DataFrame:
+    ensure_runtime_confs(spark)
     return normalize_events(
         spark.read.option("pathGlobFilter", glob).parquet(sf_dir))
 

@@ -4,6 +4,11 @@ the same parquet, compares row count, column names, and an
 order-insensitive multiset of canonicalized row values.
 
 Usage: python tools/verify_local.py [sf_dir] [name ...]
+
+Pass ``--vanilla`` (first flag) to build a bare ``SparkSession`` with none
+of the engine's session confs, mimicking the driver's oracle harness —
+regression guard for the round-1 nanosAsLong portability bug (every query
+must be self-sufficient on an externally-built session).
 """
 
 from __future__ import annotations
@@ -44,13 +49,22 @@ def rows_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
-    from activecube_graphql_spark import get_spark
 
-    spark = get_spark()
+    if vanilla:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    else:
+        from activecube_graphql_spark import get_spark
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
