@@ -164,13 +164,11 @@ class EventsCube(Cube):
 
     @staticmethod
     def prepare(df):
-        # events.ts is parquet timestamp[ns]; Spark reads it as epoch-nanos
-        # long (session.py nanosAsLong) — truncate to microsecond timestamp,
-        # matching DuckDB's ns→datetime truncation.
-        from pyspark.sql.types import LongType
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        # events.ts is parquet timestamp[ns]; arrival type varies by Spark
+        # build/session (long-nanos, long-micros, NTZ) — canonicalize to a
+        # microsecond TIMESTAMP so queries never depend on the session.
+        from .functions.tsutil import normalize_ts
+        return normalize_ts(df, "ts")
     dimensions = {
         "event_type": Dimension("event_type"),
         "user_id": Dimension("user_id"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
+from ..functions.tsutil import normalize_ts
 from ..session import ensure_runtime_confs
 
 #: explicit schema for the events stream (streaming sources require one);
@@ -37,18 +38,24 @@ EVENTS_SCHEMA = StructType([
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """epoch-nanos → microsecond timestamp (shared with EventsCube)."""
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    """Canonicalize ``ts`` to a microsecond timestamp whatever the session
+    delivered (long-nanos, long-micros, NTZ) — shared with EventsCube."""
+    return normalize_ts(df, "ts")
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
                   glob: str = "events.parquet") -> DataFrame:
     """File-source stream over an events feed directory (default: the
-    single-file fixture table, selected with a glob filter)."""
+    single-file fixture table, selected with a glob filter).
+
+    File streams require an explicit schema; taking it from a lazy batch
+    read of the same files (footer metadata only — no job) instead of a
+    hardcoded one keeps the stream correct whatever this session's parquet
+    reader yields for the ns-timestamp column (long vs NTZ — see tsutil),
+    and for feeds re-written by the engine with proper timestamp columns."""
     ensure_runtime_confs(spark)
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    raw = (spark.readStream.schema(schema)
            .option("pathGlobFilter", glob)
            .parquet(sf_dir))
     return normalize_events(raw)

@@ -225,10 +225,10 @@ def test_incremental_daily_rollup_maintenance(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     feed.mkdir()
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from activecube_graphql_spark.functions.tsutil import normalize_ts
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     days = [r[0] for r in
-            (ev.select(F.to_date(F.timestamp_micros(
-                F.expr("ts div 1000"))).alias("d"))
+            (ev.select(F.to_date("ts").alias("d"))
              .distinct().orderBy("d").collect())]
     assert len(days) >= 3
     split = days[len(days) // 2]
@@ -242,7 +242,7 @@ def test_incremental_daily_rollup_maintenance(spark, sf_dir, tmp_path):
         shutil.move(part, str(feed / f"{name}.parquet"))
         shutil.rmtree(str(feed / name))
 
-    day_col = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    day_col = F.to_date("ts")
     emit("first", day_col <= F.lit(split))
 
     from activecube_graphql_spark.streaming import jobs
