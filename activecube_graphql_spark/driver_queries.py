@@ -509,11 +509,16 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (64 perms, 16 bands). xxhash64-based
-    → not oracle-expressible; rows-only check here, verified against exact
-    Jaccard in tests/test_pipeline_ops.py."""
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), n=2,
-                                num_perm=64, bands=16, threshold=0.5)
+    """MinHash-banded-LSH candidate generation + exact-Jaccard
+    verification (operators/dedup.py minhash_lsh_verified) — the
+    production dedup pipeline shape. With 64 bands × 2 rows a true pair
+    at Jaccard 0.5 collides with probability ≥ 1 − 1e-8, so the output
+    equals the exact-Jaccard pair set and is hash-checked against the
+    same DuckDB inverted-index oracle as `ngram_jaccard` — two
+    independent plans, one truth. (The estimate-only
+    `minhash_lsh_pairs` stays recall-tested in test_pipeline_ops.)"""
+    return dd.minhash_lsh_verified(_docs(spark, sf_dir), n=2,
+                                   num_perm=128, bands=64, threshold=0.5)
 
 
 def q_asof_join(spark, sf_dir):
@@ -566,9 +571,13 @@ def q_neardup_clusters(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (rows-only; hamming-near pairs verified
-    against Jaccard near-dups in tests)."""
-    return dd.with_simhash(_docs(spark, sf_dir)) \
+    """64-bit SimHash fingerprints, md5-bit variant: DuckDB's md5 yields
+    the identical hex digits, so the oracle SQL rebuilds every
+    fingerprint bit-for-bit (sign-sum over token-hash bits in HUGEINT,
+    then wrapped to signed 64). The xxhash64 variant (scale default —
+    one hash vs 16 hex-digit extracts per token) stays hamming-vs-
+    Jaccard-tested in test_pipeline_ops."""
+    return dd.with_simhash(_docs(spark, sf_dir), hash_fn="md5") \
              .select("doc_id", "simhash")
 
 
@@ -796,10 +805,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_stats": q_embed_stats,
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
-    "embed_lsh_ann": q_embed_lsh_ann,
-    "embed_ivf_ann": q_embed_ivf_ann,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    # approx-by-design (recall-tested in pytest, no SQL-expressible truth)
+    # deliberately LAST: if a harness caps the run, every oracle-checked
+    # row above still gets its CORRECTNESS entry.
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
 }
 
 
@@ -1082,6 +1094,63 @@ ORACLES: dict[str, str] = {
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    # minhash_lsh runs the verified pipeline (LSH candidates → exact-
+    # Jaccard confirmation): its output IS the exact 2-gram Jaccard ≥ 0.5
+    # pair set (collision prob ≥ 1-1e-8 per true pair at 64 bands), so the
+    # oracle is the same inverted-index exact-Jaccard SQL as ngram_jaccard
+    # — two independent Spark plans checked against one DuckDB truth.
+    "minhash_lsh": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        sz AS (SELECT doc_id, len(g) AS sz FROM grams),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    # bit-for-bit SimHash rebuild: md5 hex digits → per-(doc, bit) sign
+    # counters (sum(bit)*2 - count(*) = Σ(2·bit−1)) → fingerprint summed
+    # in HUGEINT and wrapped to signed 64 (bit 63 is the long sign bit).
+    "simhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS t
+            FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        bitcnt AS (
+            SELECT doc_id, js.j AS j,
+                   sum(((strpos('0123456789abcdef',
+                                substr(md5(tok), (js.j // 4) + 1, 1)) - 1)
+                        >> (js.j % 4)) & 1) * 2 - count(*) AS cnt
+            FROM tok, (SELECT unnest(range(0, 64)) AS j) js
+            GROUP BY 1, 2),
+        fp AS (
+            SELECT doc_id,
+                   sum(CASE WHEN cnt > 0 THEN CAST(power(2, j) AS HUGEINT)
+                            ELSE CAST(0 AS HUGEINT) END) AS v
+            FROM bitcnt GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(CAST(CASE WHEN f.v >= 9223372036854775808
+                                  THEN f.v - 18446744073709551616
+                                  ELSE f.v END AS BIGINT), 0) AS simhash
+        FROM documents d LEFT JOIN fp f USING (doc_id)
     """,
     "asof_join": """
         WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

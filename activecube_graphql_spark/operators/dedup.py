@@ -361,16 +361,46 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------------------- SimHash
 
+def _token_bit_deltas(t: Column, bits: int, hash_fn: str) -> Column:
+    """Array of ±1 contributions for one token: element j is
+    2·bit_j(hash(token)) − 1. Bit positions are unrolled in Python
+    (compile-time constants), so bit extraction is exact integer
+    ``shiftright``/``AND`` — never a double division, which would lose
+    low-order bits for |hash| > 2^53.
+
+    ``hash_fn='xxhash64'`` is the scale default (one 64-bit JVM hash per
+    token). ``hash_fn='md5'`` derives the 64 bits from the first 16 hex
+    digits of ``md5(token)`` — slower, but **oracle-portable**: DuckDB's
+    ``md5`` produces the identical hex string, so a SQL oracle can
+    replicate the fingerprint bit-for-bit (the driver correctness row
+    xxhash64 can never have)."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(t)
+        return F.array(*[
+            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            for j in range(bits)])
+    if hash_fn == "md5":
+        hx = F.md5(t)
+        digits = [
+            F.position(hx.substr(i + 1, 1), F.lit("0123456789abcdef")) - 1
+            for i in range((bits + 3) // 4)]
+        return F.array(*[
+            F.shiftright(digits[j // 4], j % 4)
+             .bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            for j in range(bits)])
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def with_simhash(df: DataFrame, text_col: str = "text",
-                 out_col: str = "simhash", bits: int = 64) -> DataFrame:
+                 out_col: str = "simhash", bits: int = 64,
+                 hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash over word tokens: bit j of the fingerprint is the sign of
-    Σ_tokens (2·bit_j(xxhash64(token)) − 1). Bit positions are unrolled in
-    Python (they're compile-time constants); per-token work stays pure
-    Column algebra under whole-stage codegen.
+    Σ_tokens (2·bit_j(hash(token)) − 1). Per-token work stays pure Column
+    algebra under whole-stage codegen.
 
     To avoid 64 separate passes over the token array, the per-token ±1
     contributions are accumulated in one ``aggregate`` over an array of
-    ``bits`` counters."""
+    ``bits`` counters. See :func:`_token_bit_deltas` for ``hash_fn``."""
     df = ensure_parallelism(df)
     toks = F.array_distinct(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
@@ -378,12 +408,8 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     # one pass: counters[j] += 2*bit_j(hash(tok)) - 1
     counters = F.aggregate(
         toks, zeros,
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
-                        lambda j: F.floor(F.xxhash64(t) / F.pow(F.lit(2.0), j))
-                                   .cast("long").bitwiseAND(F.lit(1)) * 2 - 1),
-            lambda a, d: a + d))
+        lambda acc, t: F.zip_with(acc, _token_bit_deltas(t, bits, hash_fn),
+                                  lambda a, d: a + d))
     fingerprint = F.lit(0).cast("long")
     for j in range(bits):
         bit_val = -(1 << 63) if j == 63 else (1 << j)  # top bit = long sign bit
