@@ -183,6 +183,18 @@ class EventsCube(Cube):
             "hour_start": "CAST(date_trunc('hour', {e}) AS TIMESTAMP)",
             "minute_start": "CAST(date_trunc('minute', {e}) AS TIMESTAMP)",
         }),
+        # GraphQL-union-typed dimension (SURVEY §1.3 union row; reference
+        # parse_tree.rb:70-72): an event's actor is Bot | User, decided
+        # per row — `__typename` under `actor` binds to this discriminator
+        # (ParseTree keeps `__typename` only under unions).
+        "actor": Dimension(
+            "user_id",
+            fields={"id": lambda c: c},
+            sql_fields={"id": "{e}"},
+            typename=lambda: F.when(F.col("user_id") % 7 == 0,
+                                    F.lit("Bot")).otherwise(F.lit("User")),
+            typename_sql="CASE WHEN user_id % 7 = 0 THEN 'Bot' "
+                         "ELSE 'User' END"),
         # JSON payload sub-field dimension (scalar-function family, §2.9)
         "props": Dimension("props", fields={
             "k": lambda c: F.get_json_object(c, "$.k").cast("long"),

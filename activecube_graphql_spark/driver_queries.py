@@ -358,6 +358,20 @@ def q_json_subfield(spark, sf_dir):
     return _round(q.relabeled(), {"total": 2})
 
 
+def q_union_typename(spark, sf_dir):
+    """GraphQL union discrimination (SURVEY §1.3 union row; reference
+    parse_tree.rb:70-72, response_builder.rb:21-24): `__typename` under
+    the union-typed `actor` dimension binds to its per-row type
+    discriminator and slices on it. Exercises the full text front-end →
+    ParseTree → builder path; `__typename` anywhere else is dropped."""
+    from .graphql import graphql_query
+    tree = graphql_query(_events(spark, sf_dir),
+                         "{ events { actor { __typename } count } }")
+    return (tree.build_query().relabeled()
+            .select(F.col("`actor.__typename`").alias("actor_type"),
+                    F.col("count").alias("cnt")))
+
+
 def q_distinct_slice(spark, sf_dir):
     """No-measure query → DISTINCT projection of slices."""
     q = (_sales(spark, sf_dir).query()
@@ -780,6 +794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "grouping_sets": q_grouping_sets,
     "json_subfield": q_json_subfield,
+    "union_typename": q_union_typename,
     "distinct_slice": q_distinct_slice,
     "events_hourly": q_events_hourly,
     "db_routing": q_db_routing,
@@ -1028,6 +1043,12 @@ ORACLES: dict[str, str] = {
     "json_subfield": """
         SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k,
                count(*) AS cnt, round(sum(value), 2) AS total
+        FROM events GROUP BY 1
+    """,
+    "union_typename": """
+        SELECT CASE WHEN user_id % 7 = 0 THEN 'Bot' ELSE 'User' END
+                   AS actor_type,
+               count(*) AS cnt
         FROM events GROUP BY 1
     """,
     "distinct_slice": """

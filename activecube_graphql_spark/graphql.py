@@ -104,6 +104,33 @@ def _tokenize(text: str) -> list[tuple[str, Any]]:
 
 # ------------------------------------------------------------------- parser
 
+class _VarRef:
+    """Parse-time placeholder for ``$name``. Values are resolved *after*
+    the whole document is parsed (in :meth:`_Parser._expand`), because a
+    fragment may be defined before the operation that declares the
+    variable's default — definition order is free in GraphQL."""
+    __slots__ = ("name",)
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+
+def _assert_const(v: Any, var: str) -> None:
+    """Variable defaults must be constant (GraphQL spec: DefaultValue is
+    a Value[Const]); rejecting ``$a: Int = $b`` here keeps post-parse
+    resolution cycle-free."""
+    if isinstance(v, _VarRef):
+        raise InputArgumentError(
+            f"GraphQL: default for ${var} must be a constant, "
+            f"got ${v.name}")
+    if isinstance(v, list):
+        for x in v:
+            _assert_const(x, var)
+    elif isinstance(v, dict):
+        for x in v.values():
+            _assert_const(x, var)
+
+
 class _Parser:
     def __init__(self, tokens: list[tuple[str, Any]],
                  variables: Optional[dict]) -> None:
@@ -192,15 +219,27 @@ class _Parser:
             name = self.expect_name()
             self.declared.add(name)
             self.expect_punct(":")
-            self.expect_name()  # type name (unchecked, like the reference)
-            if self.at_punct("!"):
-                self.next()
-            while self.at_punct("[") or self.at_punct("]"):
-                self.next()  # list types — shape unchecked
+            self._type_ref()  # type (shape parsed, names unchecked)
             if self.at_punct("="):
                 self.next()
-                self.defaults[name] = self.value()
+                default = self.value()
+                _assert_const(default, name)
+                self.defaults[name] = default
         self.expect_punct(")")
+
+    def _type_ref(self) -> None:
+        """Type reference: ``Name`` | ``[Type]``, either suffixed ``!``.
+        Parsed recursively so list types (``[Int!]!``) are accepted; type
+        *names* stay unchecked, like the reference's adapter (it sees only
+        the post-validation tree graphql-ruby hands it)."""
+        if self.at_punct("["):
+            self.next()
+            self._type_ref()
+            self.expect_punct("]")
+        else:
+            self.expect_name()
+        if self.at_punct("!"):
+            self.next()
 
     def selection_items(self) -> list:
         """A selection set as an ordered item list with spreads kept
@@ -218,15 +257,11 @@ class _Parser:
                 if kind == "name" and val == "on":  # inline fragment
                     self.next()
                     self.expect_name()  # type condition (unchecked)
-                    keep = self._directives()
-                    sub = self.selection_items()
-                    if keep:
-                        items.append(("inline", sub))
+                    dirs = self._directives()
+                    items.append(("inline", self.selection_items(), dirs))
                 else:
                     frag = self.expect_name()
-                    keep = self._directives()
-                    if keep:
-                        items.append(("spread", frag))
+                    items.append(("spread", frag, self._directives()))
                 continue
             name = self.expect_name()
             node: dict[str, Any] = {}
@@ -235,48 +270,80 @@ class _Parser:
                 node["field"] = self.expect_name()
             if self.at_punct("("):
                 node["args"] = self._arguments()
-            keep = self._directives()
+            dirs = self._directives()
             if self.at_punct("{"):
                 node["fields"] = self.selection_items()
-            if keep:
-                items.append(("field", name, node))
+            items.append(("field", name, node, dirs))
         self.expect_punct("}")
         return items
 
-    def _directives(self) -> bool:
-        """Parse any directives at the current position; evaluate the two
-        standard executable ones. Returns False when the selection is to
-        be dropped (@skip(if: true) / @include(if: false))."""
-        keep = True
+    def _directives(self) -> list[tuple[str, Any]]:
+        """Parse any directives at the current position. The two standard
+        executable ones are *collected* ``(name, condition)`` — evaluation
+        waits for :meth:`_expand`, after every variable default in the
+        document has been seen. Unknown directives are rejected loudly."""
+        dirs: list[tuple[str, Any]] = []
         while self.at_punct("@"):
             self.next()
             name = self.expect_name()
             args = self._arguments() if self.at_punct("(") else {}
-            if name in ("skip", "include"):
-                cond = args.get("if")
-                if not isinstance(cond, bool):
-                    raise InputArgumentError(
-                        f"GraphQL: @{name} requires a Boolean if: argument")
-                if (name == "skip") == cond:
-                    keep = False
-            else:
+            if name not in ("skip", "include"):
                 raise InputArgumentError(
                     f"GraphQL: unsupported directive @{name}")
-        return keep
+            dirs.append((name, args.get("if")))
+        return dirs
+
+    # -- post-parse phase: variable resolution, directives, flattening
+
+    def _resolve(self, v: Any) -> Any:
+        """Substitute every :class:`_VarRef` (supplied value wins over the
+        declared default), recursing through lists and input objects."""
+        if isinstance(v, _VarRef):
+            if v.name in self.supplied:
+                return self.supplied[v.name]
+            if v.name in self.defaults:
+                return self.defaults[v.name]
+            raise InputArgumentError(
+                f"GraphQL: variable ${v.name} has no value")
+        if isinstance(v, list):
+            return [self._resolve(x) for x in v]
+        if isinstance(v, dict):
+            return {k: self._resolve(x) for k, x in v.items()}
+        return v
+
+    def _keep(self, dirs: list[tuple[str, Any]]) -> bool:
+        """Evaluate collected @skip/@include against the bound variables.
+        Returns False when the selection is to be dropped."""
+        for name, cond in dirs:
+            cond = self._resolve(cond)
+            if not isinstance(cond, bool):
+                raise InputArgumentError(
+                    f"GraphQL: @{name} requires a Boolean if: argument")
+            if (name == "skip") == cond:
+                return False
+        return True
 
     def _expand(self, items: list, active: frozenset) -> dict:
         """Item list → {out_name: node} field dict. Spreads and inline
         fragments are flattened in document order; duplicate output names
         de-dup first-wins, the same rule the reference applies to the
-        post-expansion tree (parse_tree.rb:38 ``uniq(&:name)``)."""
+        post-expansion tree (parse_tree.rb:38 ``uniq(&:name)``). Variable
+        references resolve here — after the whole document is parsed — so
+        a fragment may precede the operation declaring the defaults."""
         fields: dict[str, dict] = {}
         for item in items:
             if item[0] == "field":
-                _, name, node = item
+                _, name, node, dirs = item
+                if not self._keep(dirs):
+                    continue
+                if "args" in node:
+                    node = dict(node, args=self._resolve(node["args"]))
                 if "fields" in node:
                     node = dict(node,
                                 fields=self._expand(node["fields"], active))
                 fields.setdefault(name, node)
+                continue
+            if not self._keep(item[2]):
                 continue
             if item[0] == "inline":
                 sub = self._expand(item[1], active)
@@ -316,12 +383,7 @@ class _Parser:
                 return None
             return val  # enum → its name as string (README: calculate: average)
         if kind == "punct" and val == "$":
-            var = self.expect_name()
-            if var in self.supplied:
-                return self.supplied[var]
-            if var in self.defaults:
-                return self.defaults[var]
-            raise InputArgumentError(f"GraphQL: variable ${var} has no value")
+            return _VarRef(self.expect_name())  # resolved in _expand
         if kind == "punct" and val == "[":
             items = []
             while not self.at_punct("]"):

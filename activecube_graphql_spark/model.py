@@ -60,11 +60,36 @@ class Dimension:
     sql: Optional[str] = None
     #: sub-field name → SQL template over ``{e}``
     sql_fields: dict[str, str] = field(default_factory=dict)
+    #: GraphQL-union-typed dimension (reference parse_tree.rb:70-72): the
+    #: value's concrete type varies per row. ``__typename`` children are
+    #: kept ONLY under union dimensions (dropped everywhere else,
+    #: parse_tree.rb:39-43); requesting one resolves via ``typename``.
+    union: bool = False
+    #: per-row concrete type name (the ``__typename`` resolver) — a Column
+    #: factory / column name / SQL expr shared with ``typename_sql``.
+    #: Declaring it implies ``union=True``. A union dimension *without* a
+    #: resolver raises on ``__typename`` access, mirroring
+    #: response_builder.rb:21-24 ("Unable to detect type of ...").
+    typename: Optional[ColumnFactory] = None
+    #: ANSI-SQL twin of ``typename`` (auto when typename is a column name)
+    typename_sql: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.sql is None and isinstance(self.expr, str):
             self.sql = self.expr
         self.expr = _as_factory(self.expr)
+        if self.typename is not None:
+            self.union = True
+            if self.typename_sql is None and isinstance(self.typename, str):
+                self.typename_sql = self.typename
+            tn = _as_factory(self.typename)
+            self.typename = tn
+            # expose as a sub-field so slicing/printing reuse one path;
+            # the discriminator ignores the parent expression by design
+            self.fields = dict(self.fields, __typename=lambda _base: tn())
+            if self.typename_sql is not None:
+                self.sql_fields = dict(self.sql_fields,
+                                       __typename=self.typename_sql)
 
     def column_sql(self, sub: Optional[str] = None) -> str:
         """SQL expression for this dimension (or one of its sub-fields);

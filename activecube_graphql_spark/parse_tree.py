@@ -11,8 +11,11 @@ SURVEY §7 non-goals; the *semantics* of the mapping are kept):
 * path keys ``_aq.<name>`` / ``<parent_key>.<name>`` assigned exactly as
   the reference does (parse_tree.rb:8,21; SURVEY §1.4);
 * aliases allow the same field twice with different args (R2);
-* ``__typename`` children are dropped (parse_tree.rb:39-43; union
-  discrimination is N/A — Python cubes have no union types);
+* ``__typename`` children are dropped (parse_tree.rb:39-43) EXCEPT under
+  a union-typed dimension (parse_tree.rb:70-72), where the request binds
+  to the dimension's declared per-row type discriminator — a union
+  dimension without a resolver raises, mirroring the reference's
+  "Unable to detect type" (response_builder.rb:21-24);
 * argument order is preserved (Python dicts are insertion-ordered — the
   analogue of ``sort_node_arguments``, parse_tree.rb:46-68);
 * arguments on a *metric* node become metric-scoped filters (conditional
@@ -120,11 +123,27 @@ class ParseTree:
         el = Element(name=name, definition=definition, kind=kind, key=key,
                      args=dict(node.get("args") or {}))
         for child_name, child_node in (node.get("fields") or {}).items():
-            if child_name == "__typename":
-                continue
+            if child_name == "__typename" and not self._union_typename(el):
+                continue  # parse_tree.rb:39-43 — dropped unless union
             el.children.append(
                 self._parse_element(child_name, child_node or {}, el))
         return el
+
+    def _union_typename(self, el: Element) -> bool:
+        """Should a ``__typename`` child of ``el`` survive? Only when the
+        element is a union-typed dimension (parse_tree.rb:70-72). A union
+        dimension with no declared discriminator is the reference's
+        "Unable to detect type of node" (response_builder.rb:21-24)."""
+        if el.kind != "dimension":
+            return False
+        dim = self.cube.dimension(el.definition)
+        if not getattr(dim, "union", False):
+            return False
+        if "__typename" not in dim.fields:
+            raise InputArgumentError(
+                f"Unable to detect type of node: union dimension "
+                f"'{el.definition}' declares no __typename resolver")
+        return True
 
     # -- fold (parse_tree.rb:84-107) ----------------------------------------
     def build_query(self, database: str = "default") -> CubeQueryBuilder:

@@ -514,8 +514,13 @@ def _sort(df: DataFrame, fields: Any, state: _FoldState,
     cols = []
     for f_name in fields:
         c = kcol(_keyify(f_name))
-        if as_integer:  # O2: integer interpretation of a string column
-            c = c.cast("long")
+        if as_integer:
+            # O2: integer interpretation of a string column. try_cast, not
+            # cast: under ANSI mode (the Spark 4 default) cast('long')
+            # THROWS on a non-numeric string, while the printed oracle
+            # uses TRY_CAST (NULL on junk) — both paths must share
+            # NULL-on-junk semantics whatever the session's ansi setting.
+            c = c.try_cast("long")
         cols.append(c.asc() if ascending else c.desc())
     state.order = cols
     return df.orderBy(*cols)

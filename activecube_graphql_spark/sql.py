@@ -250,8 +250,15 @@ def query_sql(builder: "CubeQueryBuilder") -> str:
             from .query import PATH_PREFIX
             by_name = {s.key[len(PATH_PREFIX):]: e
                        for s, e in zip(builder._slices, group_exprs)}
+
+            def slice_expr(n: str) -> str:
+                if n not in by_name:
+                    raise InputArgumentError(
+                        f"grouping_sets names unknown slice '{n}' "
+                        f"(declared slices: {sorted(by_name)})")
+                return by_name[n]
             sets_sql = ", ".join(
-                "(" + ", ".join(by_name[n] for n in names) + ")"
+                "(" + ", ".join(slice_expr(n) for n in names) + ")"
                 for names in builder._grouping_sets or [])
             sql += f" GROUP BY GROUPING SETS ({sets_sql})"
         else:

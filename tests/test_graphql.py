@@ -183,6 +183,44 @@ def test_skip_include_directives(sales):
     assert list(spec2["fields"]) == ["returnflag", "count", "quantity"]
 
 
+def test_list_typed_variable_declarations(sales):
+    """``$ids: [Int!]! = [1, 2]`` — list types parse recursively (the
+    graphql-ruby front-end accepts them; type names stay unchecked)."""
+    from activecube_graphql_spark.graphql import parse_graphql
+    spec = parse_graphql("""
+      query ($ids: [Int!]! = [1, 2], $seg: String = "BUILDING") {
+        sales(quantity: {in: $ids}, mktsegment: $seg) { count }
+      }""")
+    assert spec["args"] == {"quantity": {"in": [1, 2]}, "seg": "BUILDING"} \
+        or spec["args"]["quantity"] == {"in": [1, 2]}
+    spec2 = parse_graphql("""
+      query ($ids: [[Int]] = [[1], [2, 3]]) {
+        sales(quantity: {in: $ids}) { count } }""")
+    assert spec2["args"]["quantity"] == {"in": [[1], [2, 3]]}
+
+
+def test_fragment_before_operation_uses_operation_default(sales):
+    """Definition order is free in GraphQL: a fragment defined BEFORE the
+    operation may use a variable whose default the operation declares —
+    resolution is deferred to post-parse expansion."""
+    from activecube_graphql_spark.graphql import parse_graphql
+    spec = parse_graphql("""
+      fragment f on Sales { hi: revenue(discount: {gteq: $min}) }
+      query ($min: Float = 0.05) { sales { returnflag ...f } }""")
+    assert spec["fields"]["hi"]["args"] == {"discount": {"gteq": 0.05}}
+    spec2 = parse_graphql("""
+      fragment f on Sales { count @skip(if: $off) }
+      query ($off: Boolean = true) { sales { returnflag ...f } }""")
+    assert list(spec2["fields"]) == ["returnflag"]
+
+
+def test_nonconstant_variable_default_rejected(sales):
+    from activecube_graphql_spark.errors import InputArgumentError
+    from activecube_graphql_spark.graphql import parse_graphql
+    with pytest.raises(InputArgumentError, match="constant"):
+        parse_graphql("query ($a: Int = $b, $b: Int = 1) { sales { count } }")
+
+
 def test_literals_enums_lists_typename(sales):
     from activecube_graphql_spark.graphql import parse_graphql
     spec = parse_graphql("""

@@ -49,6 +49,43 @@ def test_typename_dropped(spark, sf_dir):
     assert [e.name for e in tree.elements] == ["returnflag", "count"]
 
 
+def test_typename_kept_under_union(spark, sf_dir):
+    """parse_tree.rb:70-72 — `__typename` survives only under a union-typed
+    dimension, binding to its declared per-row discriminator; under plain
+    dimensions it is dropped as usual."""
+    from activecube_graphql_spark.cubes import EventsCube
+    cube = EventsCube(spark, sf_dir)
+    tree = parse(cube, {"fields": {
+        "actor": {"fields": {"__typename": {}, "id": {}}},
+        "event_type": {"fields": {}},
+        "count": {}}})
+    actor = tree.elements[0]
+    assert [c.name for c in actor.children] == ["__typename", "id"]
+    assert actor.children[0].kind == "subfield"
+    assert actor.children[0].key == "_aq.actor.__typename"
+    rows = {r["actor_type"]: r["cnt"] for r in
+            (tree.build_query().relabeled()
+             .selectExpr("`actor.__typename` AS actor_type",
+                         "count AS cnt").collect())}
+    assert set(rows) == {"Bot", "User"} and rows["User"] > rows["Bot"] > 0
+
+
+def test_typename_unresolvable_union_raises(spark, sf_dir):
+    """response_builder.rb:21-24 — a union dimension with no declared
+    discriminator cannot answer `__typename`: loud error, not a drop."""
+    from activecube_graphql_spark.cubes import EventsCube
+    from activecube_graphql_spark.model import Dimension
+
+    class BadUnionCube(EventsCube):
+        dimensions = dict(EventsCube.dimensions,
+                          thing=Dimension("user_id", union=True))
+
+    cube = BadUnionCube(spark, sf_dir)
+    with pytest.raises(InputArgumentError, match="Unable to detect type"):
+        parse(cube, {"fields": {"thing": {"fields": {"__typename": {}}},
+                                "count": {}}})
+
+
 def test_metric_args_are_metric_scoped(spark, sf_dir):
     """Args on a metric node → conditional aggregate, not a global WHERE."""
     cube = SalesCube(spark, sf_dir)
