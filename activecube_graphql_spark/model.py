@@ -481,6 +481,11 @@ class Cube:
     dimensions: dict[str, Dimension] = {}
     metrics: dict[str, Metric] = {}
     selectors: dict[str, Selector] = {}
+    #: representation cost model: "stats" compares Catalyst's estimated
+    #: post-pruning scan bytes per query (partition-pruned raw can beat a
+    #: smaller-but-unpruned rollup); "static" trusts declared costs only
+    #: (no per-query driver-side plan analysis).
+    representation_choice: str = "stats"
 
     def __init__(self, spark: SparkSession, source) -> None:
         # ``source`` is a SourceRegistry or a path prefix string.
@@ -500,14 +505,63 @@ class Cube:
 
     def choose_representation(self, dims: set[str], mets: set[str],
                               sels: set[str]) -> Optional[Representation]:
-        """Cheapest registered representation covering the request, or None
-        → compile against the raw cube (cost 1.0 reference point)."""
+        """Cheapest registered representation covering the request by
+        *declared static cost*, or None → compile against the raw cube
+        (cost 1.0 reference point). This is the fallback rule; the query
+        builder prefers measured plan statistics when available
+        (:meth:`plan_size_bytes`)."""
         best: Optional[Representation] = None
         for rep in self.representations:
             if rep.cost < 1.0 and rep.covers(dims, mets, sels):
                 if best is None or rep.cost < best.cost:
                     best = rep
         return best
+
+    def covering_representations(self, dims: set[str], mets: set[str],
+                                 sels: set[str]) -> list[Representation]:
+        return [rep for rep in self.representations
+                if rep.covers(dims, mets, sels)]
+
+    @staticmethod
+    def plan_size_bytes(df: DataFrame) -> Optional[int]:
+        """Estimated bytes ``df`` will actually scan — driver-side
+        planning only, no job.
+
+        Walks the *physical* plan and sums each file scan's ``filesSize``
+        metric after forcing ``selectedPartitions``, i.e. Spark's own
+        post-partition-pruning file listing. (The logical-plan statistics
+        are NOT enough: ``PruneFileSourcePartitions`` rewrites only
+        catalog file indexes, so a pushed-down partition filter on a
+        path-based read is invisible to ``optimizedPlan().stats()`` —
+        verified on 4.1.2.) Pruned-scan truth is what lets a stats-based
+        representation choice prefer a partition-pruned RAW scan over a
+        smaller-but-unpruned rollup: declared costs are static, scan
+        bytes are per-query. The listing goes through Spark's process-
+        wide FileStatusCache, so repeated estimates against the same
+        tables do not re-list. Falls back to logical-plan stats when the
+        plan has no file scan; returns None when neither is available
+        (e.g. streaming plans)."""
+        try:
+            qe = df._jdf.queryExecution()
+            total, found = 0, False
+            stack = [qe.executedPlan()]
+            while stack:
+                node = stack.pop()
+                cls = node.getClass().getSimpleName()
+                if "AdaptiveSparkPlan" in cls:
+                    stack.append(node.inputPlan())
+                    continue
+                for i in range(node.children().size()):
+                    stack.append(node.children().apply(i))
+                if "FileSourceScan" in cls:
+                    node.selectedPartitions()  # force pruned listing
+                    total += int(node.metrics().apply("filesSize").value())
+                    found = True
+            if found:
+                return total
+            return int(str(qe.optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            return None
 
     def rep_table(self, rep: Representation, database: str) -> DataFrame:
         """Backing DataFrame for a representation (path override or

@@ -327,8 +327,46 @@ class CubeQueryBuilder:
             "grouping_sets": self._grouping_sets,
         }, default=str)
 
+    def _filtered(self, base: DataFrame, resolver) -> DataFrame:
+        """Apply the query's filters against ``resolver``'s selectors."""
+        for args in self._filters:
+            pred = self._predicate(resolver, args)
+            if pred is not None:
+                base = base.filter(pred)
+        return base
+
     def chosen_representation(self) -> Optional[Representation]:
+        """Representation choice by *measured* plan statistics: build each
+        covering candidate's filtered scan plus the raw one, ask Catalyst
+        for estimated bytes (partition pruning included — driver-side
+        analysis, no job), take the smallest. A rollup 100× smaller than
+        the fact table therefore still LOSES to raw when the query's
+        filter prunes raw to one partition but can't prune the rollup.
+        Falls back to declared static costs when stats are unavailable."""
         dims, mets, sels = self.element_names()
+        candidates = self.cube.covering_representations(dims, mets, sels)
+        if not candidates:
+            return None
+        if self.cube.representation_choice == "static":
+            return self.cube.choose_representation(dims, mets, sels)
+        try:
+            raw_bytes = self.cube.plan_size_bytes(self._filtered(
+                self.cube.table(self.database,
+                                required=self.required_tables()),
+                self.cube))
+            scored = [
+                (rep, self.cube.plan_size_bytes(self._filtered(
+                    self.cube.rep_table(rep, self.database), rep)))
+                for rep in candidates]
+            if raw_bytes is not None and \
+                    all(b is not None for _, b in scored):
+                best, best_bytes = None, raw_bytes
+                for rep, b in scored:
+                    if b < best_bytes:
+                        best, best_bytes = rep, b
+                return best
+        except Exception:  # estimation must never break compilation
+            pass
         return self.cube.choose_representation(dims, mets, sels)
 
     def df(self) -> DataFrame:
@@ -393,10 +431,7 @@ class CubeQueryBuilder:
         if watermark is not None:
             wm_col, delay = watermark
             base = base.withWatermark(wm_col, delay)
-        for args in self._filters:
-            pred = self._predicate(self.cube, args)
-            if pred is not None:
-                base = base.filter(pred)
+        base = self._filtered(base, self.cube)
         slice_cols = self._slice_cols(self.cube)
         measure_cols = self._measure_cols(self.cube)
         if measure_cols:
@@ -420,10 +455,7 @@ class CubeQueryBuilder:
             base = self.cube.table(self.database,
                                    required=self.required_tables())
 
-        for args in self._filters:
-            pred = self._predicate(resolver, args)
-            if pred is not None:
-                base = base.filter(pred)
+        base = self._filtered(base, resolver)
 
         slice_cols = self._slice_cols(resolver)
         measure_cols = self._measure_cols(resolver)

@@ -105,13 +105,85 @@ def test_no_degenerate_joins_across_cube_queries(sales, events):
 
 
 def test_preagg_representation_shrinks_scan(spark, sf_dir, tmp_path):
-    """When a covering rollup representation exists, the scan must read the
-    rollup parquet, not the raw fact table (SURVEY 4.3 - at 100 TB this is
-    the decisive optimization)."""
+    """When a covering rollup representation is chosen, the scan must read
+    the rollup parquet, not the raw fact table (SURVEY 4.3 - at 100 TB
+    this is the decisive optimization). Declared-cost mode pins the
+    choice: at sf0.001 the rollup is physically bigger than raw, so the
+    measured-stats chooser would (correctly) scan raw instead."""
     from activecube_graphql_spark.plans.preagg import attach_daily_rollup
     from activecube_graphql_spark.cubes import SalesCube
     cube = SalesCube(spark, sf_dir)
+    cube.representation_choice = "static"
     attach_daily_rollup(cube, sf_dir, cache_root=str(tmp_path))
     q = cube.query().slice("returnflag").measure("revenue")
     plan = fmt(q.df())
     assert "sales_daily" in plan, plan[:500]
+
+
+def test_representation_choice_by_measured_stats(spark, tmp_path):
+    """Stats-based representation selection (SURVEY 4.3 cost model): the
+    chooser compares Catalyst's estimated post-pruning scan bytes, not
+    declared static costs. A rollup 20x smaller than the fact table wins
+    the unfiltered query but LOSES to raw when a filter on the raw
+    table's partition column prunes raw below the rollup's size - and
+    either plan returns identical results."""
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.model import (Cube, Dimension, Metric,
+                                                Representation, Selector)
+
+    # shape: rollup ~ raw/2 (fine grain), one raw partition ~ raw/10 —
+    # so rollup < raw (unfiltered) but pruned raw < rollup (filtered).
+    # p is id div 4000 (NOT id % k: (id % 2000) % 10 would equal id % 10,
+    # collapsing the (d, p) grain to 2000 rows)
+    raw = (spark.range(40_000)
+           .select((F.col("id") % 2000).alias("d"),
+                   F.expr("id div 4000").alias("p"),
+                   (F.col("id") * 1.5).alias("v")))
+    data_dir = tmp_path / "data"
+    (raw.repartition("p")
+     .write.partitionBy("p").parquet(str(data_dir / "facts.parquet")))
+    rollup_path = str(tmp_path / "rollup.parquet")
+    (spark.read.parquet(str(data_dir / "facts.parquet"))
+     .groupBy("d", "p")
+     .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+     .coalesce(1).write.parquet(rollup_path))
+
+    class TinyCube(Cube):
+        name = "tiny"
+        base_table = "facts"
+        dimensions = {"d": Dimension("d")}
+        metrics = {"total": Metric.sum("v"), "cnt": Metric.count()}
+        selectors = {"p": Selector("p")}
+
+    def make_cube(with_rep: bool) -> TinyCube:
+        cube = TinyCube(spark, str(data_dir))
+        if with_rep:
+            cube.add_representation(Representation(
+                name="tiny_rollup", table="facts",
+                dimensions={"d": Dimension("d")},
+                metrics={"total": Metric.sum("sum_v"),
+                         "cnt": Metric.sum("n")},
+                selectors={"p": Selector("p")},
+                cost=0.05, path=rollup_path))
+        return cube
+
+    cube, plain = make_cube(True), make_cube(False)
+
+    q_all = cube.query().slice("d").measure("total", "cnt")
+    chosen = q_all.chosen_representation()
+    assert chosen is not None and chosen.name == "tiny_rollup"
+
+    q_pruned = (cube.query().slice("d").measure("total", "cnt")
+                .when({"p": 1}))
+    assert q_pruned.chosen_representation() is None, \
+        "partition-pruned raw scan should beat the unpruned rollup"
+
+    def rows(q):
+        return sorted((r["_aq.d"], round(r["_aq.total"], 6), r["_aq.cnt"])
+                      for r in q.df().collect())
+
+    assert rows(q_all) == rows(plain.query().slice("d")
+                               .measure("total", "cnt"))
+    assert rows(q_pruned) == rows(plain.query().slice("d")
+                                  .measure("total", "cnt").when({"p": 1}))

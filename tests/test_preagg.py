@@ -29,9 +29,17 @@ def test_rollup_chosen_when_covering(cube_with_rollup):
     q = (cube_with_rollup.query()
          .slice("returnflag", "linestatus")
          .measure("revenue").measure("count", alias="cnt"))
+    # static (declared-cost) mode: covering + cost < 1 -> rollup
+    cube_with_rollup.representation_choice = "static"
     rep = q.chosen_representation()
     assert rep is not None and rep.name == "sales_daily_rollup"
     assert rep.cost < 1.0
+    # measured-stats mode is honest at this toy SF: the daily rollup
+    # parquet is physically BIGGER than sf0.001's raw lineitem (about one
+    # row per grain), so the chooser declines it — the same query at
+    # production scale picks the rollup (see test_plans stats test).
+    cube_with_rollup.representation_choice = "stats"
+    assert q.chosen_representation() is None
 
 
 def test_rollup_not_chosen_for_uncovered_metric(cube_with_rollup):
@@ -82,6 +90,10 @@ def test_rollup_conditional_aggregate_matches(spark, sf_dir, tmp_path):
     correctly from the rollup."""
     def run(with_rollup: bool):
         cube = SalesCube(spark, sf_dir)
+        # static mode: at sf0.001 the rollup is physically bigger than
+        # raw, so measured-stats mode would (correctly) pick raw and this
+        # test would no longer exercise rollup re-aggregation
+        cube.representation_choice = "static"
         if with_rollup:
             attach_daily_rollup(cube, sf_dir, cache_root=str(tmp_path))
         q = (cube.query().slice("linestatus")

@@ -21,6 +21,10 @@ def test_execute_returns_stats(spark, sf_dir):
 
 def test_stats_report_chosen_representation(spark, sf_dir, tmp_path):
     cube = SalesCube(spark, sf_dir)
+    # static mode: at sf0.001 the rollup parquet is physically bigger
+    # than raw, so the measured-stats chooser would (correctly) decline
+    # it; declared-cost mode pins the choice this test reports on.
+    cube.representation_choice = "static"
     attach_daily_rollup(cube, sf_dir, cache_root=str(tmp_path))
     q = cube.query().slice("returnflag").measure("revenue")
     _, stats = execute(q)
