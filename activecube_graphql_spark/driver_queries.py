@@ -528,10 +528,14 @@ def q_minhash_lsh(spark, sf_dir):
     production dedup pipeline shape. With 64 bands × 2 rows a true pair
     at Jaccard 0.5 collides with probability ≥ 1 − 1e-8, so the output
     equals the exact-Jaccard pair set and is hash-checked against the
-    same DuckDB inverted-index oracle as `ngram_jaccard` — two
-    independent plans, one truth. (The estimate-only
+    same kind of DuckDB inverted-index oracle as `ngram_jaccard` — two
+    independent plans, one truth. 3-gram shingles (the standard minhash
+    dedup configuration): on this templated corpus 2-grams give heavy
+    background similarity, so banded LSH at j≈0.3 would pass nearly
+    every pair to verification — 3-grams decorrelate the background and
+    keep the candidate set ∝ true near-dups. (The estimate-only
     `minhash_lsh_pairs` stays recall-tested in test_pipeline_ops.)"""
-    return dd.minhash_lsh_verified(_docs(spark, sf_dir), n=2,
+    return dd.minhash_lsh_verified(_docs(spark, sf_dir), n=3,
                                    num_perm=128, bands=64, threshold=0.5)
 
 
@@ -591,7 +595,8 @@ def q_simhash(spark, sf_dir):
     then wrapped to signed 64). The xxhash64 variant (scale default —
     one hash vs 16 hex-digit extracts per token) stays hamming-vs-
     Jaccard-tested in test_pipeline_ops."""
-    return dd.with_simhash(_docs(spark, sf_dir), hash_fn="md5") \
+    return dd.with_simhash(_docs(spark, sf_dir), hash_fn="md5",
+                           key_col="doc_id") \
              .select("doc_id", "simhash")
 
 
@@ -1117,10 +1122,10 @@ ORACLES: dict[str, str] = {
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
     """,
     # minhash_lsh runs the verified pipeline (LSH candidates → exact-
-    # Jaccard confirmation): its output IS the exact 2-gram Jaccard ≥ 0.5
+    # Jaccard confirmation): its output IS the exact 3-gram Jaccard ≥ 0.5
     # pair set (collision prob ≥ 1-1e-8 per true pair at 64 bands), so the
-    # oracle is the same inverted-index exact-Jaccard SQL as ngram_jaccard
-    # — two independent Spark plans checked against one DuckDB truth.
+    # oracle is the inverted-index exact-Jaccard SQL at the same 3-gram
+    # shingle grain — two independent Spark plans against one DuckDB truth.
     "minhash_lsh": """
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -1128,8 +1133,8 @@ ORACLES: dict[str, str] = {
         grams AS (
             SELECT doc_id,
                    list_filter(list_distinct(list_transform(
-                       range(1, greatest(len(t) - 1, 1) + 1),
-                       i -> array_to_string(t[i:i+1], ' '))),
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))),
                        g -> g <> '') AS g
             FROM toks),
         sz AS (SELECT doc_id, len(g) AS sz FROM grams),
@@ -1146,9 +1151,11 @@ ORACLES: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
     """,
-    # bit-for-bit SimHash rebuild: md5 hex digits → per-(doc, bit) sign
-    # counters (sum(bit)*2 - count(*) = Σ(2·bit−1)) → fingerprint summed
-    # in HUGEINT and wrapped to signed 64 (bit 63 is the long sign bit).
+    # bit-for-bit SimHash rebuild: the token hash is the 64-bit integer
+    # spelled by md5's first 16 hex digits (big-endian), so bit j lives
+    # in hex digit 16 - j//4, bit j%4. Per-(doc, bit) sign counters
+    # (sum(bit)*2 - count(*) = Σ(2·bit−1)) → fingerprint summed in
+    # HUGEINT and wrapped to signed 64 (bit 63 is the long sign bit).
     "simhash": """
         WITH toks AS (
             SELECT doc_id,
@@ -1158,7 +1165,7 @@ ORACLES: dict[str, str] = {
         bitcnt AS (
             SELECT doc_id, js.j AS j,
                    sum(((strpos('0123456789abcdef',
-                                substr(md5(tok), (js.j // 4) + 1, 1)) - 1)
+                                substr(md5(tok), 16 - (js.j // 4), 1)) - 1)
                         >> (js.j % 4)) & 1) * 2 - count(*) AS cnt
             FROM tok, (SELECT unnest(range(0, 64)) AS j) js
             GROUP BY 1, 2),

@@ -24,6 +24,8 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,11 +70,28 @@ def exact_dedup(df: DataFrame, key_cols: list[str],
 # ---------------------------------------------------------------- shingling
 
 def _shingles(text_col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles from lowercase alpha tokens —
-    pure Column algebra (transform over a token-index sequence)."""
+    """Distinct word n-gram shingles from lowercase alpha tokens — pure
+    Column algebra.
+
+    Built by zipping the token array against its own k-shifted slices
+    (n−1 ``zip_with`` passes of one cheap concat per element), NOT a
+    ``transform`` over an index sequence doing ``slice(toks, i+1, n)``
+    per element: HOF lambdas evaluate interpreted, and the per-shingle
+    array slice allocation made shingling the hottest stage of every
+    dedup pipeline (4.3 s of a 9.7 s minhash run at sf0.1 — ~4× saved).
+    A doc with 0 < tokens < n keeps its single truncated gram, matching
+    the SQL oracles' ``greatest(len(t)-n+1, 1)`` slice clamp."""
     toks = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    size = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat_ws skips
+        # NULLs, so tail entries become shorter grams — sliced off below
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1,
+                    F.greatest(size - n + 1, F.least(size, F.lit(1))))
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
 
 
@@ -340,11 +359,20 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
                   _shingles(F.col(text_col), n).alias("sh"))
           .withColumn("sz", F.size("sh"))
           .persist())
-    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    sigs = sh.select(
-        "id",
-        F.transform(seeds, lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, i)))).alias("sig"))
+    # Signatures via explode + hash-aggregate, NOT a nested transform/
+    # array_min lambda: higher-order functions evaluate interpreted per
+    # element, so num_perm × |shingles| hashes per doc in lambdas cost
+    # ~8× more than the same arithmetic under whole-stage codegen
+    # (measured at sf0.1). Shape: one row per (doc, shingle), num_perm
+    # min-aggregates — map-side partial min, one shuffle on the doc id.
+    # Docs with zero shingles drop out here, which is exact-equivalent:
+    # they can never reach a Jaccard ≥ threshold anyway (0-size union).
+    sh_rows = sh.select("id", F.explode("sh").alias("s"))
+    sigs = (sh_rows.groupBy("id")
+            .agg(*[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+                   for i in range(num_perm)])
+            .select("id", F.array(*[F.col(f"h{i}")
+                                    for i in range(num_perm)]).alias("sig")))
     cand = _minhash_candidates(sigs, bands, rows_per_band)
     return (cand
             .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
@@ -361,62 +389,112 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------------------- SimHash
 
-def _token_bit_deltas(t: Column, bits: int, hash_fn: str) -> Column:
-    """Array of ±1 contributions for one token: element j is
-    2·bit_j(hash(token)) − 1. Bit positions are unrolled in Python
-    (compile-time constants), so bit extraction is exact integer
-    ``shiftright``/``AND`` — never a double division, which would lose
-    low-order bits for |hash| > 2^53.
-
-    ``hash_fn='xxhash64'`` is the scale default (one 64-bit JVM hash per
-    token). ``hash_fn='md5'`` derives the 64 bits from the first 16 hex
-    digits of ``md5(token)`` — slower, but **oracle-portable**: DuckDB's
-    ``md5`` produces the identical hex string, so a SQL oracle can
-    replicate the fingerprint bit-for-bit (the driver correctness row
-    xxhash64 can never have)."""
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(t)
-        return F.array(*[
-            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            for j in range(bits)])
-    if hash_fn == "md5":
-        hx = F.md5(t)
-        digits = [
-            F.position(hx.substr(i + 1, 1), F.lit("0123456789abcdef")) - 1
-            for i in range((bits + 3) // 4)]
-        return F.array(*[
-            F.shiftright(digits[j // 4], j % 4)
-             .bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            for j in range(bits)])
-    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+def _sign_fingerprint(counter_at, bits: int) -> Column:
+    """Fold ``bits`` sign counters into one long: bit j set iff
+    counter_j > 0. Bit 63 is the long sign bit, handled explicitly."""
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_val = -(1 << 63) if j == 63 else (1 << j)
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(counter_at(j) > 0,
+                   F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long")))
+    return fingerprint
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
                  out_col: str = "simhash", bits: int = 64,
-                 hash_fn: str = "xxhash64") -> DataFrame:
+                 hash_fn: str = "xxhash64",
+                 key_col: Optional[str] = None) -> DataFrame:
     """SimHash over word tokens: bit j of the fingerprint is the sign of
-    Σ_tokens (2·bit_j(hash(token)) − 1). Per-token work stays pure Column
-    algebra under whole-stage codegen.
+    Σ_tokens (2·bit_j(hash(token)) − 1). Bit positions are unrolled in
+    Python (compile-time constants), so bit extraction is exact integer
+    ``shiftright``/``AND`` — never a double division, which would lose
+    low-order bits for |hash| > 2^53.
 
-    To avoid 64 separate passes over the token array, the per-token ±1
-    contributions are accumulated in one ``aggregate`` over an array of
-    ``bits`` counters. See :func:`_token_bit_deltas` for ``hash_fn``."""
-    df = ensure_parallelism(df)
+    ``hash_fn='xxhash64'`` (default): one cheap JVM hash per token,
+    accumulated in a single ``aggregate`` pass over an array of ``bits``
+    counters — no shuffle at all.
+
+    ``hash_fn='md5'``: the 64 bits come from the first 16 hex digits of
+    ``md5(token)`` — **oracle-portable**: DuckDB's ``md5`` produces the
+    identical hex string, so a SQL oracle can replicate every
+    fingerprint bit-for-bit (the driver correctness row xxhash64 can
+    never have). String hex-digit math is far too slow inside
+    higher-order-function lambdas (interpreted per element, no
+    subexpression reuse — 21 s for 500 docs measured at sf0.01), so this
+    path explodes tokens to rows where ``conv``/shift/AND all run under
+    whole-stage codegen, partial-aggregates 64 sign counters map-side,
+    and joins the fingerprint back on ``key_col`` (one shuffle on the
+    doc key, the same shape as exact_dedup; only (key, text) enters the
+    token pipeline — the full-width rows never shuffle, and AQE picks
+    broadcast vs shuffle for the join-back by the fingerprint frame's
+    actual size). Pass the table's natural unique key; when omitted a
+    synthetic one is derived (persisted to keep it stable across the
+    join's two branches)."""
     toks = F.array_distinct(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
-    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-    # one pass: counters[j] += 2*bit_j(hash(tok)) - 1
-    counters = F.aggregate(
-        toks, zeros,
-        lambda acc, t: F.zip_with(acc, _token_bit_deltas(t, bits, hash_fn),
-                                  lambda a, d: a + d))
-    fingerprint = F.lit(0).cast("long")
+
+    if hash_fn == "xxhash64":
+        df = ensure_parallelism(df)
+        zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+        deltas = F.transform(hashes, lambda h: F.array(*[
+            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            for j in range(bits)]))
+        counters = F.aggregate(deltas, zeros,
+                               lambda acc, d: F.zip_with(
+                                   acc, d, lambda a, x: a + x))
+        # materialize the counter array behind a projection boundary:
+        # the fingerprint fold references it `bits` times, and HOF
+        # expressions are interpreted with NO subexpression reuse — an
+        # inline reference would re-run the whole aggregate 64× per row
+        # (12× slowdown measured). CollapseProject keeps the boundary
+        # (it refuses to duplicate non-cheap multiply-referenced exprs).
+        tmp = "__simhash_counters"
+        return (df.withColumn(tmp, counters)
+                .withColumn(out_col, _sign_fingerprint(
+                    lambda j: F.element_at(F.col(tmp), j + 1), bits))
+                .drop(tmp))
+
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    synthetic = key_col is None
+    if synthetic:
+        key_col = "__simhash_key"
+        df = df.withColumn(key_col, F.monotonically_increasing_id()).persist()
+    if bits != 64:
+        raise ValueError("md5 simhash supports bits=64 only")
+    tok = (ensure_parallelism(df.select(F.col(key_col).alias("__k"),
+                                        F.col(text_col)))
+           .select("__k", F.explode_outer(toks).alias("__tok")))
+    # token hash = the 64-bit integer spelled by the first 16 hex digits
+    # of md5 (big-endian, as conv parses them): two conv() calls per
+    # token instead of 16 per-digit string extracts. shiftleft drops
+    # h_hi's bits beyond 63; OR re-attaches the low half — exact bit
+    # pattern, all long arithmetic under codegen. Materialized in a
+    # projection BEFORE the aggregate: the 64 sum expressions get no
+    # cross-buffer subexpression reuse, so an inline ``h`` would re-run
+    # md5 64× per token row.
+    hx = F.md5("__tok")
+    tok = tok.select(
+        "__k", "__tok",
+        F.shiftleft(F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), 32)
+         .bitwiseOR(F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"))
+         .alias("__h"))
+    aggs = []
     for j in range(bits):
-        bit_val = -(1 << 63) if j == 63 else (1 << j)  # top bit = long sign bit
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(F.element_at(counters, j + 1) > 0,
-                   F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long")))
-    return df.withColumn(out_col, fingerprint)
+        bit = F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))
+        # explode_outer keeps token-less docs as one NULL row → counter 0
+        delta = F.when(F.col("__tok").isNull(),
+                       F.lit(0)).otherwise(bit * 2 - 1)
+        aggs.append(F.sum(delta).alias(f"__c{j}"))
+    counters_df = tok.groupBy("__k").agg(*aggs)
+    fp = counters_df.select(
+        "__k",
+        _sign_fingerprint(lambda j: F.col(f"__c{j}"), bits).alias(out_col))
+    out = df.join(fp, F.col(key_col) == F.col("__k")).drop("__k")
+    return out.drop(key_col) if synthetic else out
 
 
 def simhash_hamming(col_a: Column, col_b: Column) -> Column:
