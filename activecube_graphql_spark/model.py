@@ -499,6 +499,10 @@ class Cube:
         #: compiled-plan cache (R3 — response_builder.rb:27-38 analogue):
         #: canonical query spec → analyzed DataFrame
         self.plan_cache: dict[str, DataFrame] = {}
+        #: representation-choice cache: query cache_key → chosen rep name
+        #: (None = raw); the stats-based choice costs two driver-side
+        #: plan analyses, paid once per distinct query
+        self.rep_choice_cache: dict[str, Optional[str]] = {}
 
     def add_representation(self, rep: Representation) -> None:
         self.representations.append(rep)

@@ -365,6 +365,11 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
     # ~8× more than the same arithmetic under whole-stage codegen
     # (measured at sf0.1). Shape: one row per (doc, shingle), num_perm
     # min-aggregates — map-side partial min, one shuffle on the doc id.
+    # Independent xxhash64 per permutation, NOT the cheaper Kirsch-
+    # Mitzenmacher g_i = h1 + i·h2 family: KM's pairwise dependence
+    # measurably dents recall here (one true pair of 256 missed at
+    # sf0.1), and the aggregate-buffer updates — not the hashes —
+    # dominate this stage's cost, so KM bought nothing.
     # Docs with zero shingles drop out here, which is exact-equivalent:
     # they can never reach a Jaccard ≥ threshold anyway (0-size union).
     sh_rows = sh.select("id", F.explode("sh").alias("s"))
@@ -506,7 +511,8 @@ def simhash_hamming(col_a: Column, col_b: Column) -> Column:
 # --------------------------------------------- near-dup clustering & pruning
 
 def connected_components(pairs: DataFrame, left: str, right: str,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_edge_limit: int = 1 << 20) -> DataFrame:
     """Connected components over an undirected similarity-pair graph →
     ``(node, component)`` where ``component`` is the smallest node id in
     the component (deterministic canonical label).
@@ -515,19 +521,56 @@ def connected_components(pairs: DataFrame, left: str, right: str,
     cosine emit A~B, B~C) and *corpus dedup* (A, B, C are ONE duplicate
     group; keeping pairwise winners would under- or over-delete).
 
-    Algorithm: distributed min-label propagation — each iteration is one
-    join + one min-aggregation, both hash-partitioned on the node id, so
-    every step is a plain shuffle-bounded Spark job (the GraphX/Pregel
-    pattern without the GraphX dependency). Iterations needed ≈ graph
-    diameter, which for near-dup graphs is tiny (dup groups are cliques
-    or short chains from transitive similarity). ``localCheckpoint``
-    truncates the growing lineage each round; convergence is detected by
-    counting label changes (one lightweight action per round).
+    Small graphs (≤ ``driver_edge_limit`` edges, decided by one count)
+    run union-find on the driver: the EDGE LIST of a near-dup graph is
+    ~#duplicate-pairs — orders of magnitude smaller than the corpus,
+    which never collects — and a driver union-find replaces rounds of
+    shuffles with one job. This is the same engine-side stats-probe
+    routing as ``ngram_jaccard_pairs(strategy='auto')``.
+
+    Above the limit: distributed min-label propagation — each iteration
+    is one join + one min-aggregation, both hash-partitioned on the node
+    id, so every step is a plain shuffle-bounded Spark job (the
+    GraphX/Pregel pattern without the GraphX dependency). Iterations
+    needed ≈ graph diameter, which for near-dup graphs is tiny (dup
+    groups are cliques or short chains from transitive similarity).
+    ``localCheckpoint`` truncates the growing lineage each round;
+    convergence is detected by counting label changes (one lightweight
+    action per round).
     """
     edges = (pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
              .union(pairs.select(F.col(right).alias("src"),
                                  F.col(left).alias("dst")))
              .distinct())
+    edges = edges.persist()
+    if edges.count() <= driver_edge_limit:
+        collected = [(r["src"], r["dst"]) for r in edges.collect()]
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in collected:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        canon: dict = {}
+        for node in parent:
+            r = find(node)
+            if r not in canon or node < canon[r]:
+                canon[r] = node
+        rows = [(node, canon[find(node)]) for node in parent]
+        node_t = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+        schema = StructType([StructField("node", node_t),
+                             StructField("comp", node_t)])
+        return pairs.sparkSession.createDataFrame(rows, schema)
+
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint())

@@ -349,6 +349,11 @@ class CubeQueryBuilder:
             return None
         if self.cube.representation_choice == "static":
             return self.cube.choose_representation(dims, mets, sels)
+        ckey = self.cache_key()
+        if ckey in self.cube.rep_choice_cache:
+            chosen_name = self.cube.rep_choice_cache[ckey]
+            return next((r for r in candidates if r.name == chosen_name),
+                        None)
         try:
             raw_bytes = self.cube.plan_size_bytes(self._filtered(
                 self.cube.table(self.database,
@@ -364,6 +369,8 @@ class CubeQueryBuilder:
                 for rep, b in scored:
                     if b < best_bytes:
                         best, best_bytes = rep, b
+                self.cube.rep_choice_cache[ckey] = \
+                    best.name if best is not None else None
                 return best
         except Exception:  # estimation must never break compilation
             pass

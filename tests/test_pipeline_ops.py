@@ -164,9 +164,15 @@ def test_connected_components_vs_union_find(spark):
     want = {n: find(n) for n in parent}
 
     pairs = spark.createDataFrame(edges, "a long, b long")
+    # default: small edge list -> driver union-find fast path
     got = {r["node"]: r["comp"]
            for r in dd.connected_components(pairs, "a", "b").collect()}
     assert got == want
+    # driver_edge_limit=0 forces the distributed label-propagation path
+    got_dist = {r["node"]: r["comp"]
+                for r in dd.connected_components(
+                    pairs, "a", "b", driver_edge_limit=0).collect()}
+    assert got_dist == want
 
 
 def test_neardup_canonicalize_keeps_one_per_group(spark, sf_dir):
