@@ -600,6 +600,17 @@ def q_simhash(spark, sf_dir):
              .select("doc_id", "simhash")
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash → near-dup PAIRS: banded-segment buckets (pigeonhole-
+    complete for hamming ≤ bands−1), verified by popcount(xor) ≤ 1.
+    md5-bit fingerprints make the whole operator oracle-expressible:
+    DuckDB rebuilds every fingerprint and checks all pairs. k=1 on this
+    deliberately duplicate-heavy corpus — looser thresholds admit the
+    template background (hamming ≤ 3 → 166k pairs at sf0.1)."""
+    return dd.simhash_neardup_pairs(_docs(spark, sf_dir), k=1, bands=2,
+                                    hash_fn="md5")
+
+
 def q_embed_stats(spark, sf_dir):
     """§2.9 array math, JVM-side (no UDF): per-cluster-tag vector count,
     mean L2 norm, and mean dimension-0 component over the embeddings
@@ -832,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "resampled": q_resampled,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "embed_stats": q_embed_stats,
     "embed_topk": q_embed_topk,
     "embed_neardup": q_embed_neardup,
@@ -1189,6 +1201,39 @@ ORACLES: dict[str, str] = {
                                   THEN f.v - 18446744073709551616
                                   ELSE f.v END AS BIGINT), 0) AS simhash
         FROM documents d LEFT JOIN fp f USING (doc_id)
+    """,
+    # simhash_neardup: same md5 fingerprint rebuild, then ALL pairs at
+    # popcount(xor) <= 3 — the Spark side's banded buckets are pigeonhole-
+    # complete for hamming < bands, so the sets must match exactly.
+    "simhash_neardup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS t
+            FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        bitcnt AS (
+            SELECT doc_id, js.j AS j,
+                   sum(((strpos('0123456789abcdef',
+                                substr(md5(tok), 16 - (js.j // 4), 1)) - 1)
+                        >> (js.j % 4)) & 1) * 2 - count(*) AS cnt
+            FROM tok, (SELECT unnest(range(0, 64)) AS j) js
+            GROUP BY 1, 2),
+        fp0 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN cnt > 0 THEN CAST(power(2, j) AS HUGEINT)
+                            ELSE CAST(0 AS HUGEINT) END) AS v
+            FROM bitcnt GROUP BY 1),
+        fp AS (
+            SELECT d.doc_id,
+                   coalesce(CAST(CASE WHEN f.v >= 9223372036854775808
+                                      THEN f.v - 18446744073709551616
+                                      ELSE f.v END AS BIGINT), 0) AS simhash
+            FROM documents d LEFT JOIN fp0 f USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     """,
     "asof_join": """
         WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -508,6 +508,50 @@ def simhash_hamming(col_a: Column, col_b: Column) -> Column:
     return F.bit_count(x)
 
 
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3,
+                          bands: int = 4,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs (a < b) at SimHash hamming distance ≤ ``k``
+    — the missing step from *fingerprints* to *pairs*.
+
+    Candidate generation is the classic banded-segment trick: split the
+    64-bit fingerprint into ``bands`` disjoint segments; by pigeonhole a
+    pair differing in ≤ ``bands``−1 bits must agree exactly on at least
+    one segment, so joining on (band, segment) is **complete** (not
+    approximate) for ``k < bands`` while only ever comparing docs inside
+    a bucket — O(docs × bands) shuffle rows, never all-pairs. Survivors
+    are confirmed with the true popcount(xor) ≤ k.
+
+    With ``hash_fn='md5'`` the whole operator is oracle-expressible:
+    DuckDB rebuilds the identical fingerprints and checks
+    ``bit_count(xor(a, b)) <= k`` over all pairs."""
+    if not k < bands:
+        raise ValueError(f"completeness needs k < bands, got k={k} "
+                         f"bands={bands}")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    seg_bits = 64 // bands
+    mask = F.lit((1 << seg_bits) - 1 if seg_bits < 64 else -1)
+    fp = (with_simhash(df, text_col=text_col, hash_fn=hash_fn,
+                       key_col=id_col)
+          .select(F.col(id_col).alias("id"), F.col("simhash")))
+    buckets = fp.select("id", "simhash", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * seg_bits)
+                  .bitwiseAND(mask).alias("seg"))
+        for b in range(bands)])).alias("bk"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    simhash_hamming(F.col("a.simhash"),
+                                    F.col("b.simhash")).alias("hamming"))
+            .filter(F.col("hamming") <= k)
+            .distinct())
+
+
 # --------------------------------------------- near-dup clustering & pruning
 
 def connected_components(pairs: DataFrame, left: str, right: str,

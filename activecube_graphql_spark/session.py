@@ -25,10 +25,15 @@ from pyspark.sql import SparkSession
 #: - ``session.timeZone=UTC``: hour/day truncations and date extraction must
 #:   agree with the DuckDB oracle, which computes in UTC.
 #: - ``arrow``: every mapInPandas/pandas_udf boundary goes through Arrow.
+#: - ``codegen.maxFields``: the sketch operators aggregate 64-128 sign/
+#:   min buffers in one groupBy (simhash counters, minhash signatures);
+#:   the default 100-field cap silently drops those stages out of
+#:   whole-stage codegen into interpreted mode (~40% slower, measured).
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.codegen.maxFields": "256",
 }
 
 
@@ -68,6 +73,8 @@ def get_spark(app_name: str = "activecube-graphql-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas_udf / toPandas boundary (10-100x vs pickling).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide sketch aggregates (64-128 buffers) must stay in codegen
+        .config("spark.sql.codegen.maxFields", "256")
         # Timestamps in fixtures are timestamp[us/ns]; keep NTZ-free behavior
         # deterministic across engines.
         .config("spark.sql.session.timeZone", "UTC")

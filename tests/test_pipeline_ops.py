@@ -63,6 +63,27 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert all(r["hamming"] <= 16 for r in rows), rows
 
 
+def test_simhash_neardup_pairs_complete_vs_brute_force(spark, sf_dir):
+    """Banded-segment candidate generation is pigeonhole-COMPLETE for
+    hamming < bands: the bucketed operator must return exactly the
+    brute-force pair set, for both hash functions and band layouts."""
+    df = _docs(spark, sf_dir)
+    for hash_fn in ("xxhash64", "md5"):
+        sh = dd.with_simhash(df, hash_fn=hash_fn, key_col="doc_id") \
+               .select("doc_id", "simhash")
+        a, b = sh.toDF("id_a", "sh_a"), sh.toDF("id_b", "sh_b")
+        for k, bands in ((1, 2), (3, 4)):
+            brute = {(r["id_a"], r["id_b"], r["h"]) for r in
+                     (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                      .withColumn("h", dd.simhash_hamming(
+                          F.col("sh_a"), F.col("sh_b")))
+                      .filter(F.col("h") <= k).collect())}
+            got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+                   dd.simhash_neardup_pairs(df, k=k, bands=bands,
+                                            hash_fn=hash_fn).collect()}
+            assert got == brute, (hash_fn, k, bands)
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     """IVF ANN with nprobe=6/16 cells probes ~3/8 of the corpus; on gaussian
     vectors the true neighbors concentrate in the query's nearest cells, so
