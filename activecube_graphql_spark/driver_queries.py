@@ -539,6 +539,18 @@ def q_minhash_lsh(spark, sf_dir):
                                    num_perm=128, bands=64, threshold=0.5)
 
 
+def q_neardup_keep(spark, sf_dir):
+    """Corpus canonicalization (the step after clustering): keep ONE
+    representative — the smallest doc_id — per near-dup component,
+    singletons pass through; implemented as a left_anti join against the
+    component losers. Oracle: the same recursive-CTE components in
+    DuckDB, dropping every node that is not its component's label."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    return (dd.neardup_canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+            .select("doc_id"))
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (beyond-reference time-series op): each purchase picks
     up the same user's most recent click at-or-before it. Spark side is
@@ -840,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_keep": q_neardup_keep,
     "asof_join": q_asof_join,
     "resampled": q_resampled,
     "simhash": q_simhash,
@@ -1298,6 +1311,47 @@ ORACLES: dict[str, str] = {
                string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
                    AS members
         FROM comp GROUP BY 1
+    """,
+    # neardup_keep: same transitive-closure components; survivors are all
+    # docs except nodes labeled into a component they don't represent.
+    "neardup_keep": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        sz AS (SELECT doc_id, len(g) AS sz FROM grams),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+        nodes AS (SELECT id_a AS n FROM pairs
+                  UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs
+                  UNION SELECT n, n FROM nodes),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS node, min(dst) AS comp
+                 FROM reach GROUP BY src)
+        SELECT d.doc_id
+        FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT node FROM comp WHERE node <> comp)
     """,
     "embed_stats": """
         SELECT vec_id % 7 AS tag, count(*) AS n,
