@@ -187,3 +187,21 @@ def test_representation_choice_by_measured_stats(spark, tmp_path):
                                .measure("total", "cnt"))
     assert rows(q_pruned) == rows(plain.query().slice("d")
                                   .measure("total", "cnt").when({"p": 1}))
+
+
+def test_dedup_pipelines_never_cartesian(spark, sf_dir):
+    """The sketch pipelines must join through bucket/segment keys — a
+    CartesianProduct or broadcast nested loop anywhere means the
+    candidate generation degenerated to all-pairs."""
+    from activecube_graphql_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plans = [
+        fmt(dd.minhash_lsh_verified(docs, n=3)),
+        fmt(dd.simhash_neardup_pairs(docs, k=1, bands=2)),
+        fmt(dd.simhash_neardup_pairs(docs, k=3, bands=4, hash_fn="md5")),
+        fmt(dd.ngram_jaccard_pairs(docs, n=2, threshold=0.5,
+                                   strategy="index")),
+    ]
+    for plan in plans:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
