@@ -539,6 +539,16 @@ def q_minhash_lsh(spark, sf_dir):
                                    num_perm=128, bands=64, threshold=0.5)
 
 
+def q_click_purchase_join(spark, sf_dir):
+    """Stream-stream interval join, batch twin (streaming equality is
+    pytest-asserted in test_streaming): each purchase pairs with the
+    same user's clicks in the preceding hour — the watermark-bounded
+    attribution join. Oracle: the identical interval predicate in
+    DuckDB."""
+    from .streaming import jobs
+    return jobs.click_purchase_join(jobs.events_batch(spark, sf_dir))
+
+
 def q_neardup_keep(spark, sf_dir):
     """Corpus canonicalization (the step after clustering): keep ONE
     representative — the smallest doc_id — per near-dup component,
@@ -855,6 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_keep": q_neardup_keep,
     "asof_join": q_asof_join,
     "resampled": q_resampled,
+    "click_purchase_join": q_click_purchase_join,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "embed_stats": q_embed_stats,
@@ -1258,6 +1269,18 @@ ORACLES: dict[str, str] = {
                c.click_value, epoch_us(c.ts) AS click_t
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "click_purchase_join": """
+        WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          value AS click_value
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          value AS purchase_value
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id, epoch_us(p.ts) AS purchase_t, p.purchase_value,
+               epoch_us(c.ts) AS click_t, c.click_value
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
     """,
     "resampled": """
         WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value

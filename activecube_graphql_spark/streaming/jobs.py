@@ -126,6 +126,42 @@ def stream_dedup(events: DataFrame,
     return events.dropDuplicates(["event_id"])
 
 
+def click_purchase_join(events: DataFrame, horizon: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream event-time interval join (the flagship Structured
+    Streaming join shape): each purchase pairs with the same user's
+    clicks in the preceding ``horizon`` — click-to-purchase attribution.
+
+    Streaming: BOTH sides carry watermarks and the join condition bounds
+    event-time distance, so Spark can expire buffered rows — state stays
+    proportional to ``horizon`` of traffic, not the stream's history
+    (the requirement for an unbounded 100 TB/day feed). A self-join of
+    one filtered source twice is the supported pattern. Batch twin:
+    identical predicate, no watermark.
+
+    Timestamps are emitted as epoch-micros longs so results canonicalize
+    identically across engines (same convention as asof_join)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = ((F.col("user_id") == F.col("p_user")) &
+            (F.col("click_ts") <= F.col("purchase_ts")) &
+            (F.col("click_ts") >=
+             F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")))
+    return (clicks.join(purchases, cond)
+            .select("user_id",
+                    F.unix_micros("purchase_ts").alias("purchase_t"),
+                    "purchase_value",
+                    F.unix_micros("click_ts").alias("click_t"),
+                    "click_value"))
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful per-key operator via ``applyInPandasWithState``
     (SURVEY §2.10): running per-user activity stats — event count, value

@@ -51,6 +51,18 @@ def test_stream_dedup_equals_batch(spark, sf_dir):
         _multiset(batch_out.select("event_id"))
 
 
+def test_click_purchase_join_stream_equals_batch(spark, sf_dir):
+    """Stream-stream interval self-join must reproduce the batch twin:
+    watermarks only bound state, they must not drop pairs when the
+    source is replayed in order via availableNow."""
+    stream_out = jobs.run_available_now(
+        jobs.click_purchase_join(jobs.events_stream(spark, sf_dir)),
+        "t_ssjoin", mode="append")
+    batch_out = jobs.click_purchase_join(jobs.events_batch(spark, sf_dir))
+    assert _multiset(stream_out) == _multiset(batch_out)
+    assert stream_out.count() > 0
+
+
 def test_stateful_user_stats_stream_equals_batch(spark, sf_dir):
     """applyInPandasWithState custom operator: with a single AvailableNow
     micro-batch every key emits exactly once, and that final state must
