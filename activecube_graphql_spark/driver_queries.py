@@ -655,6 +655,18 @@ def q_embed_topk(spark, sf_dir):
     return sim.cosine_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_embed_range(spark, sf_dir):
+    """Radius retrieval: every corpus vector with cosine ≥ 0.2 of the
+    query vectors (vec_id < 3) — the range twin of embed_topk; pure
+    scan→filter, no per-group window. (Gaussian embeddings: cosine std
+    ≈ dim^-0.5 = 0.125, so 0.2 keeps a real but selective result set —
+    0.5 matches nothing.)"""
+    corpus = _embeds(spark, sf_dir)
+    return sim.cosine_range_search(corpus,
+                                   corpus.filter(F.col("vec_id") < 3),
+                                   threshold=0.2)
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine ≥ 0.45)."""
     return sim.embedding_cosine_pairs(_embeds(spark, sf_dir), threshold=0.45)
@@ -870,6 +882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "embed_stats": q_embed_stats,
     "embed_topk": q_embed_topk,
+    "embed_range": q_embed_range,
     "embed_neardup": q_embed_neardup,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
@@ -1400,6 +1413,21 @@ ORACLES: dict[str, str] = {
               FROM s)
         SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
                rn AS rank FROM r WHERE rn <= 5
+    """,
+    "embed_range": """
+        WITH q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS neighbor_id, cast(embedding AS DOUBLE[]) AS cv
+              FROM embeddings)
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+          AND list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) *
+               sqrt(list_dot_product(cv, cv))) >= 0.2
     """,
     "embed_neardup": """
         WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS e

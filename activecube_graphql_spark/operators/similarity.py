@@ -88,6 +88,35 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rn").cast("long").alias("rank")))
 
 
+def cosine_range_search(corpus: DataFrame, queries: DataFrame,
+                        threshold: float = 0.5, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        exclude_self: bool = True) -> DataFrame:
+    """Range similarity query: ALL corpus vectors with cosine ≥
+    ``threshold`` of each query vector — the radius-based retrieval twin
+    of :func:`cosine_topk` (dedup thresholds, diversity filters, policy
+    screens want "everything this close", not a fixed k).
+
+    Same scale shape as cosine_topk: the small query side broadcasts,
+    the corpus is scanned exactly once map-side (no corpus shuffle, no
+    window) — and because there is no per-group top-k, the plan is pure
+    scan→filter, cheaper than top-k. Output size is data-dependent
+    rather than k-bounded."""
+    from ..operators.dedup import ensure_parallelism
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _unit(F.col(vec_col)).alias("q_vec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit(F.col(vec_col)).alias("c_vec"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    return (joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
+            .filter(F.col("cosine") >= threshold)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 4).alias("cosine")))
+
+
 # ----------------------------------------------------------------- LSH ANN
 
 def _plane_coefficients(planes: int, dim: int) -> list[list[float]]:
