@@ -17,8 +17,11 @@ paste the same query text and run it against a Spark cube:
     df = tree.nested_df()
 
 Implemented subset (everything the reference's query surface uses):
-named/anonymous operations, variables with defaults (`$since: ISO8601
-= "2019-01-01"`, re-bound per request — parse_tree.rb:52-60), aliases,
+named/anonymous operations, variables with defaults incl. list types
+(`$since: ISO8601 = "2019-01-01"`, `$ids: [Int!]! = [1,2]`, re-bound
+per request — parse_tree.rb:52-60; resolution deferred to post-parse
+expansion so fragments may precede the operation declaring the
+defaults), aliases,
 nested selection sets, arguments of every GraphQL literal kind (int,
 float, string, boolean, null, enum → string, list, input object —
 insertion-ordered, the analogue of ``sort_node_arguments`` preserving
