@@ -516,6 +516,27 @@ def q_lang_id(spark, sf_dir):
     return df.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_det_sample(spark, sf_dir):
+    """Reproducible hash-bucket sampling: a stable 20% of documents by
+    md5(salt||doc_id) bucket — same subset on every run and engine
+    (df.sample() is neither); the oracle reproduces the exact subset."""
+    from .operators import sampling
+    return (sampling.deterministic_sample(_docs(spark, sf_dir), "doc_id",
+                                          rate_bp=2000, salt="v1")
+            .select("doc_id"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic rates (training-data mixing): keep all
+    purchases, 5% of clicks, 1% of everything else — counted per type."""
+    from .operators import sampling
+    ev = _events(spark, sf_dir).table()
+    out = sampling.stratified_sample(
+        ev, "event_id", "event_type",
+        {"purchase": 10000, "click": 500}, default_bp=100, salt="mix1")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 2-gram Jaccard near-dup pairs (≥ 0.5) via inverted-index
     similarity join — finds the fixture's planted near-duplicates."""
@@ -871,6 +892,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "det_sample": q_det_sample,
+    "stratified_sample": q_stratified_sample,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -1154,6 +1177,22 @@ ORACLES: dict[str, str] = {
         SELECT lang, {tx.oracle_fragment(tx.LANG_ID)} AS lang_pred,
                count(*) AS cnt
         FROM documents GROUP BY 1, 2
+    """,
+    # hash-bucket sampling: DuckDB reproduces the exact subset — the
+    # point of deterministic sampling is that any engine can.
+    "det_sample": """
+        SELECT doc_id FROM documents
+        WHERE CAST('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 10000 < 2000
+    """,
+    "stratified_sample": """
+        SELECT event_type, count(*) AS cnt
+        FROM events
+        WHERE CAST('0x' || substr(md5('mix1' || CAST(event_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 10000
+              < CASE event_type WHEN 'purchase' THEN 10000
+                                WHEN 'click' THEN 500 ELSE 100 END
+        GROUP BY 1
     """,
     "ngram_jaccard": """
         WITH toks AS (

@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data pipelines.
+
+Production corpus sampling must be *reproducible* (same subset on every
+run, on any cluster layout) and *consistent* (a document's fate never
+depends on partitioning or row order) — ``df.sample()`` is neither. The
+standard construction is hash-bucket sampling: bucket a stable key by a
+cryptographic hash, keep the rows whose bucket falls under the rate.
+
+Scale shape: map-only Column algebra (md5 + hex parse + modulus) fully
+pipelined with the scan, zero shuffle, and trivially pushdown-friendly.
+The hash is md5 so an external SQL engine reproduces the exact subset
+(DuckDB: ``CAST('0x' || substr(md5(k), 1, 8) AS BIGINT)`` — verified
+identical to Spark's ``conv(substring(md5(k), 1, 8), 16, 10)``), which
+also makes every sampling operator an oracle-checkable correctness row.
+
+A ``salt`` decorrelates independent samples over the same keys (e.g.
+train/eval splits: disjoint salts → independent buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space; rates are expressed in basis points of this (1/10000)
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS) from the md5 of ``salt || key``.
+    First 8 hex digits → 32-bit int → modulus: uniform, deterministic,
+    engine-portable."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+
+
+def bucket_sql(key_expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket` (same bytes, same bucket)."""
+    return ("CAST('0x' || substr(md5('" + salt + "' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) % {BUCKETS}")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, rate_bp: int,
+                         salt: str = "") -> DataFrame:
+    """Keep rows whose key hashes under ``rate_bp`` basis points
+    (rate_bp=2000 → a stable, reproducible 20% of distinct keys)."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < rate_bp)
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates_bp: dict[str, int],
+                      default_bp: int = 0, salt: str = "") -> DataFrame:
+    """Per-stratum deterministic rates — the training-data mixing
+    primitive (e.g. keep 100% of rare high-quality strata, 5% of the
+    bulk). Unlisted strata fall back to ``default_bp``."""
+    rate: Column = F.lit(default_bp)
+    for value, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(bp)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key_col), salt) < rate)

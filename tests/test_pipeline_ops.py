@@ -214,3 +214,35 @@ def test_neardup_canonicalize_keeps_one_per_group(spark, sf_dir):
                  .groupBy("comp").agg(F.collect_list("node").alias("m")))
     for r in survivors.collect():
         assert r["m"] == [r["comp"]]
+
+
+def test_deterministic_sampling_reproducible_and_stratified(spark, sf_dir):
+    """Hash-bucket sampling: identical subset on re-run (the property
+    df.sample() lacks), rate within binomial tolerance, different salts
+    give (near-)independent subsets, and stratified rates apply
+    per-stratum exactly."""
+    from activecube_graphql_spark.operators import sampling
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+
+    s1 = set(r["doc_id"] for r in
+             sampling.deterministic_sample(docs, "doc_id", 2000, "a")
+             .select("doc_id").collect())
+    s1b = set(r["doc_id"] for r in
+              sampling.deterministic_sample(docs, "doc_id", 2000, "a")
+              .select("doc_id").collect())
+    assert s1 == s1b, "same salt must reproduce the identical subset"
+    assert 0.12 < len(s1) / n < 0.28, len(s1) / n
+
+    s2 = set(r["doc_id"] for r in
+             sampling.deterministic_sample(docs, "doc_id", 2000, "b")
+             .select("doc_id").collect())
+    overlap = len(s1 & s2) / max(len(s1), 1)
+    assert overlap < 0.45, "independent salts should overlap ~rate, not ~1"
+
+    full = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 10000}, default_bp=0)
+    langs = {r["lang"] for r in full.select("lang").distinct().collect()}
+    assert langs == {"en"}, langs
+    en_total = docs.filter("lang = 'en'").count()
+    assert full.count() == en_total, "10000 bp must keep the whole stratum"
