@@ -506,7 +506,8 @@ def q_text_stats(spark, sf_dir):
                  F.round(F.avg("ws_token_count"), 4).alias("avg_ws_tokens"),
                  F.round(F.avg("punct_count"), 4).alias("avg_punct"),
                  F.round(F.avg("stopword_count"), 4).alias("avg_stopwords"),
-                 F.round(F.avg("quality"), 4).alias("avg_quality")))
+                 F.round(F.avg("quality"), 4).alias("avg_quality"),
+                 F.round(F.avg("token_diversity"), 4).alias("avg_diversity")))
 
 
 def q_lang_id(spark, sf_dir):
@@ -1170,7 +1171,9 @@ ORACLES: dict[str, str] = {
                round(avg({tx.oracle_fragment(tx.WS_TOKEN_COUNT)}), 4) AS avg_ws_tokens,
                round(avg({tx.oracle_fragment(tx.PUNCT_COUNT)}), 4) AS avg_punct,
                round(avg({tx.oracle_fragment(tx.STOPWORD_COUNT)}), 4) AS avg_stopwords,
-               round(avg({tx.oracle_fragment(tx.QUALITY)}), 4) AS avg_quality
+               round(avg({tx.oracle_fragment(tx.QUALITY)}), 4) AS avg_quality,
+               round(avg({tx.oracle_fragment(tx.TOKEN_DIVERSITY)}), 4)
+                   AS avg_diversity
         FROM documents GROUP BY 1
     """,
     "lang_id": f"""

@@ -45,10 +45,16 @@ _MACROS = {
 
 
 def _split_args(inner: str) -> list[str]:
-    """Split a macro argument list on top-level commas."""
-    args, depth, start = [], 0, 0
+    """Split a macro argument list on top-level commas — paren/bracket
+    balanced AND quote-aware (a comma inside a '...' literal, e.g. a
+    regex quantifier {6,}, is not a separator)."""
+    args, depth, start, in_quote = [], 0, 0, False
     for i, ch in enumerate(inner):
-        if ch in "([":
+        if ch == "'":
+            in_quote = not in_quote
+        elif in_quote:
+            continue
+        elif ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
@@ -66,12 +72,16 @@ def _rewrite(out: str, name: str, fn: Callable[[list[str]], str]) -> str:
     while token in out:
         start = out.rindex(token)  # innermost-last occurrence first
         open_i = start + len(token)
-        depth, i = 1, open_i
+        depth, i, in_quote = 1, open_i, False
         while depth:
-            if out[i] == "(":
-                depth += 1
-            elif out[i] == ")":
-                depth -= 1
+            ch = out[i]
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
             i += 1
         args = _split_args(out[open_i:i - 1])
         out = out[:start] + fn(args) + out[i:]
@@ -102,6 +112,8 @@ def render(sql: str, engine: str) -> str:
                        lambda a: f"sequence({a[0]}, {a[1]})")
         out = _rewrite(out, "REGEX_STRIP",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, '')")
+        out = _rewrite(out, "REGEX_SUB",
+                       lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})")
     else:
         out = _rewrite(out, "LIST_SUM",
                        lambda a: f"cast(coalesce(list_sum({a[0]}), 0) "
@@ -110,6 +122,9 @@ def render(sql: str, engine: str) -> str:
                        lambda a: f"range({a[0]}, ({a[1]}) + 1)")
         out = _rewrite(out, "REGEX_STRIP",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, '', 'g')")
+        out = _rewrite(out, "REGEX_SUB",
+                       lambda a: f"regexp_replace({a[0]}, {a[1]}, "
+                                 f"{a[2]}, 'g')")
 
     for macro, fn in _MACROS[engine].items():
         out = out.replace(macro + "(", fn + "(")

@@ -39,6 +39,40 @@ STOPWORD_COUNT = (
 #: the Spark-only rolling-hash variant lives in dedup.simhash)
 FINGERPRINT = "md5(REGEX_STRIP(lower({text}), '[ ]'))"
 
+#: distinct-token fraction — repetition signal for templated/boilerplate
+#: text (the Gopher-style quality filter family); 0 tokens → 1.0
+TOKEN_DIVERSITY = (
+    "round(CASE WHEN TOKC = 0 THEN CAST(1.0 AS DOUBLE)"
+    " ELSE ARRAY_LEN(LIST_DISTINCT(TOKS)) * CAST(1.0 AS DOUBLE) / TOKC"
+    " END, 4)"
+).replace("TOKC", TOKEN_COUNT).replace("TOKS", TOKENS)
+
+#: PII patterns — NO regex backslash escapes anywhere: Spark SQL string
+#: literals process backslashes, DuckDB single-quoted strings do not, so
+#: a fragment containing one silently diverges between engines. Classes
+#: like [.] and [0-9] mean the same bytes on both sides.
+_URL_RE = "'https?://[^ ]+'"
+_EMAIL_RE = "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+'"
+#: doubled braces: fragments pass through str.format(text=...), which
+#: would otherwise eat the {6,} quantifier
+_PHONE_RE = "'[+]?[0-9][0-9 ()-]{{6,}}[0-9]'"
+
+#: PII-scrubbed text: URLs first (they may contain @/digits), then
+#: emails, then phone-like digit runs
+REDACTED = (
+    f"REGEX_SUB(REGEX_SUB(REGEX_SUB({{text}}, {_URL_RE}, '[URL]'), "
+    f"{_EMAIL_RE}, '[EMAIL]'), {_PHONE_RE}, '[PHONE]')"
+)
+
+#: how many PII spans the scrubber would replace
+PII_COUNT = (
+    f"ARRAY_LEN(regexp_extract_all({{text}}, {_URL_RE}, 0))"
+    f" + ARRAY_LEN(regexp_extract_all("
+    f"REGEX_SUB({{text}}, {_URL_RE}, '[URL]'), {_EMAIL_RE}, 0))"
+    f" + ARRAY_LEN(regexp_extract_all(REGEX_SUB(REGEX_SUB({{text}}, "
+    f"{_URL_RE}, '[URL]'), {_EMAIL_RE}, '[EMAIL]'), {_PHONE_RE}, 0))"
+)
+
 #: language-ID scores: count of language-marker tokens
 _LANG_MARKERS = {
     "en": "'the', 'and', 'of', 'to', 'is'",
@@ -94,13 +128,23 @@ def _col(fragment: str, text_col: str) -> Column:
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add token_count, ws_token_count, punct_count, stopword_count,
-    quality columns — map-only, codegen'd."""
+    quality, token_diversity columns — map-only, codegen'd."""
     return (df
             .withColumn("token_count", _col(TOKEN_COUNT, text_col))
             .withColumn("ws_token_count", _col(WS_TOKEN_COUNT, text_col))
             .withColumn("punct_count", _col(PUNCT_COUNT, text_col))
             .withColumn("stopword_count", _col(STOPWORD_COUNT, text_col))
-            .withColumn("quality", _col(QUALITY, text_col)))
+            .withColumn("quality", _col(QUALITY, text_col))
+            .withColumn("token_diversity", _col(TOKEN_DIVERSITY, text_col)))
+
+
+def with_redacted(df: DataFrame, text_col: str = "text",
+                  out_col: str = "text_redacted") -> DataFrame:
+    """PII scrubbing: URLs → [URL], emails → [EMAIL], phone-like digit
+    runs → [PHONE]; ``pii_count`` counts the replaced spans. Map-only
+    regexp chain, portable to the SQL oracle verbatim."""
+    return (df.withColumn(out_col, _col(REDACTED, text_col))
+            .withColumn("pii_count", _col(PII_COUNT, text_col)))
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text",

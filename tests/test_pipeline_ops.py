@@ -246,3 +246,43 @@ def test_deterministic_sampling_reproducible_and_stratified(spark, sf_dir):
     assert langs == {"en"}, langs
     en_total = docs.filter("lang = 'en'").count()
     assert full.count() == en_total, "10000 bp must keep the whole stratum"
+
+
+def test_pii_redaction_portable(spark, sf_dir):
+    """Redaction must replace URLs, emails, and phone runs (in that
+    order), count the spans, and — because the fragment is rendered for
+    both engines — produce byte-identical output in DuckDB."""
+    import duckdb
+
+    rows = [
+        (1, "contact me at jane.doe@example.com or +1 (555) 123-4567"),
+        (2, "see https://example.com/a?b=c#d for details"),
+        (3, "nothing sensitive here"),
+        (4, "mail a@b.io via http://x.y mirror, call 0049 30 1234567"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text_redacted"], r["pii_count"])
+           for r in tx.with_redacted(df).collect()}
+    assert got[1] == ("contact me at [EMAIL] or [PHONE]", 2)
+    assert got[2] == ("see [URL] for details", 1)
+    assert got[3] == ("nothing sensitive here", 0)
+    assert got[4][1] == 3
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = (f"SELECT doc_id, {tx.oracle_fragment(tx.REDACTED)} AS red, "
+           f"{tx.oracle_fragment(tx.PII_COUNT)} AS cnt FROM t")
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert duck == got
+
+
+def test_token_diversity_bounds_and_repetition(spark):
+    """Diversity = distinct/total tokens: 1.0 for all-unique or empty
+    text, low for heavy repetition."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "spam spam spam spam"), (3, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["token_diversity"]
+           for r in tx.with_text_stats(df).collect()}
+    assert got[1] == 1.0 and got[2] == 0.25 and got[3] == 1.0
