@@ -694,6 +694,18 @@ def q_embed_neardup(spark, sf_dir):
     return sim.embedding_cosine_pairs(_embeds(spark, sf_dir), threshold=0.45)
 
 
+def q_embed_keep(spark, sf_dir):
+    """Embedding-corpus canonicalization end-to-end: cosine near-dup
+    pairs → connected components → one survivor (smallest vec_id) per
+    component — the full similarity→cluster→prune pipeline over vectors
+    rather than text. Oracle: recursive-CTE components over the same
+    cosine pair set."""
+    emb = _embeds(spark, sf_dir)
+    pairs = sim.embedding_cosine_pairs(emb, threshold=0.45)
+    return (dd.neardup_canonicalize(emb, pairs, "vec_id", "id_a", "id_b")
+            .select("vec_id"))
+
+
 def q_embed_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate NN (8 hyperplanes) — the 100 TB scale path;
     recall vs the brute-force baseline asserted in tests, rows-only here."""
@@ -908,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk": q_embed_topk,
     "embed_range": q_embed_range,
     "embed_neardup": q_embed_neardup,
+    "embed_keep": q_embed_keep,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
     # approx-by-design (recall-tested in pytest, no SQL-expressible truth)
@@ -1481,6 +1494,30 @@ ORACLES: dict[str, str] = {
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, round(cosine, 4) AS cosine
         FROM p WHERE cosine >= 0.45
+    """,
+    # embed_keep: cosine pairs -> transitive closure -> survivors (nodes
+    # labeling their own component, plus vectors in no pair at all)
+    "embed_keep": """
+        WITH RECURSIVE v AS (
+            SELECT vec_id, cast(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) *
+                     sqrt(list_dot_product(b.e, b.e))) >= 0.45),
+        nodes AS (SELECT id_a AS n FROM p UNION SELECT id_b FROM p),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p
+                  UNION SELECT n, n FROM nodes),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS node, min(dst) AS comp
+                 FROM reach GROUP BY src)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> comp)
     """,
     "preagg_rollup": """
         SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -205,3 +205,36 @@ def test_dedup_pipelines_never_cartesian(spark, sf_dir):
     for plan in plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_and_clustering(spark, tmp_path):
+    """compact_parquet sizes output from measured bytes; cluster_parquet
+    additionally makes per-file value ranges narrow so min/max stats can
+    prune — data identical in all cases."""
+    from activecube_graphql_spark.plans.compaction import (cluster_parquet,
+                                                           compact_parquet)
+    src = str(tmp_path / "src.parquet")
+    from pyspark.sql import functions as F
+    df = spark.range(50_000).select(
+        "id", (F.col("id") % 97).alias("k"), F.rand(7).alias("v"))
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    assert len(spark.read.parquet(src).inputFiles()) >= 32
+
+    dst = str(tmp_path / "compact.parquet")
+    parts = compact_parquet(spark, src, dst, target_mb=128)
+    assert parts == 1  # tiny table -> single right-sized file
+    assert len(spark.read.parquet(dst).inputFiles()) == 1
+    assert (spark.read.parquet(dst).agg(F.sum("id")).collect()
+            == df.agg(F.sum("id")).collect())
+
+    clu = str(tmp_path / "clustered.parquet")
+    cluster_parquet(spark, src, clu, by=["k"], target_mb=0.05)
+    out = spark.read.parquet(clu)
+    assert (out.agg(F.sum("id")).collect() == df.agg(F.sum("id")).collect())
+    # each output file covers a narrow k-range: per-file spans must be
+    # far below the global span (the property min/max pruning feeds on)
+    spans = (out.withColumn("f", F.input_file_name())
+             .groupBy("f").agg((F.max("k") - F.min("k")).alias("span"))
+             .collect())
+    assert len(spans) > 1
+    assert sum(r["span"] for r in spans) / len(spans) < 97 / 2
