@@ -161,6 +161,20 @@ def test_grouping_sets(sales, duck):
     assert assert_match(q, duck) > 0
 
 
+def test_grouping_sets_unknown_slice_is_input_error(sales):
+    """A set naming an undeclared slice must raise the engine's input
+    error (not a bare KeyError) from BOTH the printer and the compiler."""
+    import pytest
+
+    from activecube_graphql_spark import InputArgumentError
+    q = (sales.query().slice("returnflag", alias="rf").measure("count")
+         .grouping("sets", sets=[["rf"], ["nope"]]))
+    with pytest.raises(InputArgumentError, match="nope"):
+        q.to_sql()
+    with pytest.raises(InputArgumentError, match="nope"):
+        q.df()
+
+
 def test_distinct_slice_no_measures(sales, duck):
     q = sales.query().slice("returnflag", "linestatus")
     assert assert_match(q, duck) == 6
