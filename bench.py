@@ -36,6 +36,13 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
+        # NOTE: deliberately no clearCache between queries. The dedup
+        # pipelines persist intermediates and the CacheManager dedupes
+        # identical plans, so related rows (ngram_jaccard /
+        # neardup_clusters / neardup_keep share one shingle frame) reuse
+        # each other's caches — clearing was measured to nearly double
+        # the suite (53s -> 98s), and BASELINE.md was recorded without
+        # clearing, so per-name ratios stay comparable.
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
