@@ -755,6 +755,28 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("asset_id", "mime", "feature_dim")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Arrow-batched resize plumbing: image assets get target dims and a
+    deterministic fake-resized payload (size = max(8, w·h/256)), other
+    mimes pass through byte-identical. The oracle reproduces the typed
+    metadata + payload byte counts; the payload bytes themselves are
+    Python-side and covered by determinism tests."""
+    from .operators import multimodal as mm
+    out = mm.resize_images(_assets(spark, sf_dir), 64, 64)
+    return out.select("asset_id", "mime", "width", "height",
+                      F.length("payload").alias("payload_bytes"))
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling fan-out: one row per 10 s grid point over
+    [0, duration] per video asset — the row-multiplying mapInPandas
+    shape that feeds vision encoders. Grid arithmetic is fully
+    SQL-expressible, so the fan-out itself is oracle-checked."""
+    from .operators import multimodal as mm
+    out = mm.sample_frames(_assets(spark, sf_dir), every_s=10.0)
+    return out.select("asset_id", "frame_idx", "t_s")
+
+
 _PREAGG_CUBES: dict = {}
 
 
@@ -898,6 +920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_grouping": q_cube_grouping,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "preagg_rollup": q_preagg_rollup,
     "flagship_topn": q_flagship_topn,
     "stateful_user_stats": q_stateful_user_stats,
@@ -1610,6 +1634,31 @@ ORACLES: dict[str, str] = {
                     ELSE 'video/mp4' END AS mime,
                8 AS feature_dim
         FROM documents
+    """,
+    "multimodal_resize": """
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 64
+                         ELSE n_chars % 1920 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 64
+                         ELSE n_chars % 1080 END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN greatest(8, 64*64 // 256)
+                         ELSE octet_length(encode(text))
+                    END AS INT) AS payload_bytes
+        FROM documents
+    """,
+    "multimodal_frames": """
+        WITH v AS (SELECT doc_id AS asset_id, n_chars / 100.0 AS dur
+                   FROM documents WHERE doc_id % 3 = 2),
+        g AS (SELECT asset_id,
+                     unnest(range(0, CAST(floor(dur / 10.0) AS BIGINT) + 1))
+                         AS k
+              FROM v)
+        SELECT asset_id, CAST(k AS INT) AS frame_idx,
+               CAST(round(k * 10.0, 6) AS DOUBLE) AS t_s
+        FROM g
     """,
     "sliding_window": """
         SELECT s AS window_start, event_type,

@@ -101,6 +101,104 @@ def extract_features(assets: DataFrame,
     return payload_cols.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: derives a
+    payload whose bytes depend on (input bytes, target dims) via the
+    same FNV/LCG scheme as :func:`fake_feature_extractor`. Size scales
+    with target area, mimicking a real thumbnail's behavior."""
+    h = 1469598103934665603 ^ (width * 31 + height)
+    for i, b in enumerate(payload or b""):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        if i >= 4096:
+            break
+    n = max(8, (width * height) // 256)
+    out = bytearray()
+    while len(out) < n:
+        h = (h * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out += h.to_bytes(8, "little")
+    return bytes(out[:n])
+
+
+def resize_images(assets: DataFrame, width: int, height: int,
+                  resizer: Callable[[bytes, int, int], bytes] | None = None
+                  ) -> DataFrame:
+    """Arrow-batched image resize over the payload column: output keeps
+    the ASSET_SCHEMA convention with updated dimensions. The codec is
+    pluggable (``resizer(payload, w, h) -> bytes``; a real deployment
+    plugs Pillow in) and defaults to the deterministic fake so the
+    distributed plumbing — batch streaming, declared schema, bounded
+    peak memory of one decoded batch — is fully exercised without
+    codecs. Non-image assets pass through untouched."""
+    fn = resizer or fake_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["mime"].str.startswith("image/")
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = [
+                fn(p, width, height)
+                for p in pdf.loc[is_img, "payload"]]
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return assets.select([f.name for f in ASSET_SCHEMA.fields]) \
+                 .mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("t_s", DoubleType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def fake_frame_decoder(payload: bytes, t_s: float) -> bytes:
+    """Deterministic stand-in for seek+decode of one video frame."""
+    h = 1469598103934665603 ^ int(t_s * 1000)
+    for i, b in enumerate(payload or b""):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        if i >= 1024:
+            break
+    return h.to_bytes(8, "little") * 4
+
+
+def sample_frames(assets: DataFrame, every_s: float = 1.0,
+                  decoder: Callable[[bytes, float], bytes] | None = None
+                  ) -> DataFrame:
+    """Video frame sampling: one output row per (video asset, timestamp
+    grid point) at ``every_s`` spacing over [0, duration_s] — the row
+    fan-out that feeds vision encoders. ``mapInPandas`` fan-out keeps
+    peak memory at one batch of decoded frames; the per-asset frame
+    count is duration-bounded, so output volume is
+    Σ duration/every_s regardless of payload sizes. Frame decode is
+    pluggable (ffmpeg/PyAV in a real deployment), deterministic fake by
+    default."""
+    fn = decoder or fake_frame_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                dur = float(row["duration_s"] or 0.0)
+                k = 0
+                t = 0.0
+                while t <= dur:
+                    ids.append(row["asset_id"])
+                    idxs.append(k)
+                    ts.append(round(t, 6))
+                    frames.append(fn(row["payload"], t))
+                    k += 1
+                    t = k * every_s
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs,
+                                "t_s": ts, "frame": frames})
+
+    videos = assets.filter(assets["mime"].startswith("video/")) \
+                   .select("asset_id", "duration_s", "payload")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def metadata_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only rollup — must compile to a scan that prunes the
     binary column (asserted in tests via ReadSchema)."""
