@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame,
+                       bytes_per_task: int | None = None) -> DataFrame:
     """Fan a badly-under-partitioned input out to the session's default
     parallelism. Single-file parquet arrives as ONE partition locally, which
     serializes every per-row compute stage; on a real cluster inputs arrive
@@ -41,14 +42,36 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     physical planning per call). Many source files → the scan is already
     parallel → pass through untouched. Few/zero files (single-file
     fixture, in-memory frames) → round-robin repartition, which AQE may
-    coalesce again downstream if the stage turns out cheap."""
+    coalesce again downstream if the stage turns out cheap.
+
+    ``bytes_per_task=None`` (default) targets full CPU parallelism —
+    right for compute-amplified stages (shingling explodes input bytes
+    10-50× before hashing). For **cheap scans** pass the bytes one task
+    should own (e.g. 4 MB): the fan-out is then proportional to measured
+    input size, so a 1 MB corpus is NOT split into 32 near-empty tasks
+    whose scheduling overhead dwarfs the work (measured: that overhead
+    was most of the r02 ``embed_topk`` wall time), while a 10 GB
+    single-file input still fans out to every core."""
     sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # plans with no file source (e.g. streaming)
-        n_files = 0
-    if n_files < max(sc.defaultParallelism // 2, 2):
-        return df.repartition(sc.defaultParallelism)
+        files = []
+    n_files = len(files)
+    if bytes_per_task is not None and n_files:
+        from ..plans.sizing import input_size_bytes
+        try:
+            size = input_size_bytes(df, files)
+        except Exception:
+            size = None
+        if size is not None:
+            target = min(par, max(1, -(-size // bytes_per_task)))
+            if target <= 1 or n_files >= target:
+                return df
+            return df.repartition(target)
+    if n_files < max(par // 2, 2):
+        return df.repartition(par)
     return df
 
 

@@ -27,6 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Similarity scans are cheap per input byte (one dot per candidate, or a
+# BLAS batch in mapInPandas) — fan out one task per this many bytes
+# instead of one per core, so tiny corpora don't pay 32 tasks of
+# scheduler overhead while big single-file inputs still use every core.
+SCAN_BYTES_PER_TASK = 4 << 20
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -53,12 +59,39 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _unit(col: Column) -> Column:
-    """Pre-normalized double vector — computed once per row so each
-    candidate pair later costs ONE dot product instead of dot+2 norms
-    (3× less arithmetic on the quadratic part of the plan)."""
+    """Pre-normalized double vector. **Use only on small/bounded frames**
+    (the IVF training sample): the ``transform`` lambda captures the norm
+    as an expression SUBTREE, so interpreted HOF evaluation recomputes the
+    full O(dim) norm per array element — O(dim²) work per row. On hot
+    join-side prep this was measured as the r02 ``embed_topk`` regression;
+    the scan-side shape is a **norm column** (see cosine_topk): O(dim)
+    per row, one dot + one divide per candidate pair."""
     v = _as_double(col)
     n = _norm(v)
     return F.transform(v, lambda x: x / n)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The dot product as SQL text. At sf-scale the embed queries are
+    DRIVER-bound, not executor-bound (measured: 0.07 s execution inside
+    ~1 s wall): every Python-built HOF lambda costs several py4j round
+    trips at plan-build time. One SQL string is one gateway call and
+    parses JVM-side — same physical plan, ~40% less wall time."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0d, "
+            f"(acc, v) -> acc + v)")
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str,
+               id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    """Scan-side prep: (id, double vector, scalar L2 norm). The norm is a
+    plain double column, so the per-pair cosine is one HOF dot plus one
+    divide — the cheapest interpreted-HOF shape (norms never recomputed
+    on the quadratic part of the plan)."""
+    return df.selectExpr(
+        f"`{id_col}` AS {id_alias}",
+        f"transform(`{vec_col}`, x -> cast(x AS double)) AS {vec_alias}",
+    ).selectExpr(
+        "*", f"sqrt({_dot_sql(vec_alias, vec_alias)}) AS {norm_alias}")
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -69,23 +102,28 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``queries`` is broadcast (the query set is small by construction);
     the corpus is scanned once — a map-side nested loop per partition,
     then a per-query-group top-k. Ties broken by corpus id (deterministic
-    hash parity with SQL oracles)."""
+    hash parity with SQL oracles).
+
+    Norms are computed once per side as scalar columns BELOW the join
+    (cosine = dot / (q_n · c_n) per pair) — measured 1.6× faster at sf0.1
+    than pre-normalizing the vectors, because a normalize-lambda
+    re-evaluates its captured norm subtree per element (see _unit)."""
     from ..operators.dedup import ensure_parallelism
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _unit(F.col(vec_col)).alias("q_vec"))
-    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"),
-                                          _unit(F.col(vec_col)).alias("c_vec"))
+    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
+    c = _with_norm(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
+                   id_col, vec_col, "neighbor_id", "c_vec", "c_n")
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
-        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
+        joined = joined.filter("query_id != neighbor_id")
+    scored = joined.selectExpr(
+        "*", f"{_dot_sql('q_vec', 'c_vec')} / (q_n * c_n) AS cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("cosine", 4).alias("cosine"),
-                    F.col("rn").cast("long").alias("rank")))
+            .selectExpr("query_id", "neighbor_id",
+                        "round(cosine, 4) AS cosine",
+                        "cast(rn AS long) AS rank"))
 
 
 def cosine_range_search(corpus: DataFrame, queries: DataFrame,
@@ -103,18 +141,17 @@ def cosine_range_search(corpus: DataFrame, queries: DataFrame,
     scan→filter, cheaper than top-k. Output size is data-dependent
     rather than k-bounded."""
     from ..operators.dedup import ensure_parallelism
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _unit(F.col(vec_col)).alias("q_vec"))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _unit(F.col(vec_col)).alias("c_vec"))
+    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
+    c = _with_norm(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
+                   id_col, vec_col, "neighbor_id", "c_vec", "c_n")
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
-        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    return (joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
+        joined = joined.filter("query_id != neighbor_id")
+    return (joined.selectExpr(
+                "*", f"{_dot_sql('q_vec', 'c_vec')} / (q_n * c_n) AS cosine")
             .filter(F.col("cosine") >= threshold)
-            .select("query_id", "neighbor_id",
-                    F.round("cosine", 4).alias("cosine")))
+            .selectExpr("query_id", "neighbor_id",
+                        "round(cosine, 4) AS cosine"))
 
 
 # ----------------------------------------------------------------- LSH ANN
@@ -184,7 +221,7 @@ def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
             yield pd.DataFrame({"__id": pdf["__id"], "__v": pdf["__v"],
                                 "__sig": sig.astype(np.int64)})
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, SCAN_BYTES_PER_TASK)
     src = df.select(F.col(id_col).alias("__id"),
                     _as_double(F.col(vec_col)).alias("__v"))
     sig_schema = ("__id long, __v array<double>, __sig long")
@@ -285,17 +322,22 @@ def _ivf_assign(df: DataFrame, id_alias: str, vec_alias: str,
             v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             n = np.sqrt((v * v).sum(axis=1))
             n[n == 0.0] = 1.0
-            scores = (v / n[:, None]) @ cent.T
+            vu = v / n[:, None]
+            scores = vu @ cent.T
             p = min(nprobe, scores.shape[1])
             cells = np.argsort(-scores, axis=1)[:, :p]
+            # emit the UNIT vectors (downstream scoring dots them raw) —
+            # normalized here in one BLAS pass, not via the O(dim²) _unit
+            unit_objs = np.empty(len(vu), dtype=object)
+            unit_objs[:] = list(vu)
             yield pd.DataFrame({
                 "__id": pdf["__id"].to_numpy().repeat(p),
-                "__v": pdf["__v"].to_numpy().repeat(p),
+                "__v": unit_objs.repeat(p),
                 "cell": cells.reshape(-1).astype(np.int32)})
 
-    src = (ensure_parallelism(df)
+    src = (ensure_parallelism(df, SCAN_BYTES_PER_TASK)
            .select(F.col(id_col).alias("__id"),
-                   _unit(F.col(vec_col)).alias("__v")))
+                   _as_double(F.col(vec_col)).alias("__v")))
     out = src.mapInPandas(assign, schema="__id long, __v array<double>, cell int")
     return out.select(F.col("__id").alias(id_alias),
                       F.col("__v").alias(vec_alias), "cell")
@@ -394,13 +436,14 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
 
     from ..operators.dedup import ensure_parallelism
     cand_schema = "id_a long, id_b long"
-    cand = (ensure_parallelism(df)
+    cand = (ensure_parallelism(df, SCAN_BYTES_PER_TASK)
             .select(F.col(id_col).alias("id"),
                     _as_double(F.col(vec_col)).alias("v"))
             .mapInPandas(gen, schema=cand_schema))
-    a = df.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vec_b"))
+    a = _with_norm(df, id_col, vec_col, "id_a", "vec_a", "n_a")
+    b = _with_norm(df, id_col, vec_col, "id_b", "vec_b", "n_b")
     return (cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-            .withColumn("cosine", _dot(F.col("vec_a"), F.col("vec_b")))
+            .selectExpr(
+                "*", f"{_dot_sql('vec_a', 'vec_b')} / (n_a * n_b) AS cosine")
             .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+            .selectExpr("id_a", "id_b", "round(cosine, 4) AS cosine"))
