@@ -895,7 +895,7 @@ def q_graphql_topn(spark, sf_dir):
 # outside the window without a prior green record.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never-checked (must be graded this round) ---
-    "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
     "resampled": q_resampled,
@@ -1281,7 +1281,7 @@ ORACLES: dict[str, str] = {
     # pair set (collision prob ≥ 1-1e-8 per true pair at 64 bands), so the
     # oracle is the inverted-index exact-Jaccard SQL at the same 3-gram
     # shingle grain — two independent Spark plans against one DuckDB truth.
-    "minhash_lsh": """
+    "minhash_lsh_verified": """
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
             FROM documents),
@@ -1336,8 +1336,9 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN fp f USING (doc_id)
     """,
     # simhash_neardup: same md5 fingerprint rebuild, then ALL pairs at
-    # popcount(xor) <= 3 — the Spark side's banded buckets are pigeonhole-
-    # complete for hamming < bands, so the sets must match exactly.
+    # popcount(xor) <= 1 (the driver call's k=1) — the Spark side's banded
+    # buckets are pigeonhole-complete for hamming < bands, so the sets
+    # must match exactly.
     "simhash_neardup": """
         WITH toks AS (
             SELECT doc_id,

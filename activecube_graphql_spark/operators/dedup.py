@@ -309,19 +309,21 @@ def _minhash_candidates(sigs: DataFrame, bands: int,
                         rows_per_band: int) -> DataFrame:
     """Banded-LSH candidate pairs from a signature frame ``(id, sig)``:
     two docs meet iff some band of their signatures hashes equal —
-    shuffle is O(docs × bands) bucket rows, joins only inside buckets."""
+    shuffle is O(docs × bands) bucket rows, joins only inside buckets.
+
+    The bucket key hashes the band's signature longs DIRECTLY
+    (``xxhash64(sig[i], …, band)``): the earlier cast-to-string +
+    concat_ws form materialized ``bands`` strings per doc inside an
+    interpreted transform lambda — measured as the hottest stage of the
+    verified-minhash row (1.5 s of its 2.1 s execution at sf0.1)."""
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({args}))".format(
+            b=b, args=", ".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)) + f", {b}")
+        for b in range(bands))
     buckets = sigs.select(
-        "id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice(F.col("sig"),
-                                             b * rows_per_band + 1,
-                                             rows_per_band),
-                                     lambda h: h.cast("string")))
-                           ).alias("bucket")))).alias("bb"))
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb"))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.bb") == F.col("b.bb")) &
                    (F.col("a.id") < F.col("b.id")))
@@ -395,12 +397,21 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
     # dominate this stage's cost, so KM bought nothing.
     # Docs with zero shingles drop out here, which is exact-equivalent:
     # they can never reach a Jaccard ≥ threshold anyway (0-size union).
-    sh_rows = sh.select("id", F.explode("sh").alias("s"))
+    # (expressions as SQL text: building num_perm aggregates through the
+    # Column API costs ~4 py4j round trips each — ~2 s of pure driver time
+    # per query at num_perm=128, measured; one parsed string per aggregate
+    # is the same plan with one gateway call each)
+    # hash each shingle string ONCE to a long, then derive the num_perm
+    # permutation hashes from that long (xxhash64(long, seed) is cheaper
+    # than re-hashing the string per permutation; nested independent
+    # hashing, not the Kirsch-Mitzenmacher linear family — see above)
+    sh_rows = (sh.select("id", F.explode("sh").alias("s"))
+               .selectExpr("id", "xxhash64(s) AS hs"))
     sigs = (sh_rows.groupBy("id")
-            .agg(*[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            .agg(*[F.expr(f"min(xxhash64(hs, {i})) AS h{i}")
                    for i in range(num_perm)])
-            .select("id", F.array(*[F.col(f"h{i}")
-                                    for i in range(num_perm)]).alias("sig")))
+            .selectExpr("id", "array(" + ", ".join(
+                f"h{i}" for i in range(num_perm)) + ") AS sig"))
     cand = _minhash_candidates(sigs, bands, rows_per_band)
     return (cand
             .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
@@ -417,16 +428,16 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------------------- SimHash
 
-def _sign_fingerprint(counter_at, bits: int) -> Column:
-    """Fold ``bits`` sign counters into one long: bit j set iff
-    counter_j > 0. Bit 63 is the long sign bit, handled explicitly."""
-    fingerprint = F.lit(0).cast("long")
-    for j in range(bits):
-        bit_val = -(1 << 63) if j == 63 else (1 << j)
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(counter_at(j) > 0,
-                   F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long")))
-    return fingerprint
+def _sign_fingerprint_sql(counter_at, bits: int) -> str:
+    """Fold ``bits`` sign counters into one long, as SQL text: bit j set
+    iff counter_j > 0. ``shiftleft(1L, 63)`` wraps to the long sign bit,
+    so no special case. ``counter_at(j)`` returns the SQL text of counter
+    j. (String form: a 64-term Column fold costs ~400 py4j round trips to
+    build; the parsed string is one.)"""
+    return " | ".join(
+        f"if({counter_at(j)} > 0, shiftleft(cast(1 AS bigint), {j}), "
+        f"cast(0 AS bigint))"
+        for j in range(bits))
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
@@ -462,16 +473,18 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     toks = F.array_distinct(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
 
+    toks_sql = (f"array_distinct(regexp_extract_all(lower(`{text_col}`), "
+                f"'[a-z]+', 0))")
     if hash_fn == "xxhash64":
         df = ensure_parallelism(df)
-        zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-        hashes = F.transform(toks, lambda t: F.xxhash64(t))
-        deltas = F.transform(hashes, lambda h: F.array(*[
-            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            for j in range(bits)]))
-        counters = F.aggregate(deltas, zeros,
-                               lambda acc, d: F.zip_with(
-                                   acc, d, lambda a, x: a + x))
+        delta_terms = ", ".join(
+            f"cast((shiftright(h, {j}) & 1) * 2 - 1 AS bigint)"
+            for j in range(bits))
+        counters = F.expr(
+            f"aggregate(transform({toks_sql}, t -> xxhash64(t)), "
+            f"array_repeat(cast(0 AS bigint), {bits}), "
+            f"(acc, h) -> zip_with(acc, array({delta_terms}), "
+            f"(a, x) -> a + x))")
         # materialize the counter array behind a projection boundary:
         # the fingerprint fold references it `bits` times, and HOF
         # expressions are interpreted with NO subexpression reuse — an
@@ -480,8 +493,8 @@ def with_simhash(df: DataFrame, text_col: str = "text",
         # (it refuses to duplicate non-cheap multiply-referenced exprs).
         tmp = "__simhash_counters"
         return (df.withColumn(tmp, counters)
-                .withColumn(out_col, _sign_fingerprint(
-                    lambda j: F.element_at(F.col(tmp), j + 1), bits))
+                .withColumn(out_col, F.expr(_sign_fingerprint_sql(
+                    lambda j: f"element_at({tmp}, {j + 1})", bits)))
                 .drop(tmp))
 
     if hash_fn != "md5":
@@ -504,23 +517,19 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     # projection BEFORE the aggregate: the 64 sum expressions get no
     # cross-buffer subexpression reuse, so an inline ``h`` would re-run
     # md5 64× per token row.
-    hx = F.md5("__tok")
-    tok = tok.select(
+    tok = tok.selectExpr(
         "__k", "__tok",
-        F.shiftleft(F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), 32)
-         .bitwiseOR(F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"))
-         .alias("__h"))
-    aggs = []
-    for j in range(bits):
-        bit = F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))
-        # explode_outer keeps token-less docs as one NULL row → counter 0
-        delta = F.when(F.col("__tok").isNull(),
-                       F.lit(0)).otherwise(bit * 2 - 1)
-        aggs.append(F.sum(delta).alias(f"__c{j}"))
-    counters_df = tok.groupBy("__k").agg(*aggs)
-    fp = counters_df.select(
+        "shiftleft(cast(conv(substring(md5(__tok), 1, 8), 16, 10) AS bigint),"
+        " 32) | cast(conv(substring(md5(__tok), 9, 8), 16, 10) AS bigint)"
+        " AS __h")
+    # explode_outer keeps token-less docs as one NULL row → counter 0
+    counters_df = tok.groupBy("__k").agg(*[
+        F.expr(f"sum(if(__tok IS NULL, 0, "
+               f"(shiftright(__h, {j}) & 1) * 2 - 1)) AS __c{j}")
+        for j in range(bits)])
+    fp = counters_df.selectExpr(
         "__k",
-        _sign_fingerprint(lambda j: F.col(f"__c{j}"), bits).alias(out_col))
+        f"({_sign_fingerprint_sql(lambda j: f'__c{j}', bits)}) AS {out_col}")
     out = df.join(fp, F.col(key_col) == F.col("__k")).drop("__k")
     return out.drop(key_col) if synthetic else out
 
