@@ -182,6 +182,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         strategy = ("bitmap" if vocab_size <= dense_vocab_limit
                     and n_docs * max(vocab_size, 1) <= dense_bits_limit
                     else "index")
+    from ..stats import record_routing
+    record_routing("ngram_jaccard.strategy", strategy)
 
     if strategy == "bitmap":
         out = _jaccard_bitmap_pairs(sh, inv, threshold)
@@ -503,7 +505,14 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     synthetic = key_col is None
     if synthetic:
         key_col = "__simhash_key"
-        df = df.withColumn(key_col, F.monotonically_increasing_id()).persist()
+        # localCheckpoint, not persist: the synthetic id must be computed
+        # exactly once (both join branches read it), and the checkpoint's
+        # truncated lineage CANNOT silently recompute different ids on
+        # block loss (it errors instead — correct > wrong). Its blocks are
+        # freed by the ContextCleaner when the frame goes out of scope,
+        # unlike an unmatched persist() leaking storage across calls.
+        df = df.withColumn(key_col,
+                           F.monotonically_increasing_id()).localCheckpoint()
     if bits != 64:
         raise ValueError("md5 simhash supports bits=64 only")
     tok = (ensure_parallelism(df.select(F.col(key_col).alias("__k"),
@@ -618,9 +627,12 @@ def connected_components(pairs: DataFrame, left: str, right: str,
              .union(pairs.select(F.col(right).alias("src"),
                                  F.col(left).alias("dst")))
              .distinct())
+    from ..stats import record_routing
     edges = edges.persist()
     if edges.count() <= driver_edge_limit:
+        record_routing("connected_components.path", "driver")
         collected = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()  # collected to the driver; nothing reads it again
         parent: dict = {}
 
         def find(x):
@@ -647,6 +659,7 @@ def connected_components(pairs: DataFrame, left: str, right: str,
                              StructField("comp", node_t)])
         return pairs.sparkSession.createDataFrame(rows, schema)
 
+    record_routing("connected_components.path", "distributed")
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint())
@@ -664,6 +677,10 @@ def connected_components(pairs: DataFrame, left: str, right: str,
         labels = new_labels
         if changed == 0:
             break
+    # labels is localCheckpoint-ed, so the result no longer reads edges —
+    # release the cached blocks instead of leaking them across calls in a
+    # long-lived session (unpersist even on the non-convergence raise)
+    edges.unpersist()
     if changed != 0:
         # silently returning split components would make downstream
         # canonicalization under-delete duplicates — fail loudly instead

@@ -392,6 +392,9 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
     default plan never drags an unbounded corpus to the driver."""
     if lsh_prefilter is None:
         lsh_prefilter = df.count() > exact_rows_limit
+    from ..stats import record_routing
+    record_routing("embedding_cosine_pairs.path",
+                   "lsh" if lsh_prefilter else "exact")
     if lsh_prefilter:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
                       _hyperplane_signature(F.col(vec_col), planes, dim)

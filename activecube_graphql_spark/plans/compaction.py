@@ -20,20 +20,20 @@ rewrites its output for read efficiency).
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import SparkSession
 
+from .sizing import input_size_bytes
+
 
 def _input_bytes(df) -> int:
-    total = 0
-    for f in df.inputFiles():
-        p = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            pass
-    return total
+    """Measured scan bytes via the Hadoop FileSystem API (sizing.py) —
+    correct on file:/hdfs:/s3a: alike. ``os.path.getsize`` here would
+    read 0 for every non-local file and quietly funnel a 100 TB rewrite
+    through one partition. Stat failures propagate (a visible error
+    beats a silently wrong maintenance plan); an empty source compacts
+    to a single file."""
+    return input_size_bytes(df) or 0
 
 
 def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,

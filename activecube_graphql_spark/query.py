@@ -50,6 +50,14 @@ def kcol(key: str) -> Column:
     return F.col(f"`{key}`")
 
 
+def _camelize_lower(name: str) -> str:
+    """Rails ``camelize(:lower)`` for attr names: ``base_currency`` →
+    ``baseCurrency`` (parse_tree.rb:170 applies this inside ``any:``
+    selector groups)."""
+    head, *rest = name.split("_")
+    return head + "".join(p[:1].upper() + p[1:] for p in rest)
+
+
 def _check_injection(value: Any) -> Any:
     """parse_tree.rb:113-114 — reject argument values smuggling path keys."""
     if isinstance(value, str) and PATH_PREFIX in value:
@@ -197,6 +205,21 @@ class CubeQueryBuilder:
         return self
 
     # ------------------------------------------------------- validation
+    def _normalize_any_group(self, grp: dict, selectors) -> dict:
+        """Reference parity (parse_tree.rb:170): attr names inside ``any:``
+        selector groups are lowerCamelized before cube lookup, so a
+        snake_case attr resolves a camelCase selector. Exact names win;
+        the camelized form is a FALLBACK only (applied when the exact key
+        is absent), so cubes with snake_case selectors are unaffected."""
+        out = {}
+        for k, v in grp.items():
+            if k != "any" and k not in selectors:
+                ck = _camelize_lower(k)
+                if ck in selectors:
+                    k = ck
+            out[k] = v
+        return out
+
     def _validate_args(self, args: dict) -> None:
         """Eager fail-fast pass over the argument grammar: selector names,
         operator names, injection guard. Column building happens later."""
@@ -204,7 +227,8 @@ class CubeQueryBuilder:
         for attr, value in args.items():
             if attr == "any":
                 for grp in value:
-                    self._validate_args(grp)
+                    self._validate_args(
+                        self._normalize_any_group(grp, self.cube.selectors))
                 continue
             self.cube.selector(attr)  # raises on unknown
             if isinstance(value, dict):
@@ -226,7 +250,8 @@ class CubeQueryBuilder:
         for attr, value in args.items():
             if attr == "any":
                 for grp in value:
-                    out |= self._selector_names(grp)
+                    out |= self._selector_names(
+                        self._normalize_any_group(grp, self.cube.selectors))
             else:
                 out.add(attr)
         return out
@@ -262,7 +287,9 @@ class CubeQueryBuilder:
             if attr == "any":
                 groups: list[Column] = []
                 for grp in value:
-                    gpred = self._predicate(resolver, grp)
+                    gpred = self._predicate(
+                        resolver,
+                        self._normalize_any_group(grp, resolver.selectors))
                     if gpred is not None:
                         groups.append(gpred)
                 if groups:
@@ -372,9 +399,18 @@ class CubeQueryBuilder:
                 self.cube.rep_choice_cache[ckey] = \
                     best.name if best is not None else None
                 return best
-        except Exception:  # estimation must never break compilation
-            pass
-        return self.cube.choose_representation(dims, mets, sels)
+        except Exception:
+            # estimation must never break compilation — but don't hide the
+            # estimator bug, and don't re-pay two driver-side plan
+            # analyses per compile: log once, cache the static fallback.
+            import logging
+            logging.getLogger(__name__).warning(
+                "representation size estimation failed for %s; using the "
+                "statically declared costs", self.cube.name, exc_info=True)
+        static = self.cube.choose_representation(dims, mets, sels)
+        self.cube.rep_choice_cache[ckey] = \
+            static.name if static is not None else None
+        return static
 
     def df(self) -> DataFrame:
         """Compile to a DataFrame: pick representation → filter → groupBy
@@ -577,7 +613,10 @@ def _apply_limit_by(df: DataFrame, args: dict, state: _FoldState) -> DataFrame:
     """ClickHouse ``LIMIT n [OFFSET m] BY key`` (parse_tree.rb:142-143):
     keep rows ``m < rank <= m+n`` per distinct ``each`` group, ranked by the
     preceding sort options. Remaining output columns are appended to the
-    ranking order as a deterministic tie-break. Spark ≥3.5 plans this as
+    ranking order as a deterministic tie-break — a DELIBERATE deviation
+    from ClickHouse's "first n in prior order" (which is free to return
+    either of two order-tied rows): every engine run and the SQL oracle
+    must pick identical survivors for hash checks. Spark ≥3.5 plans this as
     ``WindowGroupLimitExec`` (rank limit pushed below the shuffle), so only
     ~n rows per group per partition survive the map side — the pattern holds
     at 100 TB."""

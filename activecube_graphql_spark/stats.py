@@ -22,6 +22,23 @@ class ExecutionStats:
     plan_summary: str              # first physical-plan line
     used_broadcast_join: bool
     headers: dict[str, Any] = field(default_factory=dict)
+    routing: dict[str, str] = field(default_factory=dict)
+
+
+# Data-dependent physical routing breadcrumbs. Operators that pick a plan
+# by measured stats (ngram_jaccard index|bitmap, connected_components
+# driver|distributed, embedding pairs exact|lsh) report the choice here,
+# so callers and tests observe WHICH path ran without parsing logs.
+# Session-level observability state, latest decision per operator.
+_routing: dict[str, str] = {}
+
+
+def record_routing(op: str, decision: str) -> None:
+    _routing[op] = decision
+
+
+def routing_decisions() -> dict[str, str]:
+    return dict(_routing)
 
 
 def execute(builder, headers: Optional[dict] = None):
@@ -41,4 +58,5 @@ def execute(builder, headers: Optional[dict] = None):
         plan_summary=plan.splitlines()[0] if plan else "",
         used_broadcast_join="BroadcastHashJoin" in plan,
         headers=dict(headers or {}),
+        routing=routing_decisions(),
     )

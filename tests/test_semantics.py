@@ -71,6 +71,31 @@ def test_nil_eq_means_is_null(spark, sf_dir):
     assert n == 0
 
 
+def test_any_group_lowercamelize_fallback(spark, sf_dir):
+    """parse_tree.rb:170 — attr names inside ``any:`` selector groups
+    resolve via camelize(:lower) when the exact key is absent, so
+    reference-style queries with snake_case attrs match a camelCase
+    selector. Exact names still win, top-level attrs are untouched, and
+    unknown names keep failing fast."""
+    cube = SalesCube(spark, sf_dir)
+    cube.selectors = dict(cube.selectors)  # instance-local, no class leak
+    cube.selectors["returnFlag"] = cube.selectors["returnflag"]
+    exact = (cube.query().measure("count", alias="cnt")
+             .when({"any": [{"returnFlag": "R"}]}).df().collect()[0][0])
+    camel = (cube.query().measure("count", alias="cnt")
+             .when({"any": [{"return_flag": "R"}]}).df().collect()[0][0])
+    assert exact > 0
+    assert camel == exact
+    # the reference camelizes ONLY inside any: groups — top level unchanged
+    with pytest.raises(InputArgumentError):
+        cube.query().measure("count", alias="cnt") \
+            .when({"return_flag": "R"}).df()
+    # unknown names inside any: still fail fast
+    with pytest.raises(InputArgumentError):
+        cube.query().measure("count", alias="cnt") \
+            .when({"any": [{"wat_attr": 1}]}).df()
+
+
 def test_option_order_matters(spark, sf_dir):
     """O5: [desc, limit] ≠ [limit, desc] (parse_tree.rb:46-68,99)."""
     cube = EventsCube(spark, sf_dir)

@@ -46,3 +46,26 @@ def test_plan_cache_reuses_compiled_df(spark, sf_dir):
     df3 = (cube.query().slice("returnflag").measure("count", alias="c")
            .when({"linestatus": "F"}).df())
     assert df3 is not df1
+
+
+def test_routing_decisions_observable(spark, sf_dir):
+    """Stats-probe operators report which physical path they took
+    (index|bitmap, driver|distributed) — observable without log parsing,
+    and surfaced on ExecutionStats.routing for cube queries."""
+    from activecube_graphql_spark.operators.dedup import (
+        connected_components, ngram_jaccard_pairs)
+    from activecube_graphql_spark.stats import routing_decisions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    connected_components(pairs, "id_a", "id_b").collect()
+
+    routing = routing_decisions()
+    assert routing["ngram_jaccard.strategy"] in {"index", "bitmap"}
+    assert routing["connected_components.path"] == "driver"
+
+    cube = SalesCube(spark, sf_dir)
+    _, stats = execute(cube.query().slice("returnflag").measure("count",
+                                                                alias="c"))
+    assert stats.routing["connected_components.path"] == "driver"
