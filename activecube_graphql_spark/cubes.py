@@ -223,6 +223,17 @@ class EventsCube(Cube):
     }
 
 
+class EventsArchiveCube(EventsCube):
+    """EventsCube over a hot/cold segmented backing (§2.7 UNION ALL
+    surface; plans/segments.py): identical element dictionaries, but the
+    fact table is the UNION ALL of two disjoint physical segments. Every
+    query API — slices, measures, filters, options, streaming twins —
+    works unchanged; filters push into BOTH segment scans independently,
+    so a predicate excluding the archive's time range never reads it."""
+    name = "events_archive"
+    base_tables = ["events_cold", "events_hot"]
+
+
 class DocsCube(Cube):
     name = "documents"
     base_table = "documents"

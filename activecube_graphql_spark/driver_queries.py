@@ -391,6 +391,24 @@ def q_events_hourly(spark, sf_dir):
     return _round(q.relabeled(), {"total": 2})
 
 
+def q_union_backings(spark, sf_dir):
+    """§2.7 set-operation surface: one logical cube over TWO disjoint
+    physical segments (hot/cold archive split, plans/segments.py) —
+    the full query API runs against their UNION ALL, with the time
+    filter pushed into both segment scans independently. The filter
+    deliberately straddles the split boundary so both segments
+    contribute rows; the oracle aggregates the single unsplit table."""
+    from .plans.segments import attach_split_events
+    cube = attach_split_events(spark, sf_dir)
+    q = (cube.query()
+         .slice("event_type")
+         .measure("count", alias="cnt")
+         .measure("total")
+         .measure("users")
+         .when({"ts": {"gteq": "2024-01-10 00:00:00"}}))
+    return _round(q.relabeled(), {"total": 2})
+
+
 def q_db_routing(spark, sf_dir):
     """S2: multi-database routing — same cube, physical database chosen
     per-request (cube.connected_to analogue, cube_field.rb:33-38). The
@@ -504,6 +522,7 @@ def q_text_stats(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.avg("token_count"), 4).alias("avg_tokens"),
                  F.round(F.avg("ws_token_count"), 4).alias("avg_ws_tokens"),
+                 F.round(F.avg("bpe_token_count"), 4).alias("avg_bpe_tokens"),
                  F.round(F.avg("punct_count"), 4).alias("avg_punct"),
                  F.round(F.avg("stopword_count"), 4).alias("avg_stopwords"),
                  F.round(F.avg("quality"), 4).alias("avg_quality"),
@@ -895,6 +914,7 @@ def q_graphql_topn(spark, sf_dir):
 # outside the window without a prior green record.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never-checked (must be graded this round) ---
+    "union_backings": q_union_backings,  # new in r03 (§2.7 surface)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1206,6 +1226,16 @@ ORACLES: dict[str, str] = {
                count(DISTINCT user_id) AS users
         FROM events GROUP BY 1, 2
     """,
+    # union_backings: the engine unions two disjoint parquet segments;
+    # the oracle reads the single unsplit table — equality proves the
+    # split+UNION ALL is exactly the identity on the fact table.
+    "union_backings": """
+        SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total,
+               count(DISTINCT user_id) AS users
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        GROUP BY 1
+    """,
     "dedup_exact": """
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d
@@ -1223,6 +1253,7 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS cnt,
                round(avg({tx.oracle_fragment(tx.TOKEN_COUNT)}), 4) AS avg_tokens,
                round(avg({tx.oracle_fragment(tx.WS_TOKEN_COUNT)}), 4) AS avg_ws_tokens,
+               round(avg({tx.oracle_fragment(tx.BPE_TOKEN_COUNT)}), 4) AS avg_bpe_tokens,
                round(avg({tx.oracle_fragment(tx.PUNCT_COUNT)}), 4) AS avg_punct,
                round(avg({tx.oracle_fragment(tx.STOPWORD_COUNT)}), 4) AS avg_stopwords,
                round(avg({tx.oracle_fragment(tx.QUALITY)}), 4) AS avg_quality,

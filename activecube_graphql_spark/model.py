@@ -477,6 +477,15 @@ class Cube:
 
     name: str = "cube"
     base_table: str = ""
+    #: disjoint physical segments backing ONE logical fact table (the
+    #: activecube multiple-tables feature, README.md:53-68 context; the
+    #: §2.7 UNION ALL surface). Non-empty → ``table()`` scans every
+    #: segment and UNION ALLs them below the joins; each segment is an
+    #: independent scan, so predicate pushdown / partition pruning /
+    #: column pruning apply per segment (a filter that eliminates the
+    #: cold archive reads only the hot segment). Declaring segments is
+    #: the cube author's assertion that they partition the fact table.
+    base_tables: list[str] = []
     joins: list[JoinSpec] = []
     dimensions: dict[str, Dimension] = {}
     metrics: dict[str, Metric] = {}
@@ -611,11 +620,24 @@ class Cube:
         return df
 
     # -- backing view -------------------------------------------------------
+    def _base_df(self, database: str, read) -> DataFrame:
+        """Base fact frame: single table, or UNION ALL of the declared
+        disjoint segments (resolved by name by position: schemas must
+        match — ``unionByName`` fails fast on drift between segments)."""
+        if self.base_tables:
+            parts = [self.prepare(read(self.spark, database, t))
+                     for t in self.base_tables]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+        return self.prepare(read(self.spark, database, self.base_table))
+
     def table(self, database: str = "default",
               required: Optional[frozenset[str]] = None) -> DataFrame:
         """Backing DataFrame: base fact table plus the star joins in
         ``required`` (None = all). Broadcast hints applied per JoinSpec."""
-        df = self.prepare(self.source.read(self.spark, database, self.base_table))
+        df = self._base_df(database, self.source.read)
         if not self.joins:
             return df
         need = set(required) if required is not None else {j.table for j in self.joins}
@@ -643,8 +665,7 @@ class Cube:
         dimension side is broadcast per micro-batch — same plan shape the
         batch path uses, and the standard cluster-scale layout: the fact
         stream never shuffles for a dimension lookup)."""
-        df = self.prepare(self.source.read_stream(self.spark, database,
-                                                  self.base_table))
+        df = self._base_df(database, self.source.read_stream)
         if not self.joins:
             return df
         need = set(required) if required is not None else {j.table for j in self.joins}

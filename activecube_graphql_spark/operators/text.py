@@ -23,8 +23,18 @@ TOKENS = "regexp_extract_all(lower({text}), '[a-z]+', 0)"
 
 TOKEN_COUNT = f"ARRAY_LEN({TOKENS})"
 
-#: whitespace-separated token count (BPE-ish proxy: words + punct runs)
+#: whitespace-separated token count (the cheap proxy)
 WS_TOKEN_COUNT = "ARRAY_LEN(regexp_extract_all({text}, '[^ ]+', 0))"
+
+#: BPE-pre-tokenizer-style segment count (the GPT-2 pattern family:
+#: space-prefixed letter runs | digit runs | punctuation runs — the
+#: contraction alternates are dropped because a single-quote char cannot
+#: be written portably inside a single-quoted SQL literal on both
+#: engines; apostrophes land in the punctuation class instead). Tracks
+#: real BPE token counts far better than whitespace splitting on
+#: digit/punct-heavy text, at one codegen'd regexp per row.
+BPE_TOKEN_COUNT = ("ARRAY_LEN(regexp_extract_all(lower({text}), "
+                   "' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0))")
 
 #: punctuation character count / total chars
 PUNCT_COUNT = "length(REGEX_STRIP({text}, '[a-zA-Z0-9 ]'))"
@@ -127,11 +137,13 @@ def _col(fragment: str, text_col: str) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add token_count, ws_token_count, punct_count, stopword_count,
-    quality, token_diversity columns — map-only, codegen'd."""
+    """Add token_count, ws_token_count, bpe_token_count, punct_count,
+    stopword_count, quality, token_diversity columns — map-only,
+    codegen'd."""
     return (df
             .withColumn("token_count", _col(TOKEN_COUNT, text_col))
             .withColumn("ws_token_count", _col(WS_TOKEN_COUNT, text_col))
+            .withColumn("bpe_token_count", _col(BPE_TOKEN_COUNT, text_col))
             .withColumn("punct_count", _col(PUNCT_COUNT, text_col))
             .withColumn("stopword_count", _col(STOPWORD_COUNT, text_col))
             .withColumn("quality", _col(QUALITY, text_col))

@@ -238,3 +238,40 @@ def test_compaction_and_clustering(spark, tmp_path):
              .collect())
     assert len(spans) > 1
     assert sum(r["span"] for r in spans) / len(spans) < 97 / 2
+
+
+def test_segmented_cube_union_and_per_segment_pushdown(spark, sf_dir, tmp_path):
+    """§2.7: a cube over disjoint hot/cold segments answers identically to
+    the unsplit table, via a Union of independent scans with the filter
+    pushed into EACH segment scan."""
+    from activecube_graphql_spark.cubes import EventsCube
+    from activecube_graphql_spark.plans.segments import attach_split_events
+
+    cube = attach_split_events(spark, sf_dir, cache_root=str(tmp_path))
+
+    def q(c):
+        return (c.query().slice("event_type")
+                .measure("count", alias="cnt")
+                .when({"event_type": "click"}))
+
+    split_rows = sorted(map(tuple, q(cube).df().collect()))
+    plain_rows = sorted(map(tuple, q(EventsCube(spark, sf_dir)).df().collect()))
+    assert split_rows == plain_rows
+    assert split_rows  # non-degenerate
+
+    plan = q(cube).df()._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "Union" in final
+    assert final.count("FileScan parquet") == 2  # one scan per segment
+    # the selector filter reaches both parquet scans
+    assert final.count("PushedFilters: [IsNotNull(event_type)") == 2
+
+
+def test_segmented_cube_streaming_twin(spark, sf_dir, tmp_path):
+    """The same segmented cube compiles as a streaming union (stream
+    twins keep working over base_tables)."""
+    from activecube_graphql_spark.plans.segments import attach_split_events
+
+    cube = attach_split_events(spark, sf_dir, cache_root=str(tmp_path))
+    sdf = cube.stream_table()
+    assert sdf.isStreaming
