@@ -536,6 +536,62 @@ def q_lang_id(spark, sf_dir):
     return df.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_quality_rules(spark, sf_dir):
+    """Gopher-style hard-rule quality filter (Rae et al. 2021 table A1
+    family, operators/text.py): per document the rule inputs, the keep
+    verdict, and the first failing rule — map-only codegen'd portable
+    fragments, so the oracle evaluates the IDENTICAL expressions."""
+    out = tx.with_quality_rules(_docs(spark, sf_dir))
+    return out.select("doc_id", "word_count", "mean_word_len",
+                      "token_diversity",
+                      F.col("keep").cast("int").alias("keep_flag"),
+                      "reason")
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py): training docs
+    sharing ≥2 distinct word 3-grams with a held-out benchmark slice
+    (doc_id % 97 = 0 stands in for the eval suite). Inverted-index join
+    with the small bench side broadcast — the training corpus never
+    shuffles."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.decontamination_overlap(train, bench, n=3, min_shared=2)
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/sampling.py cap_per_group):
+    keep the 5 highest-quality docs per source (quality desc, doc_id
+    tie-break) — the C4/RefinedWeb per-domain cap. WindowGroupLimit
+    prunes to the cap below the exchange (§2.8 window family)."""
+    from .operators import sampling
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality", tx._col(tx.QUALITY, "text"))
+    out = sampling.cap_per_group(
+        docs, ["source"], [F.col("quality").desc(), F.col("doc_id").asc()],
+        cap=5)
+    return out.select("doc_id", "source", "quality",
+                      F.col("rank_in_group").cast("long").alias("rk"))
+
+
+def q_moving_avg(spark, sf_dir):
+    """Trailing moving aggregate + lag delta (operators/timeseries.py):
+    per event type, daily revenue with its 7-day trailing mean and
+    day-over-day delta — one shuffle on the type key, O(frame) window
+    state, all aggregates sharing a single sort."""
+    from .operators.timeseries import moving_aggregate
+    ev = _events(spark, sf_dir).table()
+    daily = (ev.groupBy(F.col("event_type"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum("value"), 2).alias("revenue")))
+    out = moving_aggregate(daily, on="day", by=["event_type"],
+                           value="revenue", window_rows=7)
+    return (out.select("event_type", "day", "revenue",
+                       F.round("avg_revenue_7", 4).alias("avg_revenue_7"),
+                       F.round("delta_revenue", 2).alias("delta_revenue")))
+
+
 def q_det_sample(spark, sf_dir):
     """Reproducible hash-bucket sampling: a stable 20% of documents by
     md5(salt||doc_id) bucket — same subset on every run and engine
@@ -914,6 +970,10 @@ def q_graphql_topn(spark, sf_dir):
 # outside the window without a prior green record.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never-checked (must be graded this round) ---
+    "quality_rules": q_quality_rules,  # new in r03 (LLM-pipeline surface)
+    "decontam": q_decontam,            # new in r03
+    "source_cap": q_source_cap,        # new in r03
+    "moving_avg": q_moving_avg,        # new in r03
     "union_backings": q_union_backings,  # new in r03 (§2.7 surface)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1265,6 +1325,61 @@ ORACLES: dict[str, str] = {
         SELECT lang, {tx.oracle_fragment(tx.LANG_ID)} AS lang_pred,
                count(*) AS cnt
         FROM documents GROUP BY 1, 2
+    """,
+    "quality_rules": f"""
+        SELECT doc_id,
+               {tx.oracle_fragment(tx.TOKEN_COUNT)} AS word_count,
+               {tx.oracle_fragment(tx.MEAN_WORD_LEN)} AS mean_word_len,
+               {tx.oracle_fragment(tx.TOKEN_DIVERSITY)} AS token_diversity,
+               CAST({tx.oracle_fragment(tx.QUALITY_KEEP)} AS INT) AS keep_flag,
+               {tx.oracle_fragment(tx.QUALITY_REASON)} AS reason
+        FROM documents
+    """,
+    "decontam": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams)
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+               count(*) AS shared
+        FROM inv t JOIN inv b ON t.shingle = b.shingle
+        WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
+    "source_cap": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   {tx.oracle_fragment(tx.QUALITY)} AS quality
+            FROM documents),
+        ranked AS (
+            SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS rk
+            FROM scored)
+        SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 5
+    """,
+    "moving_avg": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(value), 2) AS revenue
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, day, revenue,
+               round(avg(revenue) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                   AS avg_revenue_7,
+               round(revenue - lag(revenue, 1) OVER (
+                   PARTITION BY event_type ORDER BY day), 2)
+                   AS delta_revenue
+        FROM daily
     """,
     # hash-bucket sampling: DuckDB reproduces the exact subset — the
     # point of deterministic sampling is that any engine can.

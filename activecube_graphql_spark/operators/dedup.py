@@ -290,6 +290,50 @@ def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
                               schema="id_a long, id_b long, jaccard double")
 
 
+# ----------------------------------------------------------- decontamination
+
+def decontamination_overlap(train: DataFrame, bench: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3, min_shared: int = 2) -> DataFrame:
+    """Benchmark decontamination: (train_id, bench_id, shared) for every
+    training document sharing ≥ ``min_shared`` distinct word ``n``-gram
+    shingles with a benchmark/eval document — the standard pre-training
+    hygiene step (flag training text that can leak eval answers; the
+    13-gram variant of GPT-3 appendix C is this operator at n=13).
+
+    Scale shape: both sides shingle map-side (`_shingles`, codegen), the
+    join key is the shingle — an inverted-index join, never train×bench
+    all-pairs. The benchmark side is SMALL by construction (eval suites
+    are a few MB against a 100 TB corpus), so its exploded index is
+    broadcast: the training corpus is scanned exactly once with a
+    map-side hash join, zero shuffle of training data. The one
+    aggregation (pair → shared count) shuffles only matching pairs."""
+    sh_train = (ensure_parallelism(train)
+                .select(F.col(id_col).alias("train_id"),
+                        F.explode(_shingles(F.col(text_col), n))
+                         .alias("shingle")))
+    sh_bench = bench.select(F.col(id_col).alias("bench_id"),
+                            F.explode(_shingles(F.col(text_col), n))
+                             .alias("shingle"))
+    return (sh_train.join(F.broadcast(sh_bench), "shingle")
+            .groupBy("train_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, min_shared: int = 2) -> DataFrame:
+    """Drop training documents flagged by :func:`decontamination_overlap`
+    (any benchmark hit at ≥ ``min_shared`` shared shingles). Anti-join on
+    the flagged id set — the flagged set is tiny, so AQE turns this into
+    a broadcast anti-join against the corpus scan."""
+    flagged = (decontamination_overlap(train, bench, id_col, text_col,
+                                       n, min_shared)
+               .select(F.col("train_id").alias(id_col)).distinct())
+    return train.join(flagged, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",

@@ -47,6 +47,26 @@ def deterministic_sample(df: DataFrame, key_col: str, rate_bp: int,
     return df.filter(hash_bucket(F.col(key_col), salt) < rate_bp)
 
 
+def cap_per_group(df: DataFrame, group_cols: list[str],
+                  order_by: list[Column], cap: int) -> DataFrame:
+    """Keep at most ``cap`` rows per group, best-first by ``order_by`` —
+    the per-domain/source cap of web-corpus pipelines (a handful of hot
+    domains must not dominate the training mix; C4 and RefinedWeb both
+    apply this shape). Emits ``rank_in_group`` (1-based) so callers can
+    audit how full each group's quota ran.
+
+    Scale shape: one hash shuffle on the group key, and the rank limit
+    is pushed below the exchange as a partial WindowGroupLimit (each map
+    task pre-prunes to its local top-``cap``), so the shuffle carries at
+    most ``cap`` rows per group per mapper — never the full corpus sort
+    a global ORDER BY would cost. Skewed groups (one giant domain) are
+    exactly the rows the partial limit prunes hardest."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (df.withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= cap))
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       rates_bp: dict[str, int],
                       default_bp: int = 0, salt: str = "") -> DataFrame:

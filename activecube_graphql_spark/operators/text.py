@@ -119,6 +119,39 @@ LANG_ID = (
     " ELSE 'und' END"
 )
 
+#: mean alpha-token length (0.0 for token-less docs)
+MEAN_WORD_LEN = (
+    "round(LIST_SUM(LIST_TRANSFORM(TOKS, t -> length(t)))"
+    " * CAST(1.0 AS DOUBLE) / greatest(TOKC, 1), 4)"
+).replace("TOKS", TOKENS).replace("TOKC", TOKEN_COUNT)
+
+#: Gopher-style hard rule filter (Rae et al. 2021, table A1 family):
+#: each rule is a portable boolean; REASON names the FIRST failing rule
+#: (fixed precedence) and KEEP is the conjunction. Thresholds follow the
+#: paper where the synthetic corpus exercises them (word count, mean
+#: word length, stopword presence) plus a repetition rule on distinct-
+#: token fraction standing in for the paper's duplicate-line family
+#: (this corpus is single-line).
+_RULE_WC_LOW = f"({TOKEN_COUNT}) >= 50"
+_RULE_WC_HIGH = f"({TOKEN_COUNT}) <= 100000"
+_RULE_MWL = f"({MEAN_WORD_LEN}) BETWEEN 3.0 AND 10.0"
+_RULE_DIVERSITY = f"({TOKEN_DIVERSITY}) >= 0.35"
+_RULE_STOPWORD = f"({STOPWORD_COUNT}) >= 1"
+
+QUALITY_KEEP = (f"(({_RULE_WC_LOW}) AND ({_RULE_WC_HIGH}) AND "
+                f"({_RULE_MWL}) AND ({_RULE_DIVERSITY}) AND "
+                f"({_RULE_STOPWORD}))")
+
+QUALITY_REASON = (
+    "CASE"
+    f" WHEN NOT ({_RULE_WC_LOW}) THEN 'too_few_words'"
+    f" WHEN NOT ({_RULE_WC_HIGH}) THEN 'too_many_words'"
+    f" WHEN NOT ({_RULE_MWL}) THEN 'word_length'"
+    f" WHEN NOT ({_RULE_DIVERSITY}) THEN 'repetitive'"
+    f" WHEN NOT ({_RULE_STOPWORD}) THEN 'no_stopwords'"
+    " ELSE 'ok' END"
+)
+
 #: quality score in [0,1]: length band + stopword presence - punct excess
 QUALITY = (
     "round(least(1.0, greatest(0.0,"
@@ -148,6 +181,20 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("stopword_count", _col(STOPWORD_COUNT, text_col))
             .withColumn("quality", _col(QUALITY, text_col))
             .withColumn("token_diversity", _col(TOKEN_DIVERSITY, text_col)))
+
+
+def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style hard-rule quality filter: adds ``word_count``,
+    ``mean_word_len``, ``token_diversity``, ``keep`` (all rules pass) and
+    ``reason`` (first failing rule, 'ok' when kept). Map-only codegen'd
+    expressions — at 100 TB this is a pure scan-side filter stage, fully
+    pipelined with the parquet read, no shuffle."""
+    return (df
+            .withColumn("word_count", _col(TOKEN_COUNT, text_col))
+            .withColumn("mean_word_len", _col(MEAN_WORD_LEN, text_col))
+            .withColumn("token_diversity", _col(TOKEN_DIVERSITY, text_col))
+            .withColumn("keep", _col(QUALITY_KEEP, text_col))
+            .withColumn("reason", _col(QUALITY_REASON, text_col)))
 
 
 def with_redacted(df: DataFrame, text_col: str = "text",

@@ -81,6 +81,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             .drop(_SIDE, _RTIME))
 
 
+def moving_aggregate(df: DataFrame, on: str, by: Sequence[str],
+                     value: str, window_rows: int,
+                     aggs: Sequence[str] = ("avg",)) -> DataFrame:
+    """Trailing moving aggregates + previous-row delta over an ordered
+    series — the rolling-feature primitive (smoothed metrics, momentum
+    features, anomaly baselines). Per ``by`` group ordered by ``on``:
+    ``{agg}_{value}_{n}`` over the last ``window_rows`` rows (frame
+    ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`` — partial at the
+    series head, like SQL), plus ``delta_{value}`` vs ``lag(1)`` (NULL
+    on each group's first row).
+
+    Scale shape: one hash shuffle on ``by`` + per-partition sort; frame
+    state is O(window_rows) per group regardless of series length, and
+    all aggregates share the single window sort. The degenerate
+    ``by=[]`` case would funnel everything through one task — callers
+    aggregate first (this operator is meant for per-key series, or
+    post-aggregation spines that are already small)."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(F.col(on).asc()) \
+        .rowsBetween(-(window_rows - 1), 0)
+    wlag = Window.partitionBy(*by).orderBy(F.col(on).asc())
+    out = df
+    for agg in aggs:
+        out = out.withColumn(
+            f"{agg}_{value}_{window_rows}",
+            getattr(F, agg)(F.col(value)).over(w))
+    return out.withColumn(f"delta_{value}",
+                          F.col(value) - F.lag(value, 1).over(wlag))
+
+
 def resample(df: DataFrame, on: str, by: Sequence[str], step: str,
              aggs: dict) -> DataFrame:
     """Regular-grid resampling with gap fill: per ``by`` group, aggregate

@@ -286,3 +286,101 @@ def test_token_diversity_bounds_and_repetition(spark):
     got = {r["doc_id"]: r["token_diversity"]
            for r in tx.with_text_stats(df).collect()}
     assert got[1] == 1.0 and got[2] == 0.25 and got[3] == 1.0
+
+
+def test_quality_rules_keep_iff_no_reason(spark, sf_dir):
+    """keep ⇔ reason == 'ok'; every rule input column present; rules
+    actually split the corpus (a filter that keeps or drops everything
+    is a mis-threshold, not a filter)."""
+    out = tx.with_quality_rules(_docs(spark, sf_dir)).select(
+        "doc_id", "word_count", "mean_word_len", "token_diversity",
+        "keep", "reason")
+    rows = out.collect()
+    assert all((r["reason"] == "ok") == r["keep"] for r in rows)
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+    reasons = {r["reason"] for r in rows if not r["keep"]}
+    assert reasons <= {"too_few_words", "too_many_words", "word_length",
+                       "repetitive", "no_stopwords"}
+
+
+def test_quality_rules_synthetic_edges(spark):
+    """Each rule fires on a doc built to trip exactly it, honoring the
+    CASE precedence order."""
+    rows = [
+        (1, "one two"),                                 # too_few_words
+        (2, " ".join("supercalifragilistic" for _ in range(60))),  # wl>10 …
+        (3, " ".join("the quick brown fox jumps".split() * 20)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["reason"]
+           for r in tx.with_quality_rules(df).collect()}
+    assert got[1] == "too_few_words"
+    assert got[2] == "word_length"   # wc=60 passes, mean length 20 fails
+    assert got[3] == "repetitive"    # mwl 4.2 passes; 5/100 distinct fails
+
+
+def test_decontaminate_drops_exactly_flagged(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    overlap = dd.decontamination_overlap(train, bench, n=3, min_shared=2)
+    flagged = {r["train_id"] for r in overlap.collect()}
+    clean = dd.decontaminate(train, bench, n=3, min_shared=2)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert kept == all_train - flagged
+    assert flagged, "fixture should produce at least one contaminated doc"
+
+
+def test_decontamination_counts_distinct_shared_shingles(spark):
+    """Shared count is DISTINCT shingles (repeats inside one doc count
+    once), and sub-threshold overlap is not emitted."""
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma"),   # train
+        (2, "alpha beta gamma delta epsilon"),            # train, disjoint ids
+        (97 * 50, "alpha beta gamma delta"),              # bench (id%97==0)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id") % 97 == 0)
+    train = df.filter(F.col("doc_id") % 97 != 0)
+    got = {(r["train_id"], r["bench_id"]): r["shared"]
+           for r in dd.decontamination_overlap(train, bench, n=3,
+                                               min_shared=2).collect()}
+    # bench grams: {a b g, b g d}; doc1 shares both (its repeat of
+    # 'alpha beta gamma' counts once); doc2 shares both too
+    assert got[(1, 97 * 50)] == 2
+    assert got[(2, 97 * 50)] == 2
+
+
+def test_cap_per_group_semantics(spark, sf_dir):
+    from activecube_graphql_spark.operators import sampling
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality", tx._col(tx.QUALITY, "text"))
+    out = sampling.cap_per_group(
+        docs, ["source"], [F.col("quality").desc(), F.col("doc_id").asc()],
+        cap=5)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # every kept row's quality ≥ the best dropped row's quality per source
+    kept_min = {r["source"]: r["q"] for r in
+                out.groupBy("source").agg(F.min("quality").alias("q")).collect()}
+    dropped = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+    drop_max = {r["source"]: r["q"] for r in
+                dropped.groupBy("source").agg(F.max("quality").alias("q")).collect()}
+    for src, qmax in drop_max.items():
+        assert qmax <= kept_min[src]
+
+
+def test_moving_aggregate_frame_and_delta(spark):
+    from activecube_graphql_spark.operators.timeseries import moving_aggregate
+    rows = [("a", i, float(10 * i)) for i in range(1, 6)] + \
+           [("b", 1, 7.0), ("b", 2, 9.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {(r["k"], r["t"]): (r["avg_v_3"], r["delta_v"])
+           for r in moving_aggregate(df, on="t", by=["k"], value="v",
+                                     window_rows=3).collect()}
+    assert out[("a", 1)] == (10.0, None)          # partial frame at head
+    assert out[("a", 2)] == (15.0, 10.0)
+    assert out[("a", 4)] == (30.0, 10.0)          # full 3-row frame
+    assert out[("b", 2)] == (8.0, 2.0)            # groups independent

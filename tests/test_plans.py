@@ -275,3 +275,30 @@ def test_segmented_cube_streaming_twin(spark, sf_dir, tmp_path):
     cube = attach_split_events(spark, sf_dir, cache_root=str(tmp_path))
     sdf = cube.stream_table()
     assert sdf.isStreaming
+
+
+def test_source_cap_ranks_map_side(spark, sf_dir):
+    """cap_per_group must push a partial WindowGroupLimit below the
+    exchange — each mapper pre-prunes to its local top-cap, so a skewed
+    hot domain never ships its full row set through the shuffle."""
+    from activecube_graphql_spark.driver_queries import q_source_cap
+    plan = fmt(q_source_cap(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_decontam_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark inverted index (tiny vs the corpus) must broadcast:
+    the training side is scanned exactly once with a map-side hash join —
+    no shuffle of training data, no SortMergeJoin."""
+    from activecube_graphql_spark.driver_queries import q_decontam
+    plan = fmt(q_decontam(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_rules_stay_map_only(spark, sf_dir):
+    """The rule filter is a scan-side projection: no exchange anywhere in
+    the plan (at 100 TB this stage pipelines with the parquet read)."""
+    from activecube_graphql_spark.driver_queries import q_quality_rules
+    plan = fmt(q_quality_rules(spark, sf_dir))
+    assert "Exchange" not in plan, plan
