@@ -592,6 +592,34 @@ def q_moving_avg(spark, sf_dir):
                        F.round("delta_revenue", 2).alias("delta_revenue")))
 
 
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
+    hold HLL(user_id) + KLL(value) state; the query merges cells up to
+    event_type — the uniqState/uniqMerge pattern that makes distinct
+    counts and percentiles roll up at 100 TB. The oracle checks the
+    EXACT columns; the sketch estimates enter through tolerance flags
+    (est within 5% of truth ⇒ 1), so estimator drift breaks the hash."""
+    from .plans import sketches as sk
+    ev = _events(spark, sf_dir).table()
+    cells = sk.sketch_cells(ev, ["event_type", F.to_date("ts").alias("day")],
+                            distinct_cols=["user_id"],
+                            quantile_cols=["value"])
+    uniq = sk.rollup_distinct(cells, ["event_type"], ["user_id"])
+    p50 = sk.rollup_quantiles(cells, ["event_type"], "value", [0.5])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"))
+    joined = exact.join(uniq, "event_type").join(p50, "event_type")
+    tol = lambda est, true: (  # noqa: E731
+        (F.abs(F.col(est) - F.col(true)) <= 0.05 * F.abs(F.col(true)))
+        .cast("int"))
+    return joined.select(
+        "event_type", "exact_users",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        tol("user_id_uniq", "exact_users").alias("uniq_ok"),
+        tol("value_p50", "exact_p50").alias("p50_ok"))
+
+
 def q_det_sample(spark, sf_dir):
     """Reproducible hash-bucket sampling: a stable 20% of documents by
     md5(salt||doc_id) bucket — same subset on every run and engine
@@ -974,6 +1002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam": q_decontam,            # new in r03
     "source_cap": q_source_cap,        # new in r03
     "moving_avg": q_moving_avg,        # new in r03
+    "sketch_rollup": q_sketch_rollup,  # new in r03
     "union_backings": q_union_backings,  # new in r03 (§2.7 surface)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1365,6 +1394,17 @@ ORACLES: dict[str, str] = {
                                       ORDER BY quality DESC, doc_id) AS rk
             FROM scored)
         SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 5
+    """,
+    # sketch estimates (HLL/KLL state merges) are not SQL-reproducible;
+    # the contract is exact columns + tolerance flags — DuckDB computes
+    # the truth and asserts the flags are 1, so estimator drift > 5%
+    # hash-mismatches.
+    "sketch_rollup": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               round(quantile_cont(value, 0.5), 4) AS exact_p50,
+               1 AS uniq_ok, 1 AS p50_ok
+        FROM events GROUP BY 1
     """,
     "moving_avg": """
         WITH daily AS (

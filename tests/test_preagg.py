@@ -104,3 +104,65 @@ def test_rollup_conditional_aggregate_matches(spark, sf_dir, tmp_path):
             "linestatus", F.round("rev_r", 2).alias("rev_r"))
 
     assert _multiset(run(True)) == _multiset(run(False))
+
+
+# ---------------------------------------------------------------- sketches
+
+def test_sketch_cells_roundtrip_and_rollup(spark, tmp_path):
+    """The 100 TB contract of plans/sketches.py: cells written to parquet
+    and read back must merge to the same estimates as a direct pass over
+    the raw rows — distinct counts and quantiles DO roll up when the
+    cell stores sketch state instead of a scalar."""
+    from activecube_graphql_spark.plans import sketches as sk
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cells = sk.sketch_cells(
+        ev, ["event_type", F.to_date("ts").alias("day")],
+        distinct_cols=["user_id"], quantile_cols=["value"])
+    path = str(tmp_path / "cells")
+    cells.write.parquet(path)
+    cells2 = spark.read.parquet(path)
+
+    # distinct: merged-cell estimate == direct-sketch estimate (HLL union
+    # is lossless), and within 5% of exact truth
+    got = {r["event_type"]: r["user_id_uniq"] for r in
+           sk.rollup_distinct(cells2, ["event_type"], ["user_id"]).collect()}
+    direct = {r["event_type"]: r["d"] for r in
+              ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(12))).alias("d"))
+              .collect()}
+    exact = {r["event_type"]: r["e"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("e")).collect()}
+    assert got == direct
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= 0.05 * exact[k]
+
+    # global rollup (coarser than the cell grain) also lossless
+    total = sk.rollup_distinct(cells2, [], ["user_id"]).collect()[0]
+    exact_total = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(total["user_id_uniq"] - exact_total) <= 0.05 * exact_total
+
+
+def test_sketch_kll_merge_preserves_n_and_rank(spark):
+    """Merging cell KLL sketches must retain EVERY cell's stream (the
+    r03 slice-overflow bug reduced the merge to the first cell), and the
+    merged median must sit within rank tolerance of the true median."""
+    from activecube_graphql_spark.plans import sketches as sk
+    from pyspark.sql import functions as F
+    df = (spark.range(10_000)
+          .select((F.col("id") % 16).alias("cell"),
+                  F.col("id").cast("double").alias("v")))
+    cells = sk.sketch_cells(df, ["cell"], quantile_cols=["v"])
+    merged = sk._fold_kll("v" + sk.KLL_SUFFIX)
+    row = cells.agg(
+        F.kll_sketch_get_n_double(merged).alias("n"),
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("p50")
+    ).collect()[0]
+    assert row["n"] == 10_000
+    assert abs(row["p50"] - 5_000) <= 0.02 * 10_000  # 2% rank tolerance
+
+    out = sk.rollup_quantiles(cells, [], "v", [0.1, 0.5, 0.9]).collect()[0]
+    for p, truth in [(10, 1_000), (50, 5_000), (90, 9_000)]:
+        assert abs(out[f"v_p{p:02d}"] - truth) <= 0.02 * 10_000
