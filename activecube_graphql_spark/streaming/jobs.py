@@ -272,6 +272,47 @@ def maintain_daily_rollup(spark: SparkSession, src_dir: str,
     q.awaitTermination()
 
 
+def maintain_sketch_cells(spark: SparkSession, src_dir: str,
+                          cells_path: str, checkpoint: str,
+                          glob: str = "*.parquet") -> None:
+    """Incrementally maintain the mergeable-sketch cell table
+    (plans/sketches.py): per (event_date, event_type) cell an HLL
+    sketch of user_id and a KLL sketch of value, kept fresh by the
+    events stream — so "distinct users this month" and "p95 this
+    quarter" stay answerable from the tiny cell table while the raw
+    feed grows unboundedly.
+
+    Same change-signal shape as :func:`maintain_daily_rollup`, and the
+    idempotency argument matters MORE here: merging new sketch deltas
+    into stored cells in place would double-count replayed batches
+    (at-least-once foreachBatch), silently inflating HLL state. Re-
+    building each touched day's cell from the raw source and dynamic-
+    partition-overwriting it converges to identical bytes on replay —
+    exactly-once effect, no transactional table needed."""
+    from ..plans import sketches as sk
+    sdf = events_stream(spark, src_dir, glob=glob)
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        days = [r[0] for r in
+                batch_df.select(F.to_date("ts").alias("d")).distinct()
+                .collect()]
+        if not days:
+            return
+        raw = (events_batch(spark, src_dir, glob=glob)
+               .filter(F.to_date("ts").isin(days)))
+        cells = sk.sketch_cells(
+            raw, [F.to_date("ts").alias("event_date"), "event_type"],
+            distinct_cols=["user_id"], quantile_cols=["value"])
+        (cells.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date").parquet(cells_path))
+
+    q = (sdf.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_available_now(sdf: DataFrame, query_name: str,
                       mode: str = "complete") -> DataFrame:
     """Drain a (file-)stream to a memory sink with Trigger.AvailableNow and

@@ -294,3 +294,62 @@ def test_incremental_daily_rollup_maintenance(spark, sf_dir, tmp_path):
     before = rolled()
     jobs.maintain_daily_rollup(spark, str(feed), rollup, ckpt)
     assert rolled() == before
+
+
+def test_incremental_sketch_cell_maintenance(spark, sf_dir, tmp_path):
+    """Sketch-cell twin of the rollup-maintenance test: after each
+    increment the maintained cells merge to the same distinct-count
+    estimates as sketching the full feed directly (HLL union lossless ⇒
+    incremental == from-scratch), and replay is a no-op."""
+    import glob as g
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.functions.tsutil import normalize_ts
+    from activecube_graphql_spark.plans import sketches as sk
+    from activecube_graphql_spark.streaming import jobs
+
+    feed = tmp_path / "feed"
+    cells_path = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    feed.mkdir()
+
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    days = sorted(r[0] for r in
+                  ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    split = days[len(days) // 2]
+
+    def emit(name, pred):
+        (ev.filter(pred).coalesce(1).write.mode("overwrite")
+           .parquet(str(feed / name)))
+        (part,) = g.glob(str(feed / name / "part-*.parquet"))
+        shutil.move(part, str(feed / f"{name}.parquet"))
+        shutil.rmtree(str(feed / name))
+
+    def maintained_estimates():
+        cells = spark.read.parquet(cells_path)
+        return {r["event_type"]: r["user_id_uniq"] for r in
+                sk.rollup_distinct(cells, ["event_type"],
+                                   ["user_id"]).collect()}
+
+    def direct_estimates():
+        raw = jobs.events_batch(spark, str(feed), glob="*.parquet")
+        return {r["event_type"]: r["d"] for r in
+                raw.groupBy("event_type")
+                .agg(F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))).alias("d"))
+                .collect()}
+
+    emit("first", F.to_date("ts") <= F.lit(split))
+    jobs.maintain_sketch_cells(spark, str(feed), cells_path, ckpt)
+    assert maintained_estimates() == direct_estimates()
+
+    emit("second", F.to_date("ts") > F.lit(split))
+    jobs.maintain_sketch_cells(spark, str(feed), cells_path, ckpt)
+    after_all = maintained_estimates()
+    assert after_all == direct_estimates()
+
+    # replay with the same checkpoint: no new input → nothing changes
+    jobs.maintain_sketch_cells(spark, str(feed), cells_path, ckpt)
+    assert maintained_estimates() == after_all
