@@ -592,6 +592,15 @@ def q_moving_avg(spark, sf_dir):
                        F.round("delta_revenue", 2).alias("delta_revenue")))
 
 
+def q_top_terms(spark, sf_dir):
+    """Per-language top-10 vocabulary heavy-hitters (operators/text.py
+    top_terms): explode → partial-agg counts → per-group rank capped
+    map-side. Rank column exposes tie-handling to the hash check."""
+    out = tx.top_terms(_docs(spark, sf_dir), "lang", k=10)
+    return out.select("lang", "term", "term_count",
+                      F.col("rank_in_group").cast("long").alias("rk"))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1003,6 +1012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,        # new in r03
     "moving_avg": q_moving_avg,        # new in r03
     "sketch_rollup": q_sketch_rollup,  # new in r03
+    "top_terms": q_top_terms,          # new in r03
     "union_backings": q_union_backings,  # new in r03 (§2.7 surface)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1394,6 +1404,21 @@ ORACLES: dict[str, str] = {
                                       ORDER BY quality DESC, doc_id) AS rk
             FROM scored)
         SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 5
+    """,
+    "top_terms": """
+        WITH toks AS (
+            SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+            FROM documents),
+        counts AS (
+            SELECT lang, term, count(*) AS term_count
+            FROM toks GROUP BY 1, 2),
+        ranked AS (
+            SELECT lang, term, term_count,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY term_count DESC, term) AS rk
+            FROM counts)
+        SELECT lang, term, term_count, rk FROM ranked WHERE rk <= 10
     """,
     # sketch estimates (HLL/KLL state merges) are not SQL-reproducible;
     # the contract is exact columns + tolerance flags — DuckDB computes

@@ -197,6 +197,27 @@ def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("reason", _col(QUALITY_REASON, text_col)))
 
 
+def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
+              k: int = 10) -> DataFrame:
+    """Top-``k`` most frequent alpha tokens per ``group_col`` value
+    (corpus vocabulary heavy-hitters — mix auditing, stopword discovery,
+    domain drift checks). Ties broken lexicographically.
+
+    Scale shape: explode-tokens → two-level aggregate — the (group,
+    token) count partial-aggregates map-side so the shuffle carries one
+    row per distinct (group, token) per mapper, then the per-group
+    top-k ranks through cap_per_group's partial WindowGroupLimit. The
+    exploded token stream never reaches the shuffle unaggregated."""
+    from .sampling import cap_per_group
+    toks = (df.select(F.col(group_col),
+                      F.explode(_col(TOKENS, text_col)).alias("term")))
+    counts = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("term_count"))
+    return cap_per_group(
+        counts, [group_col],
+        [F.col("term_count").desc(), F.col("term").asc()], cap=k)
+
+
 def with_redacted(df: DataFrame, text_col: str = "text",
                   out_col: str = "text_redacted") -> DataFrame:
     """PII scrubbing: URLs → [URL], emails → [EMAIL], phone-like digit

@@ -302,3 +302,13 @@ def test_quality_rules_stay_map_only(spark, sf_dir):
     from activecube_graphql_spark.driver_queries import q_quality_rules
     plan = fmt(q_quality_rules(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_top_terms_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The exploded token stream must partial-aggregate map-side (one row
+    per distinct (group, token) per mapper crosses the wire) and the
+    per-group top-k must rank below the exchange."""
+    from activecube_graphql_spark.driver_queries import q_top_terms
+    plan = fmt(q_top_terms(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
