@@ -601,6 +601,62 @@ def q_top_terms(spark, sf_dir):
                       F.col("rank_in_group").cast("long").alias("rk"))
 
 
+def q_rep_signals(spark, sf_dir):
+    """Repetition-signal family (operators/text.py repetition_signals —
+    the Gopher/MassiveText dup-ngram filters): per source, the mean
+    duplicate-trigram fraction, mean top-word share, and how many docs a
+    top-word-share ≥ 0.2 repetition rule would drop. Trigram fraction is
+    map-only (materialized token/trigram arrays); top-word share is
+    explode → two partial-agg groupBys keyed by doc."""
+    out = tx.repetition_signals(_docs(spark, sf_dir))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_tri"),
+                 F.round(F.avg("top_word_frac"), 4).alias("avg_top_word"),
+                 F.sum((F.col("top_word_frac") >= 0.2).cast("long"))
+                 .alias("flagged")))
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing audit (operators/text.py
+    pack_chunks): 512-token context windows over the deterministic
+    (source, doc_id) document layout — per chunk the doc count, token
+    count, and fill ratio. One window shuffle; the groupBy reuses the
+    window's partitioning."""
+    return tx.pack_chunks(_docs(spark, sf_dir), ctx=512)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-scaled mixture reweighting (operators/sampling.py
+    mixture_sample): per-source rates ∝ count^0.5 at a 50% overall
+    budget — alpha < 1 upsamples rare sources (the multilingual
+    temperature-sampling rule). Deterministic md5-bucket membership
+    makes the kept subset oracle-checkable."""
+    from .operators import sampling
+    kept = sampling.mixture_sample(_docs(spark, sf_dir), "source",
+                                   "doc_id", alpha=0.5, target_frac=0.5)
+    return (kept.groupBy("source")
+            .agg(F.max("stratum_cnt").alias("stratum_cnt"),
+                 F.max("rate_bp").alias("rate_bp"),
+                 F.count(F.lit(1)).alias("kept")))
+
+
+def q_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection (operators/robust.py mad_outliers): per
+    event type, values beyond 3 robust sigmas (median ± 3·1.4826·MAD).
+    Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont) keep the flag bit-for-bit oracle-checkable; the stat
+    frames broadcast back onto the fact table."""
+    from .operators.robust import mad_outliers
+    ev = _events(spark, sf_dir).table().select("event_type", "value")
+    out = mad_outliers(ev, "value", ["event_type"])
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("is_outlier").alias("n_outliers"),
+                 F.round(F.max("med"), 4).alias("med"),
+                 F.round(F.max("mad"), 4).alias("mad")))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1014,6 +1070,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_rollup": q_sketch_rollup,  # new in r03
     "top_terms": q_top_terms,          # new in r03
     "union_backings": q_union_backings,  # new in r03 (§2.7 surface)
+    "rep_signals": q_rep_signals,      # new in r03 (Gopher repetition)
+    "pack_chunks": q_pack_chunks,      # new in r03 (sequence packing)
+    "mixture_sample": q_mixture_sample,  # new in r03 (temperature mix)
+    "anomaly_mad": q_anomaly_mad,      # new in r03 (robust outliers)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1445,6 +1505,103 @@ ORACLES: dict[str, str] = {
                    PARTITION BY event_type ORDER BY day), 2)
                    AS delta_revenue
         FROM daily
+    """,
+    # repetition signals: the trigram/dup fragments are the SAME portable
+    # expressions the Spark side evaluates (rendered for DuckDB), with
+    # tokens and trigrams materialized once in CTEs on both engines.
+    "rep_signals": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   {tx.oracle_fragment(tx.TOKENS)} AS toks
+            FROM documents),
+        tri AS (
+            SELECT doc_id, source,
+                   {tx.render(tx.TRIGRAMS_OF_TOKENS.format(toks="toks"),
+                              "duckdb")} AS tri
+            FROM toks),
+        rep AS (
+            SELECT doc_id, source,
+                   {tx.render(tx.DUP_TRIGRAM_FRAC_OF.format(tri="tri"),
+                              "duckdb")} AS dup_trigram_frac
+            FROM tri),
+        ex AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        c AS (SELECT doc_id, term, count(*) AS term_cnt
+              FROM ex GROUP BY 1, 2),
+        p AS (SELECT doc_id,
+                     round(max(term_cnt) * 1.0 / sum(term_cnt), 4)
+                         AS top_word_frac
+              FROM c GROUP BY 1),
+        j AS (SELECT r.source, r.dup_trigram_frac,
+                     coalesce(p.top_word_frac, 0.0) AS top_word_frac
+              FROM rep r LEFT JOIN p USING (doc_id))
+        SELECT source, count(*) AS cnt,
+               round(avg(dup_trigram_frac), 4) AS avg_dup_tri,
+               round(avg(top_word_frac), 4) AS avg_top_word,
+               sum(CASE WHEN top_word_frac >= 0.2 THEN 1 ELSE 0 END)
+                   AS flagged
+        FROM j GROUP BY 1
+    """,
+    "pack_chunks": f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   {tx.oracle_fragment(tx.BPE_TOKEN_COUNT)} AS tok
+            FROM documents),
+        c AS (
+            SELECT source, tok,
+                   sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM t)
+        SELECT source,
+               CAST(floor((cum - tok) / 512.0) AS BIGINT) AS chunk_id,
+               count(*) AS n_docs,
+               sum(tok) AS n_tokens,
+               round(sum(tok) / 512.0, 4) AS fill_ratio
+        FROM c GROUP BY 1, 2
+    """,
+    # temperature mixture: the rate arithmetic is written in the SAME
+    # left-associative operation order as the Column expression so both
+    # engines floor the same double.
+    "mixture_sample": f"""
+        WITH counts AS (
+            SELECT source, count(*) AS stratum_cnt
+            FROM documents GROUP BY 1),
+        rates AS (
+            SELECT source, stratum_cnt,
+                   least(10000, CAST(floor(
+                       0.5 * sum(stratum_cnt) OVER ()
+                       * pow(stratum_cnt, 0.5)
+                       / sum(pow(stratum_cnt, 0.5)) OVER ()
+                       / stratum_cnt * 10000) AS BIGINT)) AS rate_bp
+            FROM counts)
+        SELECT d.source,
+               max(r.stratum_cnt) AS stratum_cnt,
+               max(r.rate_bp) AS rate_bp,
+               count(*) AS kept
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 10000 < r.rate_bp
+        GROUP BY 1
+    """,
+    "anomaly_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+        j AS (
+            SELECT e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+            FROM j GROUP BY 1),
+        j2 AS (
+            SELECT j.event_type, j.value, j.med, mad.mad
+            FROM j JOIN mad USING (event_type))
+        SELECT event_type, count(*) AS cnt,
+               sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                        THEN 1 ELSE 0 END) AS n_outliers,
+               round(max(med), 4) AS med,
+               round(max(mad), 4) AS mad
+        FROM j2 GROUP BY 1
     """,
     # hash-bucket sampling: DuckDB reproduces the exact subset — the
     # point of deterministic sampling is that any engine can.

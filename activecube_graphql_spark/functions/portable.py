@@ -13,6 +13,8 @@ Macros:
     LIST_DISTINCT(x)     → array_distinct(x)      | list_distinct(x)
     LIST_VAL(a, b, ...)  → array(a, b, ...)       | list_value(a, b, ...)
     LIST_HAS(arr, x)     → array_contains(arr,x)  | list_contains(arr,x)
+    LIST_AT(arr, i)      → element_at(arr, i)     | list_extract(arr, i)
+                           (1-based on both engines)
     REGEX_STRIP(x, p)    → regexp_replace(x,p,'') | regexp_replace(x,p,'','g')
     LIST_SUM(x)          → aggregate(x, 0L, +)    | cast(coalesce(
                                                       list_sum(x),0) as bigint)
@@ -32,6 +34,7 @@ _MACROS = {
         "LIST_DISTINCT": "array_distinct",
         "LIST_VAL": "array",
         "LIST_HAS": "array_contains",
+        "LIST_AT": "element_at",
     },
     "duckdb": {
         "ARRAY_LEN": "len",
@@ -40,6 +43,7 @@ _MACROS = {
         "LIST_DISTINCT": "list_distinct",
         "LIST_VAL": "list_value",
         "LIST_HAS": "list_contains",
+        "LIST_AT": "list_extract",
     },
 }
 

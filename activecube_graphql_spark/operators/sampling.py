@@ -67,6 +67,49 @@ def cap_per_group(df: DataFrame, group_cols: list[str],
             .filter(F.col("rank_in_group") <= cap))
 
 
+def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
+                   alpha: float = 0.5, target_frac: float = 0.5,
+                   salt: str = "") -> DataFrame:
+    """Temperature-scaled mixture reweighting: sample stratum ``s`` at a
+    rate making its share of the output ∝ ``count_s ** alpha`` (the
+    multilingual/multi-source temperature-sampling rule — alpha < 1
+    upsamples rare strata relative to their natural frequency), with the
+    overall output sized at ``target_frac`` of the input. Rates are
+    clamped to 1 (a stratum cannot be upsampled beyond keeping all of
+    it) and quantized to basis points; membership is the deterministic
+    md5 bucket, so the subset is reproducible and engine-portable.
+
+    Adds ``stratum_cnt`` and ``rate_bp`` to the kept rows for auditing.
+
+    Scale shape: one partial-agg groupBy to count strata, a
+    single-partition window over the (tiny: one row per stratum) count
+    frame to total it, then a BROADCAST join of the rate table back onto
+    the corpus and a map-only bucket filter. The corpus itself is
+    scanned twice but never shuffled."""
+    from pyspark.sql import Window
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("stratum_cnt")))
+    w = Window.partitionBy()
+    rates = (counts
+             .withColumn("w", F.pow(F.col("stratum_cnt").cast("double"),
+                                    F.lit(float(alpha))))
+             .withColumn("tot_cnt", F.sum("stratum_cnt").over(w))
+             .withColumn("tot_w", F.sum("w").over(w))
+             .withColumn(
+                 "rate_bp",
+                 F.least(
+                     F.lit(BUCKETS).cast("long"),
+                     F.floor(F.lit(float(target_frac)) * F.col("tot_cnt")
+                             * F.col("w") / F.col("tot_w")
+                             / F.col("stratum_cnt") * BUCKETS)
+                     .cast("long"))))
+    joined = df.join(
+        F.broadcast(rates.select(strata_col, "stratum_cnt", "rate_bp")),
+        strata_col)
+    return joined.filter(hash_bucket(F.col(key_col), salt)
+                         < F.col("rate_bp"))
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       rates_bp: dict[str, int],
                       default_bp: int = 0, salt: str = "") -> DataFrame:

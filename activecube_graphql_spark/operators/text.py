@@ -57,6 +57,27 @@ TOKEN_DIVERSITY = (
     " END, 4)"
 ).replace("TOKC", TOKEN_COUNT).replace("TOKS", TOKENS)
 
+#: word 3-grams of a *materialized* token-array column ``{toks}`` (callers
+#: must compute the array once — inlining TOKENS here would re-run the
+#: tokenizer regex O(n) times per row inside the lambda). The NULL-pad +
+#: filter shape sidesteps INT_SEQ's a ≤ b requirement for docs with < 3
+#: tokens (they produce an empty list on both engines).
+TRIGRAMS_OF_TOKENS = (
+    "LIST_FILTER(LIST_TRANSFORM(INT_SEQ(1, greatest(ARRAY_LEN({toks}) - 2, 1)), "
+    "i -> CASE WHEN i + 2 <= ARRAY_LEN({toks}) THEN "
+    "LIST_AT({toks}, i) || ' ' || LIST_AT({toks}, i + 1) || ' ' || "
+    "LIST_AT({toks}, i + 2) END), g -> g IS NOT NULL)"
+)
+
+#: duplicate word-3-gram fraction over a materialized trigram column —
+#: the Gopher/MassiveText repetition family signal ("dup ngram frac");
+#: 0 trigrams → 0.0 (a short doc is not thereby repetitive)
+DUP_TRIGRAM_FRAC_OF = (
+    "round(CASE WHEN ARRAY_LEN({tri}) = 0 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE 1.0 - ARRAY_LEN(LIST_DISTINCT({tri})) * CAST(1.0 AS DOUBLE) "
+    "/ ARRAY_LEN({tri}) END, 4)"
+)
+
 #: PII patterns — NO regex backslash escapes anywhere: Spark SQL string
 #: literals process backslashes, DuckDB single-quoted strings do not, so
 #: a fragment containing one silently diverges between engines. Classes
@@ -235,6 +256,74 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      out_col: str = "fingerprint") -> DataFrame:
     return df.withColumn(out_col, _col(FINGERPRINT, text_col))
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       carry: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText repetition
+    filter family, Rae et al. 2021 §A1.2): ``dup_trigram_frac`` (fraction
+    of word 3-grams that are repeats) and ``top_word_frac`` (share of the
+    single most frequent token).
+
+    Scale shape: the trigram fraction is MAP-ONLY — tokens and trigrams
+    materialize once per row and never leave the mapper. The top-word
+    share needs a per-(doc, token) count: explode → two partial-agg
+    groupBys keyed by ``id_col`` → join back per doc (the stat frame is
+    doc-cardinality — NOT broadcastable at corpus scale; AQE picks
+    broadcast at toy scale, sort-merge keyed by the doc id beyond).
+    Everything partial-aggregates map-side, so the shuffle carries one
+    row per distinct (doc, token), not the raw token stream. Zero-token
+    docs get ``top_word_frac = 0.0`` via the left join."""
+    from ..functions.portable import render
+    base = (df.select(F.col(id_col), *[F.col(c) for c in carry],
+                      _col(TOKENS, text_col).alias("toks"))
+            .withColumn("tri", F.expr(render(
+                TRIGRAMS_OF_TOKENS.format(toks="toks"), "spark")))
+            .withColumn("dup_trigram_frac", F.expr(render(
+                DUP_TRIGRAM_FRAC_OF.format(tri="tri"), "spark"))))
+    ex = base.select(F.col(id_col), F.explode("toks").alias("term"))
+    cnt = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("term_cnt"))
+    top = (cnt.groupBy(id_col)
+           .agg(F.max("term_cnt").alias("top_cnt"),
+                F.sum("term_cnt").alias("tot_cnt"))
+           .select(F.col(id_col),
+                   F.round(F.col("top_cnt") * 1.0 / F.col("tot_cnt"),
+                           4).alias("top_word_frac")))
+    return (base.drop("toks", "tri")
+            .join(top, id_col, "left")
+            .withColumn("top_word_frac",
+                        F.coalesce("top_word_frac", F.lit(0.0))))
+
+
+def pack_chunks(df: DataFrame, order_col: str = "doc_id",
+                part_col: str = "source", text_col: str = "text",
+                ctx: int = 512) -> DataFrame:
+    """Concat-and-chunk sequence-packing audit: documents are laid out in
+    deterministic (``part_col``, ``order_col``) order and the token
+    stream is cut into ``ctx``-token context windows; each document is
+    attributed to the chunk containing its first token (the greedy
+    concat-then-chunk layout every pretraining tokenizer pipeline uses).
+    Returns per (part, chunk): ``n_docs``, ``n_tokens``, ``fill_ratio``.
+
+    Scale shape: ONE shuffle — the running-sum window sorts within the
+    ``part_col`` partition; the follow-up groupBy re-uses that
+    partitioning (chunk_id is a function of the window output). O(1)
+    window state per row (running sum), no materialized token stream."""
+    from pyspark.sql import Window
+    tok = df.select(F.col(part_col), F.col(order_col),
+                    _col(BPE_TOKEN_COUNT, text_col).alias("tok"))
+    w = (Window.partitionBy(part_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (tok.withColumn("cum", F.sum("tok").over(w))
+         .withColumn("chunk_id",
+                     F.floor((F.col("cum") - F.col("tok"))
+                             / F.lit(float(ctx))).cast("long")))
+    return (c.groupBy(part_col, "chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok").alias("n_tokens"),
+                 F.round(F.sum("tok") / F.lit(float(ctx)),
+                         4).alias("fill_ratio")))
 
 
 # ---------------------------------------------------------------- oracle side

@@ -384,3 +384,68 @@ def test_moving_aggregate_frame_and_delta(spark):
     assert out[("a", 2)] == (15.0, 10.0)
     assert out[("a", 4)] == (30.0, 10.0)          # full 3-row frame
     assert out[("b", 2)] == (8.0, 2.0)            # groups independent
+
+
+def test_repetition_signals_synthetic(spark):
+    """Known-answer repetition: 'x y z' repeated 3× has 7 trigrams, 5 of
+    them repeats of the first two distinct → dup frac = 1 - 2/7; the top
+    word is any of the three (each 3 of 9 tokens → 1/3)."""
+    rows = [(1, "x y z x y z x y z", "s"),
+            (2, "a b c d e f", "s"),       # all trigrams distinct
+            (3, "aa", "s"),                # 1 token → 0 trigrams
+            (4, "", "s")]                  # 0 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["doc_id"]: (r["dup_trigram_frac"], r["top_word_frac"])
+           for r in tx.repetition_signals(df).collect()}
+    assert abs(out[1][0] - round(1 - 3 / 7, 4)) < 1e-9
+    assert abs(out[1][1] - round(1 / 3, 4)) < 1e-9
+    assert out[2][0] == 0.0 and abs(out[2][1] - round(1 / 6, 4)) < 1e-9
+    assert out[3] == (0.0, 1.0)            # single token = 100% top share
+    assert out[4] == (0.0, 0.0)            # empty doc → left-join default
+
+
+def test_pack_chunks_layout(spark):
+    """Chunk attribution: docs are assigned to the chunk holding their
+    first token under cumulative (part, order) layout."""
+    rows = [("s", 1, "a " * 300), ("s", 2, "b " * 300),
+            ("s", 3, "c " * 300), ("t", 1, "d " * 10)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {(r["source"], r["chunk_id"]): (r["n_docs"], r["n_tokens"])
+           for r in tx.pack_chunks(df, ctx=512).collect()}
+    # doc1 starts at 0 → chunk 0; doc2 at 300 → chunk 0; doc3 at 600 → 1
+    assert out[("s", 0)] == (2, 600)
+    assert out[("s", 1)] == (1, 300)
+    assert out[("t", 0)] == (1, 10)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """alpha < 1 boosts the rare stratum's keep-rate above the common
+    one's; rates clamp at 100%; the subset is reproducible."""
+    from activecube_graphql_spark.operators import sampling
+    rows = [(i, "common") for i in range(900)] + \
+           [(900 + i, "rare") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.mixture_sample(df, "source", "doc_id",
+                                  alpha=0.5, target_frac=0.5)
+    rates = {r["source"]: r["rate_bp"] for r in
+             out.select("source", "rate_bp").distinct().collect()}
+    assert rates["rare"] > rates["common"]
+    assert all(bp <= 10000 for bp in rates.values())
+    # deterministic: same subset on a re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.mixture_sample(df, "source", "doc_id",
+                                       alpha=0.5, target_frac=0.5).collect())
+    assert a == b
+    # and roughly the target budget overall (md5 buckets are uniform)
+    assert 0.35 * 1000 <= len(a) <= 0.65 * 1000
+
+
+def test_mad_outliers_flags_known_point(spark):
+    from activecube_graphql_spark.operators.robust import mad_outliers
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["v"]: r["is_outlier"] for r in
+           mad_outliers(df, "v", ["k"], k=3.0).collect()}
+    assert out[1000.0] == 1
+    assert all(f == 0 for v, f in out.items() if v != 1000.0)
