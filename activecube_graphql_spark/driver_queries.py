@@ -657,6 +657,36 @@ def q_anomaly_mad(spark, sf_dir):
                  F.round(F.max("mad"), 4).alias("mad")))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking for RAG/embedding-index prep
+    (operators/text.py chunk_documents): 32-token chunks every 24
+    tokens; the oracle re-derives every chunk's md5 content hash, so
+    boundary or slicing drift on either engine breaks the hash.
+    Map-only — tokenize once, explode start positions, slice."""
+    return tx.chunk_documents(_docs(spark, sf_dir),
+                              chunk_tokens=32, stride=24)
+
+
+def q_pipeline_survivors(spark, sf_dir):
+    """End-to-end corpus-curation pipeline COMPOSITION: Gopher quality
+    rules → exact dedup on the normalized-text fingerprint (min-doc_id
+    survivor) → benchmark decontamination (≥2 shared word 3-grams with
+    the doc_id % 97 eval slice) → per-source survivor counts. Each stage
+    is its own oracle-checked row elsewhere; this row proves the stages
+    compose (the realistic deployment shape: one pass, filters fused by
+    Catalyst, the only shuffles are the dedup groupBy and the
+    decontamination pair-count)."""
+    docs = _docs(spark, sf_dir)
+    q = tx.with_quality_rules(docs).filter(F.col("keep"))
+    surv = dd.exact_dedup(tx.with_fingerprint(q), ["fingerprint"],
+                          "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = surv.filter(F.col("doc_id") % 97 != 0)
+    clean = dd.decontaminate(train, bench, n=3, min_shared=2)
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("survivors"))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1074,6 +1104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,      # new in r03 (sequence packing)
     "mixture_sample": q_mixture_sample,  # new in r03 (temperature mix)
     "anomaly_mad": q_anomaly_mad,      # new in r03 (robust outliers)
+    "doc_chunks": q_doc_chunks,        # new in r03 (RAG chunking)
+    "pipeline_survivors": q_pipeline_survivors,  # new in r03 (composition)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1582,6 +1614,65 @@ ORACLES: dict[str, str] = {
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
+    """,
+    # pipeline composition: quality keep → min-doc_id fingerprint
+    # survivor → decontamination anti-join → per-source counts. The
+    # 3-gram CTEs mirror the `decontam` oracle exactly.
+    "pipeline_survivors": f"""
+        WITH q AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE {tx.oracle_fragment(tx.QUALITY_KEEP)}),
+        fp AS (
+            SELECT doc_id, source,
+                   {tx.oracle_fragment(tx.FINGERPRINT)} AS fp
+            FROM q),
+        surv AS (
+            SELECT fp.doc_id, fp.source FROM fp
+            JOIN (SELECT fp AS fpk, min(doc_id) AS keep_id
+                  FROM fp GROUP BY 1) k
+              ON fp.fp = k.fpk AND fp.doc_id = k.keep_id),
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        flagged AS (
+            SELECT t.doc_id AS train_id
+            FROM inv t JOIN inv b ON t.shingle = b.shingle
+            WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+            GROUP BY t.doc_id, b.doc_id
+            HAVING count(*) >= 2)
+        SELECT s.source, count(*) AS survivors
+        FROM surv s
+        WHERE s.doc_id % 97 <> 0
+          AND s.doc_id NOT IN (SELECT DISTINCT train_id FROM flagged)
+        GROUP BY 1
+    """,
+    # chunking: starts/slice/join are the SAME portable fragments the
+    # Spark side evaluates; chunk identity travels as an md5 so the
+    # compare stays compact whatever the chunk text size.
+    "doc_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id, {tx.oracle_fragment(tx.TOKENS)} AS toks
+            FROM documents),
+        st AS (
+            SELECT doc_id, toks,
+                   unnest({tx.render(tx.CHUNK_STARTS_OF.format(
+                       toks="toks", stride=24), "duckdb")}) AS start
+            FROM toks)
+        SELECT doc_id,
+               CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+               {tx.render("ARRAY_LEN(LIST_SLICE(toks, start, 32))",
+                          "duckdb")} AS n_tok,
+               {tx.render("md5(LIST_JOIN(LIST_SLICE(toks, start, 32), ' '))",
+                          "duckdb")} AS chunk_md5
+        FROM st
     """,
     "anomaly_mad": """
         WITH med AS (

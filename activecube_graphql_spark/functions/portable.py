@@ -20,6 +20,12 @@ Macros:
                                                       list_sum(x),0) as bigint)
     INT_SEQ(a, b)        → sequence(a, b)         | range(a, (b) + 1)
                            (both inclusive of b; a must be ≤ b)
+    INT_SEQ_STEP(a, b, s)→ sequence(a, b, s)      | range(a, (b) + 1, s)
+                           (inclusive of b when hit; a ≤ b, s > 0)
+    LIST_SLICE(x, i, n)  → slice(x, i, n)         | list_slice(x, i,
+                                                      (i) + (n) - 1)
+                           (1-based start, length n, clamps at the end)
+    LIST_JOIN(x, sep)    → array_join(x, sep)     | array_to_string(x, sep)
 """
 
 from __future__ import annotations
@@ -112,8 +118,14 @@ def render(sql: str, engine: str) -> str:
                     f"(acc_{k}, v_{k}) -> acc_{k} + v_{k})")
 
         out = _rewrite(out, "LIST_SUM", _sum)
+        out = _rewrite(out, "INT_SEQ_STEP",
+                       lambda a: f"sequence({a[0]}, {a[1]}, {a[2]})")
         out = _rewrite(out, "INT_SEQ",
                        lambda a: f"sequence({a[0]}, {a[1]})")
+        out = _rewrite(out, "LIST_SLICE",
+                       lambda a: f"slice({a[0]}, {a[1]}, {a[2]})")
+        out = _rewrite(out, "LIST_JOIN",
+                       lambda a: f"array_join({a[0]}, {a[1]})")
         out = _rewrite(out, "REGEX_STRIP",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, '')")
         out = _rewrite(out, "REGEX_SUB",
@@ -122,8 +134,15 @@ def render(sql: str, engine: str) -> str:
         out = _rewrite(out, "LIST_SUM",
                        lambda a: f"cast(coalesce(list_sum({a[0]}), 0) "
                                  f"as bigint)")
+        out = _rewrite(out, "INT_SEQ_STEP",
+                       lambda a: f"range({a[0]}, ({a[1]}) + 1, {a[2]})")
         out = _rewrite(out, "INT_SEQ",
                        lambda a: f"range({a[0]}, ({a[1]}) + 1)")
+        out = _rewrite(out, "LIST_SLICE",
+                       lambda a: f"list_slice({a[0]}, {a[1]}, "
+                                 f"({a[1]}) + ({a[2]}) - 1)")
+        out = _rewrite(out, "LIST_JOIN",
+                       lambda a: f"array_to_string({a[0]}, {a[1]})")
         out = _rewrite(out, "REGEX_STRIP",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, '', 'g')")
         out = _rewrite(out, "REGEX_SUB",

@@ -78,6 +78,15 @@ DUP_TRIGRAM_FRAC_OF = (
     "/ ARRAY_LEN({tri}) END, 4)"
 )
 
+#: chunk start positions (1-based) for fixed-size token chunks at the
+#: given stride over a materialized token array — the NULL-pad + filter
+#: shape yields an empty list for zero-token docs
+CHUNK_STARTS_OF = (
+    "LIST_FILTER(LIST_TRANSFORM("
+    "INT_SEQ_STEP(1, greatest(ARRAY_LEN({toks}), 1), {stride}), "
+    "s -> CASE WHEN s <= ARRAY_LEN({toks}) THEN s END), x -> x IS NOT NULL)"
+)
+
 #: PII patterns — NO regex backslash escapes anywhere: Spark SQL string
 #: literals process backslashes, DuckDB single-quoted strings do not, so
 #: a fragment containing one silently diverges between engines. Classes
@@ -324,6 +333,35 @@ def pack_chunks(df: DataFrame, order_col: str = "doc_id",
                  F.sum("tok").alias("n_tokens"),
                  F.round(F.sum("tok") / F.lit(float(ctx)),
                          4).alias("fill_ratio")))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding-index prep
+    step): each document becomes overlapping ``chunk_tokens``-token
+    chunks starting every ``stride`` tokens. Emits one row per chunk:
+    ``chunk_idx`` (0-based), ``n_tok`` (last chunk may be short), and
+    ``chunk_md5`` (hash of the space-joined chunk text — the compact,
+    oracle-checkable identity of the chunk content). Zero-token docs
+    produce no chunks.
+
+    Scale shape: map-only — tokenize once, explode the start positions
+    (≤ n/stride per doc), slice the materialized token array per chunk.
+    No shuffle, no state; fully pipelined with the scan. The ~C/stride×
+    output amplification is inherent to overlapping chunking."""
+    from ..functions.portable import render
+    chunk = f"LIST_SLICE(toks, start, {int(chunk_tokens)})"
+    base = df.select(F.col(id_col), _col(TOKENS, text_col).alias("toks"))
+    ex = base.withColumn("start", F.explode(F.expr(render(
+        CHUNK_STARTS_OF.format(toks="toks", stride=int(stride)), "spark"))))
+    return (ex.withColumn("chunk", F.expr(render(chunk, "spark")))
+            .select(F.col(id_col),
+                    ((F.col("start") - 1) / F.lit(int(stride)))
+                    .cast("long").alias("chunk_idx"),
+                    F.size("chunk").alias("n_tok"),
+                    F.md5(F.expr(render("LIST_JOIN(chunk, ' ')", "spark")))
+                    .alias("chunk_md5")))
 
 
 # ---------------------------------------------------------------- oracle side

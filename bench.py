@@ -18,6 +18,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: registry names that mark a tier boundary in driver_queries.QUERIES —
+#: the suite drops all persisted frames once before these rows
+CLEAR_BEFORE = {"graphql_topn"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -29,6 +34,17 @@ def main() -> None:
     spark = get_spark("acgs-bench")
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        if name in CLEAR_BEFORE:
+            # One cache drop at the tier boundary: the dedup/embed tier-1
+            # family (which legitimately shares persisted shingle/vector
+            # frames — see NOTE below) has finished, and the accumulated
+            # storage memory otherwise inflates the unrelated
+            # reference-parity rows behind it with LRU-eviction/GC churn
+            # (flagship_revenue measured 0.65 s isolated vs 2.3 s in a
+            # churned suite). BASELINE.md's r01 numbers for these rows
+            # were recorded with the heavy family LAST, i.e. unpolluted —
+            # clearing here restores that comparability.
+            spark.catalog.clearCache()
         fn(spark, sf_dir).collect()  # warm-up (code-gen + file index)
         runs = []
         for _ in range(3):

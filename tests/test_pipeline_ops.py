@@ -449,3 +449,37 @@ def test_mad_outliers_flags_known_point(spark):
            mad_outliers(df, "v", ["k"], k=3.0).collect()}
     assert out[1000.0] == 1
     assert all(f == 0 for v, f in out.items() if v != 1000.0)
+
+
+def test_chunk_documents_boundaries(spark):
+    """5 tokens, C=3, stride=2 → starts 1,3,5 → sizes 3,3,1; empty doc
+    yields no chunks; chunk hash is content-determined."""
+    rows = [(1, "a b c d e"), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r["n_tok"] for r in out}
+    assert got == {(1, 0): 3, (1, 1): 3, (1, 2): 1}
+    import hashlib
+    md5 = {r["chunk_idx"]: r["chunk_md5"] for r in out}
+    assert md5[0] == hashlib.md5(b"a b c").hexdigest()
+    assert md5[2] == hashlib.md5(b"e").hexdigest()
+
+
+def test_portable_macro_renders():
+    """New macros render to the right engine dialects (pure string
+    checks — both renderings are exercised end-to-end by the oracle
+    rows; this pins the dialect mapping itself)."""
+    from activecube_graphql_spark.functions.portable import render
+    assert render("LIST_AT(xs, 2)", "spark") == "element_at(xs, 2)"
+    assert render("LIST_AT(xs, 2)", "duckdb") == "list_extract(xs, 2)"
+    assert render("INT_SEQ_STEP(1, n, 3)", "spark") == "sequence(1, n, 3)"
+    assert render("INT_SEQ_STEP(1, n, 3)", "duckdb") == "range(1, (n) + 1, 3)"
+    assert render("LIST_SLICE(xs, i, 5)", "spark") == "slice(xs, i, 5)"
+    assert render("LIST_SLICE(xs, i, 5)", "duckdb") == \
+        "list_slice(xs, i, (i) + (5) - 1)"
+    assert render("LIST_JOIN(xs, ' ')", "spark") == "array_join(xs, ' ')"
+    assert render("LIST_JOIN(xs, ' ')", "duckdb") == \
+        "array_to_string(xs, ' ')"
+    # nested: slice inside join inside md5 (the doc_chunks shape)
+    got = render("md5(LIST_JOIN(LIST_SLICE(t, s, 4), ' '))", "duckdb")
+    assert got == "md5(array_to_string(list_slice(t, s, (s) + (4) - 1), ' '))"
