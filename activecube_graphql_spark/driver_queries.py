@@ -687,6 +687,68 @@ def q_pipeline_survivors(spark, sf_dir):
         F.count(F.lit(1)).alias("survivors"))
 
 
+def q_value_bands(spark, sf_dir):
+    """Non-equi banded range join (operators/joins.py band_join —
+    §2.6 beyond the equi star joins): events classify into value tiers
+    via a broadcast band table; per (type, tier) count + sum. The fact
+    side never shuffles for the join (BroadcastNestedLoopJoin over a
+    3-row table), only the final groupBy does."""
+    from .operators.joins import band_join
+    ev = _events(spark, sf_dir).table()
+    bands = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 100.0, "mid"),
+         (100.0, 1e9, "high")], ["lo", "hi", "tier"])
+    out = band_join(ev.select("event_type", "value"), bands, "value")
+    return (out.groupBy("event_type", "tier")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total")))
+
+
+def q_histogram(spark, sf_dir):
+    """Per-type equi-width value histogram (operators/robust.py
+    equi_width_histogram): 8 buckets spanning each group's [min, max] —
+    the distribution-drift monitor. One broadcast of the per-group
+    min/max frame, one fact shuffle (the final groupBy)."""
+    from .operators.robust import equi_width_histogram
+    ev = _events(spark, sf_dir).table()
+    return equi_width_histogram(ev.select("event_type", "value"),
+                                "value", ["event_type"], bins=8)
+
+
+def q_profile_docs(spark, sf_dir):
+    """Table profiling (operators/profile.py profile_columns): per-column
+    row/null/distinct counts for the documents snapshot in ONE
+    aggregation pass (codegen'd null counters + exact multi-column
+    count-distinct via Expand; swap to approx_count_distinct at 100 TB)."""
+    from .operators.profile import profile_columns
+    return profile_columns(
+        _docs(spark, sf_dir),
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (operators/text.py
+    tfidf_top_terms): keyword extraction with smoothed idf; explode →
+    partial-agg tf → df join keyed on term → per-doc top-k below the
+    exchange."""
+    return tx.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_embed_quant(spark, sf_dir):
+    """Int8 quantization audit (operators/similarity.py
+    quantization_error): per-label mean reconstruction RMSE and mean
+    scale of symmetric int8 round-trip — map-only portable fragments,
+    the oracle re-evaluates the identical expressions."""
+    emb = _embeds(spark, sf_dir)
+    q = sim.quantization_error(emb)
+    lab = emb.select("vec_id", "label")
+    return (q.join(lab, "vec_id")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("rmse"), 4).alias("avg_rmse"),
+                 F.round(F.avg("scale"), 4).alias("avg_scale")))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1106,6 +1168,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_mad": q_anomaly_mad,      # new in r03 (robust outliers)
     "doc_chunks": q_doc_chunks,        # new in r03 (RAG chunking)
     "pipeline_survivors": q_pipeline_survivors,  # new in r03 (composition)
+    "value_bands": q_value_bands,      # new in r03 (non-equi band join)
+    "histogram": q_histogram,          # new in r03 (distribution drift)
+    "profile_docs": q_profile_docs,    # new in r03 (table profiling)
+    "tfidf_terms": q_tfidf_terms,      # new in r03 (keyword extraction)
+    "embed_quant": q_embed_quant,      # new in r03 (int8 quantization)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1614,6 +1681,93 @@ ORACLES: dict[str, str] = {
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
+    """,
+    "value_bands": """
+        WITH bands(lo, hi, tier) AS (VALUES
+            (0.0, 25.0, 'low'), (25.0, 100.0, 'mid'),
+            (100.0, 1000000000.0, 'high'))
+        SELECT e.event_type, b.tier, count(*) AS cnt,
+               round(sum(e.value), 2) AS total
+        FROM events e
+        JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY 1, 2
+    """,
+    "histogram": """
+        WITH stats AS (
+            SELECT event_type, min(value) AS lo_, max(value) AS hi_
+            FROM events GROUP BY 1),
+        j AS (
+            SELECT e.event_type, e.value, s.lo_, s.hi_
+            FROM events e JOIN stats s USING (event_type))
+        SELECT event_type,
+               CAST(CASE WHEN hi_ = lo_ THEN 0
+                    ELSE least(7, CAST(floor((value - lo_)
+                         / ((hi_ - lo_) / 8.0)) AS INT))
+                    END AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM j GROUP BY 1, 2
+    """,
+    "profile_docs": """
+        SELECT 'doc_id' AS col, count(*) AS n_rows,
+               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'text', count(*),
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT text) FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*),
+               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT n_chars) FROM documents
+    """,
+    "tfidf_terms": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln((1.0 + n.n_docs) / (1.0 + d.df)) AS tfidf
+            FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rk
+            FROM scored)
+        SELECT doc_id, term, round(tfidf, 4) AS tfidf, rk
+        FROM ranked WHERE rk <= 3
+    """,
+    "embed_quant": f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  qx -> CAST(qx AS DOUBLE)) AS d
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, label, d,
+                   list_max(list_transform(d, qa -> abs(qa))) AS scale
+            FROM q),
+        r AS (
+            SELECT vec_id, label, round(scale, 4) AS scale,
+                   {tx.render(sim.QUANT_RMSE, "duckdb")} AS rmse
+            FROM s)
+        SELECT label, count(*) AS cnt,
+               round(avg(rmse), 4) AS avg_rmse,
+               round(avg(scale), 4) AS avg_scale
+        FROM r GROUP BY 1
     """,
     # pipeline composition: quality keep → min-doc_id fingerprint
     # survivor → decontamination anti-join → per-source counts. The

@@ -26,6 +26,11 @@ Macros:
                                                       (i) + (n) - 1)
                            (1-based start, length n, clamps at the end)
     LIST_JOIN(x, sep)    → array_join(x, sep)     | array_to_string(x, sep)
+    LIST_MAX(x)          → array_max(x)           | list_max(x)
+    LIST_FSUM(x)         → aggregate(x, 0.0d, +)  | coalesce(cast(
+                                                      list_sum(x) as double
+                                                      ), 0.0)
+                           (double fold, empty → 0.0)
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ _MACROS = {
         "LIST_VAL": "array",
         "LIST_HAS": "array_contains",
         "LIST_AT": "element_at",
+        "LIST_MAX": "array_max",
     },
     "duckdb": {
         "ARRAY_LEN": "len",
@@ -50,6 +56,7 @@ _MACROS = {
         "LIST_VAL": "list_value",
         "LIST_HAS": "list_contains",
         "LIST_AT": "list_extract",
+        "LIST_MAX": "list_max",
     },
 }
 
@@ -117,6 +124,13 @@ def render(sql: str, engine: str) -> str:
             return (f"aggregate({args[0]}, cast(0 as bigint), "
                     f"(acc_{k}, v_{k}) -> acc_{k} + v_{k})")
 
+        def _fsum(args: list[str]) -> str:
+            _SUM_COUNTER[0] += 1
+            k = _SUM_COUNTER[0]
+            return (f"aggregate({args[0]}, cast(0.0 as double), "
+                    f"(facc_{k}, fv_{k}) -> facc_{k} + fv_{k})")
+
+        out = _rewrite(out, "LIST_FSUM", _fsum)
         out = _rewrite(out, "LIST_SUM", _sum)
         out = _rewrite(out, "INT_SEQ_STEP",
                        lambda a: f"sequence({a[0]}, {a[1]}, {a[2]})")
@@ -131,6 +145,9 @@ def render(sql: str, engine: str) -> str:
         out = _rewrite(out, "REGEX_SUB",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})")
     else:
+        out = _rewrite(out, "LIST_FSUM",
+                       lambda a: f"coalesce(cast(list_sum({a[0]}) "
+                                 f"as double), 0.0)")
         out = _rewrite(out, "LIST_SUM",
                        lambda a: f"cast(coalesce(list_sum({a[0]}), 0) "
                                  f"as bigint)")

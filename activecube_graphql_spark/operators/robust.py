@@ -44,3 +44,29 @@ def mad_outliers(df: DataFrame, value_col: str, by: Sequence[str],
         "is_outlier",
         (F.abs(F.col(value_col) - F.col("med"))
          > F.lit(float(k)) * F.lit(MAD_SIGMA) * F.col("mad")).cast("int"))
+
+
+def equi_width_histogram(df: DataFrame, value_col: str,
+                         by: Sequence[str], bins: int = 10) -> DataFrame:
+    """Per-group equi-width histogram: ``bins`` buckets spanning the
+    group's [min, max]; the max lands in the last bucket (bucket index
+    clamped), a zero-width group collapses to bucket 0. Emits one row
+    per non-empty (group, bucket) with the count — the standard
+    distribution-drift monitor for value columns.
+
+    Scale shape: one partial-agg groupBy for the per-group min/max, a
+    BROADCAST join of that one-row-per-group frame back, then a map-side
+    bucket computation and a second partial-agg groupBy. The fact table
+    shuffles once (the final groupBy); everything else is map-only."""
+    by = list(by)
+    stats = df.groupBy(*by).agg(F.min(value_col).alias("lo_"),
+                                F.max(value_col).alias("hi_"))
+    j = df.join(F.broadcast(stats), by)
+    width = (F.col("hi_") - F.col("lo_")) / F.lit(float(bins))
+    bucket = F.when(F.col("hi_") == F.col("lo_"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1),
+                F.floor((F.col(value_col) - F.col("lo_")) / width)
+                .cast("int")))
+    return (j.withColumn("bucket", bucket.cast("long"))
+            .groupBy(*by, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))

@@ -450,3 +450,43 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.95,
                 "*", f"{_dot_sql('vec_a', 'vec_b')} / (n_a * n_b) AS cosine")
             .filter(F.col("cosine") >= threshold)
             .selectExpr("id_a", "id_b", "round(cosine, 4) AS cosine"))
+
+
+# ------------------------------------------------------- int8 quantization
+
+def quantization_error(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: quantize each
+    component to ``round(x / scale * 127)`` with ``scale = max |x|``,
+    dequantize, and report the per-vector reconstruction ``rmse`` and
+    the ``scale`` — the standard check before shipping an int8 ANN
+    index (4× memory cut vs float32; rmse tells you what recall you
+    are trading). Zero vectors quantize losslessly (rmse 0).
+
+    Map-only portable-fragment pipeline (functions/portable.py): the
+    doubled array and its scale materialize once per row; the
+    round-trip error folds in a tight JVM loop (`aggregate` HOF) — no
+    shuffle, no UDF, and the DuckDB oracle evaluates the SAME rendered
+    expressions."""
+    from ..functions.portable import render
+
+    def _x(frag: str) -> Column:
+        return F.expr(render(frag, "spark"))
+
+    return (df
+            .withColumn("d", _x(f"LIST_TRANSFORM({vec_col}, "
+                                "qx -> CAST(qx AS DOUBLE))"))
+            .withColumn("scale", _x("LIST_MAX(LIST_TRANSFORM(d, "
+                                    "qa -> abs(qa)))"))
+            .select(F.col(id_col), F.round("scale", 4).alias("scale"),
+                    _x(QUANT_RMSE).alias("rmse")))
+
+
+#: reconstruction RMSE of int8 round-trip over materialized columns
+#: ``d`` (double array) and ``scale`` — shared Spark/DuckDB fragment
+QUANT_RMSE = (
+    "round(CASE WHEN scale = 0 OR ARRAY_LEN(d) = 0 THEN 0.0 ELSE "
+    "sqrt(LIST_FSUM(LIST_TRANSFORM(INT_SEQ(1, ARRAY_LEN(d)), qi -> "
+    "pow(LIST_AT(d, qi) - CAST(round(LIST_AT(d, qi) / scale * 127.0) "
+    "AS INT) * scale / 127.0, 2))) / ARRAY_LEN(d)) END, 4)"
+)

@@ -364,6 +364,38 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     .alias("chunk_md5")))
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf · ln((1 + N) / (1 + df))``) — keyword extraction / topic
+    drift probes over a corpus. Ties break lexicographically.
+
+    Scale shape: explode → (doc, term) tf counts (partial-agg map-side)
+    → term document-frequency aggregate → join back ON TERM (vocab
+    cardinality — AQE broadcasts at toy scale; at web scale this is a
+    keyed shuffle join, and df/N are natural preagg candidates) →
+    per-doc top-k through cap_per_group's partial WindowGroupLimit.
+    Log-score ranking is ulp-stable across engines because equal
+    (tf, df) pairs give bitwise-equal scores and unequal pairs differ
+    by far more than one ulp."""
+    from .sampling import cap_per_group
+    toks = df.select(F.col(id_col), F.explode(_col(TOKENS, text_col))
+                     .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.col("tf") * F.log((F.lit(1.0) + F.col("n_docs"))
+                                              / (F.lit(1.0) + F.col("df")))))
+    top = cap_per_group(scored, [id_col],
+                        [F.col("tfidf").desc(), F.col("term").asc()], cap=k)
+    return top.select(F.col(id_col), "term",
+                      F.round("tfidf", 4).alias("tfidf"),
+                      F.col("rank_in_group").cast("long").alias("rk"))
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

@@ -483,3 +483,62 @@ def test_portable_macro_renders():
     # nested: slice inside join inside md5 (the doc_chunks shape)
     got = render("md5(LIST_JOIN(LIST_SLICE(t, s, 4), ' '))", "duckdb")
     assert got == "md5(array_to_string(list_slice(t, s, (s) + (4) - 1), ' '))"
+
+
+def test_band_join_half_open_boundaries(spark):
+    from activecube_graphql_spark.operators.joins import band_join
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 20.0, "b")], ["lo", "hi", "tier"])
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 20.0)], ["id", "v"])
+    got = {r["id"]: r["tier"]
+           for r in band_join(fact, bands, "v").collect()}
+    assert got == {1: "a", 2: "a", 3: "b"}   # 20.0 matches nothing
+
+
+def test_equi_width_histogram_edges(spark):
+    from activecube_graphql_spark.operators.robust import \
+        equi_width_histogram
+    rows = [("g", float(v)) for v in range(11)] + [("z", 5.0), ("z", 5.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {(r["k"], r["bucket"]): r["cnt"]
+           for r in equi_width_histogram(df, "v", ["k"], bins=10).collect()}
+    assert out[("g", 0)] == 1 and out[("g", 9)] == 2  # max clamps into last
+    assert out[("z", 0)] == 2                         # zero-width group
+    assert sum(c for (k, _), c in out.items() if k == "g") == 11
+
+
+def test_profile_columns_counts(spark):
+    from activecube_graphql_spark.operators.profile import profile_columns
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x")], ["id", "s"])
+    got = {r["col"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+           for r in profile_columns(df, ["id", "s"]).collect()}
+    assert got == {"id": (3, 0, 3), "s": (3, 1, 1)}
+
+
+def test_tfidf_ranks_discriminative_terms(spark):
+    """A term unique to one doc outranks corpus-wide terms there."""
+    rows = [(1, "apple apple banana common common"),
+            (2, "banana common common"),
+            (3, "cherry common")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "apple" and top[3] == "cherry"
+    assert all(r["rk"] == 1 for r in out)
+
+
+def test_quantization_error_bounds(spark):
+    """Scale-aligned vectors round-trip exactly; generic vectors stay
+    within the int8 step bound; zero vectors are lossless."""
+    rows = [(1, [127.0, -127.0, 0.0]),   # exact grid -> rmse 0
+            (2, [1.0, 0.3, -0.7]),
+            (3, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["rmse"], r["scale"])
+           for r in sim.quantization_error(df).collect()}
+    assert out[1][0] == 0.0 and out[1][1] == 127.0
+    assert out[3] == (0.0, 0.0)
+    step = out[2][1] / 127.0
+    assert 0.0 < out[2][0] <= step / 2 + 1e-9
