@@ -312,3 +312,62 @@ def test_top_terms_partial_aggregates_before_shuffle(spark, sf_dir):
     plan = fmt(q_top_terms(spark, sf_dir))
     assert "partial_count" in plan, plan
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_band_join_broadcasts_band_table(spark, sf_dir):
+    """The non-equi band join must plan a BroadcastNestedLoopJoin — NOT
+    a cartesian product with a post-filter, and no shuffle of the fact
+    side for the join itself."""
+    from activecube_graphql_spark.driver_queries import q_value_bands
+    plan = fmt(q_value_bands(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_chunks_single_exchange(spark, sf_dir):
+    """Sequence packing: the per-chunk groupBy must REUSE the window's
+    hash partitioning on `source` — exactly one Exchange in the plan."""
+    from activecube_graphql_spark.operators.text import pack_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = fmt(pack_chunks(docs))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+
+
+def test_histogram_stats_frame_broadcasts(spark, sf_dir):
+    """The per-group min/max frame joins back as a broadcast — the fact
+    table must not shuffle for the join (only the final groupBy)."""
+    from activecube_graphql_spark.driver_queries import q_histogram
+    plan = fmt(q_histogram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """Profiling computes every column's counters in ONE pass: a single
+    parquet scan feeding one aggregate chain (Expand replicates rows
+    in-memory for the multi-distinct, not by re-scanning)."""
+    from activecube_graphql_spark.operators.profile import profile_columns
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = fmt(profile_columns(docs, ["doc_id", "lang", "source"]))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, plan
+
+
+def test_repetition_trigram_path_map_only(spark, sf_dir):
+    """The dup-trigram fraction must not shuffle: project the base
+    columns and confirm zero Exchanges in that sub-plan."""
+    from activecube_graphql_spark.operators.text import (
+        TRIGRAMS_OF_TOKENS, DUP_TRIGRAM_FRAC_OF, TOKENS, _col)
+    from activecube_graphql_spark.functions.portable import render
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri_only = (docs.select(F.col("doc_id"),
+                            _col(TOKENS, "text").alias("toks"))
+                .withColumn("tri", F.expr(render(
+                    TRIGRAMS_OF_TOKENS.format(toks="toks"), "spark")))
+                .select("doc_id", F.expr(render(
+                    DUP_TRIGRAM_FRAC_OF.format(tri="tri"), "spark"))
+                    .alias("dup_trigram_frac")))
+    plan = fmt(tri_only)
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
