@@ -749,6 +749,16 @@ def q_embed_quant(spark, sf_dir):
                  F.round(F.avg("scale"), 4).alias("avg_scale")))
 
 
+def q_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    train_eval_split): contiguous md5-bucket ranges — disjoint,
+    exhaustive, stable across runs and engines. Map-only; the oracle
+    recomputes every membership from the same hash."""
+    from .operators.sampling import train_eval_split
+    out = train_eval_split(_docs(spark, sf_dir), "doc_id")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1173,6 +1183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_docs": q_profile_docs,    # new in r03 (table profiling)
     "tfidf_terms": q_tfidf_terms,      # new in r03 (keyword extraction)
     "embed_quant": q_embed_quant,      # new in r03 (int8 quantization)
+    "split_counts": q_split_counts,    # new in r03 (train/val/test split)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1681,6 +1692,19 @@ ORACLES: dict[str, str] = {
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
+    """,
+    "split_counts": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('split1'
+                        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 10000 AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS cnt
+        FROM b GROUP BY 1
     """,
     "value_bands": """
         WITH bands(lo, hi, tier) AS (VALUES

@@ -745,3 +745,29 @@ def neardup_canonicalize(df: DataFrame, pairs: DataFrame, id_col: str,
     losers = comps.filter(F.col("node") != F.col("comp")) \
                   .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------ incremental dedup
+
+def dedup_against_index(new_docs: DataFrame, index: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup for an append-only corpus: keep only the
+    rows of ``new_docs`` whose normalized-text fingerprint appears
+    neither in the accumulated ``index`` (one ``fingerprint`` column)
+    nor earlier within the batch (min-``id_col`` survivor). The caller
+    appends the survivors' fingerprints to the index — replaying the
+    same batch then yields zero rows, so at-least-once ingestion is
+    idempotent by construction.
+
+    Scale shape: fingerprints compute map-side; the index probe is a
+    LEFT ANTI join keyed on the fingerprint (broadcast while the index
+    is small, sort-merge keyed by fingerprint at corpus scale — both
+    shapes stream, neither materializes the corpus); the within-batch
+    dedup is the usual one-shuffle ``min_by`` groupBy on the BATCH
+    (small by definition), not the corpus."""
+    from .text import with_fingerprint
+    fp = with_fingerprint(new_docs, text_col=text_col)
+    fresh = fp.join(index.select("fingerprint"), "fingerprint",
+                    "left_anti")
+    return exact_dedup(fresh, ["fingerprint"], id_col)

@@ -120,3 +120,29 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     for value, bp in rates_bp.items():
         rate = F.when(F.col(strata_col) == value, F.lit(bp)).otherwise(rate)
     return df.filter(hash_bucket(F.col(key_col), salt) < rate)
+
+
+def train_eval_split(df: DataFrame, key_col: str,
+                     splits: dict[str, int] | None = None,
+                     salt: str = "split1") -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: contiguous
+    md5-bucket ranges (basis points of BUCKETS) per split name, so (a)
+    every key lands in exactly one split, (b) the assignment is stable
+    across runs/engines/cluster layouts, and (c) growing one split
+    keeps its existing members (ranges only extend). Keys hash with a
+    dedicated ``salt`` so split membership is independent of any other
+    sampling decision on the same corpus.
+
+    Map-only Column algebra — zero shuffle, oracle-exact."""
+    splits = splits or {"train": 9000, "val": 500, "test": 500}
+    if sum(splits.values()) != BUCKETS:
+        raise ValueError(f"split basis points must sum to {BUCKETS}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    edge = 0
+    expr: Column | None = None
+    for name, width in splits.items():
+        edge += width
+        cond = bucket < edge
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    return df.withColumn("split", expr)

@@ -60,3 +60,62 @@ def cluster_parquet(spark: SparkSession, src_path: str, dst_path: str,
        .sortWithinPartitions(*by)
        .write.mode("overwrite").parquet(dst_path))
     return parts
+
+
+# ------------------------------------------------------------- Z-ordering
+
+def _spread_bits16(col):
+    """Interleave zeros into a 16-bit value (Morton-encode half): each
+    bit of ``col`` moves to an even position of a 32-bit result. Pure
+    shift/mask Column algebra — whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_value(a, b):
+    """2-D Morton code from two 16-bit ranks: bits of ``a`` on even
+    positions, ``b`` on odd."""
+    from pyspark.sql import functions as F
+    return _spread_bits16(a).bitwiseOR(F.shiftleft(_spread_bits16(b), 1))
+
+
+def zcluster_parquet(spark: SparkSession, src_path: str, dst_path: str,
+                     col_a: str, col_b: str,
+                     target_mb: float = 128) -> int:
+    """Two-dimensional clustered rewrite: range-partition + sort by the
+    Morton (Z-order) interleave of both columns' 16-bit min/max-scaled
+    ranks, so every output file covers a small RECTANGLE in (a, b)
+    space — selective filters on EITHER column (or both) prune files
+    via parquet min/max stats. :func:`cluster_parquet` on one column
+    leaves the other column's span at 100% per file; Z-ordering bounds
+    both at ~1/√nfiles. The global min/max per column is one tiny
+    2-value aggregate collected driver-side for the scaling constants.
+
+    One shuffle (the range partition), zero custom formats — the
+    standard lakehouse OPTIMIZE ZORDER BY shape expressed as plain
+    Spark Column algebra."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(src_path)
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).first()
+
+    def rank16(col, lo, hi):
+        if hi == lo:
+            return F.lit(0)
+        return F.floor((col.cast("double") - float(lo))
+                       / (float(hi) - float(lo)) * 65535.0)
+
+    parts = max(1, math.ceil(_input_bytes(df) / int(target_mb * (1 << 20))))
+    z = zorder_value(rank16(F.col(col_a), lo_a, hi_a),
+                     rank16(F.col(col_b), lo_b, hi_b))
+    (df.withColumn("__z", z)
+       .repartitionByRange(parts, F.col("__z"))
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(dst_path))
+    return parts

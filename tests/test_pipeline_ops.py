@@ -542,3 +542,36 @@ def test_quantization_error_bounds(spark):
     assert out[3] == (0.0, 0.0)
     step = out[2][1] / 127.0
     assert 0.0 < out[2][0] <= step / 2 + 1e-9
+
+
+def test_train_eval_split_disjoint_stable(spark, sf_dir):
+    from activecube_graphql_spark.operators.sampling import train_eval_split
+    docs = _docs(spark, sf_dir)
+    out = train_eval_split(docs, "doc_id")
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()       # exhaustive+disjoint
+    assert counts["train"] > 5 * (counts.get("val", 0) +
+                                  counts.get("test", 0))
+    again = {r["split"]: r["cnt"] for r in
+             train_eval_split(docs, "doc_id").groupBy("split")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == again                            # stable
+
+
+def test_dedup_against_index_incremental_idempotent(spark):
+    rows1 = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")]
+    rows2 = [(4, "gamma"), (5, "delta"), (6, "delta")]
+    b1 = spark.createDataFrame(rows1, ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    empty = spark.createDataFrame([], "fingerprint string")
+    s1 = dd.dedup_against_index(b1, empty)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+    index = s1.select("fingerprint")
+    s2 = dd.dedup_against_index(b2, index)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [5]  # gamma known
+    index2 = index.union(s2.select("fingerprint"))
+    replay = dd.dedup_against_index(b2, index2)
+    assert replay.count() == 0                         # idempotent
