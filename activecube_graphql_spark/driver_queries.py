@@ -759,6 +759,38 @@ def q_split_counts(spark, sf_dir):
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (operators/dedup.py
+    ngram_containment_pairs): |A∩B|/|A| ≥ 0.5 over distinct word
+    3-grams with a df≤100 stop-shingle cut — catches subset/quotation
+    duplication symmetric Jaccard misses. Inverted-index join, never
+    all-pairs."""
+    return dd.ngram_containment_pairs(_docs(spark, sf_dir), n=3,
+                                      threshold=0.5, max_df=100)
+
+
+def q_embed_centroids(spark, sf_dir):
+    """Per-label class centroids (operators/similarity.py
+    label_centroids): per-dimension means + member counts — class
+    prototypes / drift probes. posexplode → one partial-agg groupBy;
+    the shuffle carries |labels|×dim rows per mapper."""
+    return sim.label_centroids(_embeds(spark, sf_dir))
+
+
+def q_knn_vote(spark, sf_dir):
+    """k-NN majority-vote classification (operators/similarity.py
+    knn_label_vote): every 50th vector is a query; its label is the
+    majority among 5 exact cosine neighbors (deterministic tie-breaks
+    end-to-end). True label joined back for accuracy auditing."""
+    emb = _embeds(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim.knn_label_vote(emb, queries, k=5)
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    return (out.join(truth, "query_id")
+            .select("query_id", "true_label", "pred_label", "votes"))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1184,6 +1216,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,      # new in r03 (keyword extraction)
     "embed_quant": q_embed_quant,      # new in r03 (int8 quantization)
     "split_counts": q_split_counts,    # new in r03 (train/val/test split)
+    "containment": q_containment,      # new in r03 (asymmetric near-dup)
+    "embed_centroids": q_embed_centroids,  # new in r03 (class prototypes)
+    "knn_vote": q_knn_vote,            # new in r03 (k-NN classification)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1692,6 +1727,72 @@ ORACLES: dict[str, str] = {
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
+    """,
+    # containment: same 3-gram CTEs as `decontam`, plus the df-cap and
+    # the asymmetric |A∩B|/|A| score
+    "containment": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))),
+                       g -> g <> '') AS g
+            FROM toks),
+        inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        dfreq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+        kept AS (SELECT i.doc_id, i.shingle
+                 FROM inv i JOIN dfreq USING (shingle) WHERE df <= 100),
+        sz AS (SELECT doc_id, len(g) AS sz FROM grams),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM kept a JOIN kept b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(inter * 1.0 / sz, 4) AS containment
+        FROM inter JOIN sz ON id_a = sz.doc_id
+        WHERE inter * 1.0 / sz >= 0.5
+    """,
+    "embed_centroids": """
+        WITH ex AS (
+            SELECT label, i AS dim, list_extract(embedding, i) AS v
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS i))
+        SELECT label, dim,
+               round(avg(CAST(v AS DOUBLE)), 4) AS mean_v,
+               count(*) AS cnt
+        FROM ex GROUP BY 1, 2
+    """,
+    "knn_vote": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          cast(embedding AS DOUBLE[]) AS qv,
+                          label AS true_label
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS neighbor_id,
+                     cast(embedding AS DOUBLE[]) AS cv,
+                     label AS neighbor_label
+              FROM embeddings),
+        s AS (SELECT query_id, true_label, neighbor_id, neighbor_label,
+                     list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS cosine
+              FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM s),
+        v AS (SELECT query_id, true_label, neighbor_label,
+                     count(*) AS votes
+              FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        w AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY votes DESC, neighbor_label) AS wr
+              FROM v)
+        SELECT query_id, true_label, neighbor_label AS pred_label, votes
+        FROM w WHERE wr = 1
     """,
     "split_counts": """
         WITH b AS (

@@ -771,3 +771,41 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     fresh = fp.join(index.select("fingerprint"), "fingerprint",
                     "left_anti")
     return exact_dedup(fresh, ["fingerprint"], id_col)
+
+
+def ngram_containment_pairs(df: DataFrame, n: int = 3,
+                            threshold: float = 0.5, max_df: int = 1000,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Asymmetric near-dup detection: ordered pairs (a, b) where the
+    CONTAINMENT of a in b — |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    — reaches ``threshold``. Catches quotation/subset duplication that
+    symmetric Jaccard misses (a short doc fully quoted inside a long one
+    scores low Jaccard but containment 1.0).
+
+    Scale shape: inverted-index self-join keyed on the shingle (never
+    doc×doc all-pairs), with a document-frequency cap first: shingles
+    appearing in more than ``max_df`` docs are dropped before the join
+    (the standard stop-shingle cut — a boilerplate shingle shared by
+    millions of docs would otherwise produce a quadratic hot key; losing
+    it lowers measured containment negligibly because such shingles
+    carry no identity signal). Pair counts partial-aggregate map-side;
+    sizes join back keyed by doc id."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(_shingles(F.col(text_col), n)).alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(dfreq.filter(F.col("df") <= max_df).select("shingle"),
+                   "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("id").alias("id_a"), "shingle")
+    b = kept.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") != F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+           .withColumn("containment",
+                       F.col("inter") * 1.0 / F.col("sz"))
+           .filter(F.col("containment") >= threshold))
+    return out.select("id_a", "id_b",
+                      F.round("containment", 4).alias("containment"))

@@ -490,3 +490,52 @@ QUANT_RMSE = (
     "pow(LIST_AT(d, qi) - CAST(round(LIST_AT(d, qi) / scale * 127.0) "
     "AS INT) * scale / 127.0, 2))) / ARRAY_LEN(d)) END, 4)"
 )
+
+
+# -------------------------------------------------- label-space operators
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid: the per-dimension mean over each class (one
+    row per (label, dim), 1-based dims for SQL parity) plus the member
+    count — class prototypes for nearest-centroid classification and
+    embedding-drift monitoring.
+
+    Scale shape: posexplode → one partial-agg groupBy keyed by
+    (label, dim) — the exploded stream combines map-side to
+    |labels|×dim rows per mapper, so the shuffle is tiny regardless of
+    corpus size."""
+    ex = df.select(F.col(label_col),
+                   F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    return (ex.groupBy(label_col, (F.col("pos") + 1).alias("dim"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 4)
+                 .alias("mean_v"),
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+def knn_label_vote(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """k-NN classification by majority vote: each query's label is the
+    most frequent label among its top-``k`` exact cosine neighbors
+    (ties → smaller label; both the neighbor ranking and the vote
+    tie-break are deterministic, so the result is oracle-checkable).
+
+    Composes :func:`cosine_topk` (broadcast queries, single corpus
+    scan) with a label join keyed on the neighbor id (the top-k frame
+    is ``|queries|·k`` rows — AQE broadcasts it against the corpus
+    label projection) and a per-query vote count."""
+    topk = cosine_topk(corpus, queries, k=k, id_col=id_col,
+                       vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("neighbor_label"))
+    votes = (topk.join(labels, "neighbor_id")
+             .groupBy("query_id", "neighbor_label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label").asc())
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id",
+                    F.col("neighbor_label").alias("pred_label"),
+                    "votes"))

@@ -575,3 +575,51 @@ def test_dedup_against_index_incremental_idempotent(spark):
     index2 = index.union(s2.select("fingerprint"))
     replay = dd.dedup_against_index(b2, index2)
     assert replay.count() == 0                         # idempotent
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    """A short doc fully quoted inside a long one: containment(short in
+    long) = 1.0 while Jaccard stays low; the reverse direction stays
+    under threshold."""
+    long_text = "alpha beta gamma delta epsilon zeta eta theta " \
+                "iota kappa lam mu nu xi omicron pi"
+    short_text = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, short_text), (2, long_text)], ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dd.ngram_containment_pairs(
+               df, n=3, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0          # short fully contained
+    assert (2, 1) not in out           # long not contained in short
+    jac = dd.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert not jac                     # symmetric Jaccard misses it
+
+
+def test_containment_df_cap_drops_hot_shingles(spark):
+    """With max_df=1, every shared shingle is dropped -> no pairs."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"])
+    assert dd.ngram_containment_pairs(df, n=3, max_df=1).count() == 0
+    assert dd.ngram_containment_pairs(df, n=3, max_df=10).count() == 2
+
+
+def test_label_centroids_known_means(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [10.0, 0.0])],
+        ["label", "embedding"])
+    out = {(r["label"], r["dim"]): (r["mean_v"], r["cnt"])
+           for r in sim.label_centroids(df).collect()}
+    assert out == {(0, 1): (2.0, 2), (0, 2): (4.0, 2),
+                   (1, 1): (10.0, 1), (1, 2): (0.0, 1)}
+
+
+def test_knn_vote_majority_and_ties(spark):
+    """3 of 5 neighbors share the query's cluster -> majority wins."""
+    rows = ([(i, [1.0 + 0.01 * i, 0.0], 7) for i in range(3)] +
+            [(10 + i, [0.0, 1.0 + 0.01 * i], 8) for i in range(2)] +
+            [(99, [1.0, 0.05], 0)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") == 99)
+    out = sim.knn_label_vote(df, q, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 7 and out[0]["votes"] == 3
