@@ -791,6 +791,17 @@ def q_knn_vote(spark, sf_dir):
             .select("query_id", "true_label", "pred_label", "votes"))
 
 
+def q_char_dup(spark, sf_dir):
+    """Verbatim-span duplication (operators/dedup.py
+    char_ngram_dup_pairs — the exact-substring-dedup family, Lee et
+    al. 2022): pairs sharing ≥2 content-selected 24-char grams (md5
+    bucket ≡ 0 mod 8) of lowercased text — detected at ANY span
+    alignment. df-capped inverted-index join; xxhash64 twin is the
+    scale default."""
+    return dd.char_ngram_dup_pairs(_docs(spark, sf_dir), n_chars=24,
+                                   modulus=8, min_shared=2, max_df=100)
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -1219,6 +1230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment": q_containment,      # new in r03 (asymmetric near-dup)
     "embed_centroids": q_embed_centroids,  # new in r03 (class prototypes)
     "knn_vote": q_knn_vote,            # new in r03 (k-NN classification)
+    "char_dup": q_char_dup,            # new in r03 (verbatim-span dedup)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1727,6 +1739,24 @@ ORACLES: dict[str, str] = {
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
+    """,
+    # char grams: the SAME portable fragment the Spark side evaluates
+    "char_dup": f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   {tx.render(dd.CHAR_GRAMS_OF.format(
+                       text="lower(text)", n=24, modulus=8),
+                       "duckdb")} AS g
+            FROM documents),
+        inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        dfreq AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        kept AS (SELECT i.doc_id, i.gram
+                 FROM inv i JOIN dfreq USING (gram) WHERE df <= 100)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
     """,
     # containment: same 3-gram CTEs as `decontam`, plus the df-cap and
     # the asymmetric |A∩B|/|A| score

@@ -27,6 +27,10 @@ Macros:
                            (1-based start, length n, clamps at the end)
     LIST_JOIN(x, sep)    → array_join(x, sep)     | array_to_string(x, sep)
     LIST_MAX(x)          → array_max(x)           | list_max(x)
+    MD5_BUCKET(x, m)     → cast(conv(substring(   | CAST('0x' ||
+                             md5(x),1,8),16,10)       substr(md5(x),1,8)
+                             as bigint) % m           AS BIGINT) % m
+                           (same bytes as sampling.hash_bucket)
     LIST_FSUM(x)         → aggregate(x, 0.0d, +)  | coalesce(cast(
                                                       list_sum(x) as double
                                                       ), 0.0)
@@ -132,6 +136,9 @@ def render(sql: str, engine: str) -> str:
 
         out = _rewrite(out, "LIST_FSUM", _fsum)
         out = _rewrite(out, "LIST_SUM", _sum)
+        out = _rewrite(out, "MD5_BUCKET",
+                       lambda a: f"(cast(conv(substring(md5({a[0]}), 1, 8)"
+                                 f", 16, 10) as bigint) % {a[1]})")
         out = _rewrite(out, "INT_SEQ_STEP",
                        lambda a: f"sequence({a[0]}, {a[1]}, {a[2]})")
         out = _rewrite(out, "INT_SEQ",
@@ -148,6 +155,9 @@ def render(sql: str, engine: str) -> str:
         out = _rewrite(out, "LIST_FSUM",
                        lambda a: f"coalesce(cast(list_sum({a[0]}) "
                                  f"as double), 0.0)")
+        out = _rewrite(out, "MD5_BUCKET",
+                       lambda a: f"(CAST('0x' || substr(md5({a[0]}), 1, 8)"
+                                 f" AS BIGINT) % {a[1]})")
         out = _rewrite(out, "LIST_SUM",
                        lambda a: f"cast(coalesce(list_sum({a[0]}), 0) "
                                  f"as bigint)")

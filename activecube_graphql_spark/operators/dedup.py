@@ -790,9 +790,12 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     millions of docs would otherwise produce a quadratic hot key; losing
     it lowers measured containment negligibly because such shingles
     carry no identity signal). Pair counts partial-aggregate map-side;
-    sizes join back keyed by doc id."""
+    sizes join back keyed by doc id. The exploded shingle frame
+    persists across its four consumers (df counts, sizes, both join
+    sides) — without it the shingling pass re-runs 4×."""
     sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(_shingles(F.col(text_col), n)).alias("shingle"))
+                   F.explode(_shingles(F.col(text_col), n))
+                   .alias("shingle")).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(dfreq.filter(F.col("df") <= max_df).select("shingle"),
                    "shingle")
@@ -809,3 +812,87 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
            .filter(F.col("containment") >= threshold))
     return out.select("id_a", "id_b",
                       F.round("containment", 4).alias("containment"))
+
+
+#: content-defined sample of a text column's character n-grams: EVERY
+#: position's gram is formed, then only grams whose md5 bucket ≡ 0
+#: (mod {modulus}) survive — selection depends on gram CONTENT, never
+#: position, so a verbatim span shared at ANY alignment selects the
+#: same grams on both sides (the mod-p cousin of winnowing /
+#: MOSS-style fingerprinting; positional stride sampling would miss
+#: every shift ≢ 0 mod stride). Portable fragment — the DuckDB oracle
+#: evaluates the same selection bit-for-bit.
+CHAR_GRAMS_OF = (
+    "LIST_DISTINCT(LIST_FILTER(LIST_TRANSFORM("
+    "INT_SEQ(1, greatest(length({text}) - {n} + 1, 1)), "
+    "s -> CASE WHEN s + {n} - 1 <= length({text}) "
+    "THEN substr({text}, s, {n}) END), "
+    "g -> g IS NOT NULL AND MD5_BUCKET(g, {modulus}) = 0))"
+)
+
+#: NOTE: the fragment above exists for the DuckDB oracle. The Spark
+#: side does NOT evaluate it — higher-order-function lambdas run
+#: interpreted, and an md5-per-position inside a lambda measured 17 s
+#: at sf0.1; the explode-then-filter pipeline below keeps the md5 and
+#: the bucket filter in whole-stage codegen (sub-second, same result).
+
+
+def char_ngram_dup_pairs(df: DataFrame, n_chars: int = 24,
+                         modulus: int = 8, min_shared: int = 2,
+                         max_df: int = 1000, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         hash_fn: str = "md5") -> DataFrame:
+    """Verbatim-span duplication detector — the scalable approximation
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): documents sharing ≥
+    ``min_shared`` distinct content-selected character
+    ``n_chars``-grams contain long verbatim overlaps. Selection is
+    content-defined (gram hash ≡ 0 mod ``modulus``), so a shared span
+    is detected at ANY alignment — each span char survives selection
+    with probability 1/modulus, so a span of length L shares
+    ~(L−n)/modulus selected grams regardless of shift. Word shingles
+    miss shifted verbatim overlap; positionally-sampled char grams
+    miss all shifts ≢ 0 mod stride; content-defined sampling misses
+    neither.
+
+    ``hash_fn="md5"`` is the oracle-portable selection; ``"xxhash64"``
+    is the scale default (one JVM hash per gram, no hex parse).
+
+    Scale shape: positions explode and the gram + hash + bucket filter
+    all run as ordinary codegen'd column expressions (NOT a
+    higher-order-function lambda, which would evaluate the hash
+    interpreted per element — measured 17× slower); the per-(doc, gram)
+    distinct rides the first shuffle; a document-frequency cap drops
+    boilerplate grams before the inverted-index self-join (hot-key
+    guard, as in containment); pair counts partial-aggregate map-side.
+    The selected-gram frame persists across its three consumers
+    (df-cap, both join sides). Never doc×doc. O(len) hashes per doc is
+    inherent to winnowing-class algorithms — still far cheaper than
+    suffix-array construction."""
+    n = int(n_chars)
+    pos = (df.select(F.col(id_col).alias("id"),
+                     F.lower(F.col(text_col)).alias("t"))
+           .select("id", "t",
+                   F.explode(F.sequence(
+                       F.lit(1),
+                       F.greatest(F.length("t") - (n - 1), F.lit(1))))
+                   .alias("s"))
+           .filter(F.col("s") + (n - 1) <= F.length("t"))
+           .select("id", F.expr(f"substr(t, s, {n})").alias("gram")))
+    if hash_fn == "md5":
+        bucket = (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                  .cast("long") % int(modulus))
+    else:
+        bucket = F.pmod(F.xxhash64("gram"), F.lit(int(modulus)))
+    sh = (pos.filter(bucket == 0)
+          .select("id", "gram").distinct().persist())
+    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(dfreq.filter(F.col("df") <= max_df).select("gram"),
+                   "gram")
+    a = kept.select(F.col("id").alias("id_a"), "gram")
+    b = kept.select(F.col("id").alias("id_b"), "gram")
+    return (a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))

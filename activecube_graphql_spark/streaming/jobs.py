@@ -325,3 +325,44 @@ def run_available_now(sdf: DataFrame, query_name: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return sdf.sparkSession.table(query_name)
+
+
+def maintain_dedup_index(spark: SparkSession, src_dir: str,
+                         index_path: str, checkpoint: str,
+                         glob: str = "documents.parquet") -> None:
+    """Incrementally maintain an exact-dedup fingerprint index over a
+    streaming document feed: each micro-batch keeps only rows whose
+    normalized-text fingerprint is new (vs the accumulated index AND
+    within the batch — operators/dedup.dedup_against_index), then
+    APPENDS the survivors to the index.
+
+    Exactly-once effect without a transactional format: foreachBatch is
+    at-least-once, but a REPLAYED batch anti-joins against an index that
+    already contains its fingerprints and appends zero rows — the
+    anti-join itself is the idempotence mechanism (same principle as the
+    rollup jobs above: recompute against the source of truth instead of
+    blindly appending).
+
+    At 100 TB the index probe is a keyed join on the fingerprint —
+    broadcast while the index is small, sort-merge beyond; per-trigger
+    work is O(batch × index-probe), never O(corpus)."""
+    from ..operators.dedup import dedup_against_index
+
+    schema = (spark.read.option("pathGlobFilter", glob)
+              .parquet(src_dir).schema)
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", glob).parquet(src_dir))
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        try:
+            index = spark.read.parquet(index_path).select("fingerprint")
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame([], "fingerprint string")
+        fresh = dedup_against_index(batch_df, index)
+        (fresh.select("doc_id", "fingerprint")
+         .write.mode("append").parquet(index_path))
+
+    q = (sdf.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -623,3 +623,60 @@ def test_knn_vote_majority_and_ties(spark):
     out = sim.knn_label_vote(df, q, k=5).collect()
     assert len(out) == 1
     assert out[0]["pred_label"] == 7 and out[0]["votes"] == 3
+
+
+def test_char_ngram_dup_catches_shifted_verbatim_span(spark):
+    """Content-defined selection is alignment-invariant: a verbatim
+    span quoted at a DIFFERENT offset still selects the same grams on
+    both sides; unrelated docs share nothing; md5 and xxhash64
+    variants agree on the pair set for the md5-selected grams."""
+    span = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the cat watches from the warm windowsill")
+    rows = [(1, "intro words here " + span),
+            (2, "completely different prefix text " + span),  # shifted
+            (3, "no overlap at all in this entirely separate text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["shared"]
+           for r in dd.char_ngram_dup_pairs(
+               df, n_chars=24, modulus=8, min_shared=2).collect()}
+    assert out.get((1, 2), 0) >= 2       # shift-invariant detection
+    assert (1, 3) not in out and (2, 3) not in out
+    fast = {(r["id_a"], r["id_b"]) for r in dd.char_ngram_dup_pairs(
+        df, n_chars=24, modulus=8, min_shared=1,
+        hash_fn="xxhash64").collect()}
+    assert (1, 2) in fast
+
+
+def test_portable_fragments_cross_engine_parity(spark):
+    """Evaluate each portable macro family on BOTH engines over the
+    same literal inputs — the layer the oracle rows stand on. Any
+    dialect drift (1-based vs 0-based, clamping, empty-list handling,
+    fold typing) fails here first, with a small reproducer."""
+    import duckdb
+    from activecube_graphql_spark.functions.portable import render
+    cases = [
+        "ARRAY_LEN(LIST_VAL(1, 2, 3))",
+        "ARRAY_LEN(LIST_DISTINCT(LIST_VAL(1, 1, 2)))",
+        "LIST_AT(LIST_VAL(10, 20, 30), 2)",
+        "LIST_AT(LIST_VAL('a', 'b'), 1)",
+        "LIST_SUM(LIST_VAL(1, 2, 3))",
+        "LIST_SUM(LIST_FILTER(LIST_VAL(1, 2, 3), x -> x > 5))",
+        "round(LIST_FSUM(LIST_VAL(1.5, 2.25)), 4)",
+        "round(LIST_FSUM(LIST_FILTER(LIST_VAL(1.5), x -> x > 9)), 4)",
+        "ARRAY_LEN(INT_SEQ(1, 5))",
+        "ARRAY_LEN(INT_SEQ_STEP(1, 10, 3))",
+        "LIST_AT(INT_SEQ_STEP(2, 10, 4), 2)",
+        "LIST_JOIN(LIST_SLICE(LIST_VAL('a', 'b', 'c', 'd'), 2, 2), '-')",
+        "LIST_JOIN(LIST_SLICE(LIST_VAL('a', 'b'), 1, 9), '-')",  # clamp
+        "LIST_MAX(LIST_VAL(3, 9, 4))",
+        "ARRAY_LEN(LIST_TRANSFORM(LIST_VAL(1, 2), x -> x * 2))",
+        "CAST(LIST_HAS(LIST_VAL(1, 2), 2) AS INT)",
+        "MD5_BUCKET('abc', 7)",
+        "length(REGEX_STRIP('a1b2c3', '[0-9]'))",
+        "REGEX_SUB('a1b2', '[0-9]', 'x')",
+    ]
+    con = duckdb.connect()
+    for frag in cases:
+        s = spark.sql(f"SELECT {render(frag, 'spark')} AS v").first()["v"]
+        d = con.sql(f"SELECT {render(frag, 'duckdb')} AS v").fetchone()[0]
+        assert s == d, (frag, s, d)

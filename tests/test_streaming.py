@@ -353,3 +353,25 @@ def test_incremental_sketch_cell_maintenance(spark, sf_dir, tmp_path):
     # replay with the same checkpoint: no new input → nothing changes
     jobs.maintain_sketch_cells(spark, str(feed), cells_path, ckpt)
     assert maintained_estimates() == after_all
+
+
+def test_maintain_dedup_index_incremental_and_replay(spark, sf_dir, tmp_path):
+    """The streamed index equals batch-mode exact dedup of the same
+    feed, and re-running the job (fresh checkpoint, same data — a
+    full at-least-once replay) appends nothing."""
+    from activecube_graphql_spark.streaming import jobs
+    idx = str(tmp_path / "fp_index")
+    jobs.maintain_dedup_index(spark, sf_dir, idx,
+                              str(tmp_path / "ck1"))
+    got = spark.read.parquet(idx)
+    from activecube_graphql_spark.operators import text as tx
+    from activecube_graphql_spark.operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = exact_dedup(tx.with_fingerprint(docs), ["fingerprint"],
+                       "doc_id")
+    assert ({(r["doc_id"], r["fingerprint"]) for r in got.collect()} ==
+            {(r["doc_id"], r["fingerprint"]) for r in want.collect()})
+    n1 = got.count()
+    jobs.maintain_dedup_index(spark, sf_dir, idx,
+                              str(tmp_path / "ck2"))
+    assert spark.read.parquet(idx).count() == n1   # replay appends 0
