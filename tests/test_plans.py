@@ -414,3 +414,26 @@ def test_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
     # but leaves dim 2 ~wide open; Z bounds both
     assert r_su < z_su, (r_su, z_su)
     assert r_sv > 1.5 * z_sv, (r_sv, z_sv)
+
+
+def test_no_cartesian_in_any_driver_row(spark, sf_dir):
+    """Compile EVERY registry row's physical plan and assert none plans
+    a CartesianProduct. BroadcastNestedLoopJoin is allowed only where a
+    broadcast nested loop IS the design (tiny broadcast side: band
+    join, query-vector fan-outs); anywhere else it means a join lost
+    its keys. Streaming-only rows compile their batch twins here.
+    Compiled at sf0.01 (the driver's grading scale — some rows assert
+    scale-dependent coverage, e.g. preagg, that sf0.001 would trip)."""
+    sf_dir = "/root/testdata/sf0.01"
+    from activecube_graphql_spark.driver_queries import QUERIES
+    nlj_by_design = {
+        "value_bands",                      # broadcast band table
+        "embed_topk", "embed_range", "embed_keep", "embed_neardup",
+        "embed_lsh_ann", "embed_ivf_ann", "knn_vote",  # query fan-out
+        "tfidf_terms",                      # 1-row N-scalar crossJoin
+    }
+    for name, fn in QUERIES.items():
+        plan = fmt(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name not in nlj_by_design:
+            assert "BroadcastNestedLoopJoin" not in plan, name
