@@ -680,3 +680,24 @@ def test_portable_fragments_cross_engine_parity(spark):
         s = spark.sql(f"SELECT {render(frag, 'spark')} AS v").first()["v"]
         d = con.sql(f"SELECT {render(frag, 'duckdb')} AS v").fetchone()[0]
         assert s == d, (frag, s, d)
+
+
+def test_quality_model_learns_rule_boundary(spark, sf_dir):
+    """The learned scorer must recover the hard-rule labels it was
+    trained on (same feature basis -> near-separable): >=90% accuracy
+    on the training corpus, and scoring is deterministic."""
+    from activecube_graphql_spark.operators import quality_model as qm
+    docs = tx.with_quality_rules(_docs(spark, sf_dir)) \
+        .withColumn("label", F.col("keep").cast("double")) \
+        .select("doc_id", "text", "label")
+    model = qm.train_quality_model(docs, "label")
+    scored = qm.score_quality(docs, model)
+    acc_df = scored.withColumn(
+        "hit", ((F.col("quality_prob") >= 0.5).cast("double")
+                == F.col("label")).cast("long"))
+    n, hits = acc_df.agg(F.count(F.lit(1)), F.sum("hit")).first()
+    assert hits / n >= 0.9, (hits, n)
+    again = qm.score_quality(docs, model)
+    a = sorted((r["doc_id"], r["quality_prob"]) for r in scored.collect())
+    b = sorted((r["doc_id"], r["quality_prob"]) for r in again.collect())
+    assert a == b
