@@ -869,6 +869,8 @@ def char_ngram_dup_pairs(df: DataFrame, n_chars: int = 24,
     (df-cap, both join sides). Never doc×doc. O(len) hashes per doc is
     inherent to winnowing-class algorithms — still far cheaper than
     suffix-array construction."""
+    from ..stats import record_routing
+    record_routing("char_ngram_dup.hash", hash_fn)
     n = int(n_chars)
     pos = (df.select(F.col(id_col).alias("id"),
                      F.lower(F.col(text_col)).alias("t"))

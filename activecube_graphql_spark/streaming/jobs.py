@@ -354,9 +354,12 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
            .option("pathGlobFilter", glob).parquet(src_dir))
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
         try:
             index = spark.read.parquet(index_path).select("fingerprint")
-        except Exception:  # first batch: no index yet
+        except AnalysisException:  # first batch: PATH_NOT_FOUND only —
+            # anything else (permissions, corrupt footer) must surface,
+            # not silently restart the index from empty
             index = spark.createDataFrame([], "fingerprint string")
         fresh = dedup_against_index(batch_df, index)
         (fresh.select("doc_id", "fingerprint")
