@@ -1194,6 +1194,32 @@ def q_graphql_topn(spark, sf_dir):
     return _graphql_topn_builder(_sales(spark, sf_dir)).relabeled()
 
 
+_GRAPHQL_DOCS_DOC = """
+  query DocsBySource($minChars: Int = 100) {
+    documents(n_chars: {gteq: $minChars},
+              options: {desc: ["docs", "lang", "source"], limit: 8}) {
+      lang
+      source
+      docs
+      cnt: count
+      chars
+  } }"""
+
+
+def _graphql_docs_builder(cube):
+    from .graphql import graphql_query
+    return graphql_query(cube, _GRAPHQL_DOCS_DOC).build_query()
+
+
+def q_graphql_docs(spark, sf_dir):
+    """The reference's GraphQL front-end driving the LLM-pipeline corpus
+    cube (DocsCube) — variables with defaults, selector shorthand, and
+    ordered options over the documents table; proves the two halves of
+    the engine (activecube semantics, corpus analytics) share one query
+    path. Oracle generated by the SQL printer from the same document."""
+    return _graphql_docs_builder(DocsCube(spark, sf_dir)).relabeled()
+
+
 # Registry order IS the correctness schedule: the driver harness checks the
 # FIRST 50 entries only (observed in CORRECTNESS_r01/r02). The window is
 # rotated per round so every row accumulates a green record:
@@ -1234,6 +1260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_centroids": q_embed_centroids,  # new in r03 (class prototypes)
     "knn_vote": q_knn_vote,            # new in r03 (k-NN classification)
     "char_dup": q_char_dup,            # new in r03 (verbatim-span dedup)
+    "graphql_docs": q_graphql_docs,    # new in r03 (GraphQL over DocsCube)
     "minhash_lsh_verified": q_minhash_lsh,
     "simhash": q_simhash,
     "asof_join": q_asof_join,
@@ -1314,6 +1341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     # printer-generated (metadata-only cube; no SparkSession needed)
     "graphql_topn": _graphql_topn_builder(SalesCube(None, "/")).relabeled_sql(),
+    "graphql_docs": _graphql_docs_builder(DocsCube(None, "/")).relabeled_sql(),
     "flagship_revenue": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
