@@ -1220,6 +1220,99 @@ def q_graphql_docs(spark, sf_dir):
     return _graphql_docs_builder(DocsCube(spark, sf_dir)).relabeled()
 
 
+def q_window_analytics(spark, sf_dir):
+    """General ranking/analytic window family (SURVEY §2.8 — beyond the
+    reference's lone LIMIT BY): per-user event sequences with position
+    (row_number), whole-second gap to the previous event (lag), running
+    value total (cumulative frame), and dense value rank — ONE shuffle
+    on user_id, all four columns sharing its partitioning
+    (operators/timeseries.py sequence_features). Filtered to a stable
+    user subset to bound the driver row."""
+    from .operators.timeseries import sequence_features
+    ev = _events(spark, sf_dir).table().filter(F.col("user_id") < 8)
+    out = sequence_features(ev, on="ts", by=["user_id"], value="value",
+                            tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", F.col("seq").cast("long").alias("seq"),
+        "gap_s", F.round("run_value", 2).alias("run_value"),
+        F.col("value_rank").cast("long").alias("value_rank"))
+
+
+def q_semi_anti(spark, sf_dir):
+    """Semi/anti join surface (SURVEY §2.6 J3 — existence predicates as
+    joins; operators/joins.py exists_filter): customers who placed at
+    least one order over 150k (LEFT SEMI) but never a low-priority one
+    (LEFT ANTI), counted per market segment. Neither probe widens or
+    duplicates customer rows; both key sides are pre-projected
+    DISTINCT key lists that broadcast."""
+    from .operators.joins import exists_filter
+    reg = _sales(spark, sf_dir).source
+    cust = reg.read(spark, "default", "customer")
+    orders = reg.read(spark, "default", "orders")
+    big = (orders.filter(F.col("o_totalprice") > 150000)
+           .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    low = (orders.filter(F.col("o_orderpriority") == "5-LOW")
+           .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    kept = exists_filter(exists_filter(cust, big, "c_custkey"),
+                         low, "c_custkey", negate=True)
+    return (kept.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+
+def q_quality_pct(spark, sf_dir):
+    """Dynamic per-source percentile quality gate (operators/robust.py
+    percentile_filter): keep documents at/above their source's 75th
+    quality percentile — the self-calibrating curation threshold. The
+    quality signal is 4dp-rounded INSIDE both engines; membership at an
+    interpolated threshold is ULP-safe (an interpolated value either IS
+    a data point — both engines exact — or lies strictly between two,
+    where no data point can sit), but the interpolated value itself may
+    differ by one ULP across engines, so the output reports only data
+    values (survivor count, min/avg surviving quality), never the
+    threshold."""
+    from .operators.robust import percentile_filter
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality", tx._col(tx.QUALITY, "text"))
+    kept = percentile_filter(docs, "quality", ["source"], 0.75)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.avg("quality"), 4).alias("avg_q"),
+                 F.round(F.min("quality"), 4).alias("min_q")))
+
+
+def q_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate n-gram detection (operators/text.py
+    boilerplate_ngram_stats): word trigrams appearing in ≥5 distinct
+    documents are boilerplate; per source, the mean boilerplate
+    fraction and how many docs exceed 20% — the cross-document
+    counterpart of the within-doc repetition filters. One gram-keyed
+    shuffle; the qualifying vocabulary broadcasts back."""
+    out = tx.boilerplate_ngram_stats(_docs(spark, sf_dir), min_df=5)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (out.join(docs, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_boiler").alias("boiler_grams"),
+                 F.round(F.avg("boiler_frac"), 4).alias("avg_boiler"),
+                 F.sum((F.col("boiler_frac") >= 0.2).cast("long"))
+                 .alias("flagged")))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic corpus pruning (operators/similarity.py
+    semantic_dedup): k-means cells bound the quadratic pair search;
+    survivors keep the smallest id per connected duplicate group.
+    Approximate by design (cell-boundary pairs are missed) — recall vs
+    the exact pair set is pytest-asserted; the driver records the
+    rows-only contract like the ANN rows."""
+    kept = sim.semantic_dedup(_embeds(spark, sf_dir), threshold=0.45,
+                              n_cells=4)
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("label"))
+
+
 # Registry order IS the correctness schedule: the driver harness checks the
 # FIRST 50 entries only (observed in CORRECTNESS_r01/r02). The window is
 # rotated per round so every row accumulates a green record:
@@ -1280,6 +1373,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # deliberate one for approximate ANN).
     "embed_lsh_ann": q_embed_lsh_ann,
     "embed_ivf_ann": q_embed_ivf_ann,
+    # --- tier 1 continued: added late in r03, never checked ---
+    "window_analytics": q_window_analytics,  # §2.8 general window family
+    "semi_anti": q_semi_anti,                # §2.6 semi/anti joins
+    "quality_pct": q_quality_pct,            # dynamic percentile gate
+    "boilerplate": q_boilerplate,            # corpus boilerplate n-grams
+    "semantic_dedup": q_semantic_dedup,      # SemDeDup (rows-only, approx)
     # --- tier 2: green once ---
     "neardup_clusters": q_neardup_clusters,  # green r01, rotated out r02
     "det_sample": q_det_sample,
@@ -2503,5 +2602,85 @@ ORACLES: dict[str, str] = {
                max(ts) + INTERVAL 10 MINUTE AS session_end,
                user_id, count(*) AS events, round(sum(value), 2) AS total
         FROM s GROUP BY user_id, sess_id
+    """,
+    # gap_s at whole-second grain on both sides (Spark CAST(ts AS LONG)
+    # truncates to epoch seconds; floor(epoch(ts)) is the DuckDB twin) —
+    # sub-second precision differs between engines (ns vs µs) by design.
+    "window_analytics": """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w
+                   AS gap_s,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS run_value,
+               CAST(dense_rank() OVER (
+                   PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
+                   AS value_rank
+        FROM events WHERE user_id < 8
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "semi_anti": """
+        SELECT c_mktsegment AS segment, count(*) AS n_cust,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        GROUP BY 1
+    """,
+    "quality_pct": f"""
+        WITH q AS (
+            SELECT source, {tx.oracle_fragment(tx.QUALITY)} AS quality
+            FROM documents),
+        t AS (SELECT source, quantile_cont(quality, 0.75) AS thr
+              FROM q GROUP BY 1)
+        SELECT q.source AS source, count(*) AS n_kept,
+               round(avg(q.quality), 4) AS avg_q,
+               round(min(q.quality), 4) AS min_q
+        FROM q JOIN t USING (source)
+        WHERE q.quality >= t.thr
+        GROUP BY 1
+    """,
+    "boilerplate": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   {tx.oracle_fragment(tx.TOKENS)} AS toks
+            FROM documents),
+        tri AS (
+            SELECT doc_id, source,
+                   {tx.render(tx.TRIGRAMS_OF_TOKENS.format(toks="toks"),
+                              "duckdb")} AS tri
+            FROM toks),
+        grams AS (
+            SELECT DISTINCT doc_id, gram
+            FROM (SELECT doc_id, unnest(tri) AS gram FROM tri)),
+        freq AS (
+            SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 5),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_boiler
+            FROM grams g JOIN freq f USING (gram) GROUP BY 1),
+        tot AS (
+            SELECT doc_id, source,
+                   {tx.render("ARRAY_LEN(LIST_DISTINCT(tri))", "duckdb")}
+                       AS n_grams
+            FROM tri),
+        frac AS (
+            SELECT tot.source, coalesce(hits.n_boiler, 0) AS n_boiler,
+                   round(CASE WHEN n_grams = 0 THEN 0.0
+                         ELSE coalesce(hits.n_boiler, 0) * 1.0 / n_grams
+                         END, 4) AS boiler_frac
+            FROM tot LEFT JOIN hits USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+               sum(n_boiler) AS boiler_grams,
+               round(avg(boiler_frac), 4) AS avg_boiler,
+               sum(CASE WHEN boiler_frac >= 0.2 THEN 1 ELSE 0 END)
+                   AS flagged
+        FROM frac GROUP BY 1
     """,
 }

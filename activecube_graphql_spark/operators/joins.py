@@ -15,6 +15,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def exists_filter(df: DataFrame, keys: DataFrame, on,
+                  negate: bool = False,
+                  broadcast_keys: bool = True) -> DataFrame:
+    """Existence predicate as a join (SURVEY §2.6 J3 semi/anti row —
+    the reference surface has no user-facing join; these are the two
+    join shapes a filter can NEED that no WHERE clause can express):
+    keep rows of ``df`` that have (``negate=False`` → LEFT SEMI) or
+    lack (``negate=True`` → LEFT ANTI) a match in ``keys`` on ``on``.
+
+    Neither form ever duplicates or widens ``df`` rows — output schema
+    is exactly ``df``'s, row count ≤ input — which is what makes them
+    safe inside cube filter pipelines (an inner join against a
+    non-unique key list would fan out and corrupt aggregates).
+
+    Scale shape: with ``broadcast_keys`` (default) the key side ships
+    to every executor and the probe is map-only — no shuffle of the
+    fact side; the key frame should be pre-projected to the join
+    columns (callers pass ``keys.select(on).distinct()`` or a
+    filtered dimension). For key sides too big to broadcast, pass
+    ``broadcast_keys=False`` and both sides hash-shuffle on the key —
+    still a semi/anti (no row expansion), and AQE will pick broadcast
+    anyway if the measured size allows."""
+    side = F.broadcast(keys) if broadcast_keys else keys
+    return df.join(side, on, "left_anti" if negate else "left_semi")
+
+
 def band_join(fact: DataFrame, bands: DataFrame, value_col: str,
               lo_col: str = "lo", hi_col: str = "hi",
               how: str = "inner") -> DataFrame:

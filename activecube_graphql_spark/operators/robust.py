@@ -46,6 +46,35 @@ def mad_outliers(df: DataFrame, value_col: str, by: Sequence[str],
          > F.lit(float(k)) * F.lit(MAD_SIGMA) * F.col("mad")).cast("int"))
 
 
+def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
+                      p: float, keep: str = "above") -> DataFrame:
+    """Dynamic per-group percentile gate: keep rows whose ``value_col``
+    is at/above (``keep='above'``) or at/below (``'below'``) the
+    group's exact interpolated ``p``-quantile. The curation pattern
+    behind "keep the top quartile of documents per source": absolute
+    thresholds drift as the corpus mixture shifts; a per-group
+    percentile self-calibrates. Adds the threshold as ``thr``.
+
+    Scale shape: one partial-agg percentile groupBy over the group
+    columns (one-row-per-group output), a BROADCAST join of that stat
+    frame back, then a map-only compare — the fact side never shuffles.
+    At 100 TB swap ``percentile`` for ``percentile_approx`` (same call
+    shape) when exact per-group aggregation spills; the gate degrades
+    gracefully with the estimate. Exact ``percentile`` ≡ DuckDB
+    ``quantile_cont``, so membership is oracle-checkable (round the
+    value inside the query on both engines to keep ULP drift out of
+    the boundary compare)."""
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    by = list(by)
+    thr = (df.groupBy(*by)
+           .agg(F.expr(f"percentile({value_col}, {p!r})").alias("thr")))
+    j = df.join(F.broadcast(thr), by)
+    cmp = (F.col(value_col) >= F.col("thr")) if keep == "above" \
+        else (F.col(value_col) <= F.col("thr"))
+    return j.filter(cmp)
+
+
 def equi_width_histogram(df: DataFrame, value_col: str,
                          by: Sequence[str], bins: int = 10) -> DataFrame:
     """Per-group equi-width histogram: ``bins`` buckets spanning the

@@ -513,6 +513,57 @@ def label_centroids(df: DataFrame, label_col: str = "label",
                  F.count(F.lit(1)).alias("cnt")))
 
 
+def semantic_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_cells: int = 8,
+                           nprobe: int = 2) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): a
+    trained coarse quantizer partitions the corpus into ``n_cells``
+    k-means cells; cosine pairs (a < b, ≥ threshold) are searched only
+    WITHIN each cell. Semantic duplicates cluster by construction, so
+    cell-local search recovers almost all of them while reducing the
+    pair space from O(n²) to O(Σ cell²) ≈ O(n² · nprobe²/cells).
+
+    ``nprobe`` assigns each vector to its ``nprobe`` nearest cells —
+    the multi-probe trick that recovers pairs a hard cell boundary
+    would split (a quantizer that bisects one tight cluster otherwise
+    silently loses every cross-boundary pair); a pair is found if the
+    two vectors share ANY cell, and the DISTINCT collapses pairs found
+    in several. Still approximate by design — recall vs the exact pair
+    set is asserted in pytest, like the ANN rows. Scale by growing
+    ``n_cells`` ∝ corpus so the per-cell population — and hence the
+    per-task quadratic term — stays constant. Centroid training is a
+    bounded-sample collect; assignment is map-only; the self-join
+    shuffles once keyed on the cell id."""
+    cent = _train_ivf_centroids(df, n_cells, id_col, vec_col)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+    a = _ivf_assign(df, "id_a", "v_a", id_col, vec_col, bc, nprobe)
+    b = a.toDF("id_b", "v_b", "cell")
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+            .distinct())
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_cells: int = 8) -> DataFrame:
+    """SemDeDup corpus pruning: drop all but one representative (the
+    smallest id — deterministic; SemDeDup's "farthest from centroid"
+    choice is a quality heuristic, not a correctness property) of each
+    connected semantic-duplicate group found by
+    :func:`semantic_neardup_pairs`. Composes the cell-partitioned pair
+    search with :func:`~..operators.dedup.connected_components` (the
+    same bounded-driver/distributed routing the text dedup family
+    uses)."""
+    from .dedup import neardup_canonicalize
+    pairs = semantic_neardup_pairs(df, threshold, id_col, vec_col, n_cells)
+    return neardup_canonicalize(df, pairs, id_col, "id_a", "id_b")
+
+
 def knn_label_vote(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label") -> DataFrame:

@@ -396,6 +396,50 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                       F.col("rank_in_group").cast("long").alias("rk"))
 
 
+def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_df: int = 50) -> DataFrame:
+    """Corpus-level boilerplate detection: a word 3-gram that appears in
+    ``min_df``-or-more *distinct* documents is boilerplate (navigation
+    chrome, license headers, cookie banners — the cross-document
+    counterpart of ``repetition_signals``' within-document filters; the
+    C4 "three-sentence span seen before" rule reduced to n-grams).
+    Emits one row per document: ``n_grams`` (distinct trigrams),
+    ``n_boiler`` (how many are corpus-boilerplate), ``boiler_frac``.
+    Documents with < 3 tokens have zero trigrams and frac 0.0.
+
+    Scale shape: distinct (doc, gram) explode → gram document-frequency
+    groupBy (partial-aggregated map-side, ONE shuffle keyed on the
+    gram); the qualifying boilerplate vocabulary is *bounded by
+    construction* (df ≥ min_df caps it at n_grams_total / min_df
+    entries) so it joins back as a BROADCAST left-semi probe — the
+    exploded stream is never shuffled a second time. Per-doc counts
+    then partial-aggregate keyed on the doc id. Raising ``min_df``
+    at larger corpus scale keeps the broadcast side flat."""
+    base = (df.select(F.col(id_col), _col(TOKENS, text_col).alias("toks"))
+            .withColumn("tri", F.expr(render(
+                TRIGRAMS_OF_TOKENS.format(toks="toks"), "spark"))))
+    grams = (base.select(F.col(id_col), F.explode("tri").alias("gram"))
+             .distinct())
+    boiler = (grams.groupBy("gram")
+              .agg(F.count(F.lit(1)).alias("gram_df"))
+              .filter(F.col("gram_df") >= min_df)
+              .select("gram"))
+    hits = (grams.join(F.broadcast(boiler), "gram", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_boiler")))
+    totals = base.select(
+        F.col(id_col),
+        F.expr(render("ARRAY_LEN(LIST_DISTINCT(tri))", "spark"))
+        .cast("long").alias("n_grams"))
+    return (totals.join(hits, id_col, "left")
+            .withColumn("n_boiler",
+                        F.coalesce("n_boiler", F.lit(0)).cast("long"))
+            .withColumn("boiler_frac", F.round(
+                F.when(F.col("n_grams") == 0, F.lit(0.0))
+                .otherwise(F.col("n_boiler") * 1.0 / F.col("n_grams")), 4)))
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

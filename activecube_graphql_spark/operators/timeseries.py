@@ -111,6 +111,44 @@ def moving_aggregate(df: DataFrame, on: str, by: Sequence[str],
                           F.col(value) - F.lag(value, 1).over(wlag))
 
 
+def sequence_features(df: DataFrame, on: str, by: Sequence[str],
+                      value: str,
+                      tiebreak: Optional[str] = None) -> DataFrame:
+    """General ranking/analytic window family (SURVEY §2.8 — the
+    reference exposes only per-group LIMIT BY, `parse_tree.rb:142-143`;
+    this surfaces the rest of the family the cube layer builds on) over
+    per-key ordered sequences: per ``by`` group ordered by ``on`` (then
+    ``tiebreak`` for a deterministic total order), adds
+
+    - ``seq``         — ``row_number()`` position in the sequence,
+    - ``gap_s``       — whole seconds since the previous row (NULL on
+      first; epoch-second grain on purpose — engines disagree on
+      sub-second timestamp precision (ns parquet vs µs Spark), and a
+      session-gap feature never needs it),
+    - ``run_{value}`` — running (cumulative) sum of ``value``,
+    - ``{value}_rank``— dense rank of ``value`` descending within group.
+
+    Scale shape: ONE hash shuffle on ``by``; the first three columns
+    share a single (on, tiebreak) sort, the rank column re-sorts the
+    same partitions by value without a second exchange (Catalyst reuses
+    the hash partitioning across Window operators with equal
+    partitionBy). Window state is O(1) per column. The ``by=[]``
+    degenerate case would serialize into one task — callers pre-filter
+    or pre-aggregate, as with ``moving_aggregate``."""
+    by = list(by)
+    order = [F.col(on).asc()] + \
+        ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wrank = Window.partitionBy(*by).orderBy(F.col(value).desc())
+    return (df
+            .withColumn("seq", F.row_number().over(w))
+            .withColumn("gap_s", F.col(on).cast("long")
+                        - F.lag(F.col(on).cast("long"), 1).over(w))
+            .withColumn(f"run_{value}", F.sum(value).over(wrun))
+            .withColumn(f"{value}_rank", F.dense_rank().over(wrank)))
+
+
 def resample(df: DataFrame, on: str, by: Sequence[str], step: str,
              aggs: dict) -> DataFrame:
     """Regular-grid resampling with gap fill: per ``by`` group, aggregate

@@ -701,3 +701,93 @@ def test_quality_model_learns_rule_boundary(spark, sf_dir):
     a = sorted((r["doc_id"], r["quality_prob"]) for r in scored.collect())
     b = sorted((r["doc_id"], r["quality_prob"]) for r in again.collect())
     assert a == b
+
+
+def test_exists_filter_never_widens_or_duplicates(spark):
+    """Semi/anti joins keep df's schema and never fan out rows even
+    when the key side has duplicate keys (the property an inner-join
+    'filter' lacks)."""
+    from activecube_graphql_spark.operators.joins import exists_filter
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    keys = spark.createDataFrame([(1,), (1,), (2,)], ["k"])  # dup key 1
+    semi = exists_filter(df, keys, "k")
+    anti = exists_filter(df, keys, "k", negate=True)
+    assert semi.columns == df.columns and anti.columns == df.columns
+    assert sorted(r["k"] for r in semi.collect()) == [1, 2]
+    assert [r["k"] for r in anti.collect()] == [3]
+
+
+def test_percentile_filter_above_below_and_validation(spark):
+    from activecube_graphql_spark.operators.robust import percentile_filter
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], ["g", "x"])
+    above = percentile_filter(df, "x", ["g"], 0.75)
+    # p75 of 1..10 interpolates to 7.75 -> keeps 8, 9, 10
+    assert sorted(r["x"] for r in above.collect()) == [8.0, 9.0, 10.0]
+    below = percentile_filter(df, "x", ["g"], 0.25, keep="below")
+    assert sorted(r["x"] for r in below.collect()) == [1.0, 2.0, 3.0]
+    import pytest
+    with pytest.raises(ValueError):
+        percentile_filter(df, "x", ["g"], 0.5, keep="middle")
+
+
+def test_boilerplate_ngram_stats(spark):
+    """A trigram shared by >= min_df docs is boilerplate; short docs
+    (< 3 tokens) have zero trigrams and frac 0.0."""
+    from activecube_graphql_spark.operators.text import (
+        boilerplate_ngram_stats)
+    common = "terms of service apply"          # shared trigram source
+    rows = [(1, common + " alpha beta gamma"),
+            (2, common + " delta epsilon zeta"),
+            (3, "totally unique words only here today"),
+            (4, "hi")]                        # < 3 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(df, min_df=2).collect()}
+    assert out[4]["n_grams"] == 0 and out[4]["boiler_frac"] == 0.0
+    assert out[3]["n_boiler"] == 0
+    # docs 1 and 2 share exactly the trigrams inside `common`:
+    # 'terms of service' and 'of service apply'
+    assert out[1]["n_boiler"] == 2 and out[2]["n_boiler"] == 2
+    assert out[1]["boiler_frac"] > 0
+
+
+def test_semantic_dedup_recall_and_survivors(spark, sf_dir):
+    """Cell-partitioned SemDeDup pairs recover most exact cosine pairs,
+    and the canonical survivor set (a) keeps at most one member of any
+    exact near-dup pair it detected, (b) equals the exact-path result
+    when run with one cell (no partitioning -> no recall loss)."""
+    from activecube_graphql_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in sim.embedding_cosine_pairs(
+        emb, threshold=0.45, lsh_prefilter=False).collect()}
+    cell = {(r["id_a"], r["id_b"]) for r in sim.semantic_neardup_pairs(
+        emb, threshold=0.45, n_cells=4).collect()}
+    assert cell <= exact          # within-cell scoring is exact cosine
+    assert exact, "fixture should contain near-dup pairs at 0.45"
+    # Recall in SemDeDup's actual regime — tight semantic clusters, not
+    # the fixture's near-random vectors (where 0.45-cosine pairs are
+    # chance alignments with no cluster structure to exploit): members
+    # of a tight cluster quantize to the same cell, so recall is total.
+    import numpy as np
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16)
+    rows = [(int(c * 100 + i),
+             (centers[c] + 0.01 * rng.randn(16)).tolist(), int(c))
+            for c in range(4) for i in range(10)]
+    clustered = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    truth = {(r["id_a"], r["id_b"]) for r in sim.embedding_cosine_pairs(
+        clustered, threshold=0.99, lsh_prefilter=False).collect()}
+    found = {(r["id_a"], r["id_b"]) for r in sim.semantic_neardup_pairs(
+        clustered, threshold=0.99, n_cells=4).collect()}
+    assert truth and len(found & truth) / len(truth) >= 0.95
+    # one cell == exhaustive search: survivors match the exact path
+    kept_1cell = {r["vec_id"] for r in sim.semantic_dedup(
+        emb, threshold=0.45, n_cells=1).collect()}
+    from activecube_graphql_spark.operators.dedup import (
+        neardup_canonicalize)
+    pairs_df = sim.embedding_cosine_pairs(emb, threshold=0.45,
+                                          lsh_prefilter=False)
+    kept_exact = {r["vec_id"] for r in neardup_canonicalize(
+        emb, pairs_df, "vec_id", "id_a", "id_b").collect()}
+    assert kept_1cell == kept_exact

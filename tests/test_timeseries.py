@@ -102,3 +102,41 @@ def test_resample_fills_gaps(spark, events):
               .agg(F.count(F.lit(1)).alias("n")).collect())
     got_n = {t: sum(r["cnt"] for r in rs) for t, rs in by_type.items()}
     assert got_n == {r["event_type"]: r["n"] for r in direct}
+
+
+def test_sequence_features_columns(spark):
+    """seq/gap_s/run/rank semantics on a hand-built series, including
+    the whole-second gap grain and NULL gap on each group's first row."""
+    from activecube_graphql_spark.operators.timeseries import (
+        sequence_features)
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("u", t0, 1, 10.0),
+            ("u", t0 + dt.timedelta(seconds=5, milliseconds=400), 2, 30.0),
+            ("u", t0 + dt.timedelta(seconds=7), 3, 30.0),
+            ("v", t0, 4, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "value"])
+    out = {r["eid"]: r for r in sequence_features(
+        df, on="ts", by=["k"], value="value", tiebreak="eid").collect()}
+    assert [out[i]["seq"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1]["gap_s"] is None and out[4]["gap_s"] is None
+    assert out[2]["gap_s"] == 5       # 5.4s truncates to whole seconds
+    assert out[3]["gap_s"] == 2       # 7 - 5 at second grain
+    assert out[3]["run_value"] == 70.0
+    # dense rank: the two 30.0 rows tie at rank 1, the 10.0 row is 2
+    assert (out[2]["value_rank"], out[3]["value_rank"]) == (1, 1)
+    assert out[1]["value_rank"] == 2
+
+
+def test_sequence_features_single_shuffle(spark):
+    """All four window columns share one hash partitioning on the by
+    key: exactly ONE Exchange in the physical plan (the value-rank
+    window re-sorts but must not re-shuffle)."""
+    from activecube_graphql_spark.cubes import EventsCube
+    from activecube_graphql_spark.operators.timeseries import (
+        sequence_features)
+    ev = EventsCube(spark, SF_SMALL).table()
+    out = sequence_features(ev, on="ts", by=["user_id"], value="value",
+                            tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
