@@ -1313,6 +1313,32 @@ def q_semantic_dedup(spark, sf_dir):
             .orderBy("label"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-entropy quality signal (operators/text.py
+    char_entropy — the CCNet-family gibberish detector), summarized per
+    source: doc count, mean/min/max entropy. Two doc-keyed map-side-
+    combined shuffles; the char stream never leaves a mapper
+    unaggregated."""
+    ent = tx.char_entropy(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (ent.join(docs, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("entropy"), 4).alias("avg_ent"),
+                 F.min("entropy").alias("min_ent"),
+                 F.max("entropy").alias("max_ent")))
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negatives): for each query vector (vec_id < 5), the 3 most
+    cosine-similar corpus vectors with a DIFFERENT label. Broadcast
+    query side, single corpus scan, label filter below the per-query
+    top-k window."""
+    emb = _embeds(spark, sf_dir)
+    return sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
 # Registry order IS the correctness schedule: the driver harness checks the
 # FIRST 50 entries only (observed in CORRECTNESS_r01/r02). The window is
 # rotated per round so every row accumulates a green record:
@@ -1379,6 +1405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_pct": q_quality_pct,            # dynamic percentile gate
     "boilerplate": q_boilerplate,            # corpus boilerplate n-grams
     "semantic_dedup": q_semantic_dedup,      # SemDeDup (rows-only, approx)
+    "char_entropy": q_char_entropy,          # gibberish/entropy signal
+    "hard_negatives": q_hard_negatives,      # contrastive negative mining
     # --- tier 2: green once ---
     "neardup_clusters": q_neardup_clusters,  # green r01, rotated out r02
     "det_sample": q_det_sample,
@@ -2682,5 +2710,44 @@ ORACLES: dict[str, str] = {
                sum(CASE WHEN boiler_frac >= 0.2 THEN 1 ELSE 0 END)
                    AS flagged
         FROM frac GROUP BY 1
+    """,
+    # H = -Σ(c/n)·ln(c/n) rewritten as ln(n) - Σ c·ln(c) / n on both
+    # engines (identical expression tree; the only cross-engine risk is
+    # summation order, absorbed by the 4dp round like every other sum).
+    "char_entropy": """
+        WITH chars AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '.', 0)) AS ch
+            FROM documents),
+        c AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+        e AS (SELECT doc_id,
+                     round(-sum(c * ln(c)) / sum(c) + ln(sum(c)), 4)
+                         AS entropy
+              FROM c GROUP BY 1)
+        SELECT d.source AS source, count(*) AS n_docs,
+               round(avg(coalesce(e.entropy, 0.0)), 4) AS avg_ent,
+               min(coalesce(e.entropy, 0.0)) AS min_ent,
+               max(coalesce(e.entropy, 0.0)) AS max_ent
+        FROM documents d LEFT JOIN e USING (doc_id)
+        GROUP BY 1
+    """,
+    "hard_negatives": """
+        WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                          cast(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+                     cast(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        s AS (SELECT query_id, q_label, neighbor_id, n_label,
+                     list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS cosine
+              FROM c CROSS JOIN q WHERE n_label <> q_label),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, q_label, neighbor_id, n_label,
+               round(cosine, 4) AS cosine, rn AS rank
+        FROM r WHERE rn <= 3
     """,
 }

@@ -126,6 +126,49 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         "cast(rn AS long) AS rank"))
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-``k`` most-similar corpus vectors with a DIFFERENT label —
+    the "looks alike, isn't" examples metric-learning losses are built
+    from (the easy negatives a random sampler draws carry no gradient).
+
+    Same scale shape as :func:`cosine_topk` — query side (with its
+    labels) broadcasts, corpus scanned exactly once, label-mismatch
+    filter applied BELOW the per-query window so the top-k ranks only
+    true negatives; ties break on corpus id (deterministic, oracle-
+    checkable since the similarity is exact). Labels ride the scan-side
+    projection — NOT a join back onto the corpus, which would shuffle
+    the corpus against itself just to recover a column it already
+    had."""
+    from ..operators.dedup import ensure_parallelism
+
+    def prep(df: DataFrame, id_alias: str, lab_alias: str,
+             vec_alias: str, norm_alias: str) -> DataFrame:
+        return df.selectExpr(
+            f"`{id_col}` AS {id_alias}",
+            f"`{label_col}` AS {lab_alias}",
+            f"transform(`{vec_col}`, x -> cast(x AS double)) AS {vec_alias}",
+        ).selectExpr(
+            "*", f"sqrt({_dot_sql(vec_alias, vec_alias)}) AS {norm_alias}")
+
+    q = prep(queries, "query_id", "q_label", "q_vec", "q_n")
+    c = prep(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
+             "neighbor_id", "n_label", "c_vec", "c_n")
+    joined = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("n_label") != F.col("q_label")))
+    scored = joined.selectExpr(
+        "*", f"{_dot_sql('q_vec', 'c_vec')} / (q_n * c_n) AS cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .selectExpr("query_id", "q_label", "neighbor_id", "n_label",
+                        "round(cosine, 4) AS cosine",
+                        "cast(rn AS long) AS rank"))
+
+
 def cosine_range_search(corpus: DataFrame, queries: DataFrame,
                         threshold: float = 0.5, id_col: str = "vec_id",
                         vec_col: str = "embedding",

@@ -396,6 +396,40 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                       F.col("rank_in_group").cast("long").alias("rk"))
 
 
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats): the
+    classic gibberish/low-information detector (CCNet-family quality
+    filtering) — natural text sits in a narrow entropy band; key-mash,
+    base64 blobs, and single-char floods fall outside it. Adds
+    ``n_chars_t`` (text length) and ``entropy`` (4dp; empty text →
+    0.0).
+
+    Scale shape: explode characters → (doc, char) partial-agg counts →
+    per-doc entropy aggregation — two shuffles, both keyed on the doc
+    id and both map-side combined (the char stream leaves a mapper
+    already collapsed to ≤ alphabet-size rows per doc). Deliberately
+    NOT a higher-order-function lambda over the char array: per-element
+    work inside HOF lambdas evaluates interpreted (the measured
+    char_dup/embed_topk lesson in BENCH_NOTES), while explode →
+    groupBy stays in whole-stage codegen."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)"))
+        .alias("ch"))
+    counts = (chars.groupBy(id_col, "ch")
+              .agg(F.count(F.lit(1)).alias("c")))
+    ent = (counts.groupBy(id_col)
+           .agg(F.sum("c").alias("n_chars_t"),
+                F.round(-F.sum(F.col("c") * F.log(F.col("c")))
+                        / F.sum("c")
+                        + F.log(F.sum("c")), 4).alias("entropy")))
+    return (df.select(id_col).join(ent, id_col, "left")
+            .withColumn("n_chars_t",
+                        F.coalesce("n_chars_t", F.lit(0)).cast("long"))
+            .withColumn("entropy", F.coalesce("entropy", F.lit(0.0))))
+
+
 def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             min_df: int = 50) -> DataFrame:

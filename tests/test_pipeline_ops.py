@@ -791,3 +791,32 @@ def test_semantic_dedup_recall_and_survivors(spark, sf_dir):
     kept_exact = {r["vec_id"] for r in neardup_canonicalize(
         emb, pairs_df, "vec_id", "id_a", "id_b").collect()}
     assert kept_1cell == kept_exact
+
+
+def test_char_entropy_known_values(spark):
+    """Uniform alphabet -> ln(k); single char -> 0; empty -> 0."""
+    import math
+    from activecube_graphql_spark.operators.text import char_entropy
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy"] == round(math.log(4), 4)
+    assert out[2]["entropy"] == 0.0
+    assert out[3]["entropy"] == 0.0 and out[3]["n_chars_t"] == 0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """The nearest same-label vector must never appear; ranks cover the
+    nearest different-label ones."""
+    from activecube_graphql_spark.operators import similarity as sim
+    rows = [(0, [1.0, 0.0], 7),        # query
+            (1, [0.999, 0.01], 7),     # nearest overall but same label
+            (2, [0.9, 0.1], 8),
+            (3, [0.5, 0.5], 8),
+            (4, [0.0, 1.0], 9)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter("vec_id = 0")
+    out = sim.hard_negatives(df, q, k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["n_label"] != r["q_label"] for r in out)
