@@ -437,3 +437,41 @@ def test_no_cartesian_in_any_driver_row(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in nlj_by_design:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction (InjectRuntimeFilter):
+    when a shuffle join's build side is selectively filtered, Spark can
+    inject a bloom filter of the build keys into the probe-side scan —
+    at 100 TB this skips most of the fact table before the shuffle, the
+    same role ClickHouse PK pruning played under activecube. The
+    thresholds are production-scale (10 GB probe side), so the audit
+    lowers them to prove the plan shape is *available* to our join
+    pipelines; broadcast is disabled because runtime filters target
+    shuffle joins (broadcast joins get DPP instead)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .filter("o_orderpriority = '1-URGENT'"))
+        from pyspark.sql import functions as F
+        joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                  .groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        plan = fmt(joined)
+        assert "might_contain" in plan or "bloom_filter" in plan.lower(), \
+            plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
