@@ -369,3 +369,53 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
+                  index_path: str, checkpoint: str,
+                  glob: str = "documents.parquet") -> None:
+    """Continuous corpus curation: the batch pipeline_survivors stages
+    fused into one incremental job — per micro-batch, (1) hard-rule
+    quality filter (map-only, pipelined with the source read), (2)
+    exact dedup against the accumulated fingerprint index AND within
+    the batch, (3) APPEND survivors to the curated corpus and their
+    fingerprints to the index.
+
+    Same idempotence construction as maintain_dedup_index: a replayed
+    batch re-anti-joins against an index that already holds its
+    fingerprints and contributes nothing, so at-least-once delivery
+    yields an exactly-once curated corpus — asserted by the replay test
+    in tests/test_streaming.py. The quality filter runs BEFORE the
+    index probe on purpose: rejected docs never pay the join, and the
+    index only ever holds curated fingerprints (smaller probe side at
+    every future trigger).
+
+    At 100 TB: per-trigger cost is O(batch) map work + one keyed index
+    probe; nothing rescans the accumulated corpus."""
+    from ..operators.dedup import dedup_against_index
+    from ..operators.text import with_quality_rules
+
+    schema = (spark.read.option("pathGlobFilter", glob)
+              .parquet(src_dir).schema)
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", glob).parquet(src_dir))
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        kept = (with_quality_rules(batch_df)
+                .filter(F.col("keep"))
+                .select(*batch_df.columns))
+        try:
+            index = spark.read.parquet(index_path).select("fingerprint")
+        except AnalysisException:  # first batch: PATH_NOT_FOUND only
+            index = spark.createDataFrame([], "fingerprint string")
+        fresh = dedup_against_index(kept, index)
+        (fresh.select("doc_id", "fingerprint")
+         .write.mode("append").parquet(index_path))
+        (fresh.drop("fingerprint")
+         .write.mode("append").parquet(out_path))
+
+    q = (sdf.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
