@@ -673,9 +673,15 @@ def connected_components(pairs: DataFrame, left: str, right: str,
              .distinct())
     from ..stats import record_routing
     edges = edges.persist()
-    if edges.count() <= driver_edge_limit:
+    # ONE action probes size AND fetches the edges when small: limit
+    # N+1 rows — if we got ≤ N the limit was no-op and we already hold
+    # the complete edge list (the old count-then-collect shape paid a
+    # second full evaluation of the pair pipeline before the persist
+    # warmed; measured ~1.5 s/action on the embed/neardup rows).
+    probe = edges.limit(driver_edge_limit + 1).collect()
+    if len(probe) <= driver_edge_limit:
         record_routing("connected_components.path", "driver")
-        collected = [(r["src"], r["dst"]) for r in edges.collect()]
+        collected = [(r["src"], r["dst"]) for r in probe]
         edges.unpersist()  # collected to the driver; nothing reads it again
         parent: dict = {}
 

@@ -572,23 +572,46 @@ def semantic_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     the multi-probe trick that recovers pairs a hard cell boundary
     would split (a quantizer that bisects one tight cluster otherwise
     silently loses every cross-boundary pair); a pair is found if the
-    two vectors share ANY cell, and the DISTINCT collapses pairs found
-    in several. Still approximate by design — recall vs the exact pair
-    set is asserted in pytest, like the ANN rows. Scale by growing
-    ``n_cells`` ∝ corpus so the per-cell population — and hence the
-    per-task quadratic term — stays constant. Centroid training is a
-    bounded-sample collect; assignment is map-only; the self-join
-    shuffles once keyed on the cell id."""
+    two vectors share ANY cell, and a final (id_a, id_b) aggregate
+    collapses pairs found in several. Still approximate by design —
+    recall vs the exact pair set is asserted in pytest, like the ANN
+    rows.
+
+    Scale shape: centroid training is a bounded-sample collect and
+    assignment is map-only; the quadratic within-cell scoring runs as
+    ONE dense BLAS matmul per cell via ``applyInPandas`` (the measured
+    lesson from embed_topk/char_dup: per-pair JVM HOF dots evaluate
+    interpreted — a cell-keyed numpy block is ~20× faster and is the
+    repo-standard Python boundary). Per-task memory is
+    O(cell_size × dim): grow ``n_cells`` ∝ corpus so cells — and the
+    per-task quadratic term — stay constant-size."""
+    import numpy as np
+    import pandas as pd
+
     cent = _train_ivf_centroids(df, n_cells, id_col, vec_col)
     bc = df.sparkSession.sparkContext.broadcast(cent)
-    a = _ivf_assign(df, "id_a", "v_a", id_col, vec_col, bc, nprobe)
-    b = a.toDF("id_b", "v_b", "cell")
-    return (a.join(b, "cell")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b")))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-            .distinct())
+    assigned = _ivf_assign(df, "vid", "v", id_col, vec_col, bc, nprobe)
+    thr = float(threshold)
+    eps = 1e-9
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        u = np.stack(pdf["v"].to_numpy())       # unit vectors from assign
+        s = u @ u.T
+        ai, bi = np.nonzero((s >= thr - eps) &
+                            (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "cosine": s[ai, bi]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long, cosine double")
+    # a pair shared by several probed cells scores once per cell; BLAS
+    # blocking may differ by cell shape, so collapse by key (not by the
+    # float) and keep the max — then apply the threshold exactly once
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
+            .filter(F.col("cosine") >= thr)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,

@@ -442,19 +442,29 @@ def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     ``n_boiler`` (how many are corpus-boilerplate), ``boiler_frac``.
     Documents with < 3 tokens have zero trigrams and frac 0.0.
 
-    Scale shape: distinct (doc, gram) explode → gram document-frequency
-    groupBy (partial-aggregated map-side, ONE shuffle keyed on the
-    gram); the qualifying boilerplate vocabulary is *bounded by
-    construction* (df ≥ min_df caps it at n_grams_total / min_df
-    entries) so it joins back as a BROADCAST left-semi probe — the
-    exploded stream is never shuffled a second time. Per-doc counts
-    then partial-aggregate keyed on the doc id. Raising ``min_df``
-    at larger corpus scale keeps the broadcast side flat."""
-    base = (df.select(F.col(id_col), _col(TOKENS, text_col).alias("toks"))
-            .withColumn("tri", F.expr(render(
-                TRIGRAMS_OF_TOKENS.format(toks="toks"), "spark"))))
-    grams = (base.select(F.col(id_col), F.explode("tri").alias("gram"))
-             .distinct())
+    Scale shape: trigrams materialize as explode-positions +
+    ``element_at`` — plain codegen'd functions, NOT the portable
+    trigram HOF lambda (measured 4 s per evaluation at sf0.1, and this
+    DAG would evaluate it three times; the lambda stays oracle-side
+    only — same split as char_dup). All three consumers (gram document
+    frequency, per-doc hits, per-doc totals) hang off the SAME distinct
+    (doc, gram) frame, so Catalyst reuses one exchange and the corpus
+    is scanned and exploded exactly once. The qualifying boilerplate
+    vocabulary is *bounded by construction* (df ≥ min_df caps it at
+    n_grams_total / min_df entries) so it joins back as a BROADCAST
+    left-semi probe. Raising ``min_df`` at larger corpus scale keeps
+    the broadcast side flat."""
+    toks = df.select(F.col(id_col), _col(TOKENS, text_col).alias("toks"))
+    ex = (toks.filter(F.size("toks") >= 3)
+          .select(F.col(id_col), "toks",
+                  F.explode(F.sequence(F.lit(1), F.size("toks") - 2))
+                  .alias("i")))
+    grams = (ex.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.element_at("toks", F.col("i")),
+                    F.element_at("toks", F.col("i") + 1),
+                    F.element_at("toks", F.col("i") + 2)).alias("gram"))
+        .distinct())
     boiler = (grams.groupBy("gram")
               .agg(F.count(F.lit(1)).alias("gram_df"))
               .filter(F.col("gram_df") >= min_df)
@@ -462,11 +472,13 @@ def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     hits = (grams.join(F.broadcast(boiler), "gram", "left_semi")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_boiler")))
-    totals = base.select(
-        F.col(id_col),
-        F.expr(render("ARRAY_LEN(LIST_DISTINCT(tri))", "spark"))
-        .cast("long").alias("n_grams"))
-    return (totals.join(hits, id_col, "left")
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    return (df.select(id_col)
+            .join(totals, id_col, "left")
+            .join(hits, id_col, "left")
+            .withColumn("n_grams",
+                        F.coalesce("n_grams", F.lit(0)).cast("long"))
             .withColumn("n_boiler",
                         F.coalesce("n_boiler", F.lit(0)).cast("long"))
             .withColumn("boiler_frac", F.round(
