@@ -1313,6 +1313,27 @@ def q_semantic_dedup(spark, sf_dir):
             .orderBy("label"))
 
 
+def q_token_mixture(spark, sf_dir):
+    """Token-budgeted temperature mixture (operators/sampling.py
+    mixture_sample with weight_col): per-source rates ∝ token_mass^0.5
+    at a 50% overall TOKEN budget — real pretraining mixes are budgeted
+    in tokens, and a doc-count mix overweights short-doc sources.
+    Membership stays per-document (md5 bucket), so the subset is
+    deterministic and oracle-checkable; kept token mass per stratum
+    converges to rate × mass."""
+    from .operators import sampling
+    docs = _docs(spark, sf_dir).withColumn(
+        "tok", tx._col(tx.BPE_TOKEN_COUNT, "text"))
+    kept = sampling.mixture_sample(docs, "source", "doc_id",
+                                   alpha=0.5, target_frac=0.5,
+                                   weight_col="tok")
+    return (kept.groupBy("source")
+            .agg(F.max("stratum_cnt").alias("stratum_cnt"),
+                 F.max("rate_bp").alias("rate_bp"),
+                 F.count(F.lit(1)).alias("kept_docs"),
+                 F.sum("tok").alias("kept_tokens")))
+
+
 def q_char_entropy(spark, sf_dir):
     """Per-document character-entropy quality signal (operators/text.py
     char_entropy — the CCNet-family gibberish detector), summarized per
@@ -1407,6 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,      # SemDeDup (rows-only, approx)
     "char_entropy": q_char_entropy,          # gibberish/entropy signal
     "hard_negatives": q_hard_negatives,      # contrastive negative mining
+    "token_mixture": q_token_mixture,        # token-budgeted mixture
     # --- tier 2: green once ---
     "neardup_clusters": q_neardup_clusters,  # green r01, rotated out r02
     "det_sample": q_det_sample,
@@ -2728,6 +2750,32 @@ ORACLES: dict[str, str] = {
                min(coalesce(e.entropy, 0.0)) AS min_ent,
                max(coalesce(e.entropy, 0.0)) AS max_ent
         FROM documents d LEFT JOIN e USING (doc_id)
+        GROUP BY 1
+    """,
+    "token_mixture": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   {tx.oracle_fragment(tx.BPE_TOKEN_COUNT)} AS tok
+            FROM documents),
+        counts AS (
+            SELECT source, sum(tok) AS stratum_cnt
+            FROM toks GROUP BY 1),
+        rates AS (
+            SELECT source, stratum_cnt,
+                   least(10000, CAST(floor(
+                       0.5 * sum(stratum_cnt) OVER ()
+                       * pow(stratum_cnt, 0.5)
+                       / sum(pow(stratum_cnt, 0.5)) OVER ()
+                       / stratum_cnt * 10000) AS BIGINT)) AS rate_bp
+            FROM counts)
+        SELECT d.source,
+               max(r.stratum_cnt) AS stratum_cnt,
+               max(r.rate_bp) AS rate_bp,
+               count(*) AS kept_docs,
+               sum(d.tok) AS kept_tokens
+        FROM toks d JOIN rates r USING (source)
+        WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
     """,
     "hard_negatives": """

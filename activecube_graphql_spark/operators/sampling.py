@@ -69,9 +69,9 @@ def cap_per_group(df: DataFrame, group_cols: list[str],
 
 def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
                    alpha: float = 0.5, target_frac: float = 0.5,
-                   salt: str = "") -> DataFrame:
+                   salt: str = "", weight_col: str | None = None) -> DataFrame:
     """Temperature-scaled mixture reweighting: sample stratum ``s`` at a
-    rate making its share of the output ∝ ``count_s ** alpha`` (the
+    rate making its share of the output ∝ ``mass_s ** alpha`` (the
     multilingual/multi-source temperature-sampling rule — alpha < 1
     upsamples rare strata relative to their natural frequency), with the
     overall output sized at ``target_frac`` of the input. Rates are
@@ -79,16 +79,27 @@ def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
     it) and quantized to basis points; membership is the deterministic
     md5 bucket, so the subset is reproducible and engine-portable.
 
-    Adds ``stratum_cnt`` and ``rate_bp`` to the kept rows for auditing.
+    ``mass_s`` is row count by default; pass ``weight_col`` to budget
+    in a different unit — most usefully a per-row TOKEN count, since
+    real pretraining mixes are budgeted in tokens, not documents, and
+    a doc-count mix silently overweights short-doc sources. Membership
+    stays per-key (whole documents are kept or dropped); the kept
+    token mass per stratum converges to ``rate × mass_s`` because the
+    hash bucket is independent of document length.
 
-    Scale shape: one partial-agg groupBy to count strata, a
+    Adds ``stratum_cnt`` (the stratum's mass in the chosen unit) and
+    ``rate_bp`` to the kept rows for auditing.
+
+    Scale shape: one partial-agg groupBy to weigh strata, a
     single-partition window over the (tiny: one row per stratum) count
     frame to total it, then a BROADCAST join of the rate table back onto
     the corpus and a map-only bucket filter. The corpus itself is
     scanned twice but never shuffled."""
     from pyspark.sql import Window
+    mass = (F.sum(F.col(weight_col)) if weight_col
+            else F.count(F.lit(1)))
     counts = (df.groupBy(strata_col)
-              .agg(F.count(F.lit(1)).alias("stratum_cnt")))
+              .agg(mass.alias("stratum_cnt")))
     w = Window.partitionBy()
     rates = (counts
              .withColumn("w", F.pow(F.col("stratum_cnt").cast("double"),

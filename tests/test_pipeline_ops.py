@@ -820,3 +820,28 @@ def test_hard_negatives_excludes_same_label(spark):
     got = [(r["neighbor_id"], r["rank"]) for r in out]
     assert got == [(2, 1), (3, 2)]
     assert all(r["n_label"] != r["q_label"] for r in out)
+
+
+def test_mixture_sample_token_weighting(spark):
+    """weight_col budgets the mix in tokens: two strata with equal doc
+    counts but 4x different token mass must get different rates under
+    token weighting (sqrt-temperature flattens the heavy stratum) and
+    EQUAL rates under doc-count weighting."""
+    from activecube_graphql_spark.operators import sampling
+    rows = ([(i, "a", 100) for i in range(50)] +
+            [(100 + i, "b", 400) for i in range(50)])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    by_doc = {r["source"]: r["rate_bp"] for r in sampling.mixture_sample(
+        df, "source", "doc_id", alpha=0.5, target_frac=0.5)
+        .select("source", "rate_bp").distinct().collect()}
+    assert by_doc["a"] == by_doc["b"]
+    by_tok = {r["source"]: (r["rate_bp"], r["stratum_cnt"])
+              for r in sampling.mixture_sample(
+                  df, "source", "doc_id", alpha=0.5, target_frac=0.5,
+                  weight_col="tok")
+              .select("source", "rate_bp", "stratum_cnt")
+              .distinct().collect()}
+    assert by_tok["a"][1] == 5000 and by_tok["b"][1] == 20000
+    # sqrt temperature: rate_a / rate_b = sqrt(mass_b / mass_a) = 2
+    assert by_tok["a"][0] > by_tok["b"][0]
+    assert abs(by_tok["a"][0] / by_tok["b"][0] - 2.0) < 0.01
