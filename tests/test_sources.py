@@ -108,3 +108,37 @@ def test_dynamic_partition_pruning(spark, lake_root):
             fact.filter(F.col("event_date").isin(dates))
             .groupBy("event_type").count().collect()}
     assert {tuple(r) for r in joined.collect()} == want
+
+
+def test_source_registry_json_and_orc_formats(spark, sf_dir,
+                                              tmp_path_factory):
+    """The registry's format plumbing is not parquet/csv-specific: a
+    JSON-lines database (schema inference + multiLine-capable options
+    path) and an ORC database (the other columnar lake format, full
+    pushdown/pruning support in Spark) round-trip through the same
+    read path and can back a cube query each."""
+    from activecube_graphql_spark.cubes import DocsCube
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    jroot = str(tmp_path_factory.mktemp("jsondb"))
+    docs.write.mode("overwrite").json(f"{jroot}/documents.json")
+    jreg = SourceRegistry({"default": jroot}, format="json")
+    jdf = jreg.read(spark, "default", "documents")
+    assert jdf.count() == docs.count()
+    assert set(docs.columns) <= set(jdf.columns)
+
+    oroot = str(tmp_path_factory.mktemp("orcdb"))
+    docs.write.mode("overwrite").orc(f"{oroot}/documents.orc")
+    oreg = SourceRegistry({"default": oroot}, format="orc")
+    odf = oreg.read(spark, "default", "documents")
+    assert odf.count() == docs.count()
+    assert set(odf.columns) == set(docs.columns)
+
+    # a cube compiles and answers over the ORC backing unchanged
+    oreg.format = "orc"
+    q = (DocsCube(spark, oreg).query()
+         .slice("source").measure("count", alias="cnt").asc(["source"]))
+    got = {(r[0], r[1]) for r in q.relabeled().collect()}
+    want = {(r[0], r[1]) for r in
+            docs.groupBy("source").count().collect()}
+    assert got == want
