@@ -1334,6 +1334,19 @@ def q_token_mixture(spark, sf_dir):
                  F.sum("tok").alias("kept_tokens")))
 
 
+def q_drift_kl(spark, sf_dir):
+    """Epoch-over-epoch distribution drift (operators/robust.py
+    kl_drift): per event type, KL(first-half ‖ second-half January)
+    over a shared 8-bucket equi-width value histogram with Laplace
+    smoothing — the shape-sensitive drift monitor mean/stddev deltas
+    miss. One fact shuffle; stat and spine frames broadcast."""
+    from .operators.robust import kl_drift
+    ev = _events(spark, sf_dir).table()
+    return kl_drift(ev, "value", ["event_type"],
+                    F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+                    bins=8)
+
+
 def q_char_entropy(spark, sf_dir):
     """Per-document character-entropy quality signal (operators/text.py
     char_entropy — the CCNet-family gibberish detector), summarized per
@@ -1429,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,          # gibberish/entropy signal
     "hard_negatives": q_hard_negatives,      # contrastive negative mining
     "token_mixture": q_token_mixture,        # token-budgeted mixture
+    "drift_kl": q_drift_kl,                  # epoch distribution drift
     # --- tier 2: green once ---
     "neardup_clusters": q_neardup_clusters,  # green r01, rotated out r02
     "det_sample": q_det_sample,
@@ -2776,6 +2790,44 @@ ORACLES: dict[str, str] = {
         FROM toks d JOIN rates r USING (source)
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
+        GROUP BY 1
+    """,
+    "drift_kl": """
+        WITH e AS (
+            SELECT event_type, value,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1
+                   END AS ep
+            FROM events),
+        st AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+               FROM e GROUP BY 1),
+        b AS (SELECT e.event_type, ep,
+                     CASE WHEN hi = lo THEN 0
+                          ELSE least(7, CAST(floor(
+                              (value - lo) / ((hi - lo) / 8.0)) AS INT))
+                     END AS bucket
+              FROM e JOIN st USING (event_type)),
+        per AS (SELECT event_type, bucket,
+                       sum(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS c_base,
+                       sum(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS c_cur
+                FROM b GROUP BY 1, 2),
+        spine AS (SELECT event_type, unnest(range(0, 8)) AS bucket
+                  FROM st),
+        filled AS (
+            SELECT s.event_type, s.bucket,
+                   coalesce(p.c_base, 0) AS c_base,
+                   coalesce(p.c_cur, 0) AS c_cur
+            FROM spine s LEFT JOIN per p
+              ON s.event_type = p.event_type AND s.bucket = p.bucket),
+        tot AS (SELECT event_type, sum(c_base) AS n_base,
+                       sum(c_cur) AS n_cur
+                FROM filled GROUP BY 1)
+        SELECT f.event_type,
+               round(sum(((c_base + 1.0) / (n_base + 8.0))
+                         * ln(((c_base + 1.0) / (n_base + 8.0))
+                              / ((c_cur + 1.0) / (n_cur + 8.0)))), 4)
+                   AS kl,
+               max(n_base) AS n_base, max(n_cur) AS n_cur
+        FROM filled f JOIN tot t USING (event_type)
         GROUP BY 1
     """,
     "hard_negatives": """

@@ -845,3 +845,23 @@ def test_mixture_sample_token_weighting(spark):
     # sqrt temperature: rate_a / rate_b = sqrt(mass_b / mass_a) = 2
     assert by_tok["a"][0] > by_tok["b"][0]
     assert abs(by_tok["a"][0] / by_tok["b"][0] - 2.0) < 0.01
+
+
+def test_kl_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from pyspark.sql import functions as F
+    from activecube_graphql_spark.operators.robust import kl_drift
+    # identical epochs -> every bucket count matches -> KL exactly 0
+    rows = [("g", 0, float(v)) for v in range(100)] + \
+           [("g", 1, float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, ["k", "ep", "x"])
+    out = kl_drift(df, "x", ["k"], F.col("ep") == 0, bins=8).collect()
+    assert len(out) == 1
+    assert out[0]["kl"] == 0.0
+    assert out[0]["n_base"] == 100 and out[0]["n_cur"] == 100
+    # epoch 1 concentrated in the top bucket -> strictly positive KL,
+    # finite despite emptied buckets (Laplace smoothing)
+    rows2 = [("g", 0, float(v)) for v in range(100)] + \
+            [("g", 1, 99.0)] * 100
+    out2 = kl_drift(spark.createDataFrame(rows2, ["k", "ep", "x"]),
+                    "x", ["k"], F.col("ep") == 0, bins=8).collect()
+    assert out2[0]["kl"] > 1.0
