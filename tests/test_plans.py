@@ -430,6 +430,7 @@ def test_no_cartesian_in_any_driver_row(spark, sf_dir):
         "value_bands",                      # broadcast band table
         "embed_topk", "embed_range", "embed_keep", "embed_neardup",
         "embed_lsh_ann", "embed_ivf_ann", "knn_vote",  # query fan-out
+        "hard_negatives",                   # same broadcast-query fan-out
         "tfidf_terms",                      # 1-row N-scalar crossJoin
     }
     for name, fn in QUERIES.items():
