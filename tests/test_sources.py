@@ -142,3 +142,21 @@ def test_source_registry_json_and_orc_formats(spark, sf_dir,
     want = {(r[0], r[1]) for r in
             docs.groupBy("source").count().collect()}
     assert got == want
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Appended files with added columns (schema evolution — the normal
+    life of a 100 TB lake table) read as one table under mergeSchema:
+    old files surface NULL for the new column; the registry's options
+    plumbing carries the flag."""
+    root = str(tmp_path_factory.mktemp("evolve"))
+    spark.createDataFrame([(1, "a")], ["id", "v"]) \
+        .write.mode("overwrite").parquet(f"{root}/t.parquet")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]) \
+        .write.mode("append").parquet(f"{root}/t.parquet")
+    reg = SourceRegistry({"default": root},
+                         options={"mergeSchema": "true"})
+    out = reg.read(spark, "default", "t")
+    assert set(out.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows[1] is None and rows[2] == 9.5
