@@ -123,17 +123,33 @@ class SalesCube(Cube):
         "qty_price_corr": Metric.corr("l_quantity", "l_extendedprice"),
         "p90_price": Metric.quantile("l_extendedprice", 0.9),
         "p90_price_approx": Metric.quantile_approx("l_extendedprice", 0.9),
-        # argMin/argMax over the unique row id (linenumber is 1..7, so
-        # orderkey*10+linenumber is collision-free) — unique ordering key
-        # makes these deterministic and therefore hash-oracle-checkable
+        # argMin/argMax need a deterministic ordering key or the result
+        # is whichever tied row an engine happens to keep. The synthetic
+        # fixture has duplicate (orderkey, linenumber) pairs (~20% of
+        # rows at every SF — measured), so the "natural" composite id is
+        # NOT unique; the key is instead an md5 row fingerprint over the
+        # integer keys + the price in cents (integers format identically
+        # on both engines, so the hash — and hence the chosen row — is
+        # engine-portable; a full fingerprint tie implies an equal
+        # value, which makes the tie harmless by construction)
         "last_price": Metric.arg_max(
             "l_extendedprice",
-            lambda: (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
-            order_sql="l_orderkey * 10 + l_linenumber"),
+            lambda: F.md5(F.concat_ws(
+                "|", F.col("l_orderkey"), F.col("l_linenumber"),
+                F.col("l_partkey"), F.col("l_suppkey"),
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long"))),
+            order_sql=("md5(concat_ws('|', l_orderkey, l_linenumber, "
+                       "l_partkey, l_suppkey, "
+                       "CAST(round(l_extendedprice * 100, 0) AS BIGINT)))")),
         "first_price": Metric.arg_min(
             "l_extendedprice",
-            lambda: (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
-            order_sql="l_orderkey * 10 + l_linenumber"),
+            lambda: F.md5(F.concat_ws(
+                "|", F.col("l_orderkey"), F.col("l_linenumber"),
+                F.col("l_partkey"), F.col("l_suppkey"),
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long"))),
+            order_sql=("md5(concat_ws('|', l_orderkey, l_linenumber, "
+                       "l_partkey, l_suppkey, "
+                       "CAST(round(l_extendedprice * 100, 0) AS BIGINT)))")),
         "top_parts": Metric.top_tuples(
             _revenue, {"partkey": "l_partkey", "price": "l_extendedprice"}, 3),
     }

@@ -779,6 +779,42 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     return exact_dedup(fresh, ["fingerprint"], id_col)
 
 
+def edit_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        similarity: float = 0.9,
+                        candidate_jaccard: float = 0.3,
+                        n: int = 2) -> DataFrame:
+    """Two-phase near-dup with EXACT edit-distance confirmation: cheap
+    shingle-Jaccard candidates at a loose threshold, then the true
+    normalized Levenshtein similarity ``1 − dist/max(len)`` on the
+    surviving pairs only — the classic verify pattern for when the
+    dedup policy is defined on edit distance (plagiarism/near-copy
+    rules) but an O(len²)-per-pair metric can never run on all pairs.
+
+    Scale shape: the quadratic-ish work stays in the prefix-filtered
+    candidate join (`ngram_jaccard_pairs`); Levenshtein — O(len²) per
+    pair, the most expensive per-row scalar in this module — touches
+    ONLY the candidate set (≈ duplicate-pair cardinality, not corpus
+    cardinality). Texts attach via two id-keyed joins (AQE broadcasts
+    the candidate frame at realistic sizes). `levenshtein` is a
+    built-in on BOTH engines with identical unit-cost semantics, so
+    the verified similarity is oracle-checkable bit-for-bit."""
+    cands = ngram_jaccard_pairs(df, id_col=id_col, text_col=text_col,
+                                n=n, threshold=candidate_jaccard) \
+        .select("id_a", "id_b")
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(text_col).alias("__t_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(text_col).alias("__t_b"))
+    sim = (F.lit(1.0) - F.levenshtein("__t_a", "__t_b")
+           / F.greatest(F.length("__t_a"), F.length("__t_b")))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("edit_sim", sim)
+            .filter(F.col("edit_sim") >= float(similarity))
+            .select("id_a", "id_b",
+                    F.round("edit_sim", 4).alias("edit_sim")))
+
+
 def ngram_containment_pairs(df: DataFrame, n: int = 3,
                             threshold: float = 0.5, max_df: int = 1000,
                             id_col: str = "doc_id",

@@ -550,9 +550,12 @@ def label_centroids(df: DataFrame, label_col: str = "label",
     corpus size."""
     ex = df.select(F.col(label_col),
                    F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    # + 0.0 normalizes IEEE negative zero (a mean of values summing to
+    # -0.0 prints differently from +0.0 and breaks value-hash parity
+    # with engines that canonicalize the sign)
     return (ex.groupBy(label_col, (F.col("pos") + 1).alias("dim"))
-            .agg(F.round(F.avg(F.col("v").cast("double")), 4)
-                 .alias("mean_v"),
+            .agg((F.round(F.avg(F.col("v").cast("double")), 4)
+                  + F.lit(0.0)).alias("mean_v"),
                  F.count(F.lit(1)).alias("cnt")))
 
 

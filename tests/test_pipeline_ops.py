@@ -865,3 +865,20 @@ def test_kl_drift_zero_for_identical_and_positive_for_shifted(spark):
     out2 = kl_drift(spark.createDataFrame(rows2, ["k", "ep", "x"]),
                     "x", ["k"], F.col("ep") == 0, bins=8).collect()
     assert out2[0]["kl"] > 1.0
+
+
+def test_edit_verified_rejects_high_jaccard_low_edit_sim(spark):
+    """Shingle-set similarity and edit similarity disagree on word
+    REORDERINGS (same vocabulary, different sequence): the verify
+    phase must reject what the candidate phase admits."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "theta eta zeta epsilon delta gamma beta alpha"   # reversed
+    c = "alpha beta gamma delta epsilon zeta eta thetq"   # 1 char edit
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    # unigram candidates: {1,2} share all tokens; {1,3} share 7/9
+    out = dd.edit_verified_pairs(df, similarity=0.9,
+                                 candidate_jaccard=0.5, n=1)
+    pairs = {(r["id_a"], r["id_b"]): r["edit_sim"] for r in out.collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.9
+    assert (1, 2) not in pairs      # reordered text fails the verify
