@@ -1297,10 +1297,11 @@ def q_boilerplate(spark, sf_dir):
     documents are boilerplate; per source, the mean boilerplate
     fraction and how many docs exceed 20% — the cross-document
     counterpart of the within-doc repetition filters. One gram-keyed
-    shuffle; the qualifying vocabulary broadcasts back."""
-    out = tx.boilerplate_ngram_stats(_docs(spark, sf_dir), min_df=5)
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    return (out.join(docs, "doc_id")
+    shuffle; the qualifying vocabulary broadcasts back; source rides
+    the operator's carry columns (no second corpus scan)."""
+    out = tx.boilerplate_ngram_stats(_docs(spark, sf_dir), min_df=5,
+                                     carry=("source",))
+    return (out
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_boiler").alias("boiler_grams"),
@@ -1362,10 +1363,10 @@ def q_char_entropy(spark, sf_dir):
     char_entropy — the CCNet-family gibberish detector), summarized per
     source: doc count, mean/min/max entropy. Two doc-keyed map-side-
     combined shuffles; the char stream never leaves a mapper
-    unaggregated."""
-    ent = tx.char_entropy(_docs(spark, sf_dir))
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    return (ent.join(docs, "doc_id")
+    unaggregated; source rides the operator's carry columns (no second
+    corpus scan)."""
+    ent = tx.char_entropy(_docs(spark, sf_dir), carry=("source",))
+    return (ent
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("entropy"), 4).alias("avg_ent"),

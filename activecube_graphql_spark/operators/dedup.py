@@ -673,15 +673,15 @@ def connected_components(pairs: DataFrame, left: str, right: str,
              .distinct())
     from ..stats import record_routing
     edges = edges.persist()
-    # ONE action probes size AND fetches the edges when small: limit
-    # N+1 rows — if we got ≤ N the limit was no-op and we already hold
-    # the complete edge list (the old count-then-collect shape paid a
-    # second full evaluation of the pair pipeline before the persist
-    # warmed; measured ~1.5 s/action on the embed/neardup rows).
-    probe = edges.limit(driver_edge_limit + 1).collect()
-    if len(probe) <= driver_edge_limit:
+    # the count's job MATERIALIZES the persisted edges, so the collect
+    # below reads the cache — two actions but one evaluation of the
+    # (expensive) pair pipeline. Probing with limit(N+1).collect()
+    # would fuse them into one action but ships N+1 driver Rows
+    # (~hundreds of MB of Python objects at the 2^20 default) on
+    # exactly the path meant for graphs too big for the driver.
+    if edges.count() <= driver_edge_limit:
         record_routing("connected_components.path", "driver")
-        collected = [(r["src"], r["dst"]) for r in probe]
+        collected = [(r["src"], r["dst"]) for r in edges.collect()]
         edges.unpersist()  # collected to the driver; nothing reads it again
         parent: dict = {}
 

@@ -24,6 +24,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,36 +96,63 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str,
         "*", f"sqrt({_dot_sql(vec_alias, vec_alias)}) AS {norm_alias}")
 
 
-def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True, dim: int = 64) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
-
-    ``queries`` is broadcast (the query set is small by construction);
-    the corpus is scanned once — a map-side nested loop per partition,
-    then a per-query-group top-k. Ties broken by corpus id (deterministic
-    hash parity with SQL oracles).
-
-    Norms are computed once per side as scalar columns BELOW the join
-    (cosine = dot / (q_n · c_n) per pair) — measured 1.6× faster at sf0.1
-    than pre-normalizing the vectors, because a normalize-lambda
-    re-evaluates its captured norm subtree per element (see _unit)."""
+def _scored_pairs(corpus: DataFrame, queries: DataFrame, id_col: str,
+                  vec_col: str, label_col: Optional[str] = None,
+                  exclude_self: bool = True) -> DataFrame:
+    """Shared broadcast-query scoring pipeline behind cosine_topk /
+    cosine_range_search / hard_negatives: queries broadcast (small by
+    construction), corpus scanned once — a map-side nested loop per
+    partition. Norms are computed once per side as scalar columns BELOW
+    the join (cosine = dot / (q_n · c_n) per pair) — measured 1.6×
+    faster at sf0.1 than pre-normalizing the vectors, because a
+    normalize-lambda re-evaluates its captured norm subtree per element
+    (see _unit). With ``label_col``, each side's label rides its scan
+    projection (``q_label``/``n_label``) — never a join back onto the
+    corpus. Any filter the caller adds on ids/labels is pushed below
+    this projection by Catalyst (it doesn't depend on ``cosine``)."""
     from ..operators.dedup import ensure_parallelism
-    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
-    c = _with_norm(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
-                   id_col, vec_col, "neighbor_id", "c_vec", "c_n")
+
+    def prep(df: DataFrame, id_alias: str, vec_alias: str,
+             norm_alias: str, lab_alias: str) -> DataFrame:
+        cols = [f"`{id_col}` AS {id_alias}"]
+        if label_col is not None:
+            cols.append(f"`{label_col}` AS {lab_alias}")
+        cols.append(
+            f"transform(`{vec_col}`, x -> cast(x AS double)) AS {vec_alias}")
+        return df.selectExpr(*cols).selectExpr(
+            "*", f"sqrt({_dot_sql(vec_alias, vec_alias)}) AS {norm_alias}")
+
+    q = prep(queries, "query_id", "q_vec", "q_n", "q_label")
+    c = prep(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
+             "neighbor_id", "c_vec", "c_n", "n_label")
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter("query_id != neighbor_id")
-    scored = joined.selectExpr(
+    return joined.selectExpr(
         "*", f"{_dot_sql('q_vec', 'c_vec')} / (q_n * c_n) AS cosine")
+
+
+def _query_topk(scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
+                ) -> DataFrame:
+    """Per-query top-k over a _scored_pairs frame; ties broken by
+    corpus id (deterministic hash parity with SQL oracles)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
-            .selectExpr("query_id", "neighbor_id",
+            .selectExpr("query_id", *extra_cols, "neighbor_id",
                         "round(cosine, 4) AS cosine",
                         "cast(rn AS long) AS rank"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True, dim: int = 64) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector — the
+    broadcast-query scoring pipeline (see _scored_pairs) plus a
+    per-query-group top-k."""
+    return _query_topk(_scored_pairs(corpus, queries, id_col, vec_col,
+                                     exclude_self=exclude_self), k)
 
 
 def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
@@ -134,39 +163,16 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
     the "looks alike, isn't" examples metric-learning losses are built
     from (the easy negatives a random sampler draws carry no gradient).
 
-    Same scale shape as :func:`cosine_topk` — query side (with its
-    labels) broadcasts, corpus scanned exactly once, label-mismatch
-    filter applied BELOW the per-query window so the top-k ranks only
-    true negatives; ties break on corpus id (deterministic, oracle-
-    checkable since the similarity is exact). Labels ride the scan-side
-    projection — NOT a join back onto the corpus, which would shuffle
-    the corpus against itself just to recover a column it already
-    had."""
-    from ..operators.dedup import ensure_parallelism
-
-    def prep(df: DataFrame, id_alias: str, lab_alias: str,
-             vec_alias: str, norm_alias: str) -> DataFrame:
-        return df.selectExpr(
-            f"`{id_col}` AS {id_alias}",
-            f"`{label_col}` AS {lab_alias}",
-            f"transform(`{vec_col}`, x -> cast(x AS double)) AS {vec_alias}",
-        ).selectExpr(
-            "*", f"sqrt({_dot_sql(vec_alias, vec_alias)}) AS {norm_alias}")
-
-    q = prep(queries, "query_id", "q_label", "q_vec", "q_n")
-    c = prep(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
-             "neighbor_id", "n_label", "c_vec", "c_n")
-    joined = (c.crossJoin(F.broadcast(q))
+    The broadcast-query scoring pipeline (see _scored_pairs, with
+    labels riding each side's scan projection — never a join back onto
+    the corpus) plus a label-mismatch filter BELOW the per-query top-k
+    window, so the ranking covers only true negatives; ties break on
+    corpus id (deterministic, oracle-checkable since the similarity is
+    exact)."""
+    scored = (_scored_pairs(corpus, queries, id_col, vec_col,
+                            label_col=label_col, exclude_self=False)
               .filter(F.col("n_label") != F.col("q_label")))
-    scored = joined.selectExpr(
-        "*", f"{_dot_sql('q_vec', 'c_vec')} / (q_n * c_n) AS cosine")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .selectExpr("query_id", "q_label", "neighbor_id", "n_label",
-                        "round(cosine, 4) AS cosine",
-                        "cast(rn AS long) AS rank"))
+    return _query_topk(scored, k, extra_cols=("q_label", "n_label"))
 
 
 def cosine_range_search(corpus: DataFrame, queries: DataFrame,
@@ -178,20 +184,12 @@ def cosine_range_search(corpus: DataFrame, queries: DataFrame,
     of :func:`cosine_topk` (dedup thresholds, diversity filters, policy
     screens want "everything this close", not a fixed k).
 
-    Same scale shape as cosine_topk: the small query side broadcasts,
-    the corpus is scanned exactly once map-side (no corpus shuffle, no
-    window) — and because there is no per-group top-k, the plan is pure
+    Same scale shape as cosine_topk (shared _scored_pairs pipeline) —
+    and because there is no per-group top-k, the plan is pure
     scan→filter, cheaper than top-k. Output size is data-dependent
     rather than k-bounded."""
-    from ..operators.dedup import ensure_parallelism
-    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
-    c = _with_norm(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
-                   id_col, vec_col, "neighbor_id", "c_vec", "c_n")
-    joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter("query_id != neighbor_id")
-    return (joined.selectExpr(
-                "*", f"{_dot_sql('q_vec', 'c_vec')} / (q_n * c_n) AS cosine")
+    return (_scored_pairs(corpus, queries, id_col, vec_col,
+                          exclude_self=exclude_self)
             .filter(F.col("cosine") >= threshold)
             .selectExpr("query_id", "neighbor_id",
                         "round(cosine, 4) AS cosine"))

@@ -397,7 +397,8 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
 
 
 def char_entropy(df: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-document character-level Shannon entropy (nats): the
     classic gibberish/low-information detector (CCNet-family quality
     filtering) — natural text sits in a narrow entropy band; key-mash,
@@ -412,7 +413,9 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     NOT a higher-order-function lambda over the char array: per-element
     work inside HOF lambdas evaluates interpreted (the measured
     char_dup/embed_topk lesson in BENCH_NOTES), while explode →
-    groupBy stays in whole-stage codegen."""
+    groupBy stays in whole-stage codegen. ``carry`` rides the
+    (column-pruned) join base — the repetition_signals pattern, so
+    callers never re-scan the corpus to attach attributes."""
     chars = df.select(
         F.col(id_col),
         F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)"))
@@ -424,15 +427,15 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
                 F.round(-F.sum(F.col("c") * F.log(F.col("c")))
                         / F.sum("c")
                         + F.log(F.sum("c")), 4).alias("entropy")))
-    return (df.select(id_col).join(ent, id_col, "left")
+    return (df.select(id_col, *carry).join(ent, id_col, "left")
             .withColumn("n_chars_t",
                         F.coalesce("n_chars_t", F.lit(0)).cast("long"))
             .withColumn("entropy", F.coalesce("entropy", F.lit(0.0))))
 
 
 def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
-                            text_col: str = "text",
-                            min_df: int = 50) -> DataFrame:
+                            text_col: str = "text", min_df: int = 50,
+                            carry: tuple[str, ...] = ()) -> DataFrame:
     """Corpus-level boilerplate detection: a word 3-gram that appears in
     ``min_df``-or-more *distinct* documents is boilerplate (navigation
     chrome, license headers, cookie banners — the cross-document
@@ -453,7 +456,9 @@ def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     vocabulary is *bounded by construction* (df ≥ min_df caps it at
     n_grams_total / min_df entries) so it joins back as a BROADCAST
     left-semi probe. Raising ``min_df`` at larger corpus scale keeps
-    the broadcast side flat."""
+    the broadcast side flat. ``carry`` rides the column-pruned join
+    base (the repetition_signals pattern) so callers never re-scan
+    the corpus to attach attributes."""
     toks = df.select(F.col(id_col), _col(TOKENS, text_col).alias("toks"))
     ex = (toks.filter(F.size("toks") >= 3)
           .select(F.col(id_col), "toks",
@@ -474,7 +479,7 @@ def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_boiler")))
     totals = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"))
-    return (df.select(id_col)
+    return (df.select(id_col, *carry)
             .join(totals, id_col, "left")
             .join(hits, id_col, "left")
             .withColumn("n_grams",

@@ -343,6 +343,11 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
     rollup jobs above: recompute against the source of truth instead of
     blindly appending).
 
+    Survivor choice across micro-batches is FIRST-ARRIVAL-WINS (a
+    later-arriving duplicate loses to the indexed copy regardless of
+    id); it equals batch-mode min-id exact dedup when the feed arrives
+    in one batch or in id order — the honest incremental contract.
+
     At 100 TB the index probe is a keyed join on the fingerprint —
     broadcast while the index is small, sort-merge beyond; per-trigger
     work is O(batch × index-probe), never O(corpus)."""
@@ -372,26 +377,38 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
 
 
 def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
-                  index_path: str, checkpoint: str,
+                  checkpoint: str,
                   glob: str = "documents.parquet") -> None:
     """Continuous corpus curation: the batch pipeline_survivors stages
     fused into one incremental job — per micro-batch, (1) hard-rule
     quality filter (map-only, pipelined with the source read), (2)
-    exact dedup against the accumulated fingerprint index AND within
-    the batch, (3) APPEND survivors to the curated corpus and their
-    fingerprints to the index.
+    exact dedup against the fingerprints already IN the curated corpus
+    AND within the batch, (3) APPEND survivors — carrying their
+    ``fingerprint`` column — to the curated corpus.
 
-    Same idempotence construction as maintain_dedup_index: a replayed
-    batch re-anti-joins against an index that already holds its
-    fingerprints and contributes nothing, so at-least-once delivery
-    yields an exactly-once curated corpus — asserted by the replay test
-    in tests/test_streaming.py. The quality filter runs BEFORE the
-    index probe on purpose: rejected docs never pay the join, and the
-    index only ever holds curated fingerprints (smaller probe side at
-    every future trigger).
+    ONE sink on purpose: the dedup index IS the corpus's fingerprint
+    column, so there is no window where a fingerprint is durably
+    recorded while its document is not (a separate index file written
+    first would, on a crash between the two appends, anti-join the
+    replayed document away forever — silent data loss, not a
+    duplicate). With a single sink the replay construction of
+    maintain_dedup_index applies intact: a replayed batch re-anti-joins
+    against a corpus that already holds its fingerprints and appends
+    nothing — asserted by the replay test in tests/test_streaming.py.
 
-    At 100 TB: per-trigger cost is O(batch) map work + one keyed index
-    probe; nothing rescans the accumulated corpus."""
+    Survivor choice across micro-batches is FIRST-ARRIVAL-WINS: a
+    duplicate arriving in a later trigger loses to whichever copy is
+    already in the corpus, whatever its id. This equals the batch
+    composition's min-id survivor only when the feed arrives in one
+    batch (the test's case) or in id order — the honest incremental
+    contract (the batch twin can't see the future either).
+
+    The quality filter runs BEFORE the dedup probe on purpose:
+    rejected docs never pay the join, and the corpus only ever holds
+    curated fingerprints (smaller probe side at every future trigger).
+    At 100 TB: per-trigger cost is O(batch) map work + one keyed
+    fingerprint probe (column-pruned scan of the corpus); nothing
+    rescans the corpus's document payloads."""
     from ..operators.dedup import dedup_against_index
     from ..operators.text import with_quality_rules
 
@@ -406,14 +423,11 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
                 .filter(F.col("keep"))
                 .select(*batch_df.columns))
         try:
-            index = spark.read.parquet(index_path).select("fingerprint")
+            index = spark.read.parquet(out_path).select("fingerprint")
         except AnalysisException:  # first batch: PATH_NOT_FOUND only
             index = spark.createDataFrame([], "fingerprint string")
         fresh = dedup_against_index(kept, index)
-        (fresh.select("doc_id", "fingerprint")
-         .write.mode("append").parquet(index_path))
-        (fresh.drop("fingerprint")
-         .write.mode("append").parquet(out_path))
+        fresh.write.mode("append").parquet(out_path)
 
     q = (sdf.writeStream.foreachBatch(upsert)
          .option("checkpointLocation", checkpoint)

@@ -379,16 +379,17 @@ def test_maintain_dedup_index_incremental_and_replay(spark, sf_dir, tmp_path):
 
 def test_curate_stream_equals_batch_and_replays_idempotent(
         spark, sf_dir, tmp_path):
-    """The streamed curated corpus equals the batch composition
-    (quality rules -> exact dedup) over the same feed, and a full
-    replay (fresh checkpoint, same data) appends nothing to either
-    the corpus or the index."""
+    """Single-batch feed: the streamed curated corpus equals the batch
+    composition (quality rules -> exact dedup; across MULTIPLE batches
+    the contract is first-arrival-wins — see the docstring), the dedup
+    index is the corpus's own fingerprint column (one sink, no
+    index/corpus divergence window), and a full replay (fresh
+    checkpoint, same data) appends nothing."""
     from activecube_graphql_spark.streaming import jobs
     from activecube_graphql_spark.operators import text as tx
     from activecube_graphql_spark.operators.dedup import exact_dedup
     out = str(tmp_path / "curated")
-    idx = str(tmp_path / "fp_index")
-    jobs.curate_stream(spark, sf_dir, out, idx, str(tmp_path / "ck1"))
+    jobs.curate_stream(spark, sf_dir, out, str(tmp_path / "ck1"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = (tx.with_quality_rules(docs).filter("keep")
             .select(*docs.columns))
@@ -397,9 +398,8 @@ def test_curate_stream_equals_batch_and_replays_idempotent(
     got = spark.read.parquet(out)
     assert ({r["doc_id"] for r in got.collect()} ==
             {r["doc_id"] for r in want.collect()})
-    assert set(got.columns) == set(docs.columns)
-    n_out, n_idx = got.count(), spark.read.parquet(idx).count()
-    assert n_out == n_idx            # index holds curated docs only
-    jobs.curate_stream(spark, sf_dir, out, idx, str(tmp_path / "ck2"))
+    assert set(got.columns) == set(docs.columns) | {"fingerprint"}
+    n_out = got.count()
+    assert got.select("fingerprint").distinct().count() == n_out
+    jobs.curate_stream(spark, sf_dir, out, str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == n_out
-    assert spark.read.parquet(idx).count() == n_idx
