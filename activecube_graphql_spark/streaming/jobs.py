@@ -377,8 +377,8 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
 
 
 def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
-                  checkpoint: str,
-                  glob: str = "documents.parquet") -> None:
+                  checkpoint: str, glob: str = "documents.parquet",
+                  max_files_per_trigger: int | None = None) -> None:
     """Continuous corpus curation: the batch pipeline_survivors stages
     fused into one incremental job — per micro-batch, (1) hard-rule
     quality filter (map-only, pipelined with the source read), (2)
@@ -414,8 +414,12 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
 
     schema = (spark.read.option("pathGlobFilter", glob)
               .parquet(src_dir).schema)
-    sdf = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", glob).parquet(src_dir))
+    reader = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:  # force multi-batch ingestion
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    sdf = reader.parquet(src_dir)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.errors import AnalysisException

@@ -403,3 +403,32 @@ def test_curate_stream_equals_batch_and_replays_idempotent(
     assert got.select("fingerprint").distinct().count() == n_out
     jobs.curate_stream(spark, sf_dir, out, str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == n_out
+
+
+def test_curate_stream_multi_batch_dedup_holds(spark, sf_dir, tmp_path):
+    """With maxFilesPerTrigger=1 the feed arrives over SEVERAL
+    micro-batches; cross-batch dedup must still hold: one survivor per
+    distinct fingerprint, and the surviving fingerprint SET equals the
+    batch composition's (fingerprints are arrival-order-invariant even
+    where survivor ids are first-arrival-wins)."""
+    from activecube_graphql_spark.streaming import jobs
+    from activecube_graphql_spark.operators import text as tx
+    src = str(tmp_path / "feed")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "curated")
+    jobs.curate_stream(spark, src, out, str(tmp_path / "ck1"),
+                       glob="*.parquet", max_files_per_trigger=1)
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert got.select("fingerprint").distinct().count() == n
+    kept = (tx.with_quality_rules(docs).filter("keep")
+            .select(*docs.columns))
+    want_fps = {r["fingerprint"] for r in
+                tx.with_fingerprint(kept).select("fingerprint")
+                .distinct().collect()}
+    assert {r["fingerprint"] for r in
+            got.select("fingerprint").collect()} == want_fps
+    jobs.curate_stream(spark, src, out, str(tmp_path / "ck2"),
+                       glob="*.parquet", max_files_per_trigger=1)
+    assert spark.read.parquet(out).count() == n
