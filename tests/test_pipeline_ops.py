@@ -882,3 +882,48 @@ def test_edit_verified_rejects_high_jaccard_low_edit_sim(spark):
     pairs = {(r["id_a"], r["id_b"]): r["edit_sim"] for r in out.collect()}
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.9
     assert (1, 2) not in pairs      # reordered text fails the verify
+
+
+def test_ivf_index_build_search_extend(spark, sf_dir, tmp_path):
+    """Persistent IVF index lifecycle: (a) search over the stored index
+    returns exactly what the one-shot ivf_ann_topk computes (training
+    is deterministic, so the quantizers coincide); (b) the probed-cell
+    filter partition-prunes the cell table (the inverted-list scan);
+    (c) extending the index with new vectors uses the stored centroids,
+    is replay-idempotent, and makes the new vectors findable."""
+    from activecube_graphql_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, path, n_cells=8)
+
+    got = sim.ivf_index_search(spark, path, queries, k=5, nprobe=3)
+    want = sim.ivf_ann_topk(corpus, queries, k=5, n_cells=8, nprobe=3)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, want.collect()))
+    assert ({(r["query_id"], r["neighbor_id"]) for r in got.collect()} ==
+            {(r["query_id"], r["neighbor_id"]) for r in want.collect()})
+
+    # (b) partition pruning: the cell filter must reach PartitionFilters
+    cells = (spark.read.parquet(f"{path}/cells.parquet")
+             .filter(F.col("cell").isin([0, 1])))
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:120]
+
+    # (c) extend with brand-new ids; replay appends nothing
+    new = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding",
+        "label")
+    assert sim.extend_ivf_index(spark, path, new) == 3
+    assert sim.extend_ivf_index(spark, path, new) == 0   # idempotent
+    found = sim.ivf_index_search(
+        spark, path, new, k=1, nprobe=1, exclude_self=False)
+    # each new vector's own copy is its nearest neighbor at cosine 1
+    hits = {r["query_id"]: (r["neighbor_id"], r["cosine"])
+            for r in found.collect()}
+    assert set(hits) == {1_000_000, 1_000_001, 1_000_002}
+    for qid, (nid, cos) in hits.items():
+        assert cos >= 0.9999 and (nid == qid or nid == qid - 1_000_000)
