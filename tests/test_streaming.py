@@ -432,3 +432,35 @@ def test_curate_stream_multi_batch_dedup_holds(spark, sf_dir, tmp_path):
     jobs.curate_stream(spark, src, out, str(tmp_path / "ck2"),
                        glob="*.parquet", max_files_per_trigger=1)
     assert spark.read.parquet(out).count() == n
+
+
+def test_maintain_ivf_index_stream_extend_and_replay(spark, sf_dir,
+                                                     tmp_path):
+    """Streamed index maintenance: vectors arriving after the build are
+    appended to their cells (searchable), and a full replay (fresh
+    checkpoint, same feed) appends nothing."""
+    from pyspark.sql import functions as F
+    from activecube_graphql_spark.operators import similarity as sim
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = corpus.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(seed, path, n_cells=4)
+    n0 = spark.read.parquet(f"{path}/cells.parquet").count()
+
+    feed = str(tmp_path / "feed" / "embeddings.parquet")
+    corpus.filter(F.col("vec_id") >= 100).write.mode("overwrite") \
+        .parquet(feed)
+    jobs.maintain_ivf_index(spark, feed, path, str(tmp_path / "ck1"),
+                            glob="*.parquet")
+    n1 = spark.read.parquet(f"{path}/cells.parquet").count()
+    assert n1 == corpus.count()     # every fed vector landed once
+    assert n1 > n0
+    jobs.maintain_ivf_index(spark, feed, path, str(tmp_path / "ck2"),
+                            glob="*.parquet")
+    assert spark.read.parquet(f"{path}/cells.parquet").count() == n1
+    # a fed vector is findable at cosine ~1 via its own query
+    probe = corpus.filter(F.col("vec_id") == 200)
+    hit = sim.ivf_index_search(spark, path, probe, k=1, nprobe=1,
+                               exclude_self=False).collect()
+    assert hit and hit[0]["neighbor_id"] == 200 and \
+        hit[0]["cosine"] >= 0.9999
