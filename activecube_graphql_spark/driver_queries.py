@@ -9,6 +9,14 @@ Conventions (FIXTURES.md "usage notes"):
 * arrays/structs serialized to strings for hash-stable comparison;
 * approx operators (uniq) are kept out of hash-checked oracles — exact
   ``count(distinct)`` twins here, tolerance tests in tests/.
+* rounding floats that can land ON a half-boundary is engine-dependent:
+  Spark's round(double) goes through the shortest decimal string
+  (BigDecimal HALF_UP — 33.38625 → 33.3863) while DuckDB rounds the
+  binary value (33.386249999… → 33.3862). ``round(avg(x), 4)`` is safe
+  only statistically (a float average rarely sits within an ulp of a
+  half); where a quotient of exact quantities CAN hit halves (e.g.
+  2dp-sum / count), use identical floor arithmetic on identical
+  doubles instead: ``floor(q*1e4 + 0.5)/1e4`` — see sliding_window.
 """
 
 from __future__ import annotations
@@ -2670,9 +2678,14 @@ ORACLES: dict[str, str] = {
                CAST(round(k * 10.0, 6) AS DOUBLE) AS t_s
         FROM g
     """,
+    # floor(q*1e4 + 0.5)/1e4 over round(sum,2)/count — identical double
+    # arithmetic on both engines; round(avg) is order-sensitive AND
+    # engines disagree on exact halves — see jobs.sliding_avg docstring
     "sliding_window": """
         SELECT s AS window_start, event_type,
-               round(avg(value), 4) AS avg_value, count(*) AS cnt
+               floor(round(sum(value), 2) / count(*) * 10000 + 0.5)
+                   / 10000 AS avg_value,
+               count(*) AS cnt
         FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts)
                          - i * INTERVAL 30 MINUTE AS s,
                      event_type, value

@@ -92,11 +92,27 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
 def sliding_avg(events: DataFrame, window: str = "1 hour",
                 slide: str = "30 minutes",
                 watermark: str | None = "2 hours") -> DataFrame:
-    """Sliding-window moving average of value per event_type."""
+    """Sliding-window moving average of value per event_type.
+
+    The average is floor-rounded from round(sum, 2) / count — NOT
+    round(avg, 4). Two separate cross-engine traps live here:
+    (a) a raw float average can land a summation-order ulp on either
+    side of a 4dp half-boundary (3 of ~6700 windows at sf0.1 did);
+    (b) even with a deterministic quotient, engines DISAGREE on exact
+    halves — Spark's round(double) goes through the shortest decimal
+    string (BigDecimal HALF_UP: 33.38625 → 33.3863) while DuckDB
+    rounds the binary value (33.386249999… → 33.3862), and
+    round(sum,2)/count PRODUCES exact .xxx25 halves. The fix is
+    identical arithmetic both engines evaluate on identical doubles:
+    the 2dp-rounded sum is order-independent (a 2dp-true sum is never
+    near a .005 boundary), and floor(q·10⁴ + 0.5)/10⁴ is pure double
+    math with no engine-specific decimal semantics."""
     src = _maybe_watermark(events, "ts", watermark)
+    q = F.round(F.sum("value"), 2) / F.count(F.lit(1))
     return (src.groupBy(F.window("ts", window, slide).alias("win"),
                         "event_type")
-            .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+            .agg((F.floor(q * 10000 + F.lit(0.5)) / 10000.0)
+                 .alias("avg_value"),
                  F.count(F.lit(1)).alias("cnt"))
             .select(F.col("win.start").alias("window_start"),
                     "event_type", "avg_value", "cnt"))
