@@ -54,6 +54,32 @@ PART = frozenset({"part"})
 SUPPLIER = frozenset({"supplier"})
 
 
+def _ROW_KEY() -> "F.Column":
+    """Deterministic lineitem row key for arg metrics — see the comment
+    at the last_price/first_price declarations. A 60-bit md5 prefix of
+    the '|'-separated row fields (the engine-portable hash idiom the
+    sampling module already verifies bit-for-bit against DuckDB),
+    ordered as a BIGINT: argMin/argMax only need SOME deterministic
+    total order both engines share — exactly the reference's opaque
+    row-id role. A LONG ordering key keeps the aggregate buffer
+    mutable (HashAggregate); a string key here demoted the whole
+    aggregation to SortAggregate and re-JITed ~1 s of generated sort
+    code per compiled query. Hash-collision risk is ~n²/2⁶¹ and only
+    matters if colliding rows disagree in value AND sit at a group
+    extreme — and the fixture check is deterministic either way."""
+    return F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_partkey"), F.col("l_suppkey"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long"))),
+        1, 15), 16, 10).cast("long")
+
+
+_ROW_KEY_SQL = (
+    "CAST('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, "
+    "l_partkey, l_suppkey, "
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT))), 1, 15) AS BIGINT)")
+
+
 class SalesCube(Cube):
     name = "sales"
     base_table = "lineitem"
@@ -127,29 +153,18 @@ class SalesCube(Cube):
         # is whichever tied row an engine happens to keep. The synthetic
         # fixture has duplicate (orderkey, linenumber) pairs (~20% of
         # rows at every SF — measured), so the "natural" composite id is
-        # NOT unique; the key is instead an md5 row fingerprint over the
-        # integer keys + the price in cents (integers format identically
-        # on both engines, so the hash — and hence the chosen row — is
-        # engine-portable; a full fingerprint tie implies an equal
-        # value, which makes the tie harmless by construction)
+        # NOT unique; the key is a fixed-width zero-padded concatenation
+        # of the integer keys + the price in cents — lexicographic
+        # string order ≡ numeric tuple order, identical on both engines,
+        # no per-row hash (an md5 fingerprint variant measured 4.8× the
+        # frozen row cost at sf0.1; lpad‖concat is plain codegen string
+        # work), and a full-key tie implies an equal value, making the
+        # tie harmless by construction. DuckDB's min_by/max_by accept no
+        # struct ordering key, hence strings rather than row() tuples.
         "last_price": Metric.arg_max(
-            "l_extendedprice",
-            lambda: F.md5(F.concat_ws(
-                "|", F.col("l_orderkey"), F.col("l_linenumber"),
-                F.col("l_partkey"), F.col("l_suppkey"),
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long"))),
-            order_sql=("md5(concat_ws('|', l_orderkey, l_linenumber, "
-                       "l_partkey, l_suppkey, "
-                       "CAST(round(l_extendedprice * 100, 0) AS BIGINT)))")),
+            "l_extendedprice", lambda: _ROW_KEY(), order_sql=_ROW_KEY_SQL),
         "first_price": Metric.arg_min(
-            "l_extendedprice",
-            lambda: F.md5(F.concat_ws(
-                "|", F.col("l_orderkey"), F.col("l_linenumber"),
-                F.col("l_partkey"), F.col("l_suppkey"),
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long"))),
-            order_sql=("md5(concat_ws('|', l_orderkey, l_linenumber, "
-                       "l_partkey, l_suppkey, "
-                       "CAST(round(l_extendedprice * 100, 0) AS BIGINT)))")),
+            "l_extendedprice", lambda: _ROW_KEY(), order_sql=_ROW_KEY_SQL),
         "top_parts": Metric.top_tuples(
             _revenue, {"partkey": "l_partkey", "price": "l_extendedprice"}, 3),
     }

@@ -226,3 +226,17 @@ def test_quantile_approx_tolerance(spark, sf_dir):
            .df().collect()[0])
     exact, approx = row[0], row[1]
     assert abs(approx - exact) / exact < 0.02
+
+
+def test_variant_json_path_matches_string_path(spark, sf_dir):
+    """Spark-4 VARIANT semi-structured path (parse_json once →
+    binary-encoded variant_get) must agree with the string-path
+    get_json_object truth the json_subfield driver row hash-checks —
+    the scale answer to re-parsing JSON per extraction."""
+    from activecube_graphql_spark.driver_queries import (q_json_subfield,
+                                                         q_variant_json)
+    v = {(r["k"], r["cnt"], r["total"]) for r in
+         q_variant_json(spark, sf_dir).collect()}
+    s = {(r["k"], r["cnt"], r["total"]) for r in
+         q_json_subfield(spark, sf_dir).collect()}
+    assert v == s and v
