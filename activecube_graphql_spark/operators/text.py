@@ -491,6 +491,48 @@ def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
                 .otherwise(F.col("n_boiler") * 1.0 / F.col("n_grams")), 4)))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    carry: tuple[str, ...] = (),
+                    smooth: float = 0.5) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    mean natural-log probability of the doc's tokens under the corpus's
+    own add-k-smoothed unigram distribution — the cheap stand-in for
+    KenLM-style perplexity filtering (no external model in this
+    container). Low tail = OOV-heavy/gibberish; suspiciously high tail
+    = templated/boilerplate; real curation cuts both. Emits ``n_tok``
+    and ``avg_logp`` (4dp; zero-token docs → 0.0). The 4dp round is
+    ULP-safe across engine summation orders in the practical sense that
+    log values are irrational — a mean of them has no mass on exact
+    half-boundaries (unlike quotients of 2dp sums; FIXTURES.md note).
+
+    Scale shape: explode → corpus unigram counts (ONE token-keyed
+    shuffle, partial-aggregated map-side; the totals ride a broadcast
+    one-row frame) → token-keyed join back onto the exploded stream
+    (vocab cardinality — AQE broadcasts at toy scale, keyed join at web
+    scale, and the vocab frame is a natural preagg to persist across
+    scoring runs) → per-doc partial-agg mean keyed on the doc id. Same
+    shapes as tfidf_top_terms."""
+    toks = df.select(F.col(id_col), F.explode(_col(TOKENS, text_col))
+                     .alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_corpus"),
+                       F.count(F.lit(1)).alias("v_size"))
+    k = float(smooth)
+    scored = (toks.join(vocab, "term")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("logp", F.log(
+                  (F.col("c") + F.lit(k))
+                  / (F.col("n_corpus") + F.lit(k) * F.col("v_size")))))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tok"),
+                    F.round(F.avg("logp"), 4).alias("avg_logp")))
+    return (df.select(id_col, *carry).join(per_doc, id_col, "left")
+            .withColumn("n_tok",
+                        F.coalesce("n_tok", F.lit(0)).cast("long"))
+            .withColumn("avg_logp", F.coalesce("avg_logp", F.lit(0.0))))
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

@@ -927,3 +927,18 @@ def test_ivf_index_build_search_extend(spark, sf_dir, tmp_path):
     assert set(hits) == {1_000_000, 1_000_001, 1_000_002}
     for qid, (nid, cos) in hits.items():
         assert cos >= 0.9999 and (nid == qid or nid == qid - 1_000_000)
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """Docs made of corpus-frequent tokens must outscore docs of rare
+    tokens; empty docs fall through with 0.0 and n_tok 0; every logp is
+    negative (it is a probability)."""
+    from activecube_graphql_spark.operators.text import unigram_logprob
+    rows = ([(i, "the cat sat on the mat") for i in range(10)] +
+            [(100, "zyzzyva qoph xylem"), (101, "")])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[0]["avg_logp"] > out[100]["avg_logp"]
+    assert out[0]["avg_logp"] < 0 and out[100]["avg_logp"] < 0
+    assert out[101]["n_tok"] == 0 and out[101]["avg_logp"] == 0.0
+    assert out[0]["n_tok"] == 6
