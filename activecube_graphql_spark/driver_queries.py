@@ -1682,7 +1682,7 @@ ORACLES: dict[str, str] = {
                    AS p90_hi
         FROM lineitem GROUP BY 1
     """,
-    # ordering key = zero-padded unique row key (see cubes.py _ROW_KEY:
+    # ordering key = md5-prefix BIGINT row key (see cubes.py _ROW_KEY:
     # the fixture has duplicate (orderkey, linenumber) pairs, so the
     # natural id is not unique and a tied max_by would be
     # engine-nondeterministic)

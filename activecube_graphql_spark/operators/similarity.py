@@ -397,13 +397,17 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ~corpus × nprobe/n_cells candidate rows instead of the full cross
     product. Recall tunes with nprobe/n_cells (validated against
     cosine_topk in tests — approximate, so rows-only at the driver)."""
-    import numpy as np  # noqa: F401  (required by the training path)
-
     cent = _train_ivf_centroids(corpus, n_cells, id_col, vec_col)
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
     c = _ivf_assign(corpus, "neighbor_id", "c_vec", id_col, vec_col, bc, 1)
     q = _ivf_assign(queries, "query_id", "q_vec", id_col, vec_col, bc, nprobe)
-    joined = c.join(F.broadcast(q), "cell")
+    return _cell_topk(c.join(F.broadcast(q), "cell"), k, exclude_self)
+
+
+def _cell_topk(joined: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+    """Shared scoring tail of the IVF probes (one-shot ivf_ann_topk and
+    the persisted-index search): dot the unit vectors, per-query top-k,
+    deterministic neighbor-id tie-break."""
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
@@ -467,8 +471,6 @@ def ivf_index_search(spark: "SparkSession", path: str,
     — the scan's PartitionFilters carry the cell predicate). Results
     are identical to ivf_ann_topk over the same corpus/params because
     training is deterministic."""
-    import numpy as np  # noqa: F401
-
     cent = _load_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(cent)
     q = _ivf_assign(queries, "query_id", "q_vec", id_col, vec_col, bc,
@@ -479,18 +481,7 @@ def ivf_index_search(spark: "SparkSession", path: str,
              .filter(F.col("cell").isin(probed))
              .select(F.col(id_col).alias("neighbor_id"),
                      F.col("__unit").alias("c_vec"), "cell"))
-    joined = cells.join(F.broadcast(q), "cell")
-    if exclude_self:
-        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("cosine", _dot(F.col("q_vec"),
-                                              F.col("c_vec")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("cosine", 4).alias("cosine"),
-                    F.col("rn").cast("long").alias("rank")))
+    return _cell_topk(cells.join(F.broadcast(q), "cell"), k, exclude_self)
 
 
 def extend_ivf_index(spark: "SparkSession", path: str,
@@ -509,11 +500,16 @@ def extend_ivf_index(spark: "SparkSession", path: str,
                            vec_col, bc, 1)
     existing = (spark.read.parquet(f"{path}/cells.parquet")
                 .select(id_col))
-    fresh = assigned.join(existing, id_col, "left_anti")
-    n = fresh.count()
-    if n:
-        (fresh.write.mode("append").partitionBy("cell")
-         .parquet(f"{path}/cells.parquet"))
+    # persist: the count (return value / empty-append guard) and the
+    # write would otherwise each evaluate the assignment + anti-join
+    fresh = assigned.join(existing, id_col, "left_anti").persist()
+    try:
+        n = fresh.count()
+        if n:
+            (fresh.write.mode("append").partitionBy("cell")
+             .parquet(f"{path}/cells.parquet"))
+    finally:
+        fresh.unpersist()
     return n
 
 
