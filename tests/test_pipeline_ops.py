@@ -942,3 +942,51 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     assert out[0]["avg_logp"] < 0 and out[100]["avg_logp"] < 0
     assert out[101]["n_tok"] == 0 and out[101]["avg_logp"] == 0.0
     assert out[0]["n_tok"] == 6
+
+
+def test_exists_filter_shuffle_path_matches_broadcast(spark):
+    """broadcast_keys=False (the huge-key-side escape hatch) must give
+    identical results to the broadcast default."""
+    from activecube_graphql_spark.operators.joins import exists_filter
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["k", "v"])
+    keys = spark.createDataFrame([(i,) for i in range(0, 30, 2)], ["k"])
+    for negate in (False, True):
+        a = {r["k"] for r in exists_filter(df, keys, "k", negate).collect()}
+        b = {r["k"] for r in exists_filter(df, keys, "k", negate,
+                                           broadcast_keys=False).collect()}
+        assert a == b and a
+
+
+def test_kl_drift_degenerate_single_value_group(spark):
+    """A group whose value never varies (hi == lo) collapses to bucket
+    0 in both epochs — no divide-by-zero; with EQUAL epoch sizes the
+    smoothed distributions coincide and KL is exactly 0 (with unequal
+    sizes Laplace smoothing legitimately spreads different residual
+    mass over the empty buckets, so KL > 0 — also asserted)."""
+    from pyspark.sql import functions as F
+    from activecube_graphql_spark.operators.robust import kl_drift
+    eq = spark.createDataFrame(
+        [("g", 0, 5.0)] * 10 + [("g", 1, 5.0)] * 10, ["k", "ep", "x"])
+    out = kl_drift(eq, "x", ["k"], F.col("ep") == 0, bins=8).collect()
+    assert len(out) == 1 and out[0]["kl"] == 0.0
+    assert out[0]["n_base"] == 10 and out[0]["n_cur"] == 10
+    uneq = spark.createDataFrame(
+        [("g", 0, 5.0)] * 10 + [("g", 1, 5.0)] * 7, ["k", "ep", "x"])
+    out2 = kl_drift(uneq, "x", ["k"], F.col("ep") == 0, bins=8).collect()
+    assert out2[0]["kl"] > 0.0
+
+
+def test_sequence_features_without_tiebreak(spark):
+    """tiebreak=None orders by the on-column alone (the common case for
+    strictly increasing timestamps)."""
+    import datetime as dt
+    from activecube_graphql_spark.operators.timeseries import (
+        sequence_features)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", t0 + dt.timedelta(seconds=s), float(s)) for s in (0, 3, 9)]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = sorted(sequence_features(df, on="ts", by=["k"], value="value")
+                 .collect(), key=lambda r: r["seq"])
+    assert [r["seq"] for r in out] == [1, 2, 3]
+    assert [r["gap_s"] for r in out] == [None, 3, 6]
+    assert out[-1]["run_value"] == 12.0
