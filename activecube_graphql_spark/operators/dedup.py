@@ -20,6 +20,19 @@ Scale design notes (the point of each implementation):
   on rotated prefixes or hamming distance on candidate pairs.
 * **embedding_cosine_pairs** — near-dup by cosine over ``array<float>``;
   brute pairs at test scale, LSH-bucketed at 100 TB (similarity.py).
+
+Cache lifecycle: several operators ``persist()`` an intermediate frame
+that the RETURNED DataFrame still reads (shingle/gram indexes reused by
+multiple phases of one plan) — they cannot unpersist it themselves, and
+eager materialization (localCheckpoint) would change the lazy contract
+and double storage. The frames are MEMORY_AND_DISK with LRU eviction,
+so a long-lived session degrades gracefully rather than leaking
+unboundedly; sessions running many unrelated pipelines should call
+``spark.catalog.clearCache()`` at pipeline boundaries (bench.py does
+exactly this at its tier boundary — see BENCH_NOTES.md). Operators
+whose persisted state is NOT part of the returned plan (connected
+components' edge list, with_simhash's synthetic ids) do release it
+eagerly.
 """
 
 from __future__ import annotations

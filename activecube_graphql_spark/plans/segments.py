@@ -59,12 +59,33 @@ def split_events_registry(sf_dir: str, cold_path: str, hot_path: str):
                    ("default", "events_hot"): hot_path})
 
 
+def _source_signature(source_dir: str) -> str:
+    """Content signature of the source events table: full path + per-file
+    (name, size, mtime_ns). Regenerated fixtures, a different directory
+    that happens to share a basename, or in-place rewrites all change
+    the signature — a cached split is only reused for the EXACT bytes
+    it was built from."""
+    import hashlib
+    src = os.path.join(source_dir, "events.parquet")
+    parts = [os.path.abspath(src)]
+    paths = ([os.path.join(src, p) for p in sorted(os.listdir(src))]
+             if os.path.isdir(src) else [src])
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def attach_split_events(spark: SparkSession, sf_dir: str,
                         cache_root: str = "/tmp/acgs_segments"):
     """Build (or reuse) the split for ``sf_dir`` and return an
-    ``EventsArchiveCube`` over it. Idempotent per sf_dir."""
+    ``EventsArchiveCube`` over it. The cache key embeds a content
+    signature of the source table (path + file sizes + mtimes), so a
+    regenerated fixture or a same-basename directory never silently
+    reuses a stale split — idempotent per exact source content."""
     from ..cubes import EventsArchiveCube
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = (os.path.basename(os.path.normpath(sf_dir))
+           + "-" + _source_signature(sf_dir))
     out_root = os.path.join(cache_root, tag)
     cold = os.path.join(out_root, "events_cold")
     hot = os.path.join(out_root, "events_hot")

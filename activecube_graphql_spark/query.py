@@ -210,12 +210,22 @@ class CubeQueryBuilder:
         selector groups are lowerCamelized before cube lookup, so a
         snake_case attr resolves a camelCase selector. Exact names win;
         the camelized form is a FALLBACK only (applied when the exact key
-        is absent), so cubes with snake_case selectors are unaffected."""
+        is absent), so cubes with snake_case selectors are unaffected.
+        A group naming BOTH spellings of one selector is rejected —
+        last-write-wins would silently drop one predicate, and losing a
+        filter conjunct is the worst possible failure mode (pre-fallback
+        behavior was a fail-fast unknown-selector error; keep failing
+        fast)."""
         out = {}
         for k, v in grp.items():
             if k != "any" and k not in selectors:
                 ck = _camelize_lower(k)
                 if ck in selectors:
+                    if ck in grp or ck in out:
+                        raise InputArgumentError(
+                            f"any: group names selector '{ck}' more "
+                            f"than once (directly or via '{k}') — one "
+                            "predicate would be silently dropped")
                     k = ck
             out[k] = v
         return out

@@ -22,6 +22,12 @@ class ExecutionStats:
     plan_summary: str              # first physical-plan line
     used_broadcast_join: bool
     headers: dict[str, Any] = field(default_factory=dict)
+    #: SESSION-scoped routing breadcrumbs (latest decision per operator
+    #: across the whole session — see _routing below), snapshotted at
+    #: execute() time for convenience. NOT attribution: an entry may
+    #: describe an operator an earlier, unrelated pipeline ran; per-query
+    #: attribution would need a per-call context this deliberately avoids
+    #: (operators stay plain functions with no threaded context object).
     routing: dict[str, str] = field(default_factory=dict)
 
 

@@ -343,6 +343,27 @@ def run_available_now(sdf: DataFrame, query_name: str,
     return sdf.sparkSession.table(query_name)
 
 
+def _read_fingerprint_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the accumulated fingerprint column of a dedup store. ONLY a
+    missing path means "first batch" (→ empty index); every other
+    analysis error — schema drift (no ``fingerprint`` column after a
+    bad write), corrupt footers, permissions — must SURFACE, because
+    treating a broken index as empty would re-admit every duplicate
+    and silently corrupt the store. The ``select`` sits outside the
+    try so a present-but-wrong-schema index raises instead of
+    resetting."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = (e.getCondition() if hasattr(e, "getCondition")
+                else e.getErrorClass()) or ""
+        if "PATH_NOT_FOUND" not in cond:
+            raise
+        return spark.createDataFrame([], "fingerprint string")
+    return df.select("fingerprint")
+
+
 def maintain_dedup_index(spark: SparkSession, src_dir: str,
                          index_path: str, checkpoint: str,
                          glob: str = "documents.parquet") -> None:
@@ -375,14 +396,8 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
            .option("pathGlobFilter", glob).parquet(src_dir))
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-        try:
-            index = spark.read.parquet(index_path).select("fingerprint")
-        except AnalysisException:  # first batch: PATH_NOT_FOUND only —
-            # anything else (permissions, corrupt footer) must surface,
-            # not silently restart the index from empty
-            index = spark.createDataFrame([], "fingerprint string")
-        fresh = dedup_against_index(batch_df, index)
+        fresh = dedup_against_index(
+            batch_df, _read_fingerprint_index(spark, index_path))
         (fresh.select("doc_id", "fingerprint")
          .write.mode("append").parquet(index_path))
 
@@ -438,15 +453,11 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
     sdf = reader.parquet(src_dir)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
         kept = (with_quality_rules(batch_df)
                 .filter(F.col("keep"))
                 .select(*batch_df.columns))
-        try:
-            index = spark.read.parquet(out_path).select("fingerprint")
-        except AnalysisException:  # first batch: PATH_NOT_FOUND only
-            index = spark.createDataFrame([], "fingerprint string")
-        fresh = dedup_against_index(kept, index)
+        fresh = dedup_against_index(
+            kept, _read_fingerprint_index(spark, out_path))
         fresh.write.mode("append").parquet(out_path)
 
     q = (sdf.writeStream.foreachBatch(upsert)

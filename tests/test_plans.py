@@ -416,7 +416,7 @@ def test_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
     assert r_sv > 1.5 * z_sv, (r_sv, z_sv)
 
 
-def test_no_cartesian_in_any_driver_row(spark, sf_dir):
+def test_no_cartesian_in_any_driver_row(spark):
     """Compile EVERY registry row's physical plan and assert none plans
     a CartesianProduct. BroadcastNestedLoopJoin is allowed only where a
     broadcast nested loop IS the design (tiny broadcast side: band
@@ -424,7 +424,8 @@ def test_no_cartesian_in_any_driver_row(spark, sf_dir):
     its keys. Streaming-only rows compile their batch twins here.
     Compiled at sf0.01 (the driver's grading scale — some rows assert
     scale-dependent coverage, e.g. preagg, that sf0.001 would trip)."""
-    sf_dir = "/root/testdata/sf0.01"
+    from tests.conftest import SF_MED
+    sf_dir = SF_MED
     from activecube_graphql_spark.driver_queries import QUERIES
     nlj_by_design = {
         "value_bands",                      # broadcast band table

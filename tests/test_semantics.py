@@ -94,6 +94,11 @@ def test_any_group_lowercamelize_fallback(spark, sf_dir):
     with pytest.raises(InputArgumentError):
         cube.query().measure("count", alias="cnt") \
             .when({"any": [{"wat_attr": 1}]}).df()
+    # naming BOTH spellings of one selector in a group fails fast too —
+    # last-write-wins would silently drop one predicate
+    with pytest.raises(InputArgumentError):
+        cube.query().measure("count", alias="cnt") \
+            .when({"any": [{"returnFlag": "R", "return_flag": "A"}]}).df()
 
 
 def test_option_order_matters(spark, sf_dir):
