@@ -1437,6 +1437,30 @@ def q_unigram_lm(spark, sf_dir):
                  F.min("avg_logp").alias("min_lp")))
 
 
+def q_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (operators/timeseries.py
+    transition_counts — the Markov/funnel estimate): one user-keyed lag
+    window + a constant-size (from, to) groupBy. STAGED like
+    q_unigram_lm; oracle `_TRANSITIONS_ORACLE`, cross-checked in
+    tests/test_timeseries.py."""
+    from .operators.timeseries import transition_counts
+    ev = _events(spark, sf_dir).table()
+    return transition_counts(ev, on="ts", by=["user_id"],
+                             state="event_type", tiebreak="event_id")
+
+
+#: staged oracle for q_transitions (see q_unigram_lm note)
+_TRANSITIONS_ORACLE = """
+    WITH s AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events)
+    SELECT prev AS from_state, event_type AS to_state, count(*) AS cnt
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 #: staged oracle for q_unigram_lm — move into ORACLES when the row
 #: registers (ORACLES keys must stay a subset of QUERIES until then)
 _UNIGRAM_LM_ORACLE = f"""

@@ -149,6 +149,31 @@ def sequence_features(df: DataFrame, on: str, by: Sequence[str],
             .withColumn(f"{value}_rank", F.dense_rank().over(wrank)))
 
 
+def transition_counts(df: DataFrame, on: str, by: Sequence[str],
+                      state: str,
+                      tiebreak: Optional[str] = None) -> DataFrame:
+    """First-order state-transition counts over per-key ordered
+    sequences: for each ``by`` key ordered by ``on`` (then
+    ``tiebreak``), count (previous state → state) pairs across ALL
+    keys — the Markov-chain estimate behind funnel analysis, session
+    modeling, and next-event prediction baselines. Each key's first
+    row has no predecessor and contributes nothing.
+
+    Scale shape: one hash shuffle on ``by`` for the lag window, then a
+    map-side-combined groupBy on the (from, to) pair — the pair space
+    is |states|², so the second shuffle carries a constant-size frame
+    per mapper regardless of corpus size."""
+    by = list(by)
+    order = [F.col(on).asc()] + \
+        ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (df.withColumn("__prev", F.lag(F.col(state), 1).over(w))
+            .filter(F.col("__prev").isNotNull())
+            .groupBy(F.col("__prev").alias("from_state"),
+                     F.col(state).alias("to_state"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def resample(df: DataFrame, on: str, by: Sequence[str], step: str,
              aggs: dict) -> DataFrame:
     """Regular-grid resampling with gap fill: per ``by`` group, aggregate

@@ -140,3 +140,31 @@ def test_sequence_features_single_shuffle(spark):
                             tiebreak="event_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transition_counts_and_staged_row_oracle(spark):
+    """Hand-built chains: per-key first rows contribute nothing; counts
+    aggregate across keys. Then the STAGED q_transitions driver row
+    must hash-agree with its staged DuckDB oracle at sf0.001."""
+    import datetime as dt
+    import duckdb
+    from activecube_graphql_spark.operators.timeseries import (
+        transition_counts)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", t0, "a"), ("u", t0 + dt.timedelta(1), "b"),
+            ("u", t0 + dt.timedelta(2), "a"),
+            ("v", t0, "b"), ("v", t0 + dt.timedelta(1), "a")]
+    df = spark.createDataFrame(rows, ["k", "ts", "st"])
+    out = {(r["from_state"], r["to_state"]): r["cnt"] for r in
+           transition_counts(df, on="ts", by=["k"], state="st").collect()}
+    assert out == {("a", "b"): 1, ("b", "a"): 2}
+
+    from activecube_graphql_spark.driver_queries import (
+        _TRANSITIONS_ORACLE, q_transitions)
+    got = {(r["from_state"], r["to_state"], r["cnt"]) for r in
+           q_transitions(spark, SF_SMALL).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_SMALL}/events.parquet')")
+    want = set(map(tuple, con.execute(_TRANSITIONS_ORACLE).fetchall()))
+    assert got == want and got
