@@ -1499,6 +1499,12 @@ _UNIGRAM_LM_ORACLE = f"""
 # only decides which rows the DRIVER's snapshot grades.)
 # tests/test_driver_contract.py enforces that no oracle-bearing row can sit
 # outside the window without a prior green record.
+# NEXT-ROUND ROTATION: three STAGED rows are written, tested, and waiting —
+# q_variant_json (oracle = json_subfield's), q_unigram_lm
+# (_UNIGRAM_LM_ORACLE), q_transitions (_TRANSITIONS_ORACLE). Register them
+# at the front of the window (this round's 50 slots were exactly full of
+# never-green rows), move their staged oracles into ORACLES, and rotate
+# twice-green rows back in behind them.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never-checked (must be graded this round) ---
     "quality_rules": q_quality_rules,  # new in r03 (LLM-pipeline surface)
