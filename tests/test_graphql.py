@@ -337,3 +337,33 @@ def test_graphql_document_equals_builder_chain(spec):
     for n, _, val in opts:
         q = q.option(n, val)
     assert via_text.cache_key() == q.cache_key(), doc
+
+
+def test_graphql_over_segmented_union_cube(spark, sf_dir, tmp_path):
+    """Composition: the GraphQL text front-end drives the UNION ALL
+    segmented cube (plans/segments.py) — the reference's input syntax
+    over a multi-backing-table cube, agreeing with the single-table
+    EventsCube on the same request."""
+    from activecube_graphql_spark.cubes import EventsCube
+    from activecube_graphql_spark.graphql import graphql_query
+    from activecube_graphql_spark.plans.segments import attach_split_events
+    doc = '''
+      query Q($t: String = "purchase") {
+        events(event_type: {eq: $t},
+               options: {desc: "total", limit: 5}) {
+          event_type
+          total
+          cnt: count
+      } }'''
+    seg = attach_split_events(spark, sf_dir,
+                              cache_root=str(tmp_path / "segs"))
+
+    def rows(cube):
+        out = graphql_query(cube, doc).build_query().relabeled().collect()
+        # sums round per convention: segment-union vs single-scan
+        # aggregation order differs in the last ulp
+        return [(r[0], round(r[1], 2), r[2]) for r in out]
+
+    got = rows(seg)
+    want = rows(EventsCube(spark, sf_dir))
+    assert got == want and got
