@@ -367,3 +367,34 @@ def test_graphql_over_segmented_union_cube(spark, sf_dir, tmp_path):
     got = rows(seg)
     want = rows(EventsCube(spark, sf_dir))
     assert got == want and got
+
+
+def test_graphql_picks_preagg_representation(spark, sf_dir, tmp_path):
+    """Composition: a GraphQL document compiled through the builder
+    participates in §4.3 backing-table selection like any cube query —
+    the covering daily rollup is chosen, and results match the raw
+    scan (correctness-neutral rewrite)."""
+    from activecube_graphql_spark.cubes import SalesCube
+    from activecube_graphql_spark.graphql import graphql_query
+    from activecube_graphql_spark.plans.preagg import attach_daily_rollup
+    doc = '''
+      { sales {
+          shipdate { month_start }
+          revenue
+          cnt: count
+      } }'''
+
+    def rows(q):
+        return sorted((str(r[0]), round(r[1], 2), r[2])
+                      for r in q.relabeled().collect())
+
+    plain = SalesCube(spark, sf_dir)
+    want = rows(graphql_query(plain, doc).build_query())
+    cube = SalesCube(spark, sf_dir)
+    cube.representation_choice = "static"
+    attach_daily_rollup(cube, sf_dir, cache_root=str(tmp_path / "rollup"))
+    q = graphql_query(cube, doc).build_query()
+    rep = q.chosen_representation()
+    assert rep is not None and rep.name == "sales_daily_rollup"
+    got = rows(q)
+    assert got == want and got
