@@ -385,7 +385,7 @@ def test_graphql_picks_preagg_representation(spark, sf_dir, tmp_path):
       } }'''
 
     def rows(q):
-        return sorted((str(r[0]), round(r[1], 2), r[2])
+        return sorted((str(r[0]), r[1], r[2])
                       for r in q.relabeled().collect())
 
     plain = SalesCube(spark, sf_dir)
@@ -397,4 +397,10 @@ def test_graphql_picks_preagg_representation(spark, sf_dir, tmp_path):
     rep = q.chosen_representation()
     assert rep is not None and rep.name == "sales_daily_rollup"
     got = rows(q)
-    assert got == want and got
+    # revenue compared with tolerance: re-aggregating daily partials
+    # reorders the float sum vs the raw scan (last-ulp differences)
+    import math
+    assert len(got) == len(want) and got
+    for (gm, gr, gc), (wm, wr, wc) in zip(got, want):
+        assert gm == wm and gc == wc
+        assert math.isclose(gr, wr, rel_tol=1e-9), (gm, gr, wr)
