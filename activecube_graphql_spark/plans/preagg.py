@@ -107,10 +107,16 @@ def daily_sales_representation(path: str, cost: float) -> Representation:
 def attach_daily_rollup(cube, sf_dir: str,
                         cache_root: str = "/tmp/acgs_preagg") -> Representation:
     """Build (or reuse a previously built) rollup for ``sf_dir`` and attach
-    it to ``cube``. Idempotent per sf_dir."""
+    it to ``cube``. The cache key embeds a content signature of the
+    source fact table (segments._source_signature), so a regenerated
+    fixture or a same-basename directory never silently reuses a stale
+    rollup — idempotent per exact source content."""
     import json
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    from .segments import _source_signature
+
+    tag = (os.path.basename(os.path.normpath(sf_dir))
+           + "-" + _source_signature(sf_dir, "lineitem.parquet"))
     out = os.path.join(cache_root, tag, "sales_daily")
     cost_file = os.path.join(cache_root, tag, "sales_daily_cost.json")
     # cost is measured once at build time and persisted beside the rollup —

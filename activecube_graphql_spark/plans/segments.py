@@ -59,14 +59,15 @@ def split_events_registry(sf_dir: str, cold_path: str, hot_path: str):
                    ("default", "events_hot"): hot_path})
 
 
-def _source_signature(source_dir: str) -> str:
-    """Content signature of the source events table: full path + per-file
+def _source_signature(source_dir: str,
+                      table: str = "events.parquet") -> str:
+    """Content signature of a source table: full path + per-file
     (name, size, mtime_ns). Regenerated fixtures, a different directory
     that happens to share a basename, or in-place rewrites all change
-    the signature — a cached split is only reused for the EXACT bytes
-    it was built from."""
+    the signature — a cached derived artifact (segment split, rollup)
+    is only reused for the EXACT bytes it was built from."""
     import hashlib
-    src = os.path.join(source_dir, "events.parquet")
+    src = os.path.join(source_dir, table)
     parts = [os.path.abspath(src)]
     paths = ([os.path.join(src, p) for p in sorted(os.listdir(src))]
              if os.path.isdir(src) else [src])
