@@ -184,6 +184,18 @@ def test_random_cube_query_matches_duckdb(spec):
     sql = q.to_sql()
     duck_rows = _DUCK.execute(sql).fetchall()
     spark_rows = [tuple(r) for r in q.df().collect()]
+    if not spark_rows and spec["grouping"] in ("rollup", "cube") \
+            and len(duck_rows) == 1:
+        # Known cross-engine divergence (hypothesis found it: a filter
+        # excluding every row + ROLLUP): on EMPTY input SQL-standard
+        # engines (DuckDB, Postgres) still emit the () grouping-set
+        # grand-total row, while Spark — like ClickHouse, the engine
+        # the reference's semantics come from — returns no rows. The
+        # engine deliberately keeps Spark/ClickHouse behavior; accept
+        # the oracle's lone all-NULL-slices grand-total row.
+        n = len(spec["slices"])
+        assert all(v is None for v in duck_rows[0][:n]), duck_rows
+        return
     assert_rows_match(spark_rows, duck_rows, ctx=f"spec={spec}\nsql={sql}")
 
 
