@@ -275,7 +275,10 @@ class DocsCube(Cube):
     }
     metrics = {
         "count": Metric.count(),
-        "chars": Metric.sum("n_chars"),
+        # n_chars is int64: pin the printed oracle's SUM back to BIGINT
+        # (DuckDB widens integer SUM to HUGEINT → float64 through pandas,
+        # the r03/r04 graphql_docs hash-fail root cause)
+        "chars": Metric.sum("n_chars", sql_cast="BIGINT"),
         "avg_chars": Metric.avg("n_chars"),
         "docs": Metric.count_distinct("doc_id"),
     }

@@ -2015,8 +2015,8 @@ ORACLES: dict[str, str] = {
         SELECT source, count(*) AS cnt,
                round(avg(dup_trigram_frac), 4) AS avg_dup_tri,
                round(avg(top_word_frac), 4) AS avg_top_word,
-               sum(CASE WHEN top_word_frac >= 0.2 THEN 1 ELSE 0 END)
-                   AS flagged
+               CAST(sum(CASE WHEN top_word_frac >= 0.2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS flagged
         FROM j GROUP BY 1
     """,
     "pack_chunks": f"""
@@ -2033,7 +2033,7 @@ ORACLES: dict[str, str] = {
         SELECT source,
                CAST(floor((cum - tok) / 512.0) AS BIGINT) AS chunk_id,
                count(*) AS n_docs,
-               sum(tok) AS n_tokens,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
                round(sum(tok) / 512.0, 4) AS fill_ratio
         FROM c GROUP BY 1, 2
     """,
@@ -2185,23 +2185,28 @@ ORACLES: dict[str, str] = {
     """,
     "profile_docs": """
         SELECT 'doc_id' AS col, count(*) AS n_rows,
-               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
                count(DISTINCT doc_id) AS n_distinct FROM documents
         UNION ALL
         SELECT 'text', count(*),
-               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                count(DISTINCT text) FROM documents
         UNION ALL
         SELECT 'lang', count(*),
-               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                count(DISTINCT lang) FROM documents
         UNION ALL
         SELECT 'source', count(*),
-               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                count(DISTINCT source) FROM documents
         UNION ALL
         SELECT 'n_chars', count(*),
-               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                count(DISTINCT n_chars) FROM documents
     """,
     "tfidf_terms": """
@@ -2318,8 +2323,8 @@ ORACLES: dict[str, str] = {
             SELECT j.event_type, j.value, j.med, mad.mad
             FROM j JOIN mad USING (event_type))
         SELECT event_type, count(*) AS cnt,
-               sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
-                        THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                round(max(med), 4) AS med,
                round(max(mad), 4) AS mad
         FROM j2 GROUP BY 1
@@ -2873,10 +2878,10 @@ ORACLES: dict[str, str] = {
                          END, 4) AS boiler_frac
             FROM tot LEFT JOIN hits USING (doc_id))
         SELECT source, count(*) AS n_docs,
-               sum(n_boiler) AS boiler_grams,
+               CAST(sum(n_boiler) AS BIGINT) AS boiler_grams,
                round(avg(boiler_frac), 4) AS avg_boiler,
-               sum(CASE WHEN boiler_frac >= 0.2 THEN 1 ELSE 0 END)
-                   AS flagged
+               CAST(sum(CASE WHEN boiler_frac >= 0.2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS flagged
         FROM frac GROUP BY 1
     """,
     # H = -Σ(c/n)·ln(c/n) rewritten as ln(n) - Σ c·ln(c) / n on both
@@ -2904,7 +2909,7 @@ ORACLES: dict[str, str] = {
                    {tx.oracle_fragment(tx.BPE_TOKEN_COUNT)} AS tok
             FROM documents),
         counts AS (
-            SELECT source, sum(tok) AS stratum_cnt
+            SELECT source, CAST(sum(tok) AS BIGINT) AS stratum_cnt
             FROM toks GROUP BY 1),
         rates AS (
             SELECT source, stratum_cnt,
@@ -2918,7 +2923,7 @@ ORACLES: dict[str, str] = {
                max(r.stratum_cnt) AS stratum_cnt,
                max(r.rate_bp) AS rate_bp,
                count(*) AS kept_docs,
-               sum(d.tok) AS kept_tokens
+               CAST(sum(d.tok) AS BIGINT) AS kept_tokens
         FROM toks d JOIN rates r USING (source)
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
@@ -2984,8 +2989,8 @@ ORACLES: dict[str, str] = {
                    coalesce(p.c_cur, 0) AS c_cur
             FROM spine s LEFT JOIN per p
               ON s.event_type = p.event_type AND s.bucket = p.bucket),
-        tot AS (SELECT event_type, sum(c_base) AS n_base,
-                       sum(c_cur) AS n_cur
+        tot AS (SELECT event_type, CAST(sum(c_base) AS BIGINT) AS n_base,
+                       CAST(sum(c_cur) AS BIGINT) AS n_cur
                 FROM filled GROUP BY 1)
         SELECT f.event_type,
                round(sum(((c_base + 1.0) / (n_base + 8.0))

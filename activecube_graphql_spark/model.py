@@ -142,7 +142,8 @@ class Metric:
     @staticmethod
     def _wrap(fn: Callable[[Column], Column], expr: "str | Column | ColumnFactory",
               requires: frozenset[str] = frozenset(), fn_sql: Optional[str] = None,
-              sql_expr: Optional[str] = None) -> "Metric":
+              sql_expr: Optional[str] = None,
+              sql_cast: Optional[str] = None) -> "Metric":
         factory = _as_factory(expr)
         e_sql = Metric._sql_of(expr, sql_expr)
 
@@ -152,14 +153,20 @@ class Metric:
 
         sql = None
         if e_sql is not None and fn_sql is not None:
-            def sql(cond_sql: Optional[str], _f=fn_sql, _e=e_sql) -> str:
+            def sql(cond_sql: Optional[str], _f=fn_sql, _e=e_sql,
+                    _c=sql_cast) -> str:
                 inner = f"CASE WHEN {cond_sql} THEN {_e} END" if cond_sql else _e
-                return f"{_f}({inner})"
+                out = f"{_f}({inner})"
+                return f"CAST({out} AS {_c})" if _c else out
         return Metric(agg=agg, requires=requires, sql=sql)
 
     @staticmethod
-    def sum(expr, requires=frozenset(), sql_expr=None) -> "Metric":
-        return Metric._wrap(F.sum, expr, requires, "sum", sql_expr)
+    def sum(expr, requires=frozenset(), sql_expr=None, sql_cast=None) -> "Metric":
+        """``sql_cast='BIGINT'`` for integer-typed sums: ANSI engines may
+        widen integer SUM beyond int64 (DuckDB → HUGEINT/decimal128),
+        which a result harness materializes as float — the printed oracle
+        must pin the physical type Spark produces (LongType)."""
+        return Metric._wrap(F.sum, expr, requires, "sum", sql_expr, sql_cast)
 
     @staticmethod
     def avg(expr, requires=frozenset(), sql_expr=None) -> "Metric":

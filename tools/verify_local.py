@@ -15,12 +15,14 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 from collections import Counter
 
 import duckdb
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,7 +35,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # bit-exact: repr() of the double, no tolerance — the driver's
+        # value hash is bit-exact, and round(v, 9) here is how 8 ULP-red
+        # rows shipped in r3 (VERDICT r4 item 3). Local red ⇔ driver red.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -84,10 +89,23 @@ def main():
                 skipped.append(name)
                 print(f"  ~ {name}: rows-only ({len(srows)} rows)")
                 continue
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            otbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = otbl.schema.names
+            orows = [tuple(r.values()) for r in otbl.to_pylist()]
             problems = []
+            # physical-type parity: DuckDB widens integer SUM to HUGEINT
+            # (decimal128 through Arrow, float64 through pandas) — a hash
+            # harness sees "123.0" vs Spark's "123". This is the r03/r04
+            # 8-row hash-fail class; catch it locally (audit_types.py has
+            # the full canonicalization, this is the inline subset).
+            from audit_types import duck_canon, spark_canon
+            stypes = {f.name: spark_canon(f.dataType.simpleString())
+                      for f in sdf.schema.fields}
+            otypes = {f.name: duck_canon(f.type) for f in otbl.schema}
+            for c in sorted(set(stypes) & set(otypes)):
+                st, ot = stypes[c], otypes[c]
+                if st != ot and {st, ot} - {"i64", "i32", "i16", "i8"}:
+                    problems.append(f"dtype {c}: spark={st} duck={ot}")
             if sorted(scols) != sorted(ocols):
                 problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
             elif len(srows) != len(orows):
