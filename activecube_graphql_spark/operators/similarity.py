@@ -24,6 +24,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -197,21 +198,40 @@ def cosine_range_search(corpus: DataFrame, queries: DataFrame,
 
 # ----------------------------------------------------------------- LSH ANN
 
+def _scramble(p: int, d: int, seed: int = 0x9E3779B9) -> int:
+    """Splitmix64-style integer scramble of (p, d) — the shared
+    deterministic randomness source for LSH planes and fixed centroids:
+    no RNG state, reproducible across runs, engines, and languages."""
+    x = (p * 1_000_003 + d * 7_919 + seed) & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
 def _plane_coefficients(planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane coefficients: coefficient(p, d) from the
     parity of a seeded integer hash (splitmix64-style scramble) — no
     driver-side RNG state, reproducible across runs and engines."""
-    coefs = []
-    for p in range(planes):
-        row = []
-        for d in range(dim):
-            x = (p * 1_000_003 + d * 7_919 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
-            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
-            x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
-            x ^= x >> 31
-            row.append(1.0 if x & 1 else -1.0)
-        coefs.append(row)
-    return coefs
+    return [[1.0 if _scramble(p, d) & 1 else -1.0 for d in range(dim)]
+            for p in range(planes)]
+
+
+def fixed_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Data-independent unit centroids from the splitmix stream (distinct
+    seed from the LSH planes): an injectable coarse quantizer.  Where the
+    sample-trained k-means quantizer adapts to the corpus (the serving
+    default, recall-tested in pytest), these constants make the whole IVF
+    / SemDeDup pipeline a pure function of the input rows — so an
+    independent SQL engine can re-derive cell assignment from the same
+    literals and the driver can hash-check the approximate result
+    end-to-end.  Uniform in [-1, 1) then row-normalized in float64."""
+    cent = []
+    for p in range(n_cells):
+        row = [(_scramble(p, d, seed=0x51_7CC1B7) >> 11) / float(1 << 53)
+               * 2.0 - 1.0 for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        cent.append([x / n for x in row])
+    return cent
 
 
 def _hyperplane_signature(vec: Column, planes: int, dim: int) -> Column:
@@ -366,7 +386,9 @@ def _ivf_assign(df: DataFrame, id_alias: str, vec_alias: str,
             vu = v / n[:, None]
             scores = vu @ cent.T
             p = min(nprobe, scores.shape[1])
-            cells = np.argsort(-scores, axis=1)[:, :p]
+            # stable: equal cell scores resolve to the LOWER cell id, the
+            # same tie rule an ORDER BY score DESC, cell twin applies
+            cells = np.argsort(-scores, axis=1, kind="stable")[:, :p]
             # emit the UNIT vectors (downstream scoring dots them raw) —
             # normalized here in one BLAS pass, not via the O(dim²) _unit
             unit_objs = np.empty(len(vu), dtype=object)
@@ -387,7 +409,7 @@ def _ivf_assign(df: DataFrame, id_alias: str, vec_alias: str,
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_cells: int = 16, nprobe: int = 6,
-                 exclude_self: bool = True) -> DataFrame:
+                 exclude_self: bool = True, centroids=None) -> DataFrame:
     """IVF approximate top-k (the second scale path beside LSH): a coarse
     quantizer partitions the corpus into ``n_cells`` inverted lists; each
     query scores only the lists of its ``nprobe`` nearest centroids.
@@ -396,8 +418,18 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assignment is a map-only pass; the probe join touches
     ~corpus × nprobe/n_cells candidate rows instead of the full cross
     product. Recall tunes with nprobe/n_cells (validated against
-    cosine_topk in tests — approximate, so rows-only at the driver)."""
-    cent = _train_ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cosine_topk in tests).
+
+    ``centroids`` injects an explicit quantizer (e.g.
+    :func:`fixed_centroids`) in place of the sample-trained k-means —
+    the result becomes a pure function of the inputs and the literals,
+    so an independent SQL engine can replicate it for hash-checked
+    correctness; the trained path stays the serving default."""
+    import numpy as np
+
+    cent = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _train_ivf_centroids(corpus, n_cells, id_col, vec_col))
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
     c = _ivf_assign(corpus, "neighbor_id", "c_vec", id_col, vec_col, bc, 1)
     q = _ivf_assign(queries, "query_id", "q_vec", id_col, vec_col, bc, nprobe)
@@ -658,7 +690,7 @@ def semantic_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            n_cells: int = 8,
-                           nprobe: int = 2) -> DataFrame:
+                           nprobe: int = 2, centroids=None) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): a
     trained coarse quantizer partitions the corpus into ``n_cells``
     k-means cells; cosine pairs (a < b, ≥ threshold) are searched only
@@ -686,7 +718,9 @@ def semantic_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     import numpy as np
     import pandas as pd
 
-    cent = _train_ivf_centroids(df, n_cells, id_col, vec_col)
+    cent = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _train_ivf_centroids(df, n_cells, id_col, vec_col))
     bc = df.sparkSession.sparkContext.broadcast(cent)
     assigned = _ivf_assign(df, "vid", "v", id_col, vec_col, bc, nprobe)
     thr = float(threshold)
@@ -714,7 +748,7 @@ def semantic_neardup_pairs(df: DataFrame, threshold: float = 0.95,
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_cells: int = 8) -> DataFrame:
+                   n_cells: int = 8, centroids=None) -> DataFrame:
     """SemDeDup corpus pruning: drop all but one representative (the
     smallest id — deterministic; SemDeDup's "farthest from centroid"
     choice is a quality heuristic, not a correctness property) of each
@@ -724,7 +758,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     same bounded-driver/distributed routing the text dedup family
     uses)."""
     from .dedup import neardup_canonicalize
-    pairs = semantic_neardup_pairs(df, threshold, id_col, vec_col, n_cells)
+    pairs = semantic_neardup_pairs(df, threshold, id_col, vec_col, n_cells,
+                                   centroids=centroids)
     return neardup_canonicalize(df, pairs, id_col, "id_a", "id_b")
 
 

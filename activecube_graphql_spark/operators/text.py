@@ -416,9 +416,13 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     groupBy stays in whole-stage codegen. ``carry`` rides the
     (column-pruned) join base — the repetition_signals pattern, so
     callers never re-scan the corpus to attach attributes."""
+    # explicit [^\n], NOT '.': Java excludes ALL line terminators from
+    # '.' (\r, U+2028, U+2029, U+0085) while RE2 excludes only \n — a
+    # doc containing \r diverges between engine and oracle (ADVICE r4).
+    # [^\n] pins both engines to the same alphabet.
     chars = df.select(
         F.col(id_col),
-        F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)"))
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '[^\\\\n]', 0)"))
         .alias("ch"))
     counts = (chars.groupBy(id_col, "ch")
               .agg(F.count(F.lit(1)).alias("c")))

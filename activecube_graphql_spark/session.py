@@ -90,4 +90,8 @@ def get_spark(app_name: str = "activecube-graphql-spark",
                                "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_NO_PROGRESS"):
+        # bench.py sets this: console progress bars interleave with (and
+        # in captured-tail harnesses, truncate) the one-line JSON summary
+        builder = builder.config("spark.ui.showConsoleProgress", "false")
     return builder.getOrCreate()

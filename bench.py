@@ -3,7 +3,12 @@
 Runs every driver query at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``; per query: 1 discarded warm-up run then the
 median of 3 timed runs (wall-clock to ``collect()`` return). Prints ONE
-JSON line: {"metric", "value" (suite total sec), "unit", "queries", "sf"}.
+JSON line: {"metric", "value" (suite total sec), "unit", "queries", "sf"}
+— AND writes the identical record to ``bench_out.json`` next to this
+file: BENCH_r03/r04 both recorded ``parsed: null`` because the captured
+stdout tail was truncated through Spark console noise, so a stdout-only
+summary is not machine-durable (VERDICT r4 item 5). Console progress is
+disabled for the same reason.
 """
 
 from __future__ import annotations
@@ -27,6 +32,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # keep stdout/stderr clean: the JSON summary line must survive tail
+    # capture (progress bars overwrite/interleave the captured tail)
+    os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
 
     from activecube_graphql_spark import get_spark
     from activecube_graphql_spark.driver_queries import QUERIES
@@ -61,13 +70,19 @@ def main() -> None:
         # clearing, so per-name ratios stay comparable.
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    record = json.dumps({
         "metric": "suite_total_median_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    })
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(record + "\n")
+    sys.stderr.flush()
+    print(record, flush=True)
 
 
 if __name__ == "__main__":

@@ -805,6 +805,41 @@ def test_char_entropy_known_values(spark):
     assert out[3]["entropy"] == 0.0 and out[3]["n_chars_t"] == 0
 
 
+def test_char_entropy_line_terminator_parity(spark):
+    """Docs with \\r, U+2028, U+2029 must count identically on both
+    engines: Java regex '.' excludes ALL line terminators while RE2
+    excludes only \\n — char_entropy therefore matches on the explicit
+    [^\\n] class (ADVICE r4 divergence fix). The DuckDB twin mirrors
+    the char_entropy oracle in driver_queries.py."""
+    import duckdb
+
+    from activecube_graphql_spark.operators.text import char_entropy
+
+    rows = [(1, "ab\rcd\ref"),            # carriage returns, no \n
+            (2, "ab cd ef"),    # unicode line/para separators
+            (3, "ab\ncd\nef"),            # plain newlines (excluded)
+            (4, "mixed\r\nline end")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_chars_t"], r["entropy"])
+           for r in char_entropy(df).collect()}
+    # \n never counts; every other terminator does
+    assert got[1][0] == 8 and got[3][0] == 6 and got[4][0] == 14
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {r[0]: (r[1], r[2]) for r in con.execute("""
+        WITH chars AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]', 0))
+                       AS ch
+            FROM t),
+        c AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               round(-sum(c * ln(c)) / sum(c) + ln(sum(c)), 4) AS e
+        FROM c GROUP BY 1""").fetchall()}
+    assert duck == got
+
+
 def test_hard_negatives_excludes_same_label(spark):
     """The nearest same-label vector must never appear; ranks cover the
     nearest different-label ones."""
