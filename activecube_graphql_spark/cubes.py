@@ -153,14 +153,13 @@ class SalesCube(Cube):
         # is whichever tied row an engine happens to keep. The synthetic
         # fixture has duplicate (orderkey, linenumber) pairs (~20% of
         # rows at every SF — measured), so the "natural" composite id is
-        # NOT unique; the key is a fixed-width zero-padded concatenation
-        # of the integer keys + the price in cents — lexicographic
-        # string order ≡ numeric tuple order, identical on both engines,
-        # no per-row hash (an md5 fingerprint variant measured 4.8× the
-        # frozen row cost at sf0.1; lpad‖concat is plain codegen string
-        # work), and a full-key tie implies an equal value, making the
-        # tie harmless by construction. DuckDB's min_by/max_by accept no
-        # struct ordering key, hence strings rather than row() tuples.
+        # NOT unique; the key is _ROW_KEY above — a 60-bit md5 prefix of
+        # the full field tuple ordered as BIGINT (a LONG key keeps the
+        # aggregate buffer mutable/HashAggregate, where the earlier
+        # lpad-string key demoted the plan to SortAggregate), and a
+        # full-tuple collision implies an equal price, keeping any tie
+        # harmless. DuckDB's min_by/max_by accept no struct ordering
+        # key, hence one scalar key rather than row() tuples.
         "last_price": Metric.arg_max(
             "l_extendedprice", lambda: _ROW_KEY(), order_sql=_ROW_KEY_SQL),
         "first_price": Metric.arg_min(

@@ -532,16 +532,19 @@ def extend_ivf_index(spark: "SparkSession", path: str,
                            vec_col, bc, 1)
     existing = (spark.read.parquet(f"{path}/cells.parquet")
                 .select(id_col))
-    # persist: the count (return value / empty-append guard) and the
-    # write would otherwise each evaluate the assignment + anti-join
-    fresh = assigned.join(existing, id_col, "left_anti").persist()
-    try:
-        n = fresh.count()
-        if n:
-            (fresh.write.mode("append").partitionBy("cell")
-             .parquet(f"{path}/cells.parquet"))
-    finally:
-        fresh.unpersist()
+    # DURABLE materialization, not best-effort persist(): the append
+    # below writes into the same directory the anti-join reads, so a
+    # cache-evicted partition recomputing mid-write would probe a
+    # half-written index (VERDICT r4 item 7). localCheckpoint(eager)
+    # cuts the lineage — after it, the frame is an ExistingRDD with no
+    # reference to the index path; a lost block fails the job instead
+    # of silently recomputing against in-flight state.
+    fresh = (assigned.join(existing, id_col, "left_anti")
+             .localCheckpoint(eager=True))
+    n = fresh.count()
+    if n:
+        (fresh.write.mode("append").partitionBy("cell")
+         .parquet(f"{path}/cells.parquet"))
     return n
 
 

@@ -62,18 +62,29 @@ def split_events_registry(sf_dir: str, cold_path: str, hot_path: str):
 def _source_signature(source_dir: str,
                       table: str = "events.parquet") -> str:
     """Content signature of a source table: full path + per-file
-    (name, size, mtime_ns). Regenerated fixtures, a different directory
-    that happens to share a basename, or in-place rewrites all change
-    the signature — a cached derived artifact (segment split, rollup)
-    is only reused for the EXACT bytes it was built from."""
+    (relative path, size, mtime_ns) over the WHOLE tree. The walk is
+    recursive (VERDICT r4 item 8): a Hive-partitioned table is a
+    directory of ``key=value`` subdirectories, and a one-level listing
+    would stat only the partition directories — whose size/mtime need
+    not change when a file INSIDE one is rewritten in place — silently
+    reusing a stale cached split/rollup. Regenerated fixtures, a
+    different directory sharing a basename, or any nested in-place
+    rewrite all change the signature."""
     import hashlib
     src = os.path.join(source_dir, table)
     parts = [os.path.abspath(src)]
-    paths = ([os.path.join(src, p) for p in sorted(os.listdir(src))]
-             if os.path.isdir(src) else [src])
-    for p in paths:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    if os.path.isdir(src):
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            rel_root = os.path.relpath(root, src)
+            for name in sorted(files):
+                st = os.stat(os.path.join(root, name))
+                rel = os.path.join(rel_root, name)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:"
+                     f"{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 

@@ -964,6 +964,47 @@ def test_ivf_index_build_search_extend(spark, sf_dir, tmp_path):
         assert cos >= 0.9999 and (nid == qid or nid == qid - 1_000_000)
 
 
+def test_extend_ivf_index_materializes_before_append(spark, sf_dir,
+                                                     tmp_path):
+    """The anti-joined fresh batch must be DURABLY materialized before
+    the append into the directory it was computed from: with plain
+    persist(), an evicted partition recomputes against a half-written
+    index (VERDICT r4 item 7). Structural check: after
+    localCheckpoint(eager) the frame's plan is an ExistingRDD with no
+    scan of the index path left; behavioral check: dropping every cache
+    between the count and the append still yields the exact batch."""
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.operators import similarity as sim
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, path, n_cells=4)
+
+    cent = sim._load_ivf_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(cent)
+    new = corpus.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding")
+    assigned = sim._ivf_assign(new, "vec_id", "__unit", "vec_id",
+                               "embedding", bc, 1)
+    existing = spark.read.parquet(f"{path}/cells.parquet").select("vec_id")
+    fresh = assigned.join(existing, "vec_id", "left_anti")
+    pre = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in pre            # lineage reads the index dir
+    ckpt = fresh.localCheckpoint(eager=True)
+    post = ckpt._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in post       # lineage cut: ExistingRDD
+    assert "ExistingRDD" in post or "Scan existing" in post.lower()
+
+    n = ckpt.count()
+    spark.catalog.clearCache()              # worst-case eviction point
+    (ckpt.write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/cells.parquet"))
+    back = (spark.read.parquet(f"{path}/cells.parquet")
+            .filter(F.col("vec_id") >= 5_000_000))
+    assert n == 4 and back.count() == 4
+
+
 def test_unigram_logprob_orders_common_above_rare(spark):
     """Docs made of corpus-frequent tokens must outscore docs of rare
     tokens; empty docs fall through with 0.0 and n_tok 0; every logp is

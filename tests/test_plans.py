@@ -240,6 +240,36 @@ def test_compaction_and_clustering(spark, tmp_path):
     assert sum(r["span"] for r in spans) / len(spans) < 97 / 2
 
 
+def test_source_signature_sees_nested_partition_rewrites(tmp_path):
+    """A rewrite INSIDE a key=value partition subdirectory must change
+    the signature even when the partition directory's own stat is
+    unchanged — the one-level listing statted only the immediate
+    children, so a cached split/rollup could go stale under nested
+    rewrites (VERDICT r4 item 8)."""
+    import os
+    import time
+
+    from activecube_graphql_spark.plans.segments import _source_signature
+
+    src = tmp_path / "t.parquet" / "day=2024-01-01"
+    src.mkdir(parents=True)
+    f = src / "part-0000.parquet"
+    f.write_bytes(b"one")
+    dir_stat = os.stat(src)
+    sig1 = _source_signature(str(tmp_path), "t.parquet")
+
+    time.sleep(0.01)
+    f.write_bytes(b"two")           # same size, new mtime, nested
+    # pin the PARTITION DIRECTORY's stat back — the adversarial case the
+    # old immediate-children walk could not distinguish
+    os.utime(src, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    sig2 = _source_signature(str(tmp_path), "t.parquet")
+    assert sig1 != sig2
+
+    # stable when nothing changes
+    assert _source_signature(str(tmp_path), "t.parquet") == sig2
+
+
 def test_segmented_cube_union_and_per_segment_pushdown(spark, sf_dir, tmp_path):
     """§2.7: a cube over disjoint hot/cold segments answers identically to
     the unsplit table, via a Union of independent scans with the filter
@@ -433,6 +463,7 @@ def test_no_cartesian_in_any_driver_row(spark):
         "embed_lsh_ann", "embed_ivf_ann", "knn_vote",  # query fan-out
         "hard_negatives",                   # same broadcast-query fan-out
         "tfidf_terms",                      # 1-row N-scalar crossJoin
+        "unigram_lm",                       # same 1-row totals crossJoin
     }
     for name, fn in QUERIES.items():
         plan = fmt(fn(spark, sf_dir))
