@@ -43,6 +43,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _skew_threshold(freq: DataFrame, df_col: str, spark,
+                    factor: float = 4.0, floor: int = 64) -> int | None:
+    """Measured skew cutoff for an inverted-index self/pair join keyed
+    by the frequency frame's key: key k's join output is df_k² pair
+    rows, all produced under one shuffle key, so k is HOT when df_k²
+    exceeds ``factor`` × the average partition's share of the TOTAL
+    join work Σdf². Returns the df threshold (≥ ``floor``), or None
+    when no key crosses it — a fixed cutoff either never fires at scale
+    or fires on barely-warm keys locally; this one scales with both the
+    measured frequency profile and the session's shuffle parallelism.
+    One tiny aggregate over the (already small) frequency frame."""
+    import math
+    row = freq.agg(F.sum(F.col(df_col) * F.col(df_col)).alias("ss"),
+                   F.max(df_col).alias("mx")).first()
+    if row is None or row["ss"] is None:
+        return None
+    parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    thr = max(floor, math.isqrt(int(factor * row["ss"] / parts)))
+    return thr if row["mx"] > thr else None
+
+
 def ensure_parallelism(df: DataFrame,
                        bytes_per_task: int | None = None) -> DataFrame:
     """Fan a badly-under-partitioned input out to the session's default
@@ -307,7 +328,10 @@ def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
 
 def decontamination_overlap(train: DataFrame, bench: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3, min_shared: int = 2) -> DataFrame:
+                            n: int = 3, min_shared: int = 2,
+                            bench_broadcast_docs: int = 1 << 17,
+                            skew_df: int | None = None,
+                            salts: int = 16) -> DataFrame:
     """Benchmark decontamination: (train_id, bench_id, shared) for every
     training document sharing ≥ ``min_shared`` distinct word ``n``-gram
     shingles with a benchmark/eval document — the standard pre-training
@@ -316,11 +340,21 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
 
     Scale shape: both sides shingle map-side (`_shingles`, codegen), the
     join key is the shingle — an inverted-index join, never train×bench
-    all-pairs. The benchmark side is SMALL by construction (eval suites
-    are a few MB against a 100 TB corpus), so its exploded index is
-    broadcast: the training corpus is scanned exactly once with a
-    map-side hash join, zero shuffle of training data. The one
-    aggregation (pair → shared count) shuffles only matching pairs."""
+    all-pairs. Measured-probe routing on the benchmark size:
+
+    * ``broadcast`` (benchmark ≤ ``bench_broadcast_docs`` docs — eval
+      suites are a few MB against a 100 TB corpus): the exploded bench
+      index broadcasts, the training corpus is scanned exactly once
+      with a map-side hash join, zero shuffle of training data.
+    * ``shuffle`` (a corpus-sized "benchmark", e.g. held-out-split
+      decontamination): both indexes shuffle on the shingle, and hot
+      shingles — measured from the bench-side df via _skew_threshold's
+      work-share probe (explicit ``skew_df`` overrides) — route
+      through plans/skew.split_salted_join so one boilerplate shingle
+      cannot pin an executor. Bit-identical results.
+
+    The one aggregation (pair → shared count) shuffles matching pairs
+    only, partial-aggregated map-side."""
     sh_train = (ensure_parallelism(train)
                 .select(F.col(id_col).alias("train_id"),
                         F.explode(_shingles(F.col(text_col), n))
@@ -328,7 +362,28 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
     sh_bench = bench.select(F.col(id_col).alias("bench_id"),
                             F.explode(_shingles(F.col(text_col), n))
                              .alias("shingle"))
-    return (sh_train.join(F.broadcast(sh_bench), "shingle")
+    from ..stats import record_routing
+    if bench.count() <= bench_broadcast_docs:
+        record_routing("decontamination.join", "broadcast")
+        joined = sh_train.join(F.broadcast(sh_bench), "shingle")
+    else:
+        sh_bench = sh_bench.persist()
+        bfreq = (sh_bench.groupBy("shingle")
+                 .agg(F.count(F.lit(1)).alias("df")))
+        if skew_df is None:
+            skew_df = _skew_threshold(bfreq, "df", bench.sparkSession)
+        if skew_df is not None:
+            record_routing("decontamination.join", "shuffle_salted")
+            from ..plans.skew import split_salted_join
+            hot_keys = bfreq.filter(F.col("df") > skew_df) \
+                            .select("shingle")
+            joined = split_salted_join(sh_train, sh_bench, ["shingle"],
+                                       hot_keys, salts=salts,
+                                       salt_by=["train_id"])
+        else:
+            record_routing("decontamination.join", "shuffle")
+            joined = sh_train.join(sh_bench, "shingle")
+    return (joined
             .groupBy("train_id", "bench_id")
             .agg(F.count(F.lit(1)).alias("shared"))
             .filter(F.col("shared") >= min_shared))
@@ -831,7 +886,9 @@ def edit_verified_pairs(df: DataFrame, id_col: str = "doc_id",
 def ngram_containment_pairs(df: DataFrame, n: int = 3,
                             threshold: float = 0.5, max_df: int = 1000,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            skew_df: int | None = None,
+                            salts: int = 16) -> DataFrame:
     """Asymmetric near-dup detection: ordered pairs (a, b) where the
     CONTAINMENT of a in b — |shingles(a) ∩ shingles(b)| / |shingles(a)|
     — reaches ``threshold``. Catches quotation/subset duplication that
@@ -847,17 +904,47 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     carry no identity signal). Pair counts partial-aggregate map-side;
     sizes join back keyed by doc id. The exploded shingle frame
     persists across its four consumers (df counts, sizes, both join
-    sides) — without it the shingling pass re-runs 4×."""
+    sides) — without it the shingling pass re-runs 4×.
+
+    Skew hardening (measured-probe routed): shingles under the df cap
+    can still be HOT — at ``max_df=1000`` one surviving key yields 10⁶
+    pair rows in a single task. The already-materialized ``dfreq``
+    frame is probed (one tiny aggregate): a key is hot when its df²
+    pair output exceeds 4× the average partition's share of the total
+    join work Σdf² (see _skew_threshold — a fixed cutoff would either
+    never fire or fire on barely-warm keys; this one scales with data
+    and parallelism, and at local sf it correctly stays on the plain
+    path: measured +39% when the salted route fires without real
+    skew). Hot keys — and only those — route through
+    plans/skew.split_salted_join (hot side salted by doc id over
+    ``salts`` buckets, cold majority joins untouched). Bit-identical
+    results either way; plan-audited in tests via explicit
+    ``skew_df``."""
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(_shingles(F.col(text_col), n))
                    .alias("shingle")).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = sh.join(dfreq.filter(F.col("df") <= max_df).select("shingle"),
-                   "shingle")
+    # the capped frequency frame feeds BOTH the stop-shingle filter and
+    # the skew probe — persist so the vocabulary groupBy runs once
+    kept_freq = dfreq.filter(F.col("df") <= max_df).persist()
+    kept = sh.join(kept_freq.select("shingle"), "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select(F.col("id").alias("id_a"), "shingle")
     b = kept.select(F.col("id").alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
+    if skew_df is None:
+        skew_df = _skew_threshold(kept_freq, "df", df.sparkSession)
+    from ..stats import record_routing
+    if skew_df is not None and skew_df < max_df:
+        hot_keys = kept_freq.filter(F.col("df") > skew_df) \
+                            .select("shingle")
+        record_routing("containment.join", "split_salted")
+        from ..plans.skew import split_salted_join
+        joined = split_salted_join(a, b, ["shingle"], hot_keys,
+                                   salts=salts, salt_by=["id_a"])
+    else:
+        record_routing("containment.join", "plain")
+        joined = a.join(b, "shingle")
+    inter = (joined
              .filter(F.col("id_a") != F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("inter")))

@@ -15,6 +15,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def fmt(df) -> str:
@@ -444,6 +445,74 @@ def test_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
     # but leaves dim 2 ~wide open; Z bounds both
     assert r_su < z_su, (r_su, z_su)
     assert r_sv > 1.5 * z_sv, (r_sv, z_sv)
+
+
+def _hot_shingle_docs(spark, n_docs=24):
+    """Docs sharing one boilerplate 3-gram (df = n_docs) plus a unique
+    tail each — the hot-key shape the split-salted path exists for."""
+    rows = [(i, f"copyright acme corp unique{i} tail{i} words{i} here{i}")
+            for i in range(n_docs)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    """Pin the hot-path join to a SHUFFLE join: at test scale AQE
+    broadcasts everything, which would hide the salted Exchange the
+    audit must see (at 100 TB the sides are far beyond the broadcast
+    threshold — the shuffle shape is the production shape)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_containment_skew_routing_salted_and_exact(spark):
+    """VERDICT r4 item 10: a measured df probe routes hot shingles
+    through plans/skew.split_salted_join. The Exchange must partition
+    on (shingle, __aq_salt) for the hot path, and the routed result
+    must be bit-identical to the plain join (pure physical rewrite)."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    docs = _hot_shingle_docs(spark)
+    with _no_broadcast(spark):
+        salted = dd.ngram_containment_pairs(docs, n=3, threshold=0.1,
+                                            max_df=100, skew_df=10)
+        plan = fmt(salted)
+        assert re.search(r"hashpartitioning\([^)]*__aq_salt", plan), plan
+        salted_rows = salted.collect()
+    plain = dd.ngram_containment_pairs(docs, n=3, threshold=0.1,
+                                       max_df=100, skew_df=10**9)
+    assert "__aq_salt" not in fmt(plain)
+    key = lambda r: (r["id_a"], r["id_b"], r["containment"])
+    assert sorted(map(key, salted_rows)) == \
+        sorted(map(key, plain.collect()))
+    assert salted_rows  # non-degenerate: the hot key produced pairs
+
+
+def test_decontamination_shuffle_salted_routing(spark):
+    """When the 'benchmark' side is too big to broadcast, the shingle
+    join shuffles; hot shingles (measured on the bench-side df) take
+    the split-salted path. Same flags as the broadcast path."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    train = _hot_shingle_docs(spark)
+    bench = _hot_shingle_docs(spark).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    with _no_broadcast(spark):
+        salted = dd.decontamination_overlap(
+            train, bench, min_shared=1,
+            bench_broadcast_docs=0, skew_df=2)
+        plan = fmt(salted)
+        assert re.search(r"hashpartitioning\([^)]*__aq_salt", plan), plan
+        salted_rows = salted.collect()
+    default = dd.decontamination_overlap(train, bench, min_shared=1)
+    key = lambda r: (r["train_id"], r["bench_id"], r["shared"])
+    assert sorted(map(key, salted_rows)) == \
+        sorted(map(key, default.collect()))
+    assert salted_rows
 
 
 def test_no_cartesian_in_any_driver_row(spark):
