@@ -211,7 +211,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # bounds the PRODUCT (packed bytes = docs × vocab / 8 — the
         # default cap is 2^31 bits ≈ 256 MB), not each factor alone:
         # 2^17 vocab × 2^20 docs would otherwise admit a 16 GB collect.
-        vocab_size = inv.select("shingle").distinct().count()
+        # approx_count_distinct (HLL, ~2% rsd): the probe only picks a
+        # physical strategy — BOTH strategies are exact, so a boundary
+        # misroute changes cost, never results — and the HLL sketch
+        # partial-aggregates map-side instead of shuffling the full
+        # distinct vocabulary. Guard margin: the caps are conservative
+        # by far more than the sketch error.
+        vocab_size = int(inv.agg(
+            F.approx_count_distinct("shingle", 0.02).alias("v"))
+            .first()["v"])
         n_docs = df.count()
         strategy = ("bitmap" if vocab_size <= dense_vocab_limit
                     and n_docs * max(vocab_size, 1) <= dense_bits_limit

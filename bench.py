@@ -24,8 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 #: registry names that mark a tier boundary in driver_queries.QUERIES —
-#: the suite drops all persisted frames once before these rows
-CLEAR_BEFORE = {"graphql_topn"}
+#: the suite drops all persisted frames once before these rows.
+#: r05 re-tier: the reference-parity block now starts at alias_fanout
+#: (tier 3), with the heavy dedup/embed family contiguous at the end of
+#: the registry — clearing here keeps the parity rows unpolluted by the
+#: tier-1/2 dedup caches, the condition BASELINE.md's numbers were
+#: recorded under.
+CLEAR_BEFORE = {"alias_fanout"}
 
 
 def main() -> None:
