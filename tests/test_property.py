@@ -264,3 +264,71 @@ def test_random_events_query_matches_duckdb(spec):
     duck_rows = _DUCK.execute(sql).fetchall()
     spark_rows = [tuple(r) for r in q.df().collect()]
     assert_rows_match(spark_rows, duck_rows, ctx=f"spec={spec}\nsql={sql}")
+
+
+# --------------------------------------------------------- DocsCube variant
+# Exercises the third cube surface (documents) including the integer-SUM
+# metric `chars`, whose printed oracle now pins BIGINT (the r03/r04
+# driver hash-fail class) — random combos re-prove the CAST is
+# semantics-neutral across slices/filters/limits.
+
+D_DIMS = ["lang", "source"]
+D_MEASURES = ["count", "chars", "avg_chars", "docs"]
+D_PREDICATES = [
+    ("lang", "eq", "en"), ("lang", "not_eq", "de"),
+    ("lang", "in", ["en", "fr", "es"]), ("lang", "not_in", ["zz"]),
+    ("source", "eq", "web"), ("source", "not_eq", "books"),
+    ("n_chars", "gt", 200), ("n_chars", "lteq", 2000),
+    ("n_chars", "between", [100, 1500]), ("n_chars", "gteq", 50),
+]
+
+_DOCS = None
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _docs_cube(spark):
+    global _DOCS
+    from activecube_graphql_spark.cubes import DocsCube
+    _DOCS = DocsCube(spark, SF_SMALL)
+    yield
+
+
+@st.composite
+def docs_queries(draw):
+    n_slices = draw(st.integers(1, 2))
+    slices = draw(st.lists(st.sampled_from(D_DIMS), min_size=n_slices,
+                           max_size=n_slices, unique=True))
+    measures = draw(st.lists(st.sampled_from(D_MEASURES), min_size=1,
+                             max_size=3, unique=True))
+    preds = [draw(st.sampled_from(D_PREDICATES))
+             for _ in range(draw(st.integers(0, 2)))]
+    args: dict = {}
+    for sel, op, val in preds:
+        args.setdefault(sel, {})[op] = val
+    lim = draw(st.sampled_from([None, None, 2, 7]))
+    sort_desc = draw(st.booleans())
+    return dict(slices=slices, measures=measures, args=args, lim=lim,
+                sort_desc=sort_desc)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs_queries())
+def test_random_docs_query_matches_duckdb(spec):
+    q = _DOCS.query().no_cache()
+    keys = []
+    for s in spec["slices"]:
+        q = q.slice(s)
+        keys.append(s)
+    for m in spec["measures"]:
+        q = q.measure(m)
+        keys.append(m)
+    if spec["args"]:
+        q = q.when(spec["args"])
+    if spec["lim"] is not None:
+        q = (q.desc(keys) if spec["sort_desc"]
+             else q.asc(keys)).limit(spec["lim"])
+    sql = q.to_sql()
+    duck_rows = _DUCK.execute(sql).fetchall()
+    spark_rows = [tuple(r) for r in q.df().collect()]
+    assert_rows_match(spark_rows, duck_rows, ctx=f"spec={spec}\nsql={sql}")
