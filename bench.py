@@ -23,14 +23,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-#: registry names that mark a tier boundary in driver_queries.QUERIES —
-#: the suite drops all persisted frames once before these rows.
-#: r05 re-tier: the reference-parity block now starts at alias_fanout
-#: (tier 3), with the heavy dedup/embed family contiguous at the end of
-#: the registry — clearing here keeps the parity rows unpolluted by the
-#: tier-1/2 dedup caches, the condition BASELINE.md's numbers were
-#: recorded under.
-CLEAR_BEFORE = {"alias_fanout"}
+#: registry names that mark a block boundary in driver_queries.QUERIES —
+#: the suite drops all persisted frames once before each of these rows.
+#: r05 re-tier: tier 1/2 (heavy dedup/embed rows included) end before
+#: alias_fanout; the behind-window r02 block starts at
+#: multimodal_features; the behind-window r03 block — the contiguous
+#: cache-sharing dedup/embed family — starts at asof_join. One clear per
+#: block start keeps every block measured from the cold-ish state the
+#: frozen baselines were recorded under while preserving family-internal
+#: cache sharing (measured: a single early clear let ~70 rows of caches
+#: accumulate into the tail and simhash_neardup thrashed 1.6 s → 7.4 s).
+CLEAR_BEFORE = {"alias_fanout", "multimodal_features", "asof_join"}
 
 
 def main() -> None:

@@ -83,3 +83,34 @@ def test_rejects_right_joins():
     from activecube_graphql_spark.plans.skew import salted_join
     with pytest.raises(ValueError, match="how="):
         salted_join(None, None, on=["k"], how="right")
+
+
+def test_split_salted_join_exact_vs_plain(spark):
+    """split_salted_join must equal the plain inner join exactly across
+    the awkward cases: NULL join keys (match nothing on either path),
+    duplicate rows in hot_keys (deduped), keys present on only one
+    side, and an empty hot set."""
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.plans.skew import split_salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(20)]
+        + [("cold", 100), ("cold", 101), ("only_left", 1), (None, 7)],
+        ["k", "lv"])
+    right = spark.createDataFrame(
+        [("hot", "h1"), ("hot", "h2"), ("cold", "c1"),
+         ("only_right", "r1"), (None, "n1")], ["k", "rv"])
+    hot = spark.createDataFrame([("hot",), ("hot",), ("absent",)], ["k"])
+
+    want = sorted(map(tuple, left.join(right, ["k"]).collect()))
+    got = sorted(map(tuple,
+                     split_salted_join(left, right, ["k"], hot,
+                                       salts=4).collect()))
+    assert got == want and len(want) == 42  # 20*2 hot + 2 cold
+
+    empty_hot = hot.filter(F.lit(False))
+    got2 = sorted(map(tuple,
+                      split_salted_join(left, right, ["k"], empty_hot,
+                                        salts=4).collect()))
+    assert got2 == want
