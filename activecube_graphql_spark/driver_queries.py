@@ -1657,6 +1657,12 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 #            forward in later rounds).
 # Every tier-1 row was verified locally this round at sf0.001/0.01/0.1 via
 # tools/verify_local.py (bit-exact floats + arrow physical-type parity).
+# NEXT-ROUND ROTATION (r06): once CORRECTNESS_r05 lands green for the
+# tier-1 rows, run tools/update_manifest.py (tree unchanged), move the
+# 12 tier-2 once-green rows behind the window, and pull the remaining
+# 15 behind-window r02 rows (multimodal_features..tuple_topk + lang_id)
+# plus the oldest behind-window r03 rows forward so every row keeps
+# accumulating records; any r05-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never green (graded first) ---
     "variant_json": q_variant_json,
