@@ -1437,9 +1437,8 @@ def q_variant_json(spark, sf_dir):
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram LM score (operators/text.py
     unigram_logprob — the perplexity-filter stand-in), summarized per
-    source: doc count, mean/min score. Like q_variant_json, STAGED for
-    the next round's graded window (this round's 50 slots are full of
-    never-green rows); its oracle is `_UNIGRAM_LM_ORACLE` below,
+    source: doc count, mean/min score. Staged in r04, registered at the
+    front of the r05 graded window; oracle `_UNIGRAM_LM_ORACLE` below,
     cross-checked by tests/test_pipeline_ops.py."""
     out = tx.unigram_logprob(_docs(spark, sf_dir), carry=("source",))
     return (out.groupBy("source")
@@ -1451,13 +1450,111 @@ def q_unigram_lm(spark, sf_dir):
 def q_transitions(spark, sf_dir):
     """Per-user event-type transition matrix (operators/timeseries.py
     transition_counts — the Markov/funnel estimate): one user-keyed lag
-    window + a constant-size (from, to) groupBy. STAGED like
-    q_unigram_lm; oracle `_TRANSITIONS_ORACLE`, cross-checked in
+    window + a constant-size (from, to) groupBy. Staged in r04,
+    registered in r05; oracle `_TRANSITIONS_ORACLE`, cross-checked in
     tests/test_timeseries.py."""
     from .operators.timeseries import transition_counts
     ev = _events(spark, sf_dir).table()
     return transition_counts(ev, on="ts", by=["user_id"],
                              state="event_type", tiebreak="event_id")
+
+
+def q_winsorized(spark, sf_dir):
+    """Per-group winsorized statistics (operators/robust.py winsorize):
+    clamp event values into each type's exact [p05, p95] quantile band,
+    then per-type count, clip count, clamped mean, and the band itself
+    — the tail-clipping step before mean-based monitoring on
+    heavy-tailed metrics. One two-quantile groupBy broadcast back, fact
+    side never shuffles. STAGED for the r06 window (the r05 slots are
+    full of must-grade rows); oracle `_WINSORIZED_ORACLE`,
+    cross-checked in tests/test_pipeline_ops.py."""
+    from .operators.robust import winsorize
+    ev = _events(spark, sf_dir).table().select("event_type", "value")
+    out = winsorize(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("clipped").alias("n_clipped"),
+                 F.round(F.avg("w_value"), 4).alias("avg_w"),
+                 F.round(F.max("lo_v"), 4).alias("lo_v"),
+                 F.round(F.max("hi_v"), 4).alias("hi_v")))
+
+
+#: staged oracle for q_winsorized — CAST pins the integer SUM to BIGINT
+#: (the r03/r04 HUGEINT lesson)
+_WINSORIZED_ORACLE = """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo_v,
+               quantile_cont(value, 0.95) AS hi_v
+        FROM events GROUP BY 1),
+    j AS (
+        SELECT e.event_type, e.value, b.lo_v, b.hi_v,
+               least(greatest(e.value, b.lo_v), b.hi_v) AS w
+        FROM events e JOIN b USING (event_type))
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CASE WHEN value <> w THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           round(avg(w), 4) AS avg_w,
+           round(max(lo_v), 4) AS lo_v,
+           round(max(hi_v), 4) AS hi_v
+    FROM j GROUP BY 1
+"""
+
+
+def q_lm_buckets(spark, sf_dir):
+    """Perplexity-band corpus split (CCNet-style head/middle/tail): score
+    every doc with the corpus-trained unigram LM (operators/text.py
+    unigram_logprob), cut the corpus at the global 0.33/0.67 logp
+    quantiles, and count docs per (source, band) — the standard
+    quality-mixture diagnostic before sampling. The two-quantile
+    threshold frame is ONE row, broadcast; band assignment is map-only;
+    min/max (not avg) summarize each band so every output is either a
+    count or an extreme of already-4dp-rounded grid values
+    (bit-stable across engine summation orders by construction).
+    STAGED for the r06 window; oracle `_LM_BUCKETS_ORACLE`."""
+    out = tx.unigram_logprob(_docs(spark, sf_dir), carry=("source",))
+    thr = out.agg(
+        F.expr("percentile(avg_logp, 0.33)").alias("t1"),
+        F.expr("percentile(avg_logp, 0.67)").alias("t2"))
+    j = out.crossJoin(F.broadcast(thr))
+    band = (F.when(F.col("avg_logp") <= F.col("t1"), F.lit(0))
+            .when(F.col("avg_logp") <= F.col("t2"), F.lit(1))
+            .otherwise(F.lit(2)))
+    return (j.withColumn("band", band)
+            .groupBy("source", "band")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("avg_logp").alias("min_lp"),
+                 F.max("avg_logp").alias("max_lp")))
+
+
+#: staged oracle for q_lm_buckets — the per-doc CTEs mirror
+#: _UNIGRAM_LM_ORACLE
+_LM_BUCKETS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({tx.oracle_fragment(tx.TOKENS)}) AS term
+        FROM documents),
+    vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c) AS n_corpus, count(*) AS v_size FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               ln((v.c + 0.5) / (tot.n_corpus + 0.5 * tot.v_size)) AS logp
+        FROM toks t JOIN vocab v USING (term) CROSS JOIN tot),
+    per_doc AS (
+        SELECT doc_id, round(avg(logp), 4) AS avg_logp
+        FROM scored GROUP BY 1),
+    alldocs AS (
+        SELECT d.source, coalesce(p.avg_logp, 0.0) AS lp
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+    t AS (SELECT quantile_cont(lp, 0.33) AS t1,
+                 quantile_cont(lp, 0.67) AS t2
+          FROM alldocs)
+    SELECT source,
+           CASE WHEN lp <= t1 THEN 0 WHEN lp <= t2 THEN 1 ELSE 2 END
+               AS band,
+           count(*) AS n_docs,
+           min(lp) AS min_lp, max(lp) AS max_lp
+    FROM alldocs CROSS JOIN t GROUP BY 1, 2
+"""
 
 
 #: staged oracle for q_transitions (see q_unigram_lm note)

@@ -132,6 +132,35 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
     return j.filter(cmp)
 
 
+def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
+              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into the group's
+    exact interpolated [``lo``, ``hi``] quantile band — the standard
+    tail-clipping step before mean-based statistics on heavy-tailed
+    metrics (document quality scores, event values): trimming DELETES
+    rows and shifts the mix, winsorizing keeps every row but bounds
+    leverage. Adds ``lo_v``/``hi_v`` (the group's band), ``w_value``
+    (the clamped value) and ``clipped`` (0/1 flag).
+
+    Scale shape: one partial-agg two-quantile groupBy (one row per
+    group) broadcast back onto the fact table, then a map-only
+    ``least/greatest`` — the fact side never shuffles (same shape as
+    percentile_filter). At 100 TB swap ``percentile`` for
+    ``percentile_approx``; exact ``percentile`` ≡ DuckDB
+    ``quantile_cont`` keeps the band oracle-checkable."""
+    by = list(by)
+    band = (df.groupBy(*by)
+            .agg(F.expr(f"percentile({value_col}, {lo!r})").alias("lo_v"),
+                 F.expr(f"percentile({value_col}, {hi!r})").alias("hi_v")))
+    j = df.join(F.broadcast(band), by)
+    w = F.least(F.greatest(F.col(value_col), F.col("lo_v")),
+                F.col("hi_v"))
+    return (j.withColumn("w_value", w)
+            .withColumn("clipped",
+                        (F.col(value_col) != F.col("w_value"))
+                        .cast("long")))
+
+
 def equi_width_histogram(df: DataFrame, value_col: str,
                          by: Sequence[str], bins: int = 10) -> DataFrame:
     """Per-group equi-width histogram: ``bins`` buckets spanning the

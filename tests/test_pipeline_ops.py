@@ -1068,6 +1068,62 @@ def test_sequence_features_without_tiebreak(spark):
     assert out[-1]["run_value"] == 12.0
 
 
+def test_staged_winsorized_row_matches_oracle(spark, sf_dir):
+    """The STAGED q_winsorized driver row (r06 window) already
+    hash-agrees with its staged DuckDB oracle — registering it later is
+    a pure reorder, not new code. Exact tuple equality = the driver's
+    bit-exact contract."""
+    import duckdb
+    from activecube_graphql_spark.driver_queries import (
+        _WINSORIZED_ORACLE, q_winsorized)
+    got = {tuple(r) for r in q_winsorized(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = {tuple(r) for r in con.execute(_WINSORIZED_ORACLE).fetchall()}
+    assert got == want and got
+    # clamp invariants: clipped rows exist on the heavy-tailed fixture,
+    # and the band is ordered
+    for (_, cnt, n_clip, avg_w, lo, hi) in got:
+        assert 0 <= n_clip <= cnt and lo <= avg_w <= hi
+
+
+def test_staged_lm_buckets_row_matches_oracle(spark, sf_dir):
+    """The STAGED q_lm_buckets driver row (r06 window): CCNet-style
+    perplexity-band split, bit-exact vs its staged oracle (counts and
+    extremes of 4dp grid values only — no order-sensitive float sums in
+    the output by construction)."""
+    import duckdb
+    from activecube_graphql_spark.driver_queries import (
+        _LM_BUCKETS_ORACLE, q_lm_buckets)
+    got = {tuple(r) for r in q_lm_buckets(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = {tuple(r) for r in con.execute(_LM_BUCKETS_ORACLE).fetchall()}
+    assert got == want and got
+    bands = {b for (_, b, *_rest) in got}
+    assert bands == {0, 1, 2}
+
+
+def test_winsorize_clamps_and_flags(spark):
+    """Unit semantics: values below p05 rise to lo_v, above p95 drop to
+    hi_v, interior values pass through unflagged."""
+    from activecube_graphql_spark.operators.robust import winsorize
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    out = winsorize(df, "value", ["g"], lo=0.10, hi=0.90).collect()
+    import math
+    lo = out[0]["lo_v"]
+    hi = out[0]["hi_v"]
+    # exact interpolated percentiles: 1 + p*99 (float arithmetic)
+    assert math.isclose(lo, 10.9) and math.isclose(hi, 90.1)
+    for r in out:
+        assert r["w_value"] == min(max(r["value"], lo), hi)
+        assert r["clipped"] == (1 if r["value"] < lo or r["value"] > hi
+                                else 0)
+
+
 def test_staged_unigram_lm_row_matches_oracle(spark, sf_dir):
     """The STAGED q_unigram_lm driver row (to be registered in the next
     round's graded window) already hash-agrees with its staged DuckDB
