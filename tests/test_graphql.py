@@ -404,3 +404,56 @@ def test_graphql_picks_preagg_representation(spark, sf_dir, tmp_path):
     for (gm, gr, gc), (wm, wr, wc) in zip(got, want):
         assert gm == wm and gc == wc
         assert math.isclose(gr, wr, rel_tol=1e-9), (gm, gr, wr)
+
+
+# ------------------------------------------------------------- fuzz hardening
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(
+    alphabet=st.sampled_from(list(
+        "{}()[]:,@$!.\"\\abcz_ \n\t0159-#sales count fragment query on")),
+    max_size=120))
+def test_parser_never_crashes_uncontrolled(garbage):
+    """Any input must either parse or raise the engine's own
+    InputArgumentError — never an IndexError/KeyError/RecursionError
+    from parser internals, and never hang. (The reference front-end
+    surfaces malformed documents as GraphQL errors; ours must match
+    that contract rather than leak Python internals.)"""
+    from activecube_graphql_spark.errors import InputArgumentError
+    from activecube_graphql_spark.graphql import parse_graphql
+    try:
+        out = parse_graphql(garbage)
+        assert isinstance(out, dict)
+    except InputArgumentError:
+        pass
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**32 - 1))
+def test_parse_invariant_under_comments_and_commas(seed):
+    """GraphQL treats commas and #-comments as whitespace: injecting
+    them between any two tokens of a valid document must not change the
+    parsed spec."""
+    import random
+
+    from activecube_graphql_spark.graphql import parse_graphql
+    rng = random.Random(seed)
+    tokens = ["{", "sales", "(", "shipdate", ":", "{", "gteq", ":",
+              '"1996-01-01"', "}", ",", "options", ":", "{", "desc", ":",
+              '"revenue"', "limit", ":", "4", "}", ")", "{", "returnflag",
+              "revenue", "cnt", ":", "count", "}", "}"]
+    noisy = []
+    for t in tokens:
+        noisy.append(t)
+        r = rng.random()
+        if r < 0.2:
+            noisy.append(",")
+        elif r < 0.35:
+            noisy.append("# c,omm{ent\n")
+        elif r < 0.5:
+            noisy.append("\n\t ")
+    want = parse_graphql(" ".join(tokens))
+    got = parse_graphql(" ".join(noisy))
+    assert got == want
