@@ -190,7 +190,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
       float64 division of exact integers — bit-identical to a SQL oracle.
 
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs (stop-shingle control; makes the result approximate)."""
+    docs (stop-shingle control; makes the result approximate).
+
+    Measured limit (BENCH_NOTES r05 10× stress): on DUPLICATE-HEAVY
+    corpora the exact prefix filter degrades quadratically in
+    duplicate-group size — every shingle of a 10-copy group has df ≥ 10,
+    so the rare-prefix anti-correlation stops pruning. There,
+    :func:`minhash_lsh_verified` recovered the identical exact pair set
+    12× faster (banded candidates, exact verification on survivors) —
+    prefer it at scale; this operator's unconditional-exactness
+    guarantee is for oracle duty and modest-duplication corpora."""
     # shingling is the shared per-doc compute: fan out BEFORE computing it,
     # persist so the stats probe / pack / verify phases don't recompute it
     sh = (ensure_parallelism(df)
