@@ -156,9 +156,11 @@ class SalesCube(Cube):
         # NOT unique; the key is _ROW_KEY above — a 60-bit md5 prefix of
         # the full field tuple ordered as BIGINT (a LONG key keeps the
         # aggregate buffer mutable/HashAggregate, where the earlier
-        # lpad-string key demoted the plan to SortAggregate), and a
-        # full-tuple collision implies an equal price, keeping any tie
-        # harmless. DuckDB's min_by/max_by accept no struct ordering
+        # lpad-string key demoted the plan to SortAggregate). Two
+        # DISTINCT tuples can still collide in 60 bits (~n²/2⁶¹ — the
+        # accepted residual risk _ROW_KEY's docstring quantifies: it
+        # bites only if colliders disagree in price AND sit at a group
+        # extreme). DuckDB's min_by/max_by accept no struct ordering
         # key, hence one scalar key rather than row() tuples.
         "last_price": Metric.arg_max(
             "l_extendedprice", lambda: _ROW_KEY(), order_sql=_ROW_KEY_SQL),

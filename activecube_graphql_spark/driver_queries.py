@@ -1651,9 +1651,11 @@ def _lsh_ann_oracle(tables: int = 8, planes: int = 4, dim: int = 64,
 
 def _ivf_ann_oracle(n_cells: int = 16, nprobe: int = 6, dim: int = 64,
                     n_queries: int = 5, k: int = 5) -> str:
-    # cell ranking scores RAW vectors: argmax/argsort order is invariant
-    # under the positive per-vector norm, and it skips one float path
-    # difference vs the engine (which ranks unit vectors)
+    # cell ranking scores UNIT vectors, mirroring the engine
+    # (_ivf_assign ranks vu @ cent.T): mathematically the order is
+    # norm-invariant, but matching the computation shape keeps the two
+    # float paths as close as sequential-vs-blocked summation allows on
+    # near-tied cell scores (code-review r05 finding)
     from .operators.similarity import fixed_centroids
     rows = _sql_mat_values(fixed_centroids(n_cells, dim))
     return f"""
@@ -1668,9 +1670,9 @@ def _ivf_ann_oracle(n_cells: int = 16, nprobe: int = 6, dim: int = 64,
             SELECT vec_id, cell,
                    row_number() OVER (
                        PARTITION BY vec_id
-                       ORDER BY list_dot_product(v.raw, ct.cv) DESC,
+                       ORDER BY list_dot_product(u.uv, ct.cv) DESC,
                                 cell) AS rn
-            FROM v CROSS JOIN ct),
+            FROM u CROSS JOIN ct),
         corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
         q_cells AS (SELECT vec_id, cell FROM ranked
                     WHERE rn <= {nprobe} AND vec_id < {n_queries}),
@@ -1708,9 +1710,9 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
                    SELECT vec_id, cell,
                           row_number() OVER (
                               PARTITION BY vec_id
-                              ORDER BY list_dot_product(v.raw, ct.cv)
+                              ORDER BY list_dot_product(u.uv, ct.cv)
                                        DESC, cell) AS rn
-                   FROM v CROSS JOIN ct)
+                   FROM u CROSS JOIN ct)
                WHERE rn <= {nprobe}),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                  FROM pr a JOIN pr b USING (cell)

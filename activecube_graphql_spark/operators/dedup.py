@@ -222,13 +222,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # 2^17 vocab × 2^20 docs would otherwise admit a 16 GB collect.
         # approx_count_distinct (HLL, ~2% rsd): the probe only picks a
         # physical strategy — BOTH strategies are exact, so a boundary
-        # misroute changes cost, never results — and the HLL sketch
+        # misroute changes results never — and the HLL sketch
         # partial-aggregates map-side instead of shuffling the full
-        # distinct vocabulary. Guard margin: the caps are conservative
-        # by far more than the sketch error.
+        # distinct vocabulary. The bitmap cap is MEMORY-SAFETY though
+        # (it bounds a driver collect), so the estimate is inflated by
+        # the sketch's tail margin before the guard compares: an HLL
+        # underestimate must not admit an over-cap bitmap.
         vocab_size = int(inv.agg(
             F.approx_count_distinct("shingle", 0.02).alias("v"))
-            .first()["v"])
+            .first()["v"] / 0.9)
         n_docs = df.count()
         strategy = ("bitmap" if vocab_size <= dense_vocab_limit
                     and n_docs * max(vocab_size, 1) <= dense_bits_limit
@@ -365,10 +367,15 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
       with a map-side hash join, zero shuffle of training data.
     * ``shuffle`` (a corpus-sized "benchmark", e.g. held-out-split
       decontamination): both indexes shuffle on the shingle, and hot
-      shingles — measured from the bench-side df via _skew_threshold's
-      work-share probe (explicit ``skew_df`` overrides) — route
-      through plans/skew.split_salted_join so one boilerplate shingle
-      cannot pin an executor. Bit-identical results.
+      shingles route through plans/skew.split_salted_join so one
+      boilerplate shingle cannot pin an executor. The skew probe
+      models this ASYMMETRIC join's true per-key work — df_train ×
+      df_bench, measured by aggregating BOTH indexes to vocab-sized
+      frequency frames (a key hot only on the training side is caught;
+      a bench-only probe would miss it — code-review r05 finding); a
+      key is hot when its product exceeds 4× the average partition's
+      share of Σ(df_t·df_b). Explicit ``skew_df`` overrides with a
+      bench-side df cutoff (test hook). Bit-identical results.
 
     The one aggregation (pair → shared count) shuffles matching pairs
     only, partial-aggregated map-side."""
@@ -386,14 +393,34 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
     else:
         sh_bench = sh_bench.persist()
         bfreq = (sh_bench.groupBy("shingle")
-                 .agg(F.count(F.lit(1)).alias("df")))
-        if skew_df is None:
-            skew_df = _skew_threshold(bfreq, "df", bench.sparkSession)
+                 .agg(F.count(F.lit(1)).alias("df_b")))
+        hot_keys = None
         if skew_df is not None:
+            hot_keys = bfreq.filter(F.col("df_b") > skew_df) \
+                            .select("shingle")
+            if not hot_keys.limit(1).count():
+                hot_keys = None
+        else:
+            # product work model: one vocab-sized aggregation per index
+            # (map-side combined), joined into per-key df_t·df_b
+            tfreq = (sh_train.groupBy("shingle")
+                     .agg(F.count(F.lit(1)).alias("df_t")))
+            work = (bfreq.join(tfreq, "shingle")
+                    .select("shingle",
+                            (F.col("df_t") * F.col("df_b")).alias("w"))
+                    .persist())
+            row = work.agg(F.sum("w").alias("ss"),
+                           F.max("w").alias("mx")).first()
+            if row is not None and row["ss"] is not None:
+                parts = max(1, int(bench.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions")))
+                thr = max(1 << 12, 4 * row["ss"] // parts)
+                if row["mx"] > thr:
+                    hot_keys = work.filter(F.col("w") > thr) \
+                                   .select("shingle")
+        if hot_keys is not None:
             record_routing("decontamination.join", "shuffle_salted")
             from ..plans.skew import split_salted_join
-            hot_keys = bfreq.filter(F.col("df") > skew_df) \
-                            .select("shingle")
             joined = split_salted_join(sh_train, sh_bench, ["shingle"],
                                        hot_keys, salts=salts,
                                        salt_by=["train_id"])

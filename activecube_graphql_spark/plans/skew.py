@@ -64,24 +64,36 @@ def split_salted_join(skewed: DataFrame, other: DataFrame,
                       on: Sequence[str], hot_keys: DataFrame,
                       salts: int = 16,
                       salt_by: Optional[Sequence[str]] = None) -> DataFrame:
-    """Two-path skew inner join — the scale-sane form of salting: only
+    """Selective-salt inner join — the scale-sane form of salting: only
     rows whose key is in ``hot_keys`` (a SMALL frame of the ``on``
-    columns, broadcast) pay the ``salts``× build-side replication; the
-    cold majority takes the ordinary equi-join untouched. Keys partition
-    exactly into hot/cold, so the union of the two paths is the exact
-    inner join — a pure physical rewrite, bit-identical results.
+    columns, broadcast) pay the ``salts``× build-side replication; cold
+    keys carry the constant salt 0 and join exactly once. One pass per
+    side (a broadcast hot-marker join feeding a CONDITIONAL salt), one
+    shuffle keyed ``(key, salt)`` — a hot key spreads over ``salts``
+    partitions, and the result is the exact inner join, bit-identical
+    to the unsalted plan. (The first cut of this was a semi/anti
+    two-path union, which evaluated each input's lineage twice — at
+    100 TB the inputs are exploded shingle indexes whose re-evaluation
+    is the dominant cost; code-review r05 finding.)
 
-    At 100 TB this is the difference between salting working and not:
-    whole-side salting multiplies the ENTIRE shuffle by ``salts``, while
-    the hot set (stop-shingles, whale ids) is by definition a few
-    thousand keys whose replicated rows fit comfortably."""
+    Whole-side salting multiplies the ENTIRE build shuffle by
+    ``salts``; here the replicated rows are only the hot set's — by
+    definition a few thousand keys whose copies fit comfortably."""
     keys = list(on)
-    hk = F.broadcast(hot_keys.select(*keys).distinct())
-    skew_hot = skewed.join(hk, keys, "left_semi")
-    skew_cold = skewed.join(hk, keys, "left_anti")
-    other_hot = other.join(hk, keys, "left_semi")
-    other_cold = other.join(hk, keys, "left_anti")
-    cold = skew_cold.join(other_cold, keys)
-    hot = salted_join(skew_hot, other_hot, keys, salts=salts,
-                      salt_by=salt_by)
-    return cold.unionByName(hot)
+    hk = F.broadcast(hot_keys.select(*keys).distinct()
+                     .withColumn("__aq_hot", F.lit(1)))
+    basis = [c for c in (salt_by if salt_by is not None else
+                         [c for c in skewed.columns if c not in keys])]
+    spread: Column = (F.pmod(F.hash(*[F.col(c) for c in basis]),
+                             F.lit(salts)) if basis else F.lit(0))
+    left = (skewed.join(hk, keys, "left")
+            .withColumn(_SALT, F.when(F.col("__aq_hot").isNotNull(),
+                                      spread).otherwise(F.lit(0)))
+            .drop("__aq_hot"))
+    right = (other.join(hk, keys, "left")
+             .withColumn(_SALT, F.explode(
+                 F.when(F.col("__aq_hot").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(salts - 1)))
+                 .otherwise(F.array(F.lit(0)))))
+             .drop("__aq_hot"))
+    return left.join(right, keys + [_SALT]).drop(_SALT)

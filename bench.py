@@ -26,14 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: registry names that mark a block boundary in driver_queries.QUERIES —
 #: the suite drops all persisted frames once before each of these rows.
 #: r05 re-tier: tier 1/2 (heavy dedup/embed rows included) end before
-#: alias_fanout; the behind-window r02 block starts at
-#: multimodal_features; the behind-window r03 block — the contiguous
-#: cache-sharing dedup/embed family — starts at asof_join. One clear per
-#: block start keeps every block measured from the cold-ish state the
-#: frozen baselines were recorded under while preserving family-internal
-#: cache sharing (measured: a single early clear let ~70 rows of caches
-#: accumulate into the tail and simhash_neardup thrashed 1.6 s → 7.4 s).
-CLEAR_BEFORE = {"alias_fanout", "multimodal_features", "asof_join"}
+#: alias_fanout; the behind-window r02 block starts at lang_id; the
+#: behind-window r03 block — the contiguous cache-sharing dedup/embed
+#: family — starts at asof_join. One clear per block start keeps every
+#: block measured from the cold-ish state the frozen baselines were
+#: recorded under while preserving family-internal cache sharing
+#: (measured: a single early clear let ~70 rows of caches accumulate
+#: into the tail and simhash_neardup thrashed 1.6 s → 7.4 s).
+CLEAR_BEFORE = {"alias_fanout", "lang_id", "asof_join"}
 
 
 def main() -> None:
@@ -87,8 +87,11 @@ def main() -> None:
     })
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_out.json")
-    with open(out_path, "w") as f:
-        f.write(record + "\n")
+    try:
+        with open(out_path, "w") as f:
+            f.write(record + "\n")
+    except OSError as e:  # read-only checkout: never lose the stdout line
+        print(f"bench_out.json write failed: {e}", file=sys.stderr)
     sys.stderr.flush()
     print(record, flush=True)
 
