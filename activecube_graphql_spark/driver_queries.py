@@ -1557,6 +1557,51 @@ _LM_BUCKETS_ORACLE = f"""
 """
 
 
+def q_source_kl(spark, sf_dir):
+    """Pairwise source vocabulary divergence (operators/text.py
+    source_vocab_divergence): symmetric KL between every pair of
+    sources' smoothed unigram distributions over the global top-512
+    vocabulary — the which-sources-overlap diagnostic behind mixture
+    design. Deterministic top-V (count desc, term asc), dense zero-count
+    spine, |sources|·V shuffled rows max. STAGED for the r06 window;
+    oracle `_SOURCE_KL_ORACLE`, cross-checked in
+    tests/test_pipeline_ops.py."""
+    return tx.source_vocab_divergence(_docs(spark, sf_dir), by="source",
+                                      v=512)
+
+
+#: staged oracle for q_source_kl
+_SOURCE_KL_ORACLE = f"""
+    WITH toks AS (
+        SELECT source AS src, unnest({tx.oracle_fragment(tx.TOKENS)}) AS term
+        FROM documents),
+    topv AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, term ASC LIMIT 512)),
+    counts AS (
+        SELECT src, term, count(*) AS c
+        FROM toks JOIN topv USING (term) GROUP BY 1, 2),
+    spine AS (
+        SELECT s.src, t.term
+        FROM (SELECT DISTINCT source AS src FROM documents) s
+        CROSS JOIN topv t),
+    grid AS (
+        SELECT spine.src, spine.term, coalesce(counts.c, 0) AS c
+        FROM spine LEFT JOIN counts
+          ON spine.src = counts.src AND spine.term = counts.term),
+    tot AS (SELECT src, sum(c) AS n FROM grid GROUP BY 1),
+    p AS (
+        SELECT grid.term, grid.src,
+               (grid.c + 0.5) / (tot.n + 0.5 * 512.0) AS p
+        FROM grid JOIN tot USING (src))
+    SELECT a.src AS src_a, b.src AS src_b,
+           round(sum((a.p - b.p) * ln(a.p / b.p)), 4) AS sym_kl
+    FROM p a JOIN p b ON a.term = b.term AND a.src < b.src
+    GROUP BY 1, 2
+"""
+
+
 #: staged oracle for q_transitions (see q_unigram_lm note)
 _TRANSITIONS_ORACLE = """
     WITH s AS (
@@ -1762,6 +1807,9 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # 15 behind-window r02 rows (multimodal_features..tuple_topk + lang_id)
 # plus the oldest behind-window r03 rows forward so every row keeps
 # accumulating records; any r05-red row stays at the very front.
+# THREE rows are STAGED with oracles + pytest parity, ready to
+# register at the r06 window front: q_winsorized, q_lm_buckets,
+# q_source_kl (move their staged oracles into ORACLES then).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never green (graded first) ---
     "variant_json": q_variant_json,

@@ -495,6 +495,55 @@ def boilerplate_ngram_stats(df: DataFrame, id_col: str = "doc_id",
                 .otherwise(F.col("n_boiler") * 1.0 / F.col("n_grams")), 4)))
 
 
+def source_vocab_divergence(df: DataFrame, by: str = "source",
+                            text_col: str = "text",
+                            v: int = 512) -> DataFrame:
+    """Pairwise vocabulary divergence between corpus strata: symmetric
+    KL between each pair of ``by``-groups' add-half-smoothed unigram
+    distributions over the corpus-global top-``v`` vocabulary — the
+    "which sources are near-duplicates of each other / which add
+    diversity" diagnostic that precedes mixture design. Returns
+    (src_a, src_b, sym_kl) for a < b, ordered pairs only.
+
+    Scale shape: the top-``v`` vocabulary is one token-keyed
+    partial-agg count + a global top-k (count desc, term asc — total
+    order, so the vocabulary is deterministic), broadcast everywhere
+    after; per-(group, term) counts are a second partial-agg shuffle;
+    the |groups| × v probability grid (the dense spine via a broadcast
+    cross join — zero counts matter for KL) is tiny; pair scoring
+    self-joins the grid term-keyed, so the shuffled width is
+    |groups|·v rows, never the corpus. Number of strata is assumed
+    catalog-sized (tens), the realistic mixture regime."""
+    toks = df.select(F.col(by).alias("src"),
+                     F.explode(_col(TOKENS, text_col)).alias("term"))
+    topv = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("term").asc()).limit(v)
+            .select("term"))
+    counts = (toks.join(F.broadcast(topv), "term")
+              .groupBy("src", "term")
+              .agg(F.count(F.lit(1)).alias("c")))
+    srcs = df.select(F.col(by).alias("src")).distinct()
+    spine = srcs.crossJoin(F.broadcast(topv))
+    grid = (spine.join(counts, ["src", "term"], "left")
+            .select("src", "term",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    tot = grid.groupBy("src").agg(F.sum("c").alias("n"))
+    p = (grid.join(F.broadcast(tot), "src")
+         .select("term", "src",
+                 ((F.col("c") + F.lit(0.5))
+                  / (F.col("n") + F.lit(0.5) * F.lit(float(v))))
+                 .alias("p")))
+    a = p.select("term", F.col("src").alias("src_a"),
+                 F.col("p").alias("p_a"))
+    b = p.select("term", F.col("src").alias("src_b"),
+                 F.col("p").alias("p_b"))
+    pairs = a.join(b, "term").filter(F.col("src_a") < F.col("src_b"))
+    return (pairs.groupBy("src_a", "src_b")
+            .agg(F.round(F.sum((F.col("p_a") - F.col("p_b"))
+                               * F.log(F.col("p_a") / F.col("p_b"))), 4)
+                 .alias("sym_kl")))
+
+
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     carry: tuple[str, ...] = (),

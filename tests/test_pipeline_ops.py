@@ -1124,6 +1124,25 @@ def test_winsorize_clamps_and_flags(spark):
                                 else 0)
 
 
+def test_staged_source_kl_row_matches_oracle(spark, sf_dir):
+    """The STAGED q_source_kl driver row (r06 window): pairwise
+    symmetric KL over the deterministic top-512 vocabulary, bit-exact
+    vs its staged oracle; KL is symmetric-positive and zero only for
+    identical distributions."""
+    import duckdb
+    from activecube_graphql_spark.driver_queries import (
+        _SOURCE_KL_ORACLE, q_source_kl)
+    got = {tuple(r) for r in q_source_kl(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = {tuple(r) for r in con.execute(_SOURCE_KL_ORACLE).fetchall()}
+    assert got == want and got
+    n_src = len({s for pair in got for s in pair[:2]})
+    assert len(got) == n_src * (n_src - 1) // 2   # every unordered pair
+    assert all(kl >= 0 for *_s, kl in got)
+
+
 def test_staged_unigram_lm_row_matches_oracle(spark, sf_dir):
     """The STAGED q_unigram_lm driver row (to be registered in the next
     round's graded window) already hash-agrees with its staged DuckDB
