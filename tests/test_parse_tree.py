@@ -171,3 +171,62 @@ def test_tuple_metric_children_via_graphql_text(spark, sf_dir):
       { sales { returnflag top_parts { partkey price } } }""")
     row = tree.nested_df().collect()[0]
     assert set(row["top_parts"][0].asDict()) == {"partkey", "price"}
+
+
+# ------------------------------------------------------------- fuzz hardening
+
+def test_random_dict_specs_fail_cleanly():
+    """Random nested dict specs over a noisy vocabulary must either
+    build a ParseTree or raise the engine's InputArgumentError — never
+    an internal KeyError/AttributeError/TypeError from classification
+    or option folding. Metadata-only (no Spark execution)."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from activecube_graphql_spark.cubes import SalesCube
+    from activecube_graphql_spark.errors import InputArgumentError
+    from activecube_graphql_spark.parse_tree import parse
+
+    cube = SalesCube(None, "/")
+    names = ["returnflag", "revenue", "count", "nonsense", "orderdate",
+             "year", "top_parts", "__typename", "options", "any", ""]
+    vals = [None, 1, "R", ["A", "N"], {"gteq": 5}, {"bogus_op": 1},
+            [("desc", "revenue"), ("limit", 3)], {"eq": None}]
+
+    @st.composite
+    def specs(draw, depth=0):
+        fields = {}
+        for _ in range(draw(st.integers(1, 3))):
+            name = draw(st.sampled_from(names))
+            node = {}
+            if depth < 2 and draw(st.booleans()):
+                node["fields"] = draw(specs(depth=depth + 1))["fields"]
+            if draw(st.booleans()):
+                node["args"] = {draw(st.sampled_from(names)):
+                                draw(st.sampled_from(vals))}
+            fields[name] = node
+        spec = {"fields": fields}
+        if draw(st.booleans()):
+            spec["args"] = {draw(st.sampled_from(names)):
+                           draw(st.sampled_from(vals))}
+        return spec
+
+    from activecube_graphql_spark.errors import NotSqlExpressible
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(specs())
+    def run(spec):
+        try:
+            tree = parse(cube, spec)
+            # a spec that classifies must also COMPILE (builder) and
+            # PRINT (SQL twin) without internal errors
+            q = tree.build_query()
+            q.cache_key()
+            q.relabeled_sql()
+        except (InputArgumentError, NotSqlExpressible):
+            pass
+
+    run()
