@@ -1484,8 +1484,10 @@ def q_winsorized(spark, sf_dir):
 _WINSORIZED_ORACLE = """
     WITH b AS (
         SELECT event_type,
-               quantile_cont(value, 0.05) AS lo_v,
-               quantile_cont(value, 0.95) AS hi_v
+               floor(quantile_cont(value, 0.05) * 10000 + 0.5) / 10000
+                   AS lo_v,
+               floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000
+                   AS hi_v
         FROM events GROUP BY 1),
     j AS (
         SELECT e.event_type, e.value, b.lo_v, b.hi_v,
@@ -1513,9 +1515,17 @@ def q_lm_buckets(spark, sf_dir):
     (bit-stable across engine summation orders by construction).
     STAGED for the r06 window; oracle `_LM_BUCKETS_ORACLE`."""
     out = tx.unigram_logprob(_docs(spark, sf_dir), carry=("source",))
+    # thresholds SNAPPED to the 4dp grid avg_logp lives on: the exact
+    # interpolated quantile of grid values can land ON a grid point,
+    # where Spark percentile and DuckDB quantile_cont sit 1 ULP apart
+    # (observed at sf0.1: t2 -3.4015 vs -3.4015000000000004) and the
+    # <= band comparison flips. floor(q*1e4+0.5)/1e4 collapses any
+    # sub-half-grid discrepancy to the same double on both engines.
+    def snap(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
     thr = out.agg(
-        F.expr("percentile(avg_logp, 0.33)").alias("t1"),
-        F.expr("percentile(avg_logp, 0.67)").alias("t2"))
+        snap(F.expr("percentile(avg_logp, 0.33)")).alias("t1"),
+        snap(F.expr("percentile(avg_logp, 0.67)")).alias("t2"))
     j = out.crossJoin(F.broadcast(thr))
     band = (F.when(F.col("avg_logp") <= F.col("t1"), F.lit(0))
             .when(F.col("avg_logp") <= F.col("t2"), F.lit(1))
@@ -1545,8 +1555,10 @@ _LM_BUCKETS_ORACLE = f"""
     alldocs AS (
         SELECT d.source, coalesce(p.avg_logp, 0.0) AS lp
         FROM documents d LEFT JOIN per_doc p USING (doc_id)),
-    t AS (SELECT quantile_cont(lp, 0.33) AS t1,
-                 quantile_cont(lp, 0.67) AS t2
+    t AS (SELECT floor(quantile_cont(lp, 0.33) * 10000 + 0.5) / 10000
+                     AS t1,
+                 floor(quantile_cont(lp, 0.67) * 10000 + 0.5) / 10000
+                     AS t2
           FROM alldocs)
     SELECT source,
            CASE WHEN lp <= t1 THEN 0 WHEN lp <= t2 THEN 1 ELSE 2 END

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: scale factor making MAD a consistent σ estimator under normality
@@ -133,14 +133,23 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
 
 
 def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
-              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+              lo: float = 0.05, hi: float = 0.95,
+              band_decimals: int | None = 4) -> DataFrame:
     """Per-group winsorization: clamp ``value_col`` into the group's
-    exact interpolated [``lo``, ``hi``] quantile band — the standard
+    interpolated [``lo``, ``hi``] quantile band — the standard
     tail-clipping step before mean-based statistics on heavy-tailed
     metrics (document quality scores, event values): trimming DELETES
     rows and shifts the mix, winsorizing keeps every row but bounds
     leverage. Adds ``lo_v``/``hi_v`` (the group's band), ``w_value``
     (the clamped value) and ``clipped`` (0/1 flag).
+
+    ``band_decimals`` (default 4) SNAPS the band to a decimal grid via
+    ``floor(q·10^d + 0.5)/10^d``: when the interpolation index is
+    integral the quantile IS a data point, and Spark ``percentile`` vs
+    an oracle's ``quantile_cont`` can sit 1 ULP apart there — flipping
+    that exact point's clip flag between engines (the lm_buckets
+    lesson). Snapping collapses any sub-half-grid discrepancy to the
+    same double on every engine; pass ``None`` for the raw band.
 
     Scale shape: one partial-agg two-quantile groupBy (one row per
     group) broadcast back onto the fact table, then a map-only
@@ -149,9 +158,16 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
     ``percentile_approx``; exact ``percentile`` ≡ DuckDB
     ``quantile_cont`` keeps the band oracle-checkable."""
     by = list(by)
+
+    def q(p: float) -> Column:
+        c = F.expr(f"percentile({value_col}, {p!r})")
+        if band_decimals is None:
+            return c
+        scale = float(10 ** band_decimals)
+        return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
     band = (df.groupBy(*by)
-            .agg(F.expr(f"percentile({value_col}, {lo!r})").alias("lo_v"),
-                 F.expr(f"percentile({value_col}, {hi!r})").alias("hi_v")))
+            .agg(q(lo).alias("lo_v"), q(hi).alias("hi_v")))
     j = df.join(F.broadcast(band), by)
     w = F.least(F.greatest(F.col(value_col), F.col("lo_v")),
                 F.col("hi_v"))

@@ -5,6 +5,10 @@ LSH-ANN recall vs brute force, SimHash hamming vs near-dup ground truth.
 
 from __future__ import annotations
 
+import pytest
+
+from tests.conftest import SF_MED, SF_SMALL
+
 from pyspark.sql import functions as F
 
 from activecube_graphql_spark.operators import dedup as dd
@@ -1068,6 +1072,7 @@ def test_sequence_features_without_tiebreak(spark):
     assert out[-1]["run_value"] == 12.0
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
 def test_staged_winsorized_row_matches_oracle(spark, sf_dir):
     """The STAGED q_winsorized driver row (r06 window) already
     hash-agrees with its staged DuckDB oracle — registering it later is
@@ -1088,6 +1093,7 @@ def test_staged_winsorized_row_matches_oracle(spark, sf_dir):
         assert 0 <= n_clip <= cnt and lo <= avg_w <= hi
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
 def test_staged_lm_buckets_row_matches_oracle(spark, sf_dir):
     """The STAGED q_lm_buckets driver row (r06 window): CCNet-style
     perplexity-band split, bit-exact vs its staged oracle (counts and
@@ -1124,6 +1130,7 @@ def test_winsorize_clamps_and_flags(spark):
                                 else 0)
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
 def test_staged_source_kl_row_matches_oracle(spark, sf_dir):
     """The STAGED q_source_kl driver row (r06 window): pairwise
     symmetric KL over the deterministic top-512 vocabulary, bit-exact
@@ -1143,6 +1150,7 @@ def test_staged_source_kl_row_matches_oracle(spark, sf_dir):
     assert all(kl >= 0 for *_s, kl in got)
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
 def test_staged_unigram_lm_row_matches_oracle(spark, sf_dir):
     """The STAGED q_unigram_lm driver row (to be registered in the next
     round's graded window) already hash-agrees with its staged DuckDB
