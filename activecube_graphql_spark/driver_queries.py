@@ -1811,8 +1811,11 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 #   tier 3 (24) — green twice but not graded since r02.
 #   behind the window (54) — green twice incl. the r03 window (rotate
 #            forward in later rounds).
-# Every tier-1 row was verified locally this round at sf0.001/0.01/0.1 via
-# tools/verify_local.py (bit-exact floats + arrow physical-type parity).
+# EVERY registered row was verified locally this round at ALL of
+# sf0.001, sf0.01 (driver grading scale; bare session too), and sf0.1
+# via tools/verify_local.py (bit-exact floats + arrow physical-type
+# parity) — multi-SF matters: single-SF parity hid a quantile-on-grid
+# 1-ULP divergence in a staged row until the sf0.1 sweep caught it.
 # NEXT-ROUND ROTATION (r06): once CORRECTNESS_r05 lands green for the
 # tier-1 rows, run tools/update_manifest.py (tree unchanged), move the
 # 12 tier-2 once-green rows behind the window, and pull the remaining
