@@ -1582,6 +1582,44 @@ def q_source_kl(spark, sf_dir):
                                       v=512)
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination (operators/similarity
+    semantic_decontaminate): drop train vectors within cosine 0.35 of
+    any bench vector (the deterministic vec_id % 97 eval slice) —
+    catches paraphrased eval leakage that shingle decontamination
+    misses; per-label survivor counts. Broadcast-bench scoring, one
+    corpus scan, LEFT ANTI drop. STAGED for the r06 window; oracle
+    `_SEMANTIC_DECONTAM_ORACLE`, cross-checked in
+    tests/test_pipeline_ops.py."""
+    emb = _embeds(spark, sf_dir)
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    kept = sim.semantic_decontaminate(train, bench, threshold=0.35)
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+#: staged oracle for q_semantic_decontam
+_SEMANTIC_DECONTAM_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % 97 <> 0),
+    flagged AS (
+        SELECT DISTINCT c.vec_id
+        FROM c CROSS JOIN q
+        WHERE list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) *
+               sqrt(list_dot_product(cv, cv))) >= 0.35)
+    SELECT label, count(*) AS n_kept
+    FROM embeddings
+    WHERE vec_id % 97 <> 0
+      AND vec_id NOT IN (SELECT vec_id FROM flagged)
+    GROUP BY 1
+"""
+
+
 #: staged oracle for q_source_kl
 _SOURCE_KL_ORACLE = f"""
     WITH toks AS (
@@ -1822,9 +1860,10 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # 15 behind-window r02 rows (multimodal_features..tuple_topk + lang_id)
 # plus the oldest behind-window r03 rows forward so every row keeps
 # accumulating records; any r05-red row stays at the very front.
-# THREE rows are STAGED with oracles + pytest parity, ready to
-# register at the r06 window front: q_winsorized, q_lm_buckets,
-# q_source_kl (move their staged oracles into ORACLES then).
+# FOUR rows are STAGED with oracles + pytest parity (verified at
+# sf0.001/0.01/0.1), ready to register at the r06 window front:
+# q_winsorized, q_lm_buckets, q_source_kl, q_semantic_decontam
+# (move their staged oracles into ORACLES then).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never green (graded first) ---
     "variant_json": q_variant_json,

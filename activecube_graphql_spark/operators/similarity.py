@@ -196,6 +196,29 @@ def cosine_range_search(corpus: DataFrame, queries: DataFrame,
                         "round(cosine, 4) AS cosine"))
 
 
+def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
+                           threshold: float = 0.85,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-level benchmark decontamination: drop every corpus row
+    whose vector sits within cosine ``threshold`` of ANY benchmark
+    vector — the semantic companion to the shingle-overlap
+    ``dedup.decontaminate``: paraphrased or translated eval leakage
+    shares no n-grams but keeps a close embedding.
+
+    Scale shape: the benchmark is eval-suite-sized by construction, so
+    it rides the broadcast-queries side of the shared ``_scored_pairs``
+    pipeline — the corpus scans exactly ONCE with map-side scoring and
+    never shuffles for the scoring; the drop is a LEFT ANTI on the
+    (tiny, distinct) flagged-id frame, which AQE broadcasts. For a
+    corpus-sized "benchmark", pre-bucket both sides with the LSH/IVF
+    quantizers instead (embedding_cosine_pairs' routing)."""
+    flagged = (cosine_range_search(corpus, bench, threshold,
+                                   id_col, vec_col, exclude_self=False)
+               .select(F.col("neighbor_id").alias(id_col)).distinct())
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 # ----------------------------------------------------------------- LSH ANN
 
 def _scramble(p: int, d: int, seed: int = 0x9E3779B9) -> int:

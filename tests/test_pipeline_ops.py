@@ -1151,6 +1151,43 @@ def test_staged_source_kl_row_matches_oracle(spark, sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
+def test_staged_semantic_decontam_row_matches_oracle(spark, sf_dir):
+    """The STAGED q_semantic_decontam driver row (r06 window):
+    embedding-level decontamination survivor counts, bit-exact vs the
+    brute-force DuckDB oracle; at sf0.01 the 0.35-cosine radius must
+    actually flag something (survivors < train)."""
+    import duckdb
+    from activecube_graphql_spark.driver_queries import (
+        _SEMANTIC_DECONTAM_ORACLE, q_semantic_decontam)
+    got = {tuple(r) for r in q_semantic_decontam(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = {tuple(r)
+            for r in con.execute(_SEMANTIC_DECONTAM_ORACLE).fetchall()}
+    assert got == want and got
+    if sf_dir == SF_MED:
+        n_train = con.execute(
+            "SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 0"
+        ).fetchone()[0]
+        assert sum(n for _, n in got) < n_train
+
+
+def test_semantic_decontaminate_drops_planted_leak(spark):
+    """A corpus vector equal to a bench vector must be dropped; an
+    orthogonal one must survive."""
+    from activecube_graphql_spark.operators import similarity as sim
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [0.99, 0.1], 1)],
+        ["vec_id", "embedding", "label"])
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0], 9)], ["vec_id", "embedding", "label"])
+    kept = {r["vec_id"] for r in
+            sim.semantic_decontaminate(corpus, bench, 0.85).collect()}
+    assert kept == {2}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
 def test_staged_unigram_lm_row_matches_oracle(spark, sf_dir):
     """The STAGED q_unigram_lm driver row (to be registered in the next
     round's graded window) already hash-agrees with its staged DuckDB
