@@ -1598,6 +1598,74 @@ def q_semantic_decontam(spark, sf_dir):
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution (the dedup-audit report every
+    curation run prints): exact 2-gram-Jaccard pairs → connected
+    components → per-SIZE cluster counts and total docs absorbed —
+    "are duplicates isolated pairs or giant boilerplate blobs?"
+    decides the dedup strategy. Components exclude singletons by
+    construction (only paired nodes). Composes the same pair pipeline
+    neardup_clusters grades (Catalyst/CacheManager share the shingle
+    frame); the size histogram is a constant-cardinality groupBy on the
+    component frame. STAGED for the r06 window; oracle
+    `_DUP_CLUSTER_SIZES_ORACLE`."""
+    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
+                                   threshold=0.5)
+    comps = dd.connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 (F.count(F.lit(1)) * F.col("size")).alias("n_docs"))
+            .select(F.col("size").cast("long").alias("cluster_size"),
+                    "n_clusters", F.col("n_docs").cast("long")
+                    .alias("n_docs")))
+
+
+#: staged oracle for q_dup_cluster_sizes — identical transitive-closure
+#: component CTEs as the green neardup_clusters oracle, aggregated by
+#: size instead of by cluster
+_DUP_CLUSTER_SIZES_ORACLE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_filter(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1) + 1),
+                   i -> array_to_string(t[i:i+1], ' '))),
+                   g -> g <> '') AS g
+        FROM toks),
+    sz AS (SELECT doc_id, len(g) AS sz FROM grams),
+    inv AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+    nodes AS (SELECT id_a AS n FROM pairs
+              UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+              UNION SELECT n, n FROM nodes),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS node, min(dst) AS comp
+             FROM reach GROUP BY src),
+    csize AS (SELECT comp, count(*) AS size FROM comp GROUP BY 1)
+    SELECT size AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(count(*) * size AS BIGINT) AS n_docs
+    FROM csize GROUP BY 1
+"""
+
+
 #: staged oracle for q_semantic_decontam
 _SEMANTIC_DECONTAM_ORACLE = """
     WITH q AS (
@@ -1860,10 +1928,10 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # 15 behind-window r02 rows (multimodal_features..tuple_topk + lang_id)
 # plus the oldest behind-window r03 rows forward so every row keeps
 # accumulating records; any r05-red row stays at the very front.
-# FOUR rows are STAGED with oracles + pytest parity (verified at
-# sf0.001/0.01/0.1), ready to register at the r06 window front:
-# q_winsorized, q_lm_buckets, q_source_kl, q_semantic_decontam
-# (move their staged oracles into ORACLES then).
+# FIVE rows are STAGED with oracles + pytest parity, ready to
+# register at the r06 window front: q_winsorized, q_lm_buckets,
+# q_source_kl, q_semantic_decontam, q_dup_cluster_sizes (move
+# their staged oracles into ORACLES then).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: never green (graded first) ---
     "variant_json": q_variant_json,

@@ -1151,6 +1151,26 @@ def test_staged_source_kl_row_matches_oracle(spark, sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
+def test_staged_dup_cluster_sizes_row_matches_oracle(spark, sf_dir):
+    """The STAGED q_dup_cluster_sizes driver row (r06 window): duplicate
+    cluster-size histogram, bit-exact vs the recursive-CTE component
+    oracle; sizes start at 2 (components exclude singletons) and the
+    doc total must equal clusters x size per row."""
+    import duckdb
+    from activecube_graphql_spark.driver_queries import (
+        _DUP_CLUSTER_SIZES_ORACLE, q_dup_cluster_sizes)
+    got = {tuple(r) for r in q_dup_cluster_sizes(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = {tuple(r)
+            for r in con.execute(_DUP_CLUSTER_SIZES_ORACLE).fetchall()}
+    assert got == want and got
+    for size, n_clusters, n_docs in got:
+        assert size >= 2 and n_docs == size * n_clusters
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
 def test_staged_semantic_decontam_row_matches_oracle(spark, sf_dir):
     """The STAGED q_semantic_decontam driver row (r06 window):
     embedding-level decontamination survivor counts, bit-exact vs the
