@@ -172,9 +172,26 @@ class ParseTree:
         if selector_args:
             q.when(selector_args)
         if options:
-            items = options.items() if isinstance(options, dict) else options
-            for opt_name, opt_args in items:
-                q.option(opt_name, opt_args)
+            # an options payload is an ORDERED mapping: a dict, or a
+            # list of (name, args) pairs (how the GraphQL front-end
+            # preserves client order). Anything else — or a malformed
+            # pair — is an input error, not an unpack crash (fuzz).
+            if isinstance(options, dict):
+                items = list(options.items())
+            elif isinstance(options, (list, tuple)):
+                items = list(options)
+            else:
+                raise InputArgumentError(
+                    "options: expects a mapping or a list of "
+                    f"(name, args) pairs, got {type(options).__name__}")
+            for item in items:
+                if (not isinstance(item, (list, tuple))
+                        or len(item) != 2
+                        or not isinstance(item[0], str)):
+                    raise InputArgumentError(
+                        f"options: malformed entry {item!r} — expected "
+                        "a (name, args) pair")
+                q.option(item[0], item[1])
         return q
 
     # -- response shaping R1 (response_builder.rb:40-138) -------------------

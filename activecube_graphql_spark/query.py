@@ -71,6 +71,26 @@ def _check_injection(value: Any) -> Any:
     return value
 
 
+def _any_groups(value: Any) -> list[dict]:
+    """F6 payload normalization, shared by every ``any:`` consumer
+    (validate / element-names / predicate / SQL printer): the payload is
+    a LIST of predicate-group hashes. ``None`` nil-drops to zero groups
+    (the F5 rule, parse_tree.rb:158-160); a bare hash is accepted as a
+    one-group list; anything else fails fast — fuzzing found the
+    un-normalized sites leaking AttributeError/TypeError on malformed
+    payloads instead of the engine's input error."""
+    if value is None:
+        return []
+    if isinstance(value, dict):
+        return [value]
+    if isinstance(value, (list, tuple)) \
+            and all(isinstance(g, dict) for g in value):
+        return list(value)
+    raise InputArgumentError(
+        "any: expects a list of predicate-group hashes, got "
+        f"{type(value).__name__}: {value!r}")
+
+
 @dataclass
 class _SliceSpec:
     key: str
@@ -236,7 +256,7 @@ class CubeQueryBuilder:
         _check_injection(args)
         for attr, value in args.items():
             if attr == "any":
-                for grp in value:
+                for grp in _any_groups(value):
                     self._validate_args(
                         self._normalize_any_group(grp, self.cube.selectors))
                 continue
@@ -259,7 +279,7 @@ class CubeQueryBuilder:
         out: set[str] = set()
         for attr, value in args.items():
             if attr == "any":
-                for grp in value:
+                for grp in _any_groups(value):
                     out |= self._selector_names(
                         self._normalize_any_group(grp, self.cube.selectors))
             else:
@@ -296,7 +316,7 @@ class CubeQueryBuilder:
         for attr, value in args.items():
             if attr == "any":
                 groups: list[Column] = []
-                for grp in value:
+                for grp in _any_groups(value):
                     gpred = self._predicate(
                         resolver,
                         self._normalize_any_group(grp, resolver.selectors))

@@ -50,7 +50,10 @@ def args_sql(cube: "Cube", args: dict) -> Optional[str]:
     preds: list[str] = []
     for attr, value in args.items():
         if attr == "any":
-            groups = [g for g in (args_sql(cube, grp) for grp in value) if g is not None]
+            from .query import _any_groups
+            groups = [g for g in (args_sql(cube, grp)
+                                  for grp in _any_groups(value))
+                      if g is not None]
             if groups:
                 preds.append("(" + " OR ".join(groups) + ")")
             continue

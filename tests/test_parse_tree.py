@@ -175,11 +175,14 @@ def test_tuple_metric_children_via_graphql_text(spark, sf_dir):
 
 # ------------------------------------------------------------- fuzz hardening
 
-def test_random_dict_specs_fail_cleanly():
+def test_random_dict_specs_fail_cleanly(spark):
     """Random nested dict specs over a noisy vocabulary must either
     build a ParseTree or raise the engine's InputArgumentError — never
     an internal KeyError/AttributeError/TypeError from classification
-    or option folding. Metadata-only (no Spark execution)."""
+    or option folding. No Spark EXECUTION, but sub-field validation
+    builds Column expressions, which needs the active context (the
+    ``spark`` fixture) — without it a VALID spec dies in pyspark's
+    context assertion when this test runs first."""
     import random
 
     from hypothesis import HealthCheck, given, settings
