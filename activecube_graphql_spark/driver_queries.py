@@ -1471,6 +1471,9 @@ def q_winsorized(spark, sf_dir):
     from .operators.robust import winsorize
     ev = _events(spark, sf_dir).table().select("event_type", "value")
     out = winsorize(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+    # band columns are order statistics (actual data values picked by
+    # integer rank arithmetic) — bit-identical across engines by
+    # construction, so the 4dp round below is presentation only
     return (out.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum("clipped").alias("n_clipped"),
@@ -1482,13 +1485,21 @@ def q_winsorized(spark, sf_dir):
 #: staged oracle for q_winsorized — CAST pins the integer SUM to BIGINT
 #: (the r03/r04 HUGEINT lesson)
 _WINSORIZED_ORACLE = """
-    WITH b AS (
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    b AS (
         SELECT event_type,
-               floor(quantile_cont(value, 0.05) * 10000 + 0.5) / 10000
-                   AS lo_v,
-               floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000
-                   AS hi_v
-        FROM events GROUP BY 1),
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n)
+                                               AS BIGINT))
+                        THEN value END) AS lo_v,
+               max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n)
+                                               AS BIGINT))
+                        THEN value END) AS hi_v
+        FROM r GROUP BY 1),
     j AS (
         SELECT e.event_type, e.value, b.lo_v, b.hi_v,
                least(greatest(e.value, b.lo_v), b.hi_v) AS w
@@ -1515,17 +1526,26 @@ def q_lm_buckets(spark, sf_dir):
     (bit-stable across engine summation orders by construction).
     STAGED for the r06 window; oracle `_LM_BUCKETS_ORACLE`."""
     out = tx.unigram_logprob(_docs(spark, sf_dir), carry=("source",))
-    # thresholds SNAPPED to the 4dp grid avg_logp lives on: the exact
-    # interpolated quantile of grid values can land ON a grid point,
-    # where Spark percentile and DuckDB quantile_cont sit 1 ULP apart
-    # (observed at sf0.1: t2 -3.4015 vs -3.4015000000000004) and the
-    # <= band comparison flips. floor(q*1e4+0.5)/1e4 collapses any
-    # sub-half-grid discrepancy to the same double on both engines.
-    def snap(c):
-        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
-    thr = out.agg(
-        snap(F.expr("percentile(avg_logp, 0.33)")).alias("t1"),
-        snap(F.expr("percentile(avg_logp, 0.67)")).alias("t2"))
+    # thresholds are type-1 ORDER STATISTICS (rank max(1, ceil(p*n))
+    # ascending), NOT interpolated quantiles: interpolation manufactures
+    # values with engine-specific float arithmetic — at sf0.1 Spark
+    # percentile and DuckDB quantile_cont sat 1 ULP apart ON a 4dp grid
+    # point of avg_logp and the <= band comparison flipped, and a
+    # decimal-grid snap only moves that cliff to grid midpoints. An
+    # order statistic is an actual avg_logp value selected by integer
+    # rank arithmetic — bit-identical on any engine sorting the same
+    # doubles (see robust.winsorize, same construction).
+    from pyspark.sql import Window
+    ranked = out.select(
+        "avg_logp",
+        F.row_number().over(Window.orderBy("avg_logp")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("n"))
+    def _at(p):
+        k = F.greatest(F.lit(1),
+                       F.ceil(F.lit(p) * F.col("n")).cast("int"))
+        return F.min(F.when(F.col("rn") == k, F.col("avg_logp")))
+    thr = ranked.agg(_at(0.33).alias("t1"), _at(0.67).alias("t2"))
     j = out.crossJoin(F.broadcast(thr))
     band = (F.when(F.col("avg_logp") <= F.col("t1"), F.lit(0))
             .when(F.col("avg_logp") <= F.col("t2"), F.lit(1))
@@ -1555,11 +1575,18 @@ _LM_BUCKETS_ORACLE = f"""
     alldocs AS (
         SELECT d.source, coalesce(p.avg_logp, 0.0) AS lp
         FROM documents d LEFT JOIN per_doc p USING (doc_id)),
-    t AS (SELECT floor(quantile_cont(lp, 0.33) * 10000 + 0.5) / 10000
-                     AS t1,
-                 floor(quantile_cont(lp, 0.67) * 10000 + 0.5) / 10000
-                     AS t2
-          FROM alldocs)
+    ranked AS (
+        SELECT lp, row_number() OVER (ORDER BY lp) AS rn,
+               count(*) OVER () AS n
+        FROM alldocs),
+    t AS (
+        SELECT min(CASE WHEN rn = greatest(1, CAST(ceil(0.33 * n)
+                                                AS BIGINT))
+                        THEN lp END) AS t1,
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.67 * n)
+                                                AS BIGINT))
+                        THEN lp END) AS t2
+        FROM ranked)
     SELECT source,
            CASE WHEN lp <= t1 THEN 0 WHEN lp <= t2 THEN 1 ELSE 2 END
                AS band,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: scale factor making MAD a consistent σ estimator under normality
@@ -133,45 +133,57 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
 
 
 def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
-              lo: float = 0.05, hi: float = 0.95,
-              band_decimals: int | None = 4) -> DataFrame:
+              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
     """Per-group winsorization: clamp ``value_col`` into the group's
-    interpolated [``lo``, ``hi``] quantile band — the standard
-    tail-clipping step before mean-based statistics on heavy-tailed
-    metrics (document quality scores, event values): trimming DELETES
-    rows and shifts the mix, winsorizing keeps every row but bounds
-    leverage. Adds ``lo_v``/``hi_v`` (the group's band), ``w_value``
-    (the clamped value) and ``clipped`` (0/1 flag).
+    [``lo``, ``hi``] quantile band — the standard tail-clipping step
+    before mean-based statistics on heavy-tailed metrics (document
+    quality scores, event values): trimming DELETES rows and shifts the
+    mix, winsorizing keeps every row but bounds leverage. Adds
+    ``lo_v``/``hi_v`` (the group's band), ``w_value`` (the clamped
+    value) and ``clipped`` (0/1 flag).
 
-    ``band_decimals`` (default 4) SNAPS the band to a decimal grid via
-    ``floor(q·10^d + 0.5)/10^d``: when the interpolation index is
-    integral the quantile IS a data point, and Spark ``percentile`` vs
-    an oracle's ``quantile_cont`` can sit 1 ULP apart there — flipping
-    that exact point's clip flag between engines (the lm_buckets
-    lesson). Snapping collapses any sub-half-grid discrepancy to the
-    same double on every engine; pass ``None`` for the raw band.
+    The band is the type-1 ORDER STATISTIC (value at rank
+    ``max(1, ceil(p·n))`` ascending), NOT an interpolated quantile:
+    interpolation manufactures values between data points with
+    engine-specific float arithmetic — Spark ``percentile`` and an
+    oracle's ``quantile_cont`` sit 1 ULP apart at integral indexes,
+    and any decimal-grid snap just moves that cliff to the grid
+    midpoints. An order statistic is an ACTUAL data value selected by
+    pure integer rank arithmetic, so every engine that sorts the same
+    doubles picks the bit-identical band. (``ceil(p·n)`` on doubles is
+    itself exact: p·n at the boundary cases is an exact product.)
 
-    Scale shape: one partial-agg two-quantile groupBy (one row per
-    group) broadcast back onto the fact table, then a map-only
-    ``least/greatest`` — the fact side never shuffles (same shape as
-    percentile_filter). At 100 TB swap ``percentile`` for
-    ``percentile_approx``; exact ``percentile`` ≡ DuckDB
-    ``quantile_cont`` keeps the band oracle-checkable."""
+    Scale shape: one window pass partitioned by the group columns
+    (rank + count — a single shuffle and sort, the same order the
+    exact-percentile aggregate needed anyway) reduced to a
+    one-row-per-group band frame, broadcast back onto the fact table,
+    then a map-only ``least/greatest`` — the fact side never shuffles
+    for the join. At 100 TB swap the exact rank selection for
+    ``percentile_approx`` (sketch-based, same call shape) when
+    per-group sorting spills; the exact variant is what makes the band
+    oracle-checkable."""
     by = list(by)
-
-    def q(p: float) -> Column:
-        c = F.expr(f"percentile({value_col}, {p!r})")
-        if band_decimals is None:
-            return c
-        scale = float(10 ** band_decimals)
-        return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
-
-    band = (df.groupBy(*by)
-            .agg(q(lo).alias("lo_v"), q(hi).alias("hi_v")))
+    w = Window.partitionBy(*by).orderBy(F.col(value_col))
+    cw = Window.partitionBy(*by)
+    ranked = df.select(
+        *by, value_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(cw).alias("__n"))
+    k_lo = F.greatest(F.lit(1),
+                      F.ceil(F.lit(float(lo)) * F.col("__n")).cast("int"))
+    k_hi = F.greatest(F.lit(1),
+                      F.ceil(F.lit(float(hi)) * F.col("__n")).cast("int"))
+    band = (ranked
+            .filter((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
+            .groupBy(*by)
+            .agg(F.min(F.when(F.col("__rn") == k_lo,
+                              F.col(value_col))).alias("lo_v"),
+                 F.max(F.when(F.col("__rn") == k_hi,
+                              F.col(value_col))).alias("hi_v")))
     j = df.join(F.broadcast(band), by)
-    w = F.least(F.greatest(F.col(value_col), F.col("lo_v")),
-                F.col("hi_v"))
-    return (j.withColumn("w_value", w)
+    wv = F.least(F.greatest(F.col(value_col), F.col("lo_v")),
+                 F.col("hi_v"))
+    return (j.withColumn("w_value", wv)
             .withColumn("clipped",
                         (F.col(value_col) != F.col("w_value"))
                         .cast("long")))

@@ -514,8 +514,12 @@ def source_vocab_divergence(df: DataFrame, by: str = "source",
     self-joins the grid term-keyed, so the shuffled width is
     |groups|·v rows, never the corpus. Number of strata is assumed
     catalog-sized (tens), the realistic mixture regime."""
+    # the exploded token stream feeds BOTH the top-V selection and
+    # the per-(group, term) counts — persist so the tokenize+explode
+    # scan (the dominant corpus-scale cost) runs once
     toks = df.select(F.col(by).alias("src"),
-                     F.explode(_col(TOKENS, text_col)).alias("term"))
+                     F.explode(_col(TOKENS, text_col))
+                     .alias("term")).persist()
     topv = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.col("c").desc(), F.col("term").asc()).limit(v)
             .select("term"))

@@ -171,7 +171,7 @@ class ParseTree:
                 selector_args[k] = v
         if selector_args:
             q.when(selector_args)
-        if options:
+        if options is not None:
             # an options payload is an ORDERED mapping: a dict, or a
             # list of (name, args) pairs (how the GraphQL front-end
             # preserves client order). Anything else — or a malformed

@@ -183,7 +183,6 @@ def test_random_dict_specs_fail_cleanly(spark):
     builds Column expressions, which needs the active context (the
     ``spark`` fixture) — without it a VALID spec dies in pyspark's
     context assertion when this test runs first."""
-    import random
 
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st

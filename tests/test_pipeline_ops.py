@@ -1113,17 +1113,18 @@ def test_staged_lm_buckets_row_matches_oracle(spark, sf_dir):
 
 
 def test_winsorize_clamps_and_flags(spark):
-    """Unit semantics: values below p05 rise to lo_v, above p95 drop to
-    hi_v, interior values pass through unflagged."""
+    """Unit semantics: values below the lo order statistic rise to
+    lo_v, above the hi one drop to hi_v, interior values pass
+    through unflagged."""
     from activecube_graphql_spark.operators.robust import winsorize
     rows = [("a", float(v)) for v in range(1, 101)]
     df = spark.createDataFrame(rows, ["g", "value"])
     out = winsorize(df, "value", ["g"], lo=0.10, hi=0.90).collect()
-    import math
     lo = out[0]["lo_v"]
     hi = out[0]["hi_v"]
-    # exact interpolated percentiles: 1 + p*99 (float arithmetic)
-    assert math.isclose(lo, 10.9) and math.isclose(hi, 90.1)
+    # type-1 order statistics: value at rank ceil(p*n) = actual
+    # data points (ranks 10 and 90 of 1..100) — no interpolation
+    assert lo == 10.0 and hi == 90.0
     for r in out:
         assert r["w_value"] == min(max(r["value"], lo), hi)
         assert r["clipped"] == (1 if r["value"] < lo or r["value"] > hi
