@@ -118,9 +118,16 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
     At 100 TB swap ``percentile`` for ``percentile_approx`` (same call
     shape) when exact per-group aggregation spills; the gate degrades
     gracefully with the estimate. Exact ``percentile`` ≡ DuckDB
-    ``quantile_cont``, so membership is oracle-checkable (round the
-    value inside the query on both engines to keep ULP drift out of
-    the boundary compare)."""
+    ``quantile_cont``, so membership is oracle-checkable — with one
+    caveat measured on the lm_buckets row: when the FILTERED column is
+    decimal-grid-valued (e.g. a 4dp-rounded quality score), the
+    interpolated threshold can land ON a grid point where the two
+    engines sit 1 ULP apart and the ``>=`` membership of every row at
+    that value flips. If a gate over grid values ever needs bit-exact
+    cross-engine membership, switch the threshold to the type-1 order
+    statistic (see :func:`winsorize` — an actual data value selected by
+    integer rank arithmetic); continuous value columns are safe
+    (boundary coincidence has measure zero)."""
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
     by = list(by)
