@@ -196,6 +196,72 @@ def cosine_range_search(corpus: DataFrame, queries: DataFrame,
                         "round(cosine, 4) AS cosine"))
 
 
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               lam: float = 0.5, pool: int = 20,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: per query, greedily pick
+    ``k`` of the top-``pool`` cosine candidates maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — retrieval
+    that stays RELEVANT but not REDUNDANT (Carbonell & Goldstein 1998).
+    The curation use: sampling diverse representatives out of a
+    near-duplicate-rich candidate set instead of k copies of the same
+    document. Deterministic: candidate order is (cosine desc, id asc)
+    and greedy ties resolve to the smaller id, so repeated runs agree.
+
+    Scale shape: the candidate pool rides :func:`cosine_topk`
+    (broadcast queries, single corpus scan, WindowGroupLimit top-pool);
+    the greedy loop is per-query over ≤ ``pool`` candidates — an
+    O(pool²) numpy block inside ``applyInPandas``, bounded per task
+    regardless of corpus size. Iterative-greedy selection has no SQL
+    twin, so like quality_model this ships pytest-verified
+    (first-pick/diversity/determinism contracts), not oracle-hashed."""
+    from collections.abc import Iterator  # noqa: F401 (parity w/ peers)
+
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col,
+                       vec_col=vec_col)
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         _as_double(F.col(vec_col)).alias("__v"))
+    pool_df = cand.join(vecs, "neighbor_id")
+    lam_f = float(lam)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        n = np.sqrt((v * v).sum(axis=1))
+        n[n == 0.0] = 1.0
+        u = v / n[:, None]
+        simmat = u @ u.T
+        avail = list(range(len(pdf)))
+        selected: list[int] = []
+        out = []
+        while avail and len(selected) < k:
+            if selected:
+                pen = simmat[np.ix_(avail, selected)].max(axis=1)
+                scores = lam_f * rel[avail] - (1.0 - lam_f) * pen
+            else:
+                scores = lam_f * rel[avail]
+            j = min(range(len(avail)),
+                    key=lambda i: (-scores[i], ids[avail[i]]))
+            idx = avail.pop(j)
+            selected.append(idx)
+            out.append((int(pdf["query_id"].iloc[0]), int(ids[idx]),
+                        len(selected), round(float(scores[j]), 4)))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                          "mmr_rank", "mmr_score"])
+
+    return (pool_df.groupBy("query_id").applyInPandas(
+        pick, schema="query_id long, neighbor_id long, "
+                     "mmr_rank int, mmr_score double"))
+
+
 def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
                            threshold: float = 0.85,
                            id_col: str = "vec_id",
@@ -478,7 +544,8 @@ def _cell_topk(joined: DataFrame, k: int, exclude_self: bool) -> DataFrame:
 # ------------------------------------------------------ persistent IVF index
 
 def build_ivf_index(df: DataFrame, path: str, id_col: str = "vec_id",
-                    vec_col: str = "embedding", n_cells: int = 16) -> None:
+                    vec_col: str = "embedding", n_cells: int = 16,
+                    centroids=None) -> None:
     """Materialize an IVF index for build-once / probe-many serving
     (the ivf_ann_topk pipeline retrains its quantizer per call — right
     for one-shot analytics, wrong for a standing vector store):
@@ -493,7 +560,11 @@ def build_ivf_index(df: DataFrame, path: str, id_col: str = "vec_id",
     Training is the same bounded-sample deterministic k-means as
     ivf_ann_topk (identical centroids for identical input), assignment
     the same map-only pass."""
-    cent = _train_ivf_centroids(df, n_cells, id_col, vec_col)
+    import numpy as np
+
+    cent = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _train_ivf_centroids(df, n_cells, id_col, vec_col))
     spark = df.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],

@@ -1194,6 +1194,42 @@ def test_staged_semantic_decontam_row_matches_oracle(spark, sf_dir):
         assert sum(n for _, n in got) < n_train
 
 
+def test_mmr_rerank_diversifies_and_is_deterministic(spark, sf_dir):
+    """MMR contracts: (a) the first pick per query is the top-1 cosine
+    neighbor; (b) with a planted near-duplicate pair at the top,
+    lam=0.5 picks ONE of the pair then a distinct vector, where plain
+    top-k keeps both copies; (c) repeated runs agree exactly."""
+    from activecube_graphql_spark.operators import similarity as sim
+
+    # planted geometry: q; two near-identical top candidates a1/a2;
+    # a moderately-similar distinct b; an unrelated c
+    rows = [(0, [1.0, 0.0, 0.0]),       # query
+            (1, [0.99, 0.14, 0.0]),     # a1
+            (2, [0.99, 0.141, 0.0]),    # a2 ~ a1
+            (3, [0.7, -0.71, 0.0]),     # b distinct
+            (4, [0.0, 0.0, 1.0])]       # c orthogonal
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id = 0")
+    out = sorted(((r["mmr_rank"], r["neighbor_id"]) for r in
+                  sim.mmr_rerank(df, q, k=3, lam=0.5, pool=4).collect()))
+    top1 = {r["neighbor_id"] for r in
+            sim.cosine_topk(df, q, k=1).collect()}
+    assert out[0][1] in top1                 # (a)
+    picked = [nid for _, nid in out]
+    assert not ({1, 2} <= set(picked))       # (b) no duplicate pair
+    assert 3 in picked                       # the distinct vector wins
+
+    # (c) determinism + real-data shape at fixture scale
+    emb = _embeds(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    r1 = sorted(map(tuple, sim.mmr_rerank(emb, qs, k=5).collect()))
+    r2 = sorted(map(tuple, sim.mmr_rerank(emb, qs, k=5).collect()))
+    assert r1 == r2 and len(r1) == 15
+    for qid in (0, 1, 2):
+        ranks = sorted(r[2] for r in r1 if r[0] == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
 def test_semantic_decontaminate_drops_planted_leak(spark):
     """A corpus vector equal to a bench vector must be dropped; an
     orthogonal one must survive."""
