@@ -391,6 +391,10 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
         record_routing("decontamination.join", "broadcast")
         joined = sh_train.join(F.broadcast(sh_bench), "shingle")
     else:
+        # read by the probe aggregate below AND by the returned join
+        # plan — intentionally left cached for that downstream reuse
+        # (module-docstring cache-lifecycle contract; MEMORY_AND_DISK,
+        # LRU-evictable, released by clearCache at pipeline boundaries)
         sh_bench = sh_bench.persist()
         bfreq = (sh_bench.groupBy("shingle")
                  .agg(F.count(F.lit(1)).alias("df_b")))
@@ -409,15 +413,23 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
                     .select("shingle",
                             (F.col("df_t") * F.col("df_b")).alias("w"))
                     .persist())
-            row = work.agg(F.sum("w").alias("ss"),
-                           F.max("w").alias("mx")).first()
-            if row is not None and row["ss"] is not None:
-                parts = max(1, int(bench.sparkSession.conf.get(
-                    "spark.sql.shuffle.partitions")))
-                thr = max(1 << 12, 4 * row["ss"] // parts)
-                if row["mx"] > thr:
-                    hot_keys = work.filter(F.col("w") > thr) \
-                                   .select("shingle")
+            try:
+                row = work.agg(F.sum("w").alias("ss"),
+                               F.max("w").alias("mx")).first()
+                if row is not None and row["ss"] is not None:
+                    parts = max(1, int(bench.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions")))
+                    thr = max(1 << 12, 4 * row["ss"] // parts)
+                    if row["mx"] > thr:
+                        # hot set is tiny by construction — eagerly
+                        # materialize it (cutting lineage to `work`) so
+                        # the probe cache can be released NOW instead of
+                        # leaking until clearCache (ADVICE r05)
+                        hot_keys = (work.filter(F.col("w") > thr)
+                                    .select("shingle")
+                                    .localCheckpoint(eager=True))
+            finally:
+                work.unpersist()
         if hot_keys is not None:
             record_routing("decontamination.join", "shuffle_salted")
             from ..plans.skew import split_salted_join
@@ -968,8 +980,12 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                    F.explode(_shingles(F.col(text_col), n))
                    .alias("shingle")).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # the capped frequency frame feeds BOTH the stop-shingle filter and
-    # the skew probe — persist so the vocabulary groupBy runs once
+    # the capped frequency frame feeds the stop-shingle filter and the
+    # salted route's hot_keys (both part of the RETURNED plan) plus the
+    # skew probe action — persist so the vocabulary groupBy runs once;
+    # intentionally left cached for that downstream reuse (module
+    # cache-lifecycle contract), released by pipeline-boundary
+    # clearCache like `sh` above
     kept_freq = dfreq.filter(F.col("df") <= max_df).persist()
     kept = sh.join(kept_freq.select("shingle"), "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -112,27 +112,40 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
     thresholds drift as the corpus mixture shifts; a per-group
     percentile self-calibrates. Adds the threshold as ``thr``.
 
-    Scale shape: one partial-agg percentile groupBy over the group
-    columns (one-row-per-group output), a BROADCAST join of that stat
-    frame back, then a map-only compare — the fact side never shuffles.
-    At 100 TB swap ``percentile`` for ``percentile_approx`` (same call
-    shape) when exact per-group aggregation spills; the gate degrades
-    gracefully with the estimate. Exact ``percentile`` ≡ DuckDB
-    ``quantile_cont``, so membership is oracle-checkable — with one
-    caveat measured on the lm_buckets row: when the FILTERED column is
-    decimal-grid-valued (e.g. a 4dp-rounded quality score), the
-    interpolated threshold can land ON a grid point where the two
-    engines sit 1 ULP apart and the ``>=`` membership of every row at
-    that value flips. If a gate over grid values ever needs bit-exact
-    cross-engine membership, switch the threshold to the type-1 order
-    statistic (see :func:`winsorize` — an actual data value selected by
-    integer rank arithmetic); continuous value columns are safe
-    (boundary coincidence has measure zero)."""
+    The threshold is the type-1 ORDER STATISTIC (the actual data value
+    at rank ``max(1, ceil(p·n))`` ascending over the group's NON-NULL
+    values), NOT an interpolated quantile — same construction as
+    :func:`winsorize`, and for the same reason: interpolation
+    manufactures values with engine-specific float arithmetic, and on a
+    decimal-grid-valued column (e.g. a 4dp-rounded quality score) the
+    two engines' thresholds can sit 1 ULP apart ON a grid point,
+    flipping the ``>=`` membership of every row at that value (measured
+    on the lm_buckets row before its migration). An order statistic is
+    bit-identical on any engine sorting the same doubles, so membership
+    is oracle-checkable with no caveat. Rows with NULL ``value_col``
+    are excluded from the rank and never pass the gate.
+
+    Scale shape: one window pass partitioned by the group columns
+    (rank + count — a single shuffle and sort) reduced to a
+    one-row-per-group threshold frame, broadcast back onto the fact
+    table, then a map-only compare — the fact side never shuffles. At
+    100 TB swap the exact rank selection for ``percentile_approx``
+    (sketch-based, same output shape) when per-group sorting spills;
+    the exact variant is what makes the gate oracle-checkable."""
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
     by = list(by)
-    thr = (df.groupBy(*by)
-           .agg(F.expr(f"percentile({value_col}, {p!r})").alias("thr")))
+    w = Window.partitionBy(*by).orderBy(F.col(value_col).asc_nulls_last())
+    cw = Window.partitionBy(*by)
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        *by, value_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(cw).alias("__n"))
+    k = F.greatest(F.lit(1),
+                   F.ceil(F.lit(float(p)) * F.col("__n")).cast("int"))
+    thr = (ranked.filter(F.col("__rn") == k)
+           .groupBy(*by)
+           .agg(F.min(value_col).alias("thr")))
     j = df.join(F.broadcast(thr), by)
     cmp = (F.col(value_col) >= F.col("thr")) if keep == "above" \
         else (F.col(value_col) <= F.col("thr"))
@@ -168,11 +181,19 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
     for the join. At 100 TB swap the exact rank selection for
     ``percentile_approx`` (sketch-based, same call shape) when
     per-group sorting spills; the exact variant is what makes the band
-    oracle-checkable."""
+    oracle-checkable.
+
+    NULL contract: NULL values take no part in the band — they are
+    excluded from the rank/count (so the band is a quantile of the
+    NON-NULL values) and pass through with ``w_value`` NULL and
+    ``clipped`` 0. Without the explicit exclusion Spark's ascending
+    window ranks NULLs FIRST while SQL engines' ``row_number`` defaults
+    to NULLS LAST, silently shifting every order statistic by the NULL
+    count (ADVICE r05)."""
     by = list(by)
-    w = Window.partitionBy(*by).orderBy(F.col(value_col))
+    w = Window.partitionBy(*by).orderBy(F.col(value_col).asc_nulls_last())
     cw = Window.partitionBy(*by)
-    ranked = df.select(
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         *by, value_col,
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(cw).alias("__n"))
@@ -187,13 +208,17 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
                               F.col(value_col))).alias("lo_v"),
                  F.max(F.when(F.col("__rn") == k_hi,
                               F.col(value_col))).alias("hi_v")))
-    j = df.join(F.broadcast(band), by)
-    wv = F.least(F.greatest(F.col(value_col), F.col("lo_v")),
-                 F.col("hi_v"))
+    j = df.join(F.broadcast(band), by, "left")  # all-NULL groups survive
+    # explicit NULL guard: Spark's least/greatest SKIP nulls, which
+    # would silently clamp a NULL value onto the band edge (unmatched
+    # `when` yields a NULL of the branch's own type)
+    wv = F.when(F.col(value_col).isNotNull(),
+                F.least(F.greatest(F.col(value_col), F.col("lo_v")),
+                        F.col("hi_v")))
     return (j.withColumn("w_value", wv)
             .withColumn("clipped",
-                        (F.col(value_col) != F.col("w_value"))
-                        .cast("long")))
+                        F.coalesce((F.col(value_col) != F.col("w_value"))
+                                   .cast("long"), F.lit(0))))
 
 
 def equi_width_histogram(df: DataFrame, value_col: str,

@@ -213,9 +213,13 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (broadcast queries, single corpus scan, WindowGroupLimit top-pool);
     the greedy loop is per-query over ≤ ``pool`` candidates — an
     O(pool²) numpy block inside ``applyInPandas``, bounded per task
-    regardless of corpus size. Iterative-greedy selection has no SQL
-    twin, so like quality_model this ships pytest-verified
-    (first-pick/diversity/determinism contracts), not oracle-hashed."""
+    regardless of corpus size. Every input to the greedy loop is a
+    pure function of the rows (exact cosine pool, deterministic
+    tie-breaks), so at a FIXED small k the driver row carries a
+    bit-exact DuckDB oracle that unrolls the greedy steps as chained
+    CTEs (driver_queries._MMR_RERANK_ORACLE, r06); the
+    first-pick/diversity/determinism contracts stay pytest-asserted
+    for the general (k, lam, pool) surface."""
     from collections.abc import Iterator  # noqa: F401 (parity w/ peers)
 
     import numpy as np
@@ -252,8 +256,15 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     key=lambda i: (-scores[i], ids[avail[i]]))
             idx = avail.pop(j)
             selected.append(idx)
+            # portable 4dp half-up: floor(x·1e4 + 0.5)/1e4 is the same
+            # IEEE op sequence on every engine, where native round()
+            # implementations disagree on exact grid midpoints — and
+            # 0.5·(a 4dp-rounded rel) lands ON a 5th-decimal midpoint
+            # whenever rel's last digit is odd (measured: Python round
+            # half-even vs DuckDB round half-up flipped rank-1 scores)
+            s4 = math.floor(float(scores[j]) * 10000.0 + 0.5) / 10000.0
             out.append((int(pdf["query_id"].iloc[0]), int(ids[idx]),
-                        len(selected), round(float(scores[j]), 4)))
+                        len(selected), s4))
         return pd.DataFrame(out, columns=["query_id", "neighbor_id",
                                           "mmr_rank", "mmr_score"])
 
@@ -397,7 +408,11 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     one LSH bucket with the query (L hash tables × b hyperplanes each).
 
     Recall < 1 by construction — validated against cosine_topk recall in
-    tests, never hash-checked against an oracle. Cost model at 100 TB:
+    tests; with the default data-independent splitmix planes the output
+    is also a pure function of its inputs, so the driver row carries a
+    bit-exact DuckDB oracle that re-derives the signatures from the
+    same plane literals (driver_queries._lsh_ann_oracle, green since
+    r05). Cost model at 100 TB:
     corpus signatures are one map-only pass; the bucket join touches
     O(corpus × tables) rows but each candidate pair is scored once
     (distinct before scoring), versus O(corpus × queries) for brute force."""

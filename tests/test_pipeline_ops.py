@@ -726,13 +726,48 @@ def test_percentile_filter_above_below_and_validation(spark):
     df = spark.createDataFrame(
         [("g", float(v)) for v in range(1, 11)], ["g", "x"])
     above = percentile_filter(df, "x", ["g"], 0.75)
-    # p75 of 1..10 interpolates to 7.75 -> keeps 8, 9, 10
+    # rank-based: thr = value at rank ceil(0.75*10)=8 -> keeps 8, 9, 10
     assert sorted(r["x"] for r in above.collect()) == [8.0, 9.0, 10.0]
     below = percentile_filter(df, "x", ["g"], 0.25, keep="below")
+    # thr = value at rank ceil(0.25*10)=3 -> keeps 1, 2, 3
     assert sorted(r["x"] for r in below.collect()) == [1.0, 2.0, 3.0]
     import pytest
     with pytest.raises(ValueError):
         percentile_filter(df, "x", ["g"], 0.5, keep="middle")
+
+
+def test_percentile_filter_null_contract(spark):
+    """NULL values neither shift the rank-based threshold nor pass the
+    gate (ADVICE r05 NULL-ordering class)."""
+    from activecube_graphql_spark.operators.robust import percentile_filter
+    rows = [("g", float(v)) for v in range(1, 11)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, x double")
+    above = percentile_filter(df, "x", ["g"], 0.75)
+    # thr still ranks over the 10 non-null values only
+    assert sorted(r["x"] for r in above.collect()) == [8.0, 9.0, 10.0]
+
+
+def test_winsorize_null_contract(spark):
+    """NULLs are excluded from the band's rank/count and pass through
+    with w_value NULL, clipped 0; an all-NULL group survives the band
+    join (ADVICE r05: Spark ranks NULLs first ascending, SQL engines
+    last — the band must not depend on either default)."""
+    from activecube_graphql_spark.operators.robust import winsorize
+    rows = ([("g", float(v)) for v in range(1, 11)]
+            + [("g", None)] * 3 + [("h", None)])
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorize(df, "x", ["g"], lo=0.2, hi=0.8)
+    got = out.collect()
+    g = [r for r in got if r["g"] == "g"]
+    # band over the 10 non-null values: lo rank ceil(0.2*10)=2 -> 2.0,
+    # hi rank ceil(0.8*10)=8 -> 8.0 (NULLs would shift these to 1.0/6.0
+    # under nulls-first ranking)
+    assert {(r["lo_v"], r["hi_v"]) for r in g} == {(2.0, 8.0)}
+    nulls = [r for r in g if r["x"] is None]
+    assert len(nulls) == 3
+    assert all(r["w_value"] is None and r["clipped"] == 0 for r in nulls)
+    h = [r for r in got if r["g"] == "h"]
+    assert len(h) == 1 and h[0]["w_value"] is None and h[0]["clipped"] == 0
 
 
 def test_boilerplate_ngram_stats(spark):

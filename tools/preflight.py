@@ -57,6 +57,9 @@ def main() -> None:
     run("result-dtype audit (sf0.001)",
         [py, "tools/audit_types.py", "/root/testdata/sf0.001"])
 
+    run("ULP margin gate (ANN/MMR boundaries, grading SFs)",
+        [py, "tools/ulp_margins.py"])
+
     run("oracle verify, full registry (bare session, sf0.01)",
         [py, "tools/verify_local.py", "--vanilla", "/root/testdata/sf0.01"])
 
