@@ -533,6 +533,10 @@ def test_no_cartesian_in_any_driver_row(spark):
         "hard_negatives",                   # same broadcast-query fan-out
         "tfidf_terms",                      # 1-row N-scalar crossJoin
         "unigram_lm",                       # same 1-row totals crossJoin
+        "lm_buckets",                       # 1-row threshold crossJoin
+        "source_kl",                        # top-V spine crossJoin
+        "semantic_decontam",                # broadcast-bench fan-out
+        "mmr_rerank",                       # broadcast-query fan-out
     }
     for name, fn in QUERIES.items():
         plan = fmt(fn(spark, sf_dir))

@@ -114,3 +114,27 @@ def test_split_salted_join_exact_vs_plain(spark):
                       split_salted_join(left, right, ["k"], empty_hot,
                                         salts=4).collect()))
     assert got2 == want
+
+
+def test_driver_skew_row_matches_plain_join_and_salts(spark, sf_dir):
+    """The graded q_skew_salted_join row (VERDICT r05 item 7) must (a)
+    equal the plain inner-join aggregate bit-for-bit and (b) actually
+    exercise the salted plan: the physical plan shuffles on
+    (key, salt), and the hot top-100 set is non-empty by construction
+    so the conditional salt is live, not a constant."""
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.driver_queries import q_skew_salted_join
+
+    out = q_skew_salted_join(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__aq_salt" in plan, plan[:2000]
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    want = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
