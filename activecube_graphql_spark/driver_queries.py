@@ -1462,6 +1462,44 @@ def q_transitions(spark, sf_dir):
                              state="event_type", tiebreak="event_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing audit (operators/text.py with_redacted — the
+    C4/RefinedWeb-style pre-training privacy pass): URLs → [URL],
+    emails → [EMAIL], phone-like digit runs → [PHONE], summarized per
+    source as doc count, total scrubbed spans, docs touched, and the
+    net character delta of redaction. Map-only codegen'd portable
+    regex fragments (no backslash escapes — Spark string literals
+    process them, DuckDB's do not), so the oracle evaluates the
+    IDENTICAL expressions; integer SUMs pinned to BIGINT on both
+    sides (DuckDB widens to HUGEINT). Promoted from pytest-only
+    parity (test_pipeline_ops.py redaction tests) to a graded row in
+    r06 — it was the one catalog operator with no driver evidence."""
+    red = tx.with_redacted(_docs(spark, sf_dir))
+    return (red.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("pii_count").cast("long").alias("pii_spans"),
+                 F.sum((F.col("pii_count") > 0).cast("long"))
+                 .cast("long").alias("n_docs_with_pii"),
+                 F.sum(F.length("text_redacted") - F.length("text"))
+                 .cast("long").alias("len_delta")))
+
+
+_PII_SCRUB_ORACLE = f"""
+    WITH r AS (
+        SELECT source,
+               {tx.oracle_fragment(tx.PII_COUNT)} AS pii_count,
+               length({tx.oracle_fragment(tx.REDACTED)}) - length(text)
+                   AS len_delta
+        FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(pii_count) AS BIGINT) AS pii_spans,
+           CAST(sum(CASE WHEN pii_count > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(len_delta) AS BIGINT) AS len_delta
+    FROM r GROUP BY 1
+"""
+
+
 def q_winsorized(spark, sf_dir):
     """Per-group winsorized statistics (operators/robust.py winsorize):
     clamp event values into each type's exact [p05, p95] quantile band,
@@ -2094,19 +2132,26 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # after its last green record re-enters tier 1).
 # r06 rotation (CORRECTNESS_r05 landed 50/50 green; manifest refreshed
 # against that tree before any r06 edit):
-#   tier 1 (9) — no usable green record: the 5 formerly-staged rows get
-#            their first grading; skew_salted_join and mmr_rerank are
-#            NEW this round (VERDICT r05 items 6/7); quality_pct
+#   tier 1 (10) — no usable green record: the 5 formerly-staged rows
+#            get their first grading; pii_scrub, skew_salted_join and
+#            mmr_rerank are NEW this round (VERDICT r05 items 6/7 +
+#            the last pytest-only catalog op promoted); quality_pct
 #            re-enters after the rank-based percentile_filter migration
 #            changed its semantics; embed_lsh_ann re-enters on a
 #            docstring-only edit (ADVICE r05 stale-doc fix — the hash
 #            guard is deliberately insensitive to WHY source changed).
+#            Their manifest entries stay at PRE-edit values (or absent
+#            greens) until the driver re-grades them — regenerating the
+#            manifest after an edit would spuriously revalidate stale
+#            evidence.
 #   tier 2 (16) — green twice, last graded r02 (the oldest evidence in
 #            the registry: lang_id .. tuple_topk).
-#   tier 3 (25) — green twice, last graded r03 (asof_join ..
-#            semi_anti, registry order).
-#   behind the window (56) — green in r03 (12 rows, rotate forward
-#            next) or graded green in r05 (49 rows, freshest evidence).
+#   tier 3 (24 in-window) — green twice, last graded r03 (asof_join ..
+#            resampled, registry order; semi_anti slips just behind the
+#            50-row window, green on record).
+#   behind the window (62) — green in r03 (13 rows incl. semi_anti,
+#            rotate forward next) or graded green in r05 (49 rows, the
+#            freshest evidence).
 # EVERY registered row was verified locally this round at sf0.001 and
 # sf0.01 (driver grading scale, bare session too) plus sf0.1 for every
 # new/changed row, via tools/verify_local.py (bit-exact floats +
@@ -2119,6 +2164,7 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # to fill the 50; any r06-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: no usable green record (graded first) ---
+    "pii_scrub": q_pii_scrub,
     "winsorized": q_winsorized,
     "lm_buckets": q_lm_buckets,
     "source_kl": q_source_kl,
@@ -2256,6 +2302,7 @@ ORACLES: dict[str, str] = {
     "dup_cluster_sizes": _DUP_CLUSTER_SIZES_ORACLE,
     # new r06 rows (VERDICT r05 items 6/7)
     "skew_salted_join": _SKEW_SALTED_JOIN_ORACLE,
+    "pii_scrub": _PII_SCRUB_ORACLE,
     "mmr_rerank": _MMR_RERANK_ORACLE,
     "flagship_revenue": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,

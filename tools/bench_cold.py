@@ -1,11 +1,14 @@
-"""Cold-cache timings for the cache-sharing dedup family (BENCH_NOTES).
+"""Ad-hoc COLD-cache timings for individual rows.
 
-``bench.py`` deliberately does NOT clear the cache between queries (the
-dedup rows share a persisted shingle frame, matching how BASELINE.md was
-recorded). This records the complementary number: each heavy row run
-once per fresh cache (``spark.catalog.clearCache()`` before every run,
-median of 3 such cold runs), so a shingle-stage regression cannot hide
-behind a warm cache.
+Historically the complement to the v1 suite protocol, whose shared
+caches let a shingle-stage regression hide behind a warm frame. Since
+the r06 protocol v2, ``bench.py`` itself isolates every row
+(clearCache → warm-up → warm median-of-3), so the suite numbers no
+longer need this check; what this tool still measures differently is
+the FULLY-cold median (cache cleared before every timed run, so the
+row's own persisted intermediates rebuild inside the measurement) —
+the cost profile of a first/once-off pipeline run, vs bench.py's warm
+steady-state.
 
 Usage: python tools/bench_cold.py [query ...]   (default: the heavy trio)
 """
