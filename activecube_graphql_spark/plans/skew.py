@@ -63,7 +63,8 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: Sequence[str],
 def split_salted_join(skewed: DataFrame, other: DataFrame,
                       on: Sequence[str], hot_keys: DataFrame,
                       salts: int = 16,
-                      salt_by: Optional[Sequence[str]] = None) -> DataFrame:
+                      salt_by: Optional[Sequence[str]] = None,
+                      partitions: Optional[int] = None) -> DataFrame:
     """Selective-salt inner join — the scale-sane form of salting: only
     rows whose key is in ``hot_keys`` (a SMALL frame of the ``on``
     columns, broadcast) pay the ``salts``× build-side replication; cold
@@ -78,8 +79,50 @@ def split_salted_join(skewed: DataFrame, other: DataFrame,
 
     Whole-side salting multiplies the ENTIRE build shuffle by
     ``salts``; here the replicated rows are only the hot set's — by
-    definition a few thousand keys whose copies fit comfortably."""
+    definition a few thousand keys whose copies fit comfortably.
+
+    The probe side is shuffled with an EXPLICIT
+    ``repartition(partitions, keys + salt)`` rather than letting
+    EnsureRequirements insert the exchange. Reason (measured, r06):
+    AQE's partition coalescing sizes post-shuffle partitions by
+    MAP-OUTPUT bytes, and a skewed join's shuffle writes are often
+    small while its OUTPUT amplifies (the decontamination shape — a
+    modest shingle shuffle fanning out into millions of pairs). On a
+    90 %-hot 180 M-row-output join at sf0.1, coalescing merged every
+    (key, salt) bucket back into 1–2 tasks and silently undid the
+    salting (salted measured 0.76–0.88× of the UNSALTED plan — pure
+    overhead). The ``REPARTITION_BY_NUM`` shuffle origin is exempt
+    from coalescing, so pinning the probe exchange keeps the salt
+    buckets live and the build side co-partitions against it (same
+    measurement after the pin: salted 1.11 s vs unsalted 1.78 s,
+    1.6× at local[32] — and the unsalted plan's whale stays ONE task
+    however wide the cluster, so the gap grows with executor count).
+    Note EnsureRequirements may RAISE the exchange's partition count
+    to match the peer side (max of the two wins); the pin's
+    load-bearing property is the coalesce-exempt origin, not the
+    exact count. Default ``partitions`` = the session's
+    ``spark.sql.shuffle.partitions`` (the operator only routes when a
+    work model measured real skew, a regime where coalescing to fewer
+    tasks is never what you want); raise it at cluster scale along
+    with everything else."""
     keys = list(on)
+    lt, rt = dict(skewed.dtypes), dict(other.dtypes)
+    mismatched = [c for c in keys if lt[c] != rt[c]]
+    if mismatched:
+        # a mismatched key joins through an implicit cast, and the
+        # pinned repartition below (on the RAW columns) then no longer
+        # satisfies the join's distribution requirement — Catalyst
+        # stacks a second, coalescible exchange on top and AQE undoes
+        # the salting silently (measured r06). Surfacing it beats
+        # widening here: an implicit join-key cast also defeats
+        # bucketing and partition pruning, so the caller should align
+        # types once at the source.
+        raise ValueError(
+            f"split_salted_join key dtype mismatch {mismatched}: "
+            f"{[(c, lt[c], rt[c]) for c in mismatched]} — cast the key "
+            "columns to a common type before salting")
+    parts = int(partitions if partitions is not None else
+                skewed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     hk = F.broadcast(hot_keys.select(*keys).distinct()
                      .withColumn("__aq_hot", F.lit(1)))
     basis = [c for c in (salt_by if salt_by is not None else
@@ -89,7 +132,8 @@ def split_salted_join(skewed: DataFrame, other: DataFrame,
     left = (skewed.join(hk, keys, "left")
             .withColumn(_SALT, F.when(F.col("__aq_hot").isNotNull(),
                                       spread).otherwise(F.lit(0)))
-            .drop("__aq_hot"))
+            .drop("__aq_hot")
+            .repartition(parts, *[F.col(c) for c in keys + [_SALT]]))
     right = (other.join(hk, keys, "left")
              .withColumn(_SALT, F.explode(
                  F.when(F.col("__aq_hot").isNotNull(),

@@ -138,3 +138,58 @@ def test_driver_skew_row_matches_plain_join_and_salts(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_salted_exchange_pinned_against_aqe_coalesce(spark):
+    """AQE's partition coalescing sizes post-shuffle partitions by
+    MAP-OUTPUT bytes, blind to join fan-out — on a small-shuffle /
+    large-output salted join it merged every (key, salt) bucket back
+    into one task and silently undid the salting (measured r06, 90%
+    whale: salted ran 0.76x of unsalted). The probe exchange must
+    therefore carry the REPARTITION_BY_NUM origin (exempt from
+    coalescing), and the executed join must keep the pinned partition
+    count even with a shuffle write far below the coalesce target."""
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.plans.skew import split_salted_join
+
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("v"))
+    right = (spark.range(0, 50).select(F.col("id").alias("k"))
+             .crossJoin(spark.range(0, 20).select(F.col("id").alias("r"))))
+    hot = spark.createDataFrame([(0,)], "k long")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = split_salted_join(left, right, ["k"], hot, salts=8,
+                              salt_by=["v"], partitions=16)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the load-bearing property is the coalesce-exempt origin;
+        # EnsureRequirements may raise the COUNT to match the peer side
+        assert "REPARTITION_BY_NUM" in plan, plan[:3000]
+        sizes = j.rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]).collect()
+        # the whale key's rows must actually spread over several buckets
+        assert sum(1 for n in sizes if n > 0) >= 6, sizes
+        assert max(sizes) < 0.5 * sum(sizes), sizes
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_split_salted_join_rejects_key_dtype_mismatch(spark):
+    """A mismatched key dtype joins through an implicit cast, which the
+    pinned raw-column repartition cannot satisfy — Catalyst would stack
+    a second, coalescible exchange and AQE would undo the salting
+    silently. The operator surfaces it instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.plans.skew import split_salted_join
+
+    left = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("k"), F.col("id").alias("v"))
+    right = spark.range(0, 10).select(F.col("id").alias("k"),
+                                      F.col("id").alias("w"))
+    hot = spark.createDataFrame([(0,)], "k int")
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        split_salted_join(left, right, ["k"], hot, salts=4, salt_by=["v"])
