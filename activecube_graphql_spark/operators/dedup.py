@@ -28,8 +28,9 @@ eager materialization (localCheckpoint) would change the lazy contract
 and double storage. The frames are MEMORY_AND_DISK with LRU eviction,
 so a long-lived session degrades gracefully rather than leaking
 unboundedly; sessions running many unrelated pipelines should call
-``spark.catalog.clearCache()`` at pipeline boundaries (bench.py does
-exactly this at its tier boundary — see BENCH_NOTES.md). Operators
+``spark.catalog.clearCache()`` at pipeline boundaries (bench.py's v2
+protocol does exactly this before every row — see BENCH_NOTES.md).
+Operators
 whose persisted state is NOT part of the returned plan (connected
 components' edge list, with_simhash's synthetic ids) do release it
 eagerly.
@@ -421,13 +422,22 @@ def decontamination_overlap(train: DataFrame, bench: DataFrame,
                         "spark.sql.shuffle.partitions")))
                     thr = max(1 << 12, 4 * row["ss"] // parts)
                     if row["mx"] > thr:
-                        # hot set is tiny by construction — eagerly
-                        # materialize it (cutting lineage to `work`) so
-                        # the probe cache can be released NOW instead of
-                        # leaking until clearCache (ADVICE r05)
-                        hot_keys = (work.filter(F.col("w") > thr)
-                                    .select("shingle")
-                                    .localCheckpoint(eager=True))
+                        # hot set is PROVABLY tiny: thr >= 4·ss/parts,
+                        # so by the Markov bound at most parts/4 keys
+                        # can carry w > thr. Collect them to the driver
+                        # (cutting lineage to `work`, so the probe
+                        # cache can be released NOW — ADVICE r05)
+                        # rather than localCheckpoint: checkpoint
+                        # blocks live unreplicated on executors, are
+                        # NOT recomputable after executor loss
+                        # (spot/decommission at 100 TB), and are not
+                        # freed by clearCache. A <= parts/4-row local
+                        # frame has none of those failure modes.
+                        hot = (work.filter(F.col("w") > thr)
+                               .select("shingle").collect())
+                        hot_keys = bench.sparkSession.createDataFrame(
+                            [(r["shingle"],) for r in hot],
+                            "shingle string")
             finally:
                 work.unpersist()
         if hot_keys is not None:

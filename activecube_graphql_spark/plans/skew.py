@@ -107,7 +107,11 @@ def split_salted_join(skewed: DataFrame, other: DataFrame,
     with everything else."""
     keys = list(on)
     lt, rt = dict(skewed.dtypes), dict(other.dtypes)
-    mismatched = [c for c in keys if lt[c] != rt[c]]
+    # only compare keys present on both sides — a missing column falls
+    # through to the select/join below, whose AnalysisException names
+    # the column and suggests alternatives (better than a bare KeyError)
+    mismatched = [c for c in keys
+                  if c in lt and c in rt and lt[c] != rt[c]]
     if mismatched:
         # a mismatched key joins through an implicit cast, and the
         # pinned repartition below (on the RAW columns) then no longer

@@ -52,25 +52,23 @@ def compact_line(total: float, timings: dict[str, float],
                  sf: float | None) -> str:
     """Largest-first subset of ``timings`` that keeps the summary line
     under TAIL_BUDGET bytes; deterministic (time desc, name asc)."""
-    order = sorted(timings, key=lambda n: (-timings[n], n))
+    def render(keep: dict[str, float]) -> str:
+        # single definition of the summary record: the fit trials and
+        # the returned line can never diverge
+        return json.dumps({"metric": "suite_total_median_sec",
+                           "value": total, "unit": "sec",
+                           "queries": keep, "sf": sf,
+                           "queries_omitted": len(timings) - len(keep),
+                           "full": "bench_out.json"},
+                          separators=(",", ":"))
+
     keep: dict[str, float] = {}
-    for name in order:
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
         keep[name] = round(timings[name], 2)
-        rec = json.dumps({"metric": "suite_total_median_sec",
-                          "value": total, "unit": "sec",
-                          "queries": keep, "sf": sf,
-                          "queries_omitted": len(timings) - len(keep),
-                          "full": "bench_out.json"},
-                         separators=(",", ":"))
-        if len(rec) > TAIL_BUDGET:
+        if len(render(keep)) > TAIL_BUDGET:
             del keep[name]
             break
-    return json.dumps({"metric": "suite_total_median_sec",
-                       "value": total, "unit": "sec",
-                       "queries": keep, "sf": sf,
-                       "queries_omitted": len(timings) - len(keep),
-                       "full": "bench_out.json"},
-                      separators=(",", ":"))
+    return render(keep)
 
 
 def main() -> None:

@@ -515,6 +515,33 @@ def test_decontamination_shuffle_salted_routing(spark):
     assert salted_rows
 
 
+def test_decontamination_measured_work_model_salts(spark):
+    """The product work model (skew_df=None) must route a measured-hot
+    shingle through the salted path: df_t*df_b for the shared shingle
+    exceeds thr = max(4096, 4*ss/parts), the hot set is collected to
+    the driver (provably <= parts/4 keys by the Markov bound — the r06
+    replacement for localCheckpoint, whose executor-local blocks are
+    unrecoverable after executor loss), and the result stays
+    bit-identical to the plain shuffle join."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    hot = [(i, "aaa bbb ccc filler%d" % i) for i in range(70)]
+    train = spark.createDataFrame(hot, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(i + 1000, t) for i, t in hot], ["doc_id", "text"])
+    with _no_broadcast(spark):
+        salted = dd.decontamination_overlap(
+            train, bench, min_shared=1, bench_broadcast_docs=0)
+        plan = fmt(salted)
+        assert re.search(r"hashpartitioning\([^)]*__aq_salt", plan), plan
+        salted_rows = salted.collect()
+    default = dd.decontamination_overlap(train, bench, min_shared=1)
+    key = lambda r: (r["train_id"], r["bench_id"], r["shared"])
+    assert sorted(map(key, salted_rows)) == \
+        sorted(map(key, default.collect()))
+    assert len(salted_rows) == 70 * 70  # every train x bench pair shares
+
+
 def test_no_cartesian_in_any_driver_row(spark):
     """Compile EVERY registry row's physical plan and assert none plans
     a CartesianProduct. BroadcastNestedLoopJoin is allowed only where a

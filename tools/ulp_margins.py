@@ -90,7 +90,11 @@ class Gate:
 
     def check(self, name: str, margin: float) -> None:
         self.rows[name] = margin
-        if margin < MARGIN:
+        # `not (margin >= MARGIN)` rather than `margin < MARGIN`: a NaN
+        # margin (e.g. a 0/0 from a degenerate vector slipping past the
+        # norm guards) means the margin computation itself broke, and
+        # must FAIL the gate, not silently pass it
+        if not (margin >= MARGIN):
             self.bad.append(name)
 
 
@@ -100,27 +104,53 @@ def run(sf_dir: str) -> Gate:
     u = _unit(v)
 
     # ---- embed_lsh_ann: sign margins on 32 plane dots (raw vectors),
-    # rank margins on candidate cosines, grid margins on emitted top-5
+    # then rank/grid margins on the row's ACTUAL bucket-restricted
+    # candidate set — recall < 1 means the k/k+1 boundary can sit
+    # between non-adjacent GLOBAL ranks (e.g. global 9 vs 10 when ranks
+    # 4-6 share no bucket with the query), so global-top-k gaps are the
+    # wrong check. Candidates re-derived exactly as _lsh_buckets does:
+    # table t uses planes [4t, 4t+4), bucket = (t, 4-bit sign code).
     pmat = np.asarray(_plane_coefficients(32, 64), dtype=np.float64)
     dots = v @ pmat.T
     rel = np.abs(dots) / (np.linalg.norm(v, axis=1)[:, None]
                           * np.linalg.norm(pmat, axis=1)[None, :])
     g.check("lsh.sign_rel", float(rel.min()))
+    TAB, PL = 8, 4
+    bits = dots >= 0.0
+    codes = np.stack(
+        [(bits[:, t * PL:(t + 1) * PL]
+          * (1 << np.arange(PL))[None, :]).sum(axis=1)
+         for t in range(TAB)], axis=1)           # (n, tables)
     q_mask = ids < 5
     cos_q = _cosines(v[q_mask], v)            # query x corpus cosines
     for qi, qid in enumerate(ids[q_mask]):
-        c = cos_q[qi][ids != qid]
-        g.check(f"lsh/topk.rank_gap.q{qid}", _rank_gaps(c, 6))
-        g.check(f"lsh/topk.grid.q{qid}",
+        qcode = codes[ids == qid][0]
+        cand = (codes == qcode[None, :]).any(axis=1) & (ids != qid)
+        c = cos_q[qi][cand]
+        g.check(f"lsh.cand_rank_gap.q{qid}", _rank_gaps(c, 6))
+        g.check(f"lsh.cand_grid.q{qid}",
                 _grid_margin(np.sort(c)[::-1][:5]))
 
     # ---- embed_ivf_ann: corpus argmax cell gap (top1/top2), query
-    # probe-set gap (6th/7th of 16 cells)
+    # probe-set gap (6th/7th of 16 cells), and rank/grid margins on the
+    # probe-restricted candidate set the row actually emits (unit-dot
+    # scoring, matching _cell_topk)
     c16 = np.asarray(fixed_centroids(16, 64), dtype=np.float64)
-    s16 = np.sort(u @ c16.T, axis=1)[:, ::-1]
+    cell_scores = u @ c16.T
+    s16 = np.sort(cell_scores, axis=1)[:, ::-1]
     g.check("ivf.assign_gap", float((s16[:, 0] - s16[:, 1]).min()))
     sq = s16[q_mask]
     g.check("ivf.probe_gap", float((sq[:, 5] - sq[:, 6]).min()))
+    corpus_cell = np.argmax(cell_scores, axis=1)
+    ucos_q = u[q_mask] @ u.T
+    for qi, qid in enumerate(ids[q_mask]):
+        probe = np.argsort(-cell_scores[ids == qid][0],
+                           kind="stable")[:6]
+        cand = np.isin(corpus_cell, probe) & (ids != qid)
+        c = ucos_q[qi][cand]
+        g.check(f"ivf.cand_rank_gap.q{qid}", _rank_gaps(c, 6))
+        g.check(f"ivf.cand_grid.q{qid}",
+                _grid_margin(np.sort(c)[::-1][:5]))
 
     # ---- semantic_dedup (4 cells, nprobe 2, threshold 0.45 with the
     # operator's eps=1e-9 slack): probe gap 2nd/3rd, threshold margins
