@@ -1,0 +1,164 @@
+"""Property-based cross-checks for the dedup pair pipelines.
+
+Each property runs the DISTRIBUTED operator against an independent
+brute-force O(n²) Python reference over hypothesis-random corpora drawn
+from a tiny token alphabet (forcing shingle collisions, truncated-gram
+docs, empty docs, and duplicate texts — the edge geometry the fixture
+tables rarely hit). The reference mirrors the documented shingle
+semantics (``_shingles``): lowercase ``[a-z]+`` tokens, distinct word
+n-grams, a single truncated gram for 0 < tokens < n, nothing for empty
+docs. The oracle-hash driver rows check the same operators against
+DuckDB at fixture scale; this harness covers the combinatorial corners
+those fixed tables cannot."""
+
+from __future__ import annotations
+
+import re
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+TOKENS = ["aa", "bb", "cc", "dd", "ee"]
+
+doc = st.lists(st.sampled_from(TOKENS), min_size=0, max_size=8).map(" ".join)
+corpus = st.lists(doc, min_size=2, max_size=7)
+
+_SETTINGS = dict(max_examples=15, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow,
+                                        HealthCheck.function_scoped_fixture])
+
+
+def ref_shingles(text: str, n: int = 3) -> frozenset[str]:
+    toks = re.findall(r"[a-z]+", text.lower())
+    if not toks:
+        return frozenset()
+    if len(toks) < n:
+        return frozenset({" ".join(toks)})
+    return frozenset(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+
+
+def _df(spark, texts, id_offset=0):
+    return spark.createDataFrame(
+        [(i + id_offset, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+@settings(**_SETTINGS)
+@given(corpus)
+def test_ngram_jaccard_matches_bruteforce(spark, texts):
+    """Both physical strategies of ngram_jaccard_pairs are exact: the
+    emitted (a<b, jaccard>=t) pair set equals the brute-force reference,
+    values within float-round noise. Strategy is forced BOTH ways so the
+    prefix-filter path and the bitmap path each face every corpus."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    sets = {i: ref_shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        A, B = sets[a], sets[b]
+        if not A or not B:
+            continue
+        inter = len(A & B)
+        j = inter / (len(A) + len(B) - inter)
+        if j >= 0.5:
+            want[(a, b)] = j
+    df = _df(spark, texts)
+    for strategy in ("index", "bitmap"):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dd.ngram_jaccard_pairs(
+                   df, threshold=0.5, strategy=strategy).collect()}
+        assert set(got) == set(want), (strategy, texts, got, want)
+        for k, v in want.items():
+            assert abs(got[k] - round(v, 4)) < 1e-6, (strategy, k, texts)
+
+
+@settings(**_SETTINGS)
+@given(corpus)
+def test_containment_matches_bruteforce(spark, texts):
+    """ngram_containment_pairs emits every ORDERED pair (a, b), a != b,
+    with |A∩B| / |A| >= t (no df cap in play at this scale)."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    sets = {i: ref_shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a] or not sets[b]:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= 0.5:
+                want[(a, b)] = c
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dd.ngram_containment_pairs(
+               _df(spark, texts), threshold=0.5, max_df=10**6).collect()}
+    assert set(got) == set(want), (texts, got, want)
+    for k, v in want.items():
+        assert abs(got[k] - round(v, 4)) < 1e-6, (k, texts)
+
+
+@settings(**_SETTINGS)
+@given(corpus)
+def test_minhash_verified_subset_and_scores(spark, texts):
+    """minhash_lsh_verified emits only TRUE-Jaccard >= t pairs (the
+    exact-verify contract — no false positives ever), with correct
+    scores. Completeness is probabilistic (>= 1 - 1e-8 per pair at
+    t=0.5) and pinned separately by the deterministic fixture rows, so
+    the property asserts the one-sided guarantee."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    sets = {i: ref_shingles(t) for i, t in enumerate(texts)}
+    exact = {}
+    for a, b in combinations(sorted(sets), 2):
+        A, B = sets[a], sets[b]
+        if not A or not B:
+            continue
+        inter = len(A & B)
+        j = inter / (len(A) + len(B) - inter)
+        if j >= 0.5:
+            exact[(a, b)] = j
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.minhash_lsh_verified(
+               _df(spark, texts), threshold=0.5).collect()}
+    assert set(got) <= set(exact), (texts, got, exact)
+    for k, v in got.items():
+        assert abs(v - round(exact[k], 4)) < 1e-6, (k, texts)
+
+
+@settings(**_SETTINGS)
+@given(corpus, corpus)
+def test_decontamination_overlap_matches_bruteforce(spark, train_texts,
+                                                   bench_texts):
+    """decontamination_overlap counts DISTINCT shared shingles per
+    (train, bench) pair and keeps pairs with shared >= min_shared."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    t_sets = {i: ref_shingles(t) for i, t in enumerate(train_texts)}
+    b_sets = {i + 1000: ref_shingles(t)
+              for i, t in enumerate(bench_texts)}
+    want = {(a, b): len(t_sets[a] & b_sets[b])
+            for a in t_sets for b in b_sets
+            if len(t_sets[a] & b_sets[b]) >= 2}
+    got = {(r["train_id"], r["bench_id"]): r["shared"]
+           for r in dd.decontamination_overlap(
+               _df(spark, train_texts),
+               _df(spark, bench_texts, id_offset=1000),
+               min_shared=2).collect()}
+    assert got == want, (train_texts, bench_texts, got, want)
+
+
+@settings(**_SETTINGS)
+@given(corpus)
+def test_exact_dedup_keeps_min_id_survivor(spark, texts):
+    """exact_dedup keyed on the text keeps exactly the min-id row of
+    every distinct text."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    want = {}
+    for i, t in enumerate(texts):
+        want.setdefault(t, i)
+    got = {(r["text"], r["doc_id"])
+           for r in dd.exact_dedup(_df(spark, texts),
+                                   ["text"], "doc_id").collect()}
+    assert got == {(t, i) for t, i in want.items()}, (texts, got, want)
