@@ -1035,7 +1035,7 @@ def q_embed_lsh_ann(spark, sf_dir):
     inputs: the ``_lsh_ann_oracle`` twin re-derives the signatures,
     bucket join, and candidate scoring from the same literals in SQL
     (hash-checked since r05). Recall vs the brute-force baseline stays
-    asserted in tests/test_similarity.py."""
+    asserted in tests/test_pipeline_ops.py."""
     corpus = _embeds(spark, sf_dir)
     return sim.lsh_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=5)
 
@@ -1048,7 +1048,7 @@ def q_embed_ivf_ann(spark, sf_dir):
     of its inputs: the oracle re-derives cell assignment, probe set, and
     candidate scoring from the same literals in SQL. The sample-trained
     k-means quantizer (the serving default) stays recall-tested in
-    tests/test_similarity.py."""
+    tests/test_pipeline_ops.py."""
     corpus = _embeds(spark, sf_dir)
     return sim.ivf_ann_topk(corpus, corpus.filter(F.col("vec_id") < 5),
                             k=5, centroids=sim.fixed_centroids(16, 64))
@@ -2132,26 +2132,26 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # after its last green record re-enters tier 1).
 # r06 rotation (CORRECTNESS_r05 landed 50/50 green; manifest refreshed
 # against that tree before any r06 edit):
-#   tier 1 (10) — no usable green record: the 5 formerly-staged rows
+#   tier 1 (11) — no usable green record: the 5 formerly-staged rows
 #            get their first grading; pii_scrub, skew_salted_join and
 #            mmr_rerank are NEW this round (VERDICT r05 items 6/7 +
 #            the last pytest-only catalog op promoted); quality_pct
 #            re-enters after the rank-based percentile_filter migration
-#            changed its semantics; embed_lsh_ann re-enters on a
-#            docstring-only edit (ADVICE r05 stale-doc fix — the hash
-#            guard is deliberately insensitive to WHY source changed).
-#            Their manifest entries stay at PRE-edit values (or absent
-#            greens) until the driver re-grades them — regenerating the
-#            manifest after an edit would spuriously revalidate stale
-#            evidence.
+#            changed its semantics; embed_lsh_ann and embed_ivf_ann
+#            re-enter on docstring-only edits (stale-doc fixes — the
+#            hash guard is deliberately insensitive to WHY source
+#            changed). Their manifest entries stay at PRE-edit values
+#            (or absent greens) until the driver re-grades them —
+#            regenerating the manifest after an edit would spuriously
+#            revalidate stale evidence.
 #   tier 2 (16) — green twice, last graded r02 (the oldest evidence in
 #            the registry: lang_id .. tuple_topk).
-#   tier 3 (24 in-window) — green twice, last graded r03 (asof_join ..
-#            resampled, registry order; semi_anti slips just behind the
-#            50-row window, green on record).
-#   behind the window (62) — green in r03 (13 rows incl. semi_anti,
-#            rotate forward next) or graded green in r05 (49 rows, the
-#            freshest evidence).
+#   tier 3 (23 in-window) — green twice, last graded r03 (asof_join ..
+#            quality_rules, registry order; resampled and semi_anti
+#            slip just behind the 50-row window, green on record).
+#   behind the window (62) — green in r03 (14 rows incl. resampled and
+#            semi_anti, rotate forward next) or graded green in r05
+#            (48 rows, the freshest evidence).
 # EVERY registered row was verified locally this round at sf0.001 and
 # sf0.01 (driver grading scale, bare session too) plus sf0.1 for every
 # new/changed row, via tools/verify_local.py (bit-exact floats +
@@ -2174,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "quality_pct": q_quality_pct,
     "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
     # --- tier 2: green twice, last graded r02 (oldest evidence) ---
     "lang_id": q_lang_id,
     "multimodal_features": q_multimodal_features,
@@ -2242,7 +2243,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate": q_boilerplate,
     "token_mixture": q_token_mixture,
     "drift_kl": q_drift_kl,
-    "embed_ivf_ann": q_embed_ivf_ann,
     "semantic_dedup": q_semantic_dedup,
     "char_entropy": q_char_entropy,
     "det_sample": q_det_sample,
