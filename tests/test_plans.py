@@ -529,12 +529,21 @@ def test_decontamination_measured_work_model_salts(spark):
     train = spark.createDataFrame(hot, ["doc_id", "text"])
     bench = spark.createDataFrame(
         [(i + 1000, t) for i, t in hot], ["doc_id", "text"])
-    with _no_broadcast(spark):
-        salted = dd.decontamination_overlap(
-            train, bench, min_shared=1, bench_broadcast_docs=0)
-        plan = fmt(salted)
-        assert re.search(r"hashpartitioning\([^)]*__aq_salt", plan), plan
-        salted_rows = salted.collect()
+    # the work-model threshold is max(4096, 4*ss/parts): the fixture's
+    # hot shingle carries w = 70*70 = 4900, which only clears it when
+    # parts >= 4*9800/4900 = 8 keeps 4*ss/parts below 4096 — pin the
+    # conf so the route fires under any SPARK_GRAFT_SHUFFLE setting
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        with _no_broadcast(spark):
+            salted = dd.decontamination_overlap(
+                train, bench, min_shared=1, bench_broadcast_docs=0)
+            plan = fmt(salted)
+            assert re.search(r"hashpartitioning\([^)]*__aq_salt", plan), plan
+            salted_rows = salted.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     default = dd.decontamination_overlap(train, bench, min_shared=1)
     key = lambda r: (r["train_id"], r["bench_id"], r["shared"])
     assert sorted(map(key, salted_rows)) == \

@@ -124,6 +124,13 @@ def run(sf_dir: str) -> Gate:
     q_mask = ids < 5
     cos_q = _cosines(v[q_mask], v)            # query x corpus cosines
     for qi, qid in enumerate(ids[q_mask]):
+        # embed_topk / knn-family: GLOBAL top-k boundaries (these rows
+        # rank over the full corpus — keep alongside the LSH candidate
+        # checks, they gate DIFFERENT graded rows)
+        call = cos_q[qi][ids != qid]
+        g.check(f"topk.rank_gap.q{qid}", _rank_gaps(call, 6))
+        g.check(f"topk.grid.q{qid}",
+                _grid_margin(np.sort(call)[::-1][:5]))
         qcode = codes[ids == qid][0]
         cand = (codes == qcode[None, :]).any(axis=1) & (ids != qid)
         c = cos_q[qi][cand]
