@@ -1578,17 +1578,28 @@ def q_lm_buckets(spark, sf_dir):
     # order statistic is an actual avg_logp value selected by integer
     # rank arithmetic — bit-identical on any engine sorting the same
     # doubles (see robust.winsorize, same construction).
+    # The rank-k selection runs over the VALUE-KEYED count frame, not
+    # the docs: avg_logp is 4dp-grid-valued, so `groupBy(avg_logp)` is
+    # a partial-aggregated shuffle onto a frame bounded by the GRID
+    # (constant in corpus size), and the value at global rank k is the
+    # smallest value whose cumulative count reaches k. The previous
+    # form ranked every doc through a partition-less window — a
+    # single-task global sort of the whole corpus at 100 TB (caught by
+    # Spark's own WindowExec warning in r06). The remaining window
+    # runs over the tiny distinct-value frame only (the documented
+    # sampling.py pattern).
     from pyspark.sql import Window
-    ranked = out.select(
-        "avg_logp",
-        F.row_number().over(Window.orderBy("avg_logp")).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))).alias("n"))
+    vc = out.groupBy("avg_logp").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = (Window.orderBy("avg_logp")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy()
+    cum = (vc.withColumn("cum", F.sum("c").over(cum_w))
+           .withColumn("n", F.sum("c").over(tot_w)))
     def _at(p):
         k = F.greatest(F.lit(1),
                        F.ceil(F.lit(p) * F.col("n")).cast("int"))
-        return F.min(F.when(F.col("rn") == k, F.col("avg_logp")))
-    thr = ranked.agg(_at(0.33).alias("t1"), _at(0.67).alias("t2"))
+        return F.min(F.when(F.col("cum") >= k, F.col("avg_logp")))
+    thr = cum.agg(_at(0.33).alias("t1"), _at(0.67).alias("t2"))
     j = out.crossJoin(F.broadcast(thr))
     band = (F.when(F.col("avg_logp") <= F.col("t1"), F.lit(0))
             .when(F.col("avg_logp") <= F.col("t2"), F.lit(1))

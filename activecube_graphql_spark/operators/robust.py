@@ -104,7 +104,9 @@ def kl_drift(df: DataFrame, value_col: str, by: Sequence[str],
 
 
 def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
-                      p: float, keep: str = "above") -> DataFrame:
+                      p: float, keep: str = "above",
+                      exact: bool = True,
+                      accuracy: int = 10000) -> DataFrame:
     """Dynamic per-group percentile gate: keep rows whose ``value_col``
     is at/above (``keep='above'``) or at/below (``'below'``) the
     group's exact interpolated ``p``-quantile. The curation pattern
@@ -128,24 +130,37 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
     Scale shape: one window pass partitioned by the group columns
     (rank + count — a single shuffle and sort) reduced to a
     one-row-per-group threshold frame, broadcast back onto the fact
-    table, then a map-only compare — the fact side never shuffles. At
-    100 TB swap the exact rank selection for ``percentile_approx``
-    (sketch-based, same output shape) when per-group sorting spills;
-    the exact variant is what makes the gate oracle-checkable."""
+    table, then a map-only compare — the fact side never shuffles.
+
+    ``exact=False`` is the 100 TB path: the threshold comes from
+    ``percentile_approx`` (Greenwald–Khanna sketch, ``accuracy``
+    controls the rank error ≈ n/accuracy) — a partial-aggregated
+    groupBy with NO per-group sort, so it never spills on a skewed
+    group. The sketch also returns an OBSERVED value (a retained
+    sample, not an interpolation), so the gate's semantics are
+    unchanged — only the selected rank is approximate. The exact
+    variant is what the oracle rows grade; the approx twin is
+    tolerance-tested against it (tests/test_pipeline_ops.py)."""
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
     by = list(by)
-    w = Window.partitionBy(*by).orderBy(F.col(value_col).asc_nulls_last())
-    cw = Window.partitionBy(*by)
-    ranked = df.filter(F.col(value_col).isNotNull()).select(
-        *by, value_col,
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(cw).alias("__n"))
-    k = F.greatest(F.lit(1),
-                   F.ceil(F.lit(float(p)) * F.col("__n")).cast("int"))
-    thr = (ranked.filter(F.col("__rn") == k)
-           .groupBy(*by)
-           .agg(F.min(value_col).alias("thr")))
+    if exact:
+        w = Window.partitionBy(*by).orderBy(
+            F.col(value_col).asc_nulls_last())
+        cw = Window.partitionBy(*by)
+        ranked = df.filter(F.col(value_col).isNotNull()).select(
+            *by, value_col,
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(cw).alias("__n"))
+        k = F.greatest(F.lit(1),
+                       F.ceil(F.lit(float(p)) * F.col("__n")).cast("int"))
+        thr = (ranked.filter(F.col("__rn") == k)
+               .groupBy(*by)
+               .agg(F.min(value_col).alias("thr")))
+    else:
+        thr = (df.groupBy(*by)
+               .agg(F.percentile_approx(value_col, float(p),
+                                        accuracy).alias("thr")))
     j = df.join(F.broadcast(thr), by)
     cmp = (F.col(value_col) >= F.col("thr")) if keep == "above" \
         else (F.col(value_col) <= F.col("thr"))
@@ -153,7 +168,8 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
 
 
 def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
-              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+              lo: float = 0.05, hi: float = 0.95,
+              exact: bool = True, accuracy: int = 10000) -> DataFrame:
     """Per-group winsorization: clamp ``value_col`` into the group's
     [``lo``, ``hi``] quantile band — the standard tail-clipping step
     before mean-based statistics on heavy-tailed metrics (document
@@ -178,10 +194,13 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
     exact-percentile aggregate needed anyway) reduced to a
     one-row-per-group band frame, broadcast back onto the fact table,
     then a map-only ``least/greatest`` — the fact side never shuffles
-    for the join. At 100 TB swap the exact rank selection for
-    ``percentile_approx`` (sketch-based, same call shape) when
-    per-group sorting spills; the exact variant is what makes the band
-    oracle-checkable.
+    for the join. ``exact=False`` is the 100 TB path: the band comes
+    from one ``percentile_approx`` aggregate (Greenwald–Khanna sketch,
+    rank error ≈ n/``accuracy``) — a partial-aggregated groupBy with
+    NO per-group sort, so a skewed group never spills a sort buffer;
+    the sketch returns OBSERVED values, so the band is still actual
+    data points. The exact variant is what the oracle rows grade; the
+    approx twin is tolerance-tested against it.
 
     NULL contract: NULL values take no part in the band — they are
     excluded from the rank/count (so the band is a quantile of the
@@ -191,23 +210,31 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
     to NULLS LAST, silently shifting every order statistic by the NULL
     count (ADVICE r05)."""
     by = list(by)
-    w = Window.partitionBy(*by).orderBy(F.col(value_col).asc_nulls_last())
-    cw = Window.partitionBy(*by)
-    ranked = df.filter(F.col(value_col).isNotNull()).select(
-        *by, value_col,
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(cw).alias("__n"))
-    k_lo = F.greatest(F.lit(1),
-                      F.ceil(F.lit(float(lo)) * F.col("__n")).cast("int"))
-    k_hi = F.greatest(F.lit(1),
-                      F.ceil(F.lit(float(hi)) * F.col("__n")).cast("int"))
-    band = (ranked
-            .filter((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
-            .groupBy(*by)
-            .agg(F.min(F.when(F.col("__rn") == k_lo,
-                              F.col(value_col))).alias("lo_v"),
-                 F.max(F.when(F.col("__rn") == k_hi,
-                              F.col(value_col))).alias("hi_v")))
+    if exact:
+        w = Window.partitionBy(*by).orderBy(
+            F.col(value_col).asc_nulls_last())
+        cw = Window.partitionBy(*by)
+        ranked = df.filter(F.col(value_col).isNotNull()).select(
+            *by, value_col,
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(cw).alias("__n"))
+        k_lo = F.greatest(
+            F.lit(1), F.ceil(F.lit(float(lo)) * F.col("__n")).cast("int"))
+        k_hi = F.greatest(
+            F.lit(1), F.ceil(F.lit(float(hi)) * F.col("__n")).cast("int"))
+        band = (ranked
+                .filter((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
+                .groupBy(*by)
+                .agg(F.min(F.when(F.col("__rn") == k_lo,
+                                  F.col(value_col))).alias("lo_v"),
+                     F.max(F.when(F.col("__rn") == k_hi,
+                                  F.col(value_col))).alias("hi_v")))
+    else:
+        band = (df.groupBy(*by)
+                .agg(F.percentile_approx(value_col, float(lo),
+                                         accuracy).alias("lo_v"),
+                     F.percentile_approx(value_col, float(hi),
+                                         accuracy).alias("hi_v")))
     j = df.join(F.broadcast(band), by, "left")  # all-NULL groups survive
     # explicit NULL guard: Spark's least/greatest SKIP nulls, which
     # would silently clamp a NULL value onto the band edge (unmatched

@@ -1295,3 +1295,54 @@ def test_staged_unigram_lm_row_matches_oracle(spark, sf_dir):
     want = {(r[0], r[1], r[2], r[3])
             for r in con.execute(_UNIGRAM_LM_ORACLE).fetchall()}
     assert got == want and got
+
+
+def test_percentile_filter_approx_tracks_exact(spark, sf_dir):
+    """exact=False (the 100 TB sketch path) must agree with the exact
+    order statistic at full accuracy on real data, and its physical
+    plan must contain NO window sort — the whole point of the swap is
+    that a skewed group cannot spill a per-group sort buffer."""
+    from activecube_graphql_spark.operators import text as tx
+    from activecube_graphql_spark.operators.robust import percentile_filter
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("quality", tx._col(tx.QUALITY, "text")))
+    exact = percentile_filter(docs, "quality", ["source"], 0.75)
+    approx = percentile_filter(docs, "quality", ["source"], 0.75,
+                               exact=False, accuracy=100000)
+    # GK at this accuracy is rank-exact for fixture-sized groups: same
+    # survivors
+    key = lambda r: (r["source"], r["doc_id"])
+    assert sorted(map(key, exact.collect())) == \
+        sorted(map(key, approx.collect()))
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    # low accuracy still yields a sane gate: within a few rank steps
+    rough = percentile_filter(docs, "quality", ["source"], 0.75,
+                              exact=False, accuracy=50)
+    n_exact = exact.count()
+    n_rough = rough.count()
+    assert abs(n_rough - n_exact) <= 0.1 * n_exact + 20
+
+
+def test_winsorize_approx_tracks_exact(spark):
+    """winsorize(exact=False) picks observed values for the band and
+    matches the exact band at full accuracy; the NULL contract carries
+    over (percentile_approx ignores NULLs; unmatched w_value stays
+    NULL, clipped 0)."""
+    from activecube_graphql_spark.operators.robust import winsorize
+
+    rows = ([("g", float(v)) for v in range(1, 101)]
+            + [("g", None)] * 5)
+    df = spark.createDataFrame(rows, "g string, x double")
+    exact = {(r["lo_v"], r["hi_v"])
+             for r in winsorize(df, "x", ["g"], 0.2, 0.8).collect()}
+    approx = {(r["lo_v"], r["hi_v"])
+              for r in winsorize(df, "x", ["g"], 0.2, 0.8,
+                                 exact=False, accuracy=100000).collect()}
+    assert exact == approx == {(20.0, 80.0)}
+    nulls = [r for r in winsorize(df, "x", ["g"], 0.2, 0.8,
+                                  exact=False).collect()
+             if r["x"] is None]
+    assert len(nulls) == 5
+    assert all(r["w_value"] is None and r["clipped"] == 0 for r in nulls)
