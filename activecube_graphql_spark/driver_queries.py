@@ -1596,8 +1596,11 @@ def q_lm_buckets(spark, sf_dir):
     cum = (vc.withColumn("cum", F.sum("c").over(cum_w))
            .withColumn("n", F.sum("c").over(tot_w)))
     def _at(p):
-        k = F.greatest(F.lit(1),
-                       F.ceil(F.lit(p) * F.col("n")).cast("int"))
+        # k stays LONG: ceil(0.67 · a multi-billion-doc count) exceeds
+        # INT_MAX, and a wrapped negative k would silently collapse the
+        # cut to min(avg_logp) (review r06)
+        k = F.greatest(F.lit(1).cast("long"),
+                       F.ceil(F.lit(p) * F.col("n")).cast("long"))
         return F.min(F.when(F.col("cum") >= k, F.col("avg_logp")))
     thr = cum.agg(_at(0.33).alias("t1"), _at(0.67).alias("t2"))
     j = out.crossJoin(F.broadcast(thr))

@@ -109,7 +109,8 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
                       accuracy: int = 10000) -> DataFrame:
     """Dynamic per-group percentile gate: keep rows whose ``value_col``
     is at/above (``keep='above'``) or at/below (``'below'``) the
-    group's exact interpolated ``p``-quantile. The curation pattern
+    group's ``p``-quantile ORDER STATISTIC (an actual data value — see
+    below; never an interpolated quantile). The curation pattern
     behind "keep the top quartile of documents per source": absolute
     thresholds drift as the corpus mixture shifts; a per-group
     percentile self-calibrates. Adds the threshold as ``thr``.
@@ -140,7 +141,10 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
     sample, not an interpolation), so the gate's semantics are
     unchanged — only the selected rank is approximate. The exact
     variant is what the oracle rows grade; the approx twin is
-    tolerance-tested against it (tests/test_pipeline_ops.py)."""
+    tolerance-tested against it (tests/test_pipeline_ops.py). Bound:
+    the exact path ranks with ``row_number`` (IntegerType), so it is
+    defined up to 2³¹ non-null rows PER GROUP; past that use
+    ``exact=False``, which carries no such bound."""
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
     by = list(by)
@@ -152,8 +156,8 @@ def percentile_filter(df: DataFrame, value_col: str, by: Sequence[str],
             *by, value_col,
             F.row_number().over(w).alias("__rn"),
             F.count(F.lit(1)).over(cw).alias("__n"))
-        k = F.greatest(F.lit(1),
-                       F.ceil(F.lit(float(p)) * F.col("__n")).cast("int"))
+        k = F.greatest(F.lit(1).cast("long"),
+                       F.ceil(F.lit(float(p)) * F.col("__n")).cast("long"))
         thr = (ranked.filter(F.col("__rn") == k)
                .groupBy(*by)
                .agg(F.min(value_col).alias("thr")))
@@ -195,12 +199,15 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
     one-row-per-group band frame, broadcast back onto the fact table,
     then a map-only ``least/greatest`` — the fact side never shuffles
     for the join. ``exact=False`` is the 100 TB path: the band comes
-    from one ``percentile_approx`` aggregate (Greenwald–Khanna sketch,
-    rank error ≈ n/``accuracy``) — a partial-aggregated groupBy with
-    NO per-group sort, so a skewed group never spills a sort buffer;
-    the sketch returns OBSERVED values, so the band is still actual
-    data points. The exact variant is what the oracle rows grade; the
-    approx twin is tolerance-tested against it.
+    from ONE ``percentile_approx`` aggregate serving both quantiles
+    (Greenwald–Khanna sketch, rank error ≈ n/``accuracy``) — a
+    partial-aggregated groupBy with NO per-group sort, so a skewed
+    group never spills a sort buffer; the sketch returns OBSERVED
+    values, so the band is still actual data points. The exact variant
+    is what the oracle rows grade; the approx twin is tolerance-tested
+    against it. Bound: the exact path ranks with ``row_number``
+    (IntegerType) — defined up to 2³¹ non-null rows per group; past
+    that use ``exact=False``.
 
     NULL contract: NULL values take no part in the band — they are
     excluded from the rank/count (so the band is a quantile of the
@@ -218,10 +225,12 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
             *by, value_col,
             F.row_number().over(w).alias("__rn"),
             F.count(F.lit(1)).over(cw).alias("__n"))
-        k_lo = F.greatest(
-            F.lit(1), F.ceil(F.lit(float(lo)) * F.col("__n")).cast("int"))
-        k_hi = F.greatest(
-            F.lit(1), F.ceil(F.lit(float(hi)) * F.col("__n")).cast("int"))
+        k_lo = F.greatest(F.lit(1).cast("long"),
+                          F.ceil(F.lit(float(lo))
+                                 * F.col("__n")).cast("long"))
+        k_hi = F.greatest(F.lit(1).cast("long"),
+                          F.ceil(F.lit(float(hi))
+                                 * F.col("__n")).cast("long"))
         band = (ranked
                 .filter((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
                 .groupBy(*by)
@@ -230,11 +239,17 @@ def winsorize(df: DataFrame, value_col: str, by: Sequence[str],
                      F.max(F.when(F.col("__rn") == k_hi,
                                   F.col(value_col))).alias("hi_v")))
     else:
+        # one GK sketch per group serving both quantiles (the
+        # array-percentage form) — two separate percentile_approx
+        # aggregates would each insert and merge their own
+        # QuantileSummaries buffer over every row, doubling the cost
+        # of exactly the huge-data path this branch exists for
+        pcts = F.array(F.lit(float(lo)), F.lit(float(hi)))
         band = (df.groupBy(*by)
-                .agg(F.percentile_approx(value_col, float(lo),
-                                         accuracy).alias("lo_v"),
-                     F.percentile_approx(value_col, float(hi),
-                                         accuracy).alias("hi_v")))
+                .agg(F.percentile_approx(value_col, pcts,
+                                         accuracy).alias("__b"))
+                .select(*by, F.col("__b")[0].alias("lo_v"),
+                        F.col("__b")[1].alias("hi_v")))
     j = df.join(F.broadcast(band), by, "left")  # all-NULL groups survive
     # explicit NULL guard: Spark's least/greatest SKIP nulls, which
     # would silently clamp a NULL value onto the band edge (unmatched
