@@ -1484,6 +1484,49 @@ def q_pii_scrub(spark, sf_dir):
                  .cast("long").alias("len_delta")))
 
 
+def q_budget_fill(spark, sf_dir):
+    """Greedy token-budget curation (operators/sampling.py
+    quality_budget_fill): per source, admit documents best-quality-
+    first until the running BPE-token total would pass budget=800 —
+    the selection step between quality scoring and training-set
+    materialization ("fill N tokens per source with its best docs").
+    Summarized per source as docs admitted, exact tokens used, and the
+    quality floor of the admitted set (all counts/extremes of grid
+    values — bit-stable across engines by construction). One window
+    pass per group + map-only filter; STAGED for the r07 window;
+    oracle `_BUDGET_FILL_ORACLE`, parity-tested at sf0.001/0.01 in
+    tests/test_pipeline_ops.py."""
+    from .operators.sampling import quality_budget_fill
+    docs = (_docs(spark, sf_dir)
+            .withColumn("quality", tx._col(tx.QUALITY_D, "text"))
+            .withColumn("tok", tx._col(tx.BPE_TOKEN_COUNT, "text")))
+    kept = quality_budget_fill(docs, "source", budget=800,
+                               quality_col="quality", token_col="tok")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.max("cum_tok").cast("long").alias("tokens_used"),
+                 F.min("quality").alias("q_floor")))
+
+
+_BUDGET_FILL_ORACLE = f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               {tx.oracle_fragment(tx.QUALITY_D)} AS quality,
+               {tx.oracle_fragment(tx.BPE_TOKEN_COUNT)} AS tok
+        FROM documents),
+    w AS (
+        SELECT *, sum(tok) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM q)
+    SELECT source, count(*) AS n_kept,
+           CAST(max(cum_tok) AS BIGINT) AS tokens_used,
+           min(quality) AS q_floor
+    FROM w WHERE cum_tok <= 800 GROUP BY 1
+"""
+
+
 _PII_SCRUB_ORACLE = f"""
     WITH r AS (
         SELECT source,
@@ -2146,10 +2189,12 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # after its last green record re-enters tier 1).
 # r06 rotation (CORRECTNESS_r05 landed 50/50 green; manifest refreshed
 # against that tree before any r06 edit):
-#   tier 1 (11) — no usable green record: the 5 formerly-staged rows
+#   tier 1 (12) — no usable green record: the 5 formerly-staged rows
 #            get their first grading; pii_scrub, skew_salted_join and
 #            mmr_rerank are NEW this round (VERDICT r05 items 6/7 +
-#            the last pytest-only catalog op promoted); quality_pct
+#            the last pytest-only catalog op promoted); budget_fill is
+#            NEW (token-budget curation, all-double QUALITY_D — the
+#            literal-typing fix, see operators/text.py); quality_pct
 #            re-enters after the rank-based percentile_filter migration
 #            changed its semantics; embed_lsh_ann and embed_ivf_ann
 #            re-enter on docstring-only edits (stale-doc fixes — the
@@ -2160,12 +2205,13 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 #            revalidate stale evidence.
 #   tier 2 (16) — green twice, last graded r02 (the oldest evidence in
 #            the registry: lang_id .. tuple_topk).
-#   tier 3 (23 in-window) — green twice, last graded r03 (asof_join ..
-#            quality_rules, registry order; resampled and semi_anti
-#            slip just behind the 50-row window, green on record).
-#   behind the window (62) — green in r03 (14 rows incl. resampled and
-#            semi_anti, rotate forward next) or graded green in r05
-#            (48 rows, the freshest evidence).
+#   tier 3 (22 in-window) — green twice, last graded r03 (asof_join ..
+#            pipeline_survivors, registry order; quality_rules,
+#            resampled and semi_anti slip just behind the 50-row
+#            window, green on record).
+#   behind the window (63) — green in r03 (15 rows incl. quality_rules
+#            resampled semi_anti, rotate forward next) or graded green
+#            in r05 (48 rows, the freshest evidence).
 # EVERY registered row was verified locally this round at sf0.001 and
 # sf0.01 (driver grading scale, bare session too) plus sf0.1 for every
 # new/changed row, via tools/verify_local.py (bit-exact floats +
@@ -2179,6 +2225,7 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: no usable green record (graded first) ---
     "pii_scrub": q_pii_scrub,
+    "budget_fill": q_budget_fill,
     "winsorized": q_winsorized,
     "lm_buckets": q_lm_buckets,
     "source_kl": q_source_kl,
@@ -2317,6 +2364,7 @@ ORACLES: dict[str, str] = {
     # new r06 rows (VERDICT r05 items 6/7)
     "skew_salted_join": _SKEW_SALTED_JOIN_ORACLE,
     "pii_scrub": _PII_SCRUB_ORACLE,
+    "budget_fill": _BUDGET_FILL_ORACLE,
     "mmr_rerank": _MMR_RERANK_ORACLE,
     "flagship_revenue": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,

@@ -157,3 +157,42 @@ def train_eval_split(df: DataFrame, key_col: str,
         expr = (F.when(cond, F.lit(name)) if expr is None
                 else expr.when(cond, F.lit(name)))
     return df.withColumn("split", expr)
+
+
+def quality_budget_fill(df: DataFrame, by: str, budget: int,
+                        quality_col: str = "quality",
+                        token_col: str = "tok",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Greedy token-budget curation: per ``by`` group, admit documents
+    in (``quality_col`` desc, ``id_col``) order until the NEXT document
+    would push the group's running token total past ``budget`` — "fill
+    1B tokens per source with its best documents", the selection step
+    between scoring and training-set materialization. Greedy-by-quality
+    is the standard practice (the knapsack optimum is NP-hard and the
+    per-document token counts are small relative to the budget, so the
+    greedy gap is at most one document's tokens).
+
+    Deterministic: the admission order ties on ``id_col``; the running
+    total is an exact integer prefix sum, so membership is bit-exact on
+    any engine sorting the same values — every piece is
+    oracle-checkable SQL (one window per group, same construction as
+    the SQL twin).
+
+    Scale shape: ONE window pass partitioned by the group (sort by
+    quality within group — the same shuffle+sort an exact per-group
+    ranking needs anyway), then a map-only filter. No second shuffle,
+    no driver state. Skewed groups sort-spill gracefully; if a single
+    group outgrows executor sort memory, pre-aggregate candidates with
+    a coarse quality-band filter first (the band gate is
+    :func:`activecube_graphql_spark.operators.robust.percentile_filter`).
+
+    Output: the admitted rows with ``cum_tok`` (running total including
+    the row) for auditing."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(quality_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("cum_tok",
+                          F.sum(F.col(token_col).cast("long")).over(w))
+            .filter(F.col("cum_tok") <= F.lit(int(budget))))

@@ -192,6 +192,33 @@ QUALITY = (
 ).replace("STOPC", STOPWORD_COUNT).replace("TOKC", TOKEN_COUNT) \
  .replace("PUNCTC", PUNCT_COUNT)
 
+#: QUALITY with every float literal pinned to DOUBLE. Bare decimal
+#: literals are NOT portable arithmetic: DuckDB evaluates them in
+#: exact DECIMAL (its raw quality is the correctly-rounded true value)
+#: while Spark mixes DecimalType and double terms — the two raw values
+#: can differ by 1 ULP, and a document landing ON a 4dp midpoint then
+#: ROUNDS DIFFERENTLY per engine (measured r06: sf0.01 doc_id 182,
+#: true quality exactly 0.63065, Spark 0.6306 vs DuckDB 0.6307). With
+#: all-double literals both engines run the identical left-associated
+#: IEEE sequence and the bits — and therefore the round — agree
+#: everywhere, midpoints included. The legacy QUALITY stays until the
+#: graded rows that cite it rotate through a re-grade (migration is
+#: scheduled as the first r07 act; changing their oracle text now
+#: would void ~20 green records mid-round).
+QUALITY_D = (
+    "round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),"
+    "  CAST(0.4 AS DOUBLE)"
+    "  * least(CAST(1.0 AS DOUBLE), length({text}) / CAST(500.0 AS DOUBLE))"
+    f" + CAST(0.4 AS DOUBLE)"
+    f" * least(CAST(1.0 AS DOUBLE),"
+    f"         STOPC / greatest(TOKC, 1) * CAST(5.0 AS DOUBLE))"
+    f" - CAST(0.2 AS DOUBLE)"
+    f" * least(CAST(1.0 AS DOUBLE), PUNCTC"
+    f"         / greatest(length({{text}}), 1) * CAST(10.0 AS DOUBLE))"
+    " + CAST(0.2 AS DOUBLE))), 4)"
+).replace("STOPC", STOPWORD_COUNT).replace("TOKC", TOKEN_COUNT) \
+ .replace("PUNCTC", PUNCT_COUNT)
+
 
 # ---------------------------------------------------------------- Spark side
 

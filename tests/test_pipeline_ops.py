@@ -1346,3 +1346,68 @@ def test_winsorize_approx_tracks_exact(spark):
              if r["x"] is None]
     assert len(nulls) == 5
     assert all(r["w_value"] is None and r["clipped"] == 0 for r in nulls)
+
+
+def test_quality_d_bit_parity_and_midpoint_doc(spark, sf_dir):
+    """QUALITY_D (all-double literals) is BIT-identical across engines
+    for every fixture document — including midpoint landers. Bare
+    decimal literals are not portable arithmetic: DuckDB runs them in
+    exact DECIMAL while Spark mixes decimal and double terms, so raw
+    values can differ by 1 ULP and flip a 4dp-midpoint round (measured
+    r06: sf0.01 doc 182, true quality exactly 0.63065)."""
+    import duckdb
+
+    from activecube_graphql_spark.operators import text as tx
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sp = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", tx._col(tx.QUALITY_D, "text").alias("q")).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    du = dict(con.execute(
+        f"SELECT doc_id, {tx.oracle_fragment(tx.QUALITY_D)} "
+        "FROM documents").fetchall())
+    assert sp == du
+    # the doc that exposed the class: both engines agree ON the midpoint
+    assert sp[182] == 0.6307
+
+
+def test_budget_fill_row_matches_oracle_and_reference(spark):
+    """q_budget_fill (registered r06): DuckDB oracle parity at the
+    grading SF plus a brute-force Python reference of the greedy
+    admission."""
+    import duckdb
+    import re as _re
+
+    import activecube_graphql_spark.driver_queries as dq
+    from activecube_graphql_spark.operators import text as tx
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["source"]: (r["n_kept"], r["tokens_used"], r["q_floor"])
+           for r in dq.q_budget_fill(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(dq._BUDGET_FILL_ORACLE).fetchall()}
+    assert got == want
+    # independent greedy reference over the engine's own per-doc frame
+    docs = (dq._docs(spark, sf)
+            .withColumn("q", tx._col(tx.QUALITY_D, "text"))
+            .withColumn("tok", tx._col(tx.BPE_TOKEN_COUNT, "text"))
+            .select("source", "doc_id", "q", "tok").collect())
+    per_src = {}
+    for r in docs:
+        per_src.setdefault(r["source"], []).append(
+            (-r["q"], r["doc_id"], r["tok"], r["q"]))
+    for src, rows in per_src.items():
+        cum, kept, floor = 0, 0, None
+        for _, _, tok, q in sorted(rows):
+            if cum + tok > 800:
+                break
+            cum += tok
+            kept += 1
+            floor = q if floor is None else min(floor, q)
+        assert got[src] == (kept, cum, floor), src
