@@ -1508,6 +1508,34 @@ def q_budget_fill(spark, sf_dir):
                  F.min("quality").alias("q_floor")))
 
 
+def q_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: the exact verified near-dup
+    pair set (minhash_lsh_verified, true Jaccard >= 0.5) mapped to the
+    UNORDERED source pair of each duplicate pair and aggregated — the
+    provenance diagnostic behind "which sources copy from each other"
+    (off-diagonal mass) vs "which sources self-duplicate" (diagonal).
+    Output per (source_a <= source_b): pair count and the max observed
+    Jaccard (a 4dp grid value — bit-stable extremes only). One dim-join
+    of the pair set against the doc->source map (broadcast-scale at
+    100 TB: |docs| rows of id+source, or a shuffle join keyed on doc id
+    if the map outgrows broadcast) + a small-key groupBy. Oracle wraps
+    the graded minhash_lsh_verified SQL as a subquery."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_verified(docs)
+    src = docs.select("doc_id", "source")
+    j = (pairs
+         .join(src.select(F.col("doc_id").alias("id_a"),
+                          F.col("source").alias("sa")), "id_a")
+         .join(src.select(F.col("doc_id").alias("id_b"),
+                          F.col("source").alias("sb")), "id_b"))
+    return (j.select(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"),
+                     "jaccard")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.max("jaccard").alias("max_j")))
+
+
 _BUDGET_FILL_ORACLE = f"""
     WITH q AS (
         SELECT doc_id, source,
@@ -2189,12 +2217,14 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # after its last green record re-enters tier 1).
 # r06 rotation (CORRECTNESS_r05 landed 50/50 green; manifest refreshed
 # against that tree before any r06 edit):
-#   tier 1 (12) — no usable green record: the 5 formerly-staged rows
+#   tier 1 (13) — no usable green record: the 5 formerly-staged rows
 #            get their first grading; pii_scrub, skew_salted_join and
 #            mmr_rerank are NEW this round (VERDICT r05 items 6/7 +
 #            the last pytest-only catalog op promoted); budget_fill is
 #            NEW (token-budget curation, all-double QUALITY_D — the
-#            literal-typing fix, see operators/text.py); quality_pct
+#            literal-typing fix, see operators/text.py);
+#            source_dup_matrix is NEW (cross-source duplication
+#            provenance over the verified pair set); quality_pct
 #            re-enters after the rank-based percentile_filter migration
 #            changed its semantics; embed_lsh_ann and embed_ivf_ann
 #            re-enter on docstring-only edits (stale-doc fixes — the
@@ -2205,13 +2235,13 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 #            revalidate stale evidence.
 #   tier 2 (16) — green twice, last graded r02 (the oldest evidence in
 #            the registry: lang_id .. tuple_topk).
-#   tier 3 (22 in-window) — green twice, last graded r03 (asof_join ..
-#            pipeline_survivors, registry order; quality_rules,
-#            resampled and semi_anti slip just behind the 50-row
-#            window, green on record).
-#   behind the window (63) — green in r03 (15 rows incl. quality_rules
-#            resampled semi_anti, rotate forward next) or graded green
-#            in r05 (48 rows, the freshest evidence).
+#   tier 3 (21 in-window) — green twice, last graded r03 (asof_join ..
+#            neardup_keep, registry order; pipeline_survivors,
+#            quality_rules, resampled and semi_anti slip just behind
+#            the 50-row window, green on record).
+#   behind the window (64) — green in r03 (16 rows incl. the four
+#            displaced tier-3 rows, rotate forward next) or graded
+#            green in r05 (48 rows, the freshest evidence).
 # EVERY registered row was verified locally this round at sf0.001 and
 # sf0.01 (driver grading scale, bare session too) plus sf0.1 for every
 # new/changed row, via tools/verify_local.py (bit-exact floats +
@@ -2226,6 +2256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 1: no usable green record (graded first) ---
     "pii_scrub": q_pii_scrub,
     "budget_fill": q_budget_fill,
+    "source_dup_matrix": q_source_dup_matrix,
     "winsorized": q_winsorized,
     "lm_buckets": q_lm_buckets,
     "source_kl": q_source_kl,
@@ -3779,3 +3810,18 @@ ORACLES: dict[str, str] = {
         FROM r WHERE rn <= 3
     """,
 }
+
+# source_dup_matrix's oracle WRAPS the graded minhash_lsh_verified SQL
+# (single source of truth for the exact pair set — the two rows can
+# never drift apart) with the doc->source provenance joins.
+ORACLES["source_dup_matrix"] = f"""
+    WITH p AS (SELECT * FROM ({ORACLES['minhash_lsh_verified']}) q),
+    s AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           count(*) AS n_pairs,
+           max(p.jaccard) AS max_j
+    FROM p JOIN s sa ON p.id_a = sa.doc_id
+           JOIN s sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2
+"""

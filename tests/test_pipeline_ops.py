@@ -1411,3 +1411,16 @@ def test_budget_fill_row_matches_oracle_and_reference(spark):
             kept += 1
             floor = q if floor is None else min(floor, q)
         assert got[src] == (kept, cum, floor), src
+
+
+def test_source_dup_matrix_consistent_with_pair_set(spark, sf_dir):
+    """The matrix's total pair mass equals the verified pair count, and
+    every (source_a, source_b) cell is ordered source_a <= source_b."""
+    import activecube_graphql_spark.driver_queries as dq
+    from activecube_graphql_spark.operators import dedup as dd
+
+    rows = dq.q_source_dup_matrix(spark, sf_dir).collect()
+    n_pairs = dd.minhash_lsh_verified(dq._docs(spark, sf_dir)).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
+    assert all(0.5 <= r["max_j"] <= 1.0 for r in rows)
