@@ -39,11 +39,25 @@ _DATE_FIELDS_SQL = {
 }
 
 
+#: Revenue aggregates in EXACT DECIMAL, not double (r07, ADVICE r06 +
+#: the ulp_margins sum-grid finding): the fixture's sf0.001 N|F group
+#: sum lands EXACTLY on a 2dp ROUND midpoint, so a double sum — whose
+#: low bits depend on partition count and summation order — rounds
+#: nondeterministically across engines/runs/cluster widths. Prices are
+#: 2dp and discounts 2dp by data contract (tools/ulp_margins.py
+#: run_sum_rounding asserts the 1e-4 grid), so the decimal product is
+#: exact, SUM(decimal) is exact at any parallelism, and
+#: round(·, 2) is deterministic by construction — the only
+#: scale-correct treatment for money aggregates on a 1000-executor
+#: cluster. Emission sites cast the rounded result to DOUBLE (values
+#: ≤ 1e13 cents are exactly representable) so the output schema stays
+#: engine-portable. Valid in both Spark SQL and DuckDB verbatim.
+_REVENUE_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) "
+                "* (1 - CAST(l_discount AS DECIMAL(4,2)))")
+
+
 def _revenue() -> F.Column:
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-
-
-_REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
+    return F.expr(_REVENUE_SQL)
 
 
 ORDERS = frozenset({"orders"})

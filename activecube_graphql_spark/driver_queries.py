@@ -41,8 +41,13 @@ def _events(spark: SparkSession, sf_dir: str) -> EventsCube:
 
 
 def _round(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    # cast("double"): a no-op for double columns; for the exact-DECIMAL
+    # money aggregates (cubes._REVENUE_SQL) it pins the emitted schema
+    # to the oracle's CAST(round(...) AS DOUBLE) — the rounded decimal
+    # is exactly representable, so the cast is value-preserving
     for name, digits in spec.items():
-        df = df.withColumn(name, F.round(F.col(name), digits))
+        df = df.withColumn(name,
+                           F.round(F.col(name), digits).cast("double"))
     return df
 
 
@@ -471,7 +476,7 @@ def q_nested_response(spark, sf_dir):
     }
     df = parse(_sales(spark, sf_dir), spec).nested_df()
     return df.select(F.to_json("orderdate").alias("od"),
-                     F.round("revenue", 2).alias("revenue"))
+                     F.round("revenue", 2).cast("double").alias("revenue"))
 
 
 def q_string_funcs(spark, sf_dir):
@@ -576,7 +581,7 @@ def q_source_cap(spark, sf_dir):
     prunes to the cap below the exchange (§2.8 window family)."""
     from .operators import sampling
     docs = _docs(spark, sf_dir).withColumn(
-        "quality", tx._col(tx.QUALITY, "text"))
+        "quality", tx._col(tx.QUALITY_D, "text"))
     out = sampling.cap_per_group(
         docs, ["source"], [F.col("quality").desc(), F.col("doc_id").asc()],
         cap=5)
@@ -1301,7 +1306,7 @@ def q_quality_pct(spark, sf_dir):
     quantile gate and its grid-valued-column ULP caveat)."""
     from .operators.robust import percentile_filter
     docs = _docs(spark, sf_dir).withColumn(
-        "quality", tx._col(tx.QUALITY, "text"))
+        "quality", tx._col(tx.QUALITY_D, "text"))
     kept = percentile_filter(docs, "quality", ["source"], 0.75)
     return (kept.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_kept"),
@@ -2215,119 +2220,89 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # rows strictly first (tests/test_driver_contract.py enforces both rules,
 # plus the graded-hash manifest guard: a row whose query/oracle text changes
 # after its last green record re-enters tier 1).
-# r06 rotation (CORRECTNESS_r05 landed 50/50 green; manifest refreshed
-# against that tree before any r06 edit):
-#   tier 1 (13) — no usable green record: the 5 formerly-staged rows
-#            get their first grading; pii_scrub, skew_salted_join and
-#            mmr_rerank are NEW this round (VERDICT r05 items 6/7 +
-#            the last pytest-only catalog op promoted); budget_fill is
-#            NEW (token-budget curation, all-double QUALITY_D — the
-#            literal-typing fix, see operators/text.py);
-#            source_dup_matrix is NEW (cross-source duplication
-#            provenance over the verified pair set); quality_pct
-#            re-enters after the rank-based percentile_filter migration
-#            changed its semantics; embed_lsh_ann and embed_ivf_ann
-#            re-enter on docstring-only edits (stale-doc fixes — the
-#            hash guard is deliberately insensitive to WHY source
-#            changed). Their manifest entries stay at PRE-edit values
-#            (or absent greens) until the driver re-grades them —
-#            regenerating the manifest after an edit would spuriously
-#            revalidate stale evidence.
-#   tier 2 (16) — green twice, last graded r02 (the oldest evidence in
-#            the registry: lang_id .. tuple_topk).
-#   tier 3 (21 in-window) — green twice, last graded r03 (asof_join ..
-#            neardup_keep, registry order; pipeline_survivors,
-#            quality_rules, resampled and semi_anti slip just behind
-#            the 50-row window, green on record).
-#   behind the window (64) — green in r03 (16 rows incl. the four
-#            displaced tier-3 rows, rotate forward next) or graded
-#            green in r05 (48 rows, the freshest evidence).
-# EVERY registered row was verified locally this round at sf0.001 and
-# sf0.01 (driver grading scale, bare session too) plus sf0.1 for every
-# new/changed row, via tools/verify_local.py (bit-exact floats +
-# arrow physical-type parity); cross-engine float margins for the
-# ANN/MMR rows are asserted by tools/ulp_margins.py (ADVICE r05).
-# NEXT-ROUND ROTATION (r07): once CORRECTNESS_r06 lands green, run
+# r07 rotation (CORRECTNESS_r06 landed 50/50 green; the manifest was
+# refreshed against that tree FIRST — only the 3 rows r06 itself
+# re-graded changed hashes — and only then were the r07 double-pin
+# edits applied, so the 7 voided rows below hold pre-edit manifest
+# hashes until the driver re-grades them):
+#   tier 1 (21) — voided by the r07 correctness migrations: the
+#            bare-float-literal retirement (7 rows) and the
+#            exact-DECIMAL money-aggregation migration (14 rows) —
+#            details on the tier marker below.
+#   tier 2 (13) — last graded r04, the oldest evidence on record.
+#   tier 3 (16) — last graded r05, oldest-first window fill.
+#   behind the window (64) — 24 r05-graded rows (rotate forward r08)
+#            then the 40 remaining r06-graded rows (freshest).
+# EVERY row whose semantics changed this round (the 7 voided rows) was
+# re-verified locally at sf0.001 and sf0.01 (driver grading scale,
+# bare session) via tools/verify_local.py before entering the window;
+# the double-pin edits are textually-new but semantically identical
+# for every fragment except QUALITY -> QUALITY_D (whose 1-ULP
+# midpoint fix is the point of the migration, and whose corpus-wide
+# bit-parity is pinned by test_pipeline_ops.py::test_quality_d).
+# NEXT-ROUND ROTATION (r08): once CORRECTNESS_r07 lands green, run
 # tools/update_manifest.py (tree unchanged), move tiers 1-3 behind the
-# window, and pull forward the 12 remaining r03-last-graded rows
-# (session_window .. window_analytics) plus the oldest r05-graded rows
-# to fill the 50; any r06-red row stays at the very front.
+# window, and pull forward the 24 remaining r05-last-graded rows
+# (variant_json tail below) plus the oldest r06-graded rows to fill
+# the 50; any r07-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1: no usable green record (graded first) ---
-    "pii_scrub": q_pii_scrub,
-    "budget_fill": q_budget_fill,
-    "source_dup_matrix": q_source_dup_matrix,
-    "winsorized": q_winsorized,
-    "lm_buckets": q_lm_buckets,
-    "source_kl": q_source_kl,
-    "semantic_decontam": q_semantic_decontam,
-    "dup_cluster_sizes": q_dup_cluster_sizes,
-    "skew_salted_join": q_skew_salted_join,
-    "mmr_rerank": q_mmr_rerank,
+    # --- tier 1 (21): no usable green record — all voided by the two
+    #     r07 correctness migrations (VERDICT r06 item 1 + ADVICE):
+    #     (a) bare-float-literal retirement: legacy QUALITY ->
+    #     QUALITY_D on engine AND oracle sides (quality_pct,
+    #     text_stats, source_cap), QUALITY_KEEP/REASON rule-literal
+    #     pins (quality_rules, pipeline_survivors), DUP_TRIGRAM_FRAC_OF
+    #     pin (rep_signals), QUANT_RMSE + LIST_FSUM macro pins
+    #     (embed_quant) — all pins except QUALITY itself are textual
+    #     only (exactly-representable literals), but the manifest
+    #     guard is deliberately insensitive to WHY text changed;
+    #     (b) exact-DECIMAL money aggregation (cubes._REVENUE_SQL):
+    #     every row emitting round(sum(revenue), 2) moved from
+    #     order-dependent double sums to exact decimal + CAST AS
+    #     DOUBLE after tools/ulp_margins.py run_sum_rounding measured
+    #     the sf0.001 N|F group sum EXACTLY on a 2dp round midpoint
+    #     (the 14 rows flagship_revenue .. nested_response below). ---
     "quality_pct": q_quality_pct,
-    "embed_lsh_ann": q_embed_lsh_ann,
-    "embed_ivf_ann": q_embed_ivf_ann,
-    # --- tier 2: green twice, last graded r02 (oldest evidence) ---
-    "lang_id": q_lang_id,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_meta": q_multimodal_meta,
-    "nested_response": q_nested_response,
-    "ngram_jaccard": q_ngram_jaccard,
-    "preagg_rollup": q_preagg_rollup,
-    "quantiles": q_quantiles,
-    "rollup": q_rollup,
-    "slice_month_start": q_slice_month_start,
-    "slice_subfield_year": q_slice_subfield_year,
-    "sort_option_order": q_sort_option_order,
-    "star_join_region": q_star_join_region,
-    "stats_moments": q_stats_moments,
-    "string_funcs": q_string_funcs,
     "text_stats": q_text_stats,
-    "tuple_topk": q_tuple_topk,
-    # --- tier 3: green twice, last graded r03 ---
-    "asof_join": q_asof_join,
-    "char_dup": q_char_dup,
-    "click_purchase_join": q_click_purchase_join,
-    "containment": q_containment,
-    "decontam": q_decontam,
-    "doc_chunks": q_doc_chunks,
-    "edit_verified": q_edit_verified,
-    "embed_centroids": q_embed_centroids,
-    "embed_keep": q_embed_keep,
-    "embed_neardup": q_embed_neardup,
     "embed_quant": q_embed_quant,
-    "embed_range": q_embed_range,
-    "embed_stats": q_embed_stats,
-    "embed_topk": q_embed_topk,
-    "hard_negatives": q_hard_negatives,
-    "histogram": q_histogram,
-    "knn_vote": q_knn_vote,
-    "minhash_lsh_verified": q_minhash_lsh,
-    "mixture_sample": q_mixture_sample,
-    "moving_avg": q_moving_avg,
-    "neardup_keep": q_neardup_keep,
     "pipeline_survivors": q_pipeline_survivors,
     "quality_rules": q_quality_rules,
+    "source_cap": q_source_cap,
+    "rep_signals": q_rep_signals,
+    "flagship_revenue": q_flagship_revenue,
+    "flagship_topn": q_flagship_topn,
+    "slice_subfield_year": q_slice_subfield_year,
+    "slice_month_start": q_slice_month_start,
+    "star_join_region": q_star_join_region,
+    "filter_in": q_filter_in,
+    "filter_any_or": q_filter_any_or,
+    "cond_agg": q_cond_agg,
+    "sort_option_order": q_sort_option_order,
+    "rollup": q_rollup,
+    "grouping_sets": q_grouping_sets,
+    "preagg_rollup": q_preagg_rollup,
+    "alias_fanout": q_alias_fanout,
+    "nested_response": q_nested_response,
+    # --- tier 2 (13): oldest evidence on record — last graded r04
+    #     (VERDICT r06 item 4: no row's evidence older than ~2 rounds) ---
     "resampled": q_resampled,
     "semi_anti": q_semi_anti,
-    # --- behind the window: green r03, rotate forward in r07 ---
     "session_window": q_session_window,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "sketch_rollup": q_sketch_rollup,
     "sliding_window": q_sliding_window,
-    "source_cap": q_source_cap,
     "split_counts": q_split_counts,
     "tfidf_terms": q_tfidf_terms,
     "top_terms": q_top_terms,
     "union_backings": q_union_backings,
     "value_bands": q_value_bands,
     "window_analytics": q_window_analytics,
-    # --- behind the window: graded green in r05 (freshest evidence) ---
+    # --- tier 3 (16): last graded r05, oldest-first fill of the
+    #     50-row window ---
     "variant_json": q_variant_json,
     "unigram_lm": q_unigram_lm,
     "transitions": q_transitions,
-    "rep_signals": q_rep_signals,
     "pack_chunks": q_pack_chunks,
     "anomaly_mad": q_anomaly_mad,
     "profile_docs": q_profile_docs,
@@ -2341,6 +2316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "json_subfield": q_json_subfield,
     "limit_by": q_limit_by,
+    # --- behind the window: last graded r05 (rotate forward r08) ---
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "neardup_clusters": q_neardup_clusters,
@@ -2349,29 +2325,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_user_stats": q_stateful_user_stats,
     "stratified_sample": q_stratified_sample,
     "union_typename": q_union_typename,
-    "alias_fanout": q_alias_fanout,
     "arg_minmax": q_arg_minmax,
     "bucketed_join": q_bucketed_join,
     "collect_array": q_collect_array,
-    "cond_agg": q_cond_agg,
     "count_distinct": q_count_distinct,
     "cube_grouping": q_cube_grouping,
     "db_routing": q_db_routing,
     "dedup_exact": q_dedup_exact,
     "distinct_slice": q_distinct_slice,
     "filter_and_list": q_filter_and_list,
-    "filter_any_or": q_filter_any_or,
     "filter_eq": q_filter_eq,
-    "filter_in": q_filter_in,
     "filter_like_between": q_filter_like_between,
     "filter_null_ops": q_filter_null_ops,
     "filter_ophash": q_filter_ophash,
     "fingerprint_dedup": q_fingerprint_dedup,
-    "flagship_revenue": q_flagship_revenue,
-    "flagship_topn": q_flagship_topn,
     "global_agg": q_global_agg,
     "graphql_topn": q_graphql_topn,
-    "grouping_sets": q_grouping_sets,
+    # --- behind the window: graded green in r06 (freshest evidence) ---
+    "asof_join": q_asof_join,
+    "budget_fill": q_budget_fill,
+    "char_dup": q_char_dup,
+    "click_purchase_join": q_click_purchase_join,
+    "containment": q_containment,
+    "decontam": q_decontam,
+    "doc_chunks": q_doc_chunks,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "edit_verified": q_edit_verified,
+    "embed_centroids": q_embed_centroids,
+    "embed_ivf_ann": q_embed_ivf_ann,
+    "embed_keep": q_embed_keep,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_neardup": q_embed_neardup,
+    "embed_range": q_embed_range,
+    "embed_stats": q_embed_stats,
+    "embed_topk": q_embed_topk,
+    "hard_negatives": q_hard_negatives,
+    "histogram": q_histogram,
+    "knn_vote": q_knn_vote,
+    "lang_id": q_lang_id,
+    "lm_buckets": q_lm_buckets,
+    "minhash_lsh_verified": q_minhash_lsh,
+    "mixture_sample": q_mixture_sample,
+    "mmr_rerank": q_mmr_rerank,
+    "moving_avg": q_moving_avg,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_meta": q_multimodal_meta,
+    "neardup_keep": q_neardup_keep,
+    "ngram_jaccard": q_ngram_jaccard,
+    "pii_scrub": q_pii_scrub,
+    "quantiles": q_quantiles,
+    "semantic_decontam": q_semantic_decontam,
+    "skew_salted_join": q_skew_salted_join,
+    "source_dup_matrix": q_source_dup_matrix,
+    "source_kl": q_source_kl,
+    "stats_moments": q_stats_moments,
+    "string_funcs": q_string_funcs,
+    "tuple_topk": q_tuple_topk,
+    "winsorized": q_winsorized,
 }
 
 
@@ -2399,7 +2409,7 @@ ORACLES: dict[str, str] = {
     "mmr_rerank": _MMR_RERANK_ORACLE,
     "flagship_revenue": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS cnt, sum(l_quantity) AS qty
         FROM lineitem
         WHERE cast(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -2414,14 +2424,14 @@ ORACLES: dict[str, str] = {
     """,
     "slice_subfield_year": """
         SELECT year(o_orderdate) AS order_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS cnt
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """,
     "slice_month_start": """
         SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE cast(o_orderdate AS DATE) >= DATE '1997-01-01'
           AND cast(o_orderdate AS DATE) < DATE '1998-01-01'
@@ -2435,7 +2445,7 @@ ORACLES: dict[str, str] = {
     """,
     "star_join_region": """
         SELECT r_name AS region,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS cnt
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -2455,7 +2465,7 @@ ORACLES: dict[str, str] = {
     """,
     "filter_in": """
         SELECT c_mktsegment AS mktsegment,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2470,7 +2480,7 @@ ORACLES: dict[str, str] = {
     """,
     "filter_any_or": """
         SELECT n_name AS nation,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2493,9 +2503,8 @@ ORACLES: dict[str, str] = {
     """,
     "cond_agg": """
         SELECT l_returnflag AS returnflag,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
-               round(sum(CASE WHEN l_discount >= 0.05
-                              THEN l_extendedprice * (1 - l_discount) END), 2)
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_rev,
+               CAST(round(sum(CASE WHEN l_discount >= 0.05                              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
                    AS hi_disc_rev,
                count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS hi_disc_cnt
         FROM lineitem GROUP BY 1
@@ -2565,12 +2574,12 @@ ORACLES: dict[str, str] = {
     """,
     "sort_option_order": """
         SELECT c_name AS customer,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
-        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_name DESC
+        ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_name DESC
         LIMIT 10
     """,
     "sort_by_integer": """
@@ -2598,13 +2607,13 @@ ORACLES: dict[str, str] = {
     "rollup": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                count(*) AS cnt,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "grouping_sets": """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                count(*) AS cnt,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
@@ -2670,7 +2679,7 @@ ORACLES: dict[str, str] = {
                round(avg({tx.oracle_fragment(tx.BPE_TOKEN_COUNT)}), 4) AS avg_bpe_tokens,
                round(avg({tx.oracle_fragment(tx.PUNCT_COUNT)}), 4) AS avg_punct,
                round(avg({tx.oracle_fragment(tx.STOPWORD_COUNT)}), 4) AS avg_stopwords,
-               round(avg({tx.oracle_fragment(tx.QUALITY)}), 4) AS avg_quality,
+               round(avg({tx.oracle_fragment(tx.QUALITY_D)}), 4) AS avg_quality,
                round(avg({tx.oracle_fragment(tx.TOKEN_DIVERSITY)}), 4)
                    AS avg_diversity
         FROM documents GROUP BY 1
@@ -2711,7 +2720,7 @@ ORACLES: dict[str, str] = {
     "source_cap": f"""
         WITH scored AS (
             SELECT doc_id, source,
-                   {tx.oracle_fragment(tx.QUALITY)} AS quality
+                   {tx.oracle_fragment(tx.QUALITY_D)} AS quality
             FROM documents),
         ranked AS (
             SELECT doc_id, source, quality,
@@ -3434,7 +3443,7 @@ ORACLES: dict[str, str] = {
     """,
     "preagg_rollup": """
         SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS month,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS cnt,
                round(avg(l_extendedprice), 4) AS avg_price
         FROM lineitem
@@ -3444,10 +3453,9 @@ ORACLES: dict[str, str] = {
     """,
     "flagship_topn": """
         SELECT n_name AS nation,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS cnt,
-               round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
-                         THEN l_extendedprice * (1 - l_discount) END), 2)
+               CAST(round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
                    AS auto_rev
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -3473,19 +3481,17 @@ ORACLES: dict[str, str] = {
     """,
     "alias_fanout": """
         SELECT l_returnflag AS returnflag,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               round(sum(CASE WHEN l_discount >= 0.05
-                         THEN l_extendedprice * (1 - l_discount) END), 2)
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+               CAST(round(sum(CASE WHEN l_discount >= 0.05                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
                    AS rev_hi,
-               round(sum(CASE WHEN l_discount < 0.05
-                         THEN l_extendedprice * (1 - l_discount) END), 2)
+               CAST(round(sum(CASE WHEN l_discount < 0.05                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
                    AS rev_lo
         FROM lineitem GROUP BY 1
     """,
     "nested_response": """
         SELECT to_json(struct_pack(year := year(o_orderdate),
                                    month := month(o_orderdate))) AS od,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE cast(o_orderdate AS DATE)
               BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
@@ -3614,7 +3620,7 @@ ORACLES: dict[str, str] = {
     """,
     "quality_pct": f"""
         WITH q AS (
-            SELECT source, {tx.oracle_fragment(tx.QUALITY)} AS quality
+            SELECT source, {tx.oracle_fragment(tx.QUALITY_D)} AS quality
             FROM documents),
         r AS (
             SELECT source, quality,

@@ -33,8 +33,9 @@ Macros:
                            (same bytes as sampling.hash_bucket)
     LIST_FSUM(x)         → aggregate(x, 0.0d, +)  | coalesce(cast(
                                                       list_sum(x) as double
-                                                      ), 0.0)
-                           (double fold, empty → 0.0)
+                                                      ), cast(0.0 as double))
+                           (double fold, empty → 0.0; all literals
+                           double-pinned — test_fragment_literals.py)
 """
 
 from __future__ import annotations
@@ -154,7 +155,7 @@ def render(sql: str, engine: str) -> str:
     else:
         out = _rewrite(out, "LIST_FSUM",
                        lambda a: f"coalesce(cast(list_sum({a[0]}) "
-                                 f"as double), 0.0)")
+                                 f"as double), cast(0.0 as double))")
         out = _rewrite(out, "MD5_BUCKET",
                        lambda a: f"(CAST('0x' || substr(md5({a[0]}), 1, 8)"
                                  f" AS BIGINT) % {a[1]})")

@@ -767,10 +767,12 @@ def quantization_error(df: DataFrame, id_col: str = "vec_id",
 #: reconstruction RMSE of int8 round-trip over materialized columns
 #: ``d`` (double array) and ``scale`` — shared Spark/DuckDB fragment
 QUANT_RMSE = (
-    "round(CASE WHEN scale = 0 OR ARRAY_LEN(d) = 0 THEN 0.0 ELSE "
+    "round(CASE WHEN scale = 0 OR ARRAY_LEN(d) = 0 "
+    "THEN CAST(0.0 AS DOUBLE) ELSE "
     "sqrt(LIST_FSUM(LIST_TRANSFORM(INT_SEQ(1, ARRAY_LEN(d)), qi -> "
-    "pow(LIST_AT(d, qi) - CAST(round(LIST_AT(d, qi) / scale * 127.0) "
-    "AS INT) * scale / 127.0, 2))) / ARRAY_LEN(d)) END, 4)"
+    "pow(LIST_AT(d, qi) - CAST(round(LIST_AT(d, qi) / scale "
+    "* CAST(127.0 AS DOUBLE)) AS INT) * scale "
+    "/ CAST(127.0 AS DOUBLE), 2))) / ARRAY_LEN(d)) END, 4)"
 )
 
 

@@ -74,7 +74,8 @@ TRIGRAMS_OF_TOKENS = (
 #: 0 trigrams → 0.0 (a short doc is not thereby repetitive)
 DUP_TRIGRAM_FRAC_OF = (
     "round(CASE WHEN ARRAY_LEN({tri}) = 0 THEN CAST(0.0 AS DOUBLE) "
-    "ELSE 1.0 - ARRAY_LEN(LIST_DISTINCT({tri})) * CAST(1.0 AS DOUBLE) "
+    "ELSE CAST(1.0 AS DOUBLE) "
+    "- ARRAY_LEN(LIST_DISTINCT({tri})) * CAST(1.0 AS DOUBLE) "
     "/ ARRAY_LEN({tri}) END, 4)"
 )
 
@@ -164,8 +165,9 @@ MEAN_WORD_LEN = (
 #: (this corpus is single-line).
 _RULE_WC_LOW = f"({TOKEN_COUNT}) >= 50"
 _RULE_WC_HIGH = f"({TOKEN_COUNT}) <= 100000"
-_RULE_MWL = f"({MEAN_WORD_LEN}) BETWEEN 3.0 AND 10.0"
-_RULE_DIVERSITY = f"({TOKEN_DIVERSITY}) >= 0.35"
+_RULE_MWL = (f"({MEAN_WORD_LEN}) BETWEEN CAST(3.0 AS DOUBLE)"
+             " AND CAST(10.0 AS DOUBLE)")
+_RULE_DIVERSITY = f"({TOKEN_DIVERSITY}) >= CAST(0.35 AS DOUBLE)"
 _RULE_STOPWORD = f"({STOPWORD_COUNT}) >= 1"
 
 QUALITY_KEEP = (f"(({_RULE_WC_LOW}) AND ({_RULE_WC_HIGH}) AND "
@@ -182,17 +184,8 @@ QUALITY_REASON = (
     " ELSE 'ok' END"
 )
 
-#: quality score in [0,1]: length band + stopword presence - punct excess
-QUALITY = (
-    "round(least(1.0, greatest(0.0,"
-    "  0.4 * least(1.0, length({text}) / 500.0)"
-    f" + 0.4 * least(1.0, STOPC / greatest(TOKC, 1) * 5.0)"
-    f" - 0.2 * least(1.0, PUNCTC / greatest(length({{text}}), 1) * 10.0)"
-    " + 0.2)), 4)"
-).replace("STOPC", STOPWORD_COUNT).replace("TOKC", TOKEN_COUNT) \
- .replace("PUNCTC", PUNCT_COUNT)
-
-#: QUALITY with every float literal pinned to DOUBLE. Bare decimal
+#: quality score in [0,1]: length band + stopword presence - punct
+#: excess, with every float literal pinned to DOUBLE. Bare decimal
 #: literals are NOT portable arithmetic: DuckDB evaluates them in
 #: exact DECIMAL (its raw quality is the correctly-rounded true value)
 #: while Spark mixes DecimalType and double terms — the two raw values
@@ -201,10 +194,9 @@ QUALITY = (
 #: true quality exactly 0.63065, Spark 0.6306 vs DuckDB 0.6307). With
 #: all-double literals both engines run the identical left-associated
 #: IEEE sequence and the bits — and therefore the round — agree
-#: everywhere, midpoints included. The legacy QUALITY stays until the
-#: graded rows that cite it rotate through a re-grade (migration is
-#: scheduled as the first r07 act; changing their oracle text now
-#: would void ~20 green records mid-round).
+#: everywhere, midpoints included. The bare-literal legacy QUALITY was
+#: retired in r07 (the r06 migration plan): every portable fragment is
+#: now double-pinned, enforced by tests/test_fragment_literals.py.
 QUALITY_D = (
     "round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),"
     "  CAST(0.4 AS DOUBLE)"
@@ -236,7 +228,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("bpe_token_count", _col(BPE_TOKEN_COUNT, text_col))
             .withColumn("punct_count", _col(PUNCT_COUNT, text_col))
             .withColumn("stopword_count", _col(STOPWORD_COUNT, text_col))
-            .withColumn("quality", _col(QUALITY, text_col))
+            .withColumn("quality", _col(QUALITY_D, text_col))
             .withColumn("token_diversity", _col(TOKEN_DIVERSITY, text_col)))
 
 

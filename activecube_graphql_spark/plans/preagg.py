@@ -22,6 +22,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..cubes import _REVENUE_SQL
 from ..model import Dimension, Metric, Representation, Selector
 
 GRAIN_COLS = ("l_returnflag", "l_linestatus")
@@ -37,8 +38,11 @@ def build_daily_sales_rollup(spark: SparkSession, source_dir: str,
                    F.to_date("l_shipdate").alias("ship_date"))
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.sum("l_quantity").alias("sum_qty"),
-             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-              .alias("sum_revenue"),
+             # exact-decimal partial sum (cubes._REVENUE_SQL): the
+             # rollup cell must carry the same order-independent
+             # representation the base metric aggregates, or the
+             # rewrite would reintroduce double-sum rounding drift
+             F.sum(F.expr(_REVENUE_SQL)).alias("sum_revenue"),
              F.sum("l_extendedprice").alias("sum_price"),
              F.sum("l_discount").alias("sum_discount"),
              F.min("l_extendedprice").alias("min_price"),

@@ -360,7 +360,7 @@ def test_decontamination_counts_distinct_shared_shingles(spark):
 def test_cap_per_group_semantics(spark, sf_dir):
     from activecube_graphql_spark.operators import sampling
     docs = _docs(spark, sf_dir).withColumn(
-        "quality", tx._col(tx.QUALITY, "text"))
+        "quality", tx._col(tx.QUALITY_D, "text"))
     out = sampling.cap_per_group(
         docs, ["source"], [F.col("quality").desc(), F.col("doc_id").asc()],
         cap=5)
@@ -1306,7 +1306,7 @@ def test_percentile_filter_approx_tracks_exact(spark, sf_dir):
     from activecube_graphql_spark.operators.robust import percentile_filter
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .withColumn("quality", tx._col(tx.QUALITY, "text")))
+            .withColumn("quality", tx._col(tx.QUALITY_D, "text")))
     exact = percentile_filter(docs, "quality", ["source"], 0.75)
     approx = percentile_filter(docs, "quality", ["source"], 0.75,
                                exact=False, accuracy=100000)

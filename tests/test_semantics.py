@@ -71,6 +71,42 @@ def test_nil_eq_means_is_null(spark, sf_dir):
     assert n == 0
 
 
+def test_any_group_keeps_null_ops(spark, sf_dir):
+    """DELIBERATE reference divergence (SURVEY §2.3): inside ``any:``
+    groups the reference drops EVERY nil-valued operator — including
+    the null-aware ops — (parse_tree.rb:177 ``unless arg.nil?``),
+    while its direct selector path keeps null-ops (parse_tree.rb:
+    158-160). This engine applies the uniform ``applicable_operator``
+    rule in BOTH contexts: ``{is: None}`` means IS NULL wherever it
+    appears — a filter an author wrote should never silently vanish
+    just because it moved inside an ``any:`` disjunction."""
+    cube = SalesCube(spark, sf_dir)
+    base = cube.query().measure("count", alias="cnt").df().collect()[0][0]
+    # null-op survives inside any: → IS NULL → 0 rows (fixture has no
+    # NULLs). Under the reference's drop-all-nils rule this would be
+    # `base` (predicate silently removed).
+    kept = (cube.query().measure("count", alias="cnt")
+            .when({"any": [{"returnflag": {"is": None}}]})
+            .df().collect()[0][0])
+    assert kept == 0
+    # non-null op with a nil arg still drops inside any: (same rule as
+    # the direct path) — group contributes nothing, filter vanishes
+    dropped = (cube.query().measure("count", alias="cnt")
+               .when({"any": [{"quantity": {"gt": None}}]})
+               .df().collect()[0][0])
+    assert dropped == base
+    # a group mixing a kept null-op with a dropped nil op keeps ONLY
+    # the null-op; the second group keeps the disjunction alive
+    mixed = (cube.query().measure("count", alias="cnt")
+             .when({"any": [{"returnflag": {"is": None},
+                             "quantity": {"gt": None}},
+                            {"returnflag": "R"}]})
+             .df().collect()[0][0])
+    only_r = (cube.query().measure("count", alias="cnt")
+              .when({"returnflag": "R"}).df().collect()[0][0])
+    assert mixed == only_r  # IS NULL arm contributes zero rows
+
+
 def test_any_group_lowercamelize_fallback(spark, sf_dir):
     """parse_tree.rb:170 — attr names inside ``any:`` selector groups
     resolve via camelize(:lower) when the exact key is absent, so

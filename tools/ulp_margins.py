@@ -88,13 +88,14 @@ class Gate:
         self.rows: dict[str, float] = {}
         self.bad: list[str] = []
 
-    def check(self, name: str, margin: float) -> None:
+    def check(self, name: str, margin: float,
+              floor: float = MARGIN) -> None:
         self.rows[name] = margin
-        # `not (margin >= MARGIN)` rather than `margin < MARGIN`: a NaN
+        # `not (margin >= floor)` rather than `margin < floor`: a NaN
         # margin (e.g. a 0/0 from a degenerate vector slipping past the
         # norm guards) means the margin computation itself broke, and
         # must FAIL the gate, not silently pass it
-        if not (margin >= MARGIN):
+        if not (margin >= floor):
             self.bad.append(name)
 
 
@@ -238,20 +239,76 @@ def run(sf_dir: str) -> Gate:
     return g
 
 
+def _grid_exact(name: str, g: Gate, vals: np.ndarray, unit: float) -> None:
+    """Assert a money column actually lies on its declared decimal grid
+    (within double-repr noise ≪ half a grid step). This is the DATA
+    CONTRACT the exact-DECIMAL revenue aggregation (cubes._REVENUE_SQL)
+    rests on: CAST(double AS DECIMAL(p,2)) silently RE-ROUNDS an
+    off-grid value, so a fixture violating the grid would corrupt sums
+    instead of exactifying them. Margin = half-step minus the worst
+    deviation (positive and large when the contract holds)."""
+    steps = vals / unit
+    dev = float(np.abs(steps - np.rint(steps)).max()) * unit if vals.size \
+        else 0.0
+    g.check(f"grid.{name}", unit / 2.0 - dev, floor=unit / 4.0)
+
+
+def run_sum_rounding(sf_dir: str) -> Gate:
+    """ADVICE r06 follow-through, post-migration shape. The revenue
+    family (round(sum(extendedprice·(1-discount)), 2)) aggregates in
+    EXACT DECIMAL since r07 — order-independent by construction, no
+    midpoint margin to check; what it needs instead is the 2dp-grid
+    data contract asserted by ``_grid_exact``. The rows still summing
+    doubles — ``skew_salted_join`` (sum(o_totalprice)) and
+    ``moving_avg`` (per-day sum(events.value)) — are safe by a
+    different construction: their inputs sit ON the cent grid, so
+    every group sum is a whole number of cents and the nearest 2dp
+    midpoint is exactly 0.005 away; the midpoint checks below verify
+    that argument from the actual exact sums (int64 cents, no float
+    error in the gate itself)."""
+    g = Gate()
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_extendedprice", "l_discount"])
+    _grid_exact("l_extendedprice", g,
+                np.asarray(li["l_extendedprice"], dtype=np.float64), 0.01)
+    _grid_exact("l_discount", g,
+                np.asarray(li["l_discount"], dtype=np.float64), 0.01)
+
+    # skew_salted_join sums o_totalprice and moving_avg sums
+    # events.value in DOUBLE: both stay safe WITHOUT decimal because a
+    # sum of cent-grid values is a whole number of cents, whose
+    # distance to the nearest x.xx5 rounding midpoint is exactly
+    # 0.005 — three orders of magnitude above summation-order noise.
+    # The whole argument therefore reduces to the two grid contracts:
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_totalprice"])
+    _grid_exact("o_totalprice", g,
+                np.asarray(t["o_totalprice"], dtype=np.float64), 0.01)
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["value"])
+    _grid_exact("events.value", g,
+                np.asarray(ev["value"], dtype=np.float64), 0.01)
+    return g
+
+
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/testdata/sf0.001",
                             "/root/testdata/sf0.01"]
     ok = True
     for d in dirs:
         g = run(d)
+        gs = run_sum_rounding(d)
         worst = sorted(g.rows.items(), key=lambda kv: kv[1])[:8]
+        worst_s = sorted(gs.rows.items(), key=lambda kv: kv[1])[:4]
         print(json.dumps({
-            "sf_dir": d, "n_checks": len(g.rows),
+            "sf_dir": d, "n_checks": len(g.rows) + len(gs.rows),
             "min_margin": min(g.rows.values()),
+            "min_sum_margin": min(gs.rows.values()),
             "worst": {k: f"{m:.3e}" for k, m in worst},
-            "violations": g.bad,
+            "worst_sums": {k: f"{m:.3e}" for k, m in worst_s},
+            "violations": g.bad + gs.bad,
         }))
-        ok = ok and not g.bad
+        ok = ok and not g.bad and not gs.bad
     if not ok:
         print("ULP MARGIN GATE FAILED", file=sys.stderr)
         sys.exit(1)
