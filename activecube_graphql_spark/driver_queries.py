@@ -1034,7 +1034,8 @@ def q_embed_keep(spark, sf_dir):
 
 
 def q_embed_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate NN (8 hyperplanes) — the 100 TB scale
+    """LSH-bucketed approximate NN (8 tables x 4 hyperplanes) — the
+    100 TB scale
     path. The hyperplanes are data-independent splitmix constants,
     which makes this genuinely-approximate row a pure function of its
     inputs: the ``_lsh_ann_oracle`` twin re-derives the signatures,
@@ -1498,8 +1499,9 @@ def q_budget_fill(spark, sf_dir):
     Summarized per source as docs admitted, exact tokens used, and the
     quality floor of the admitted set (all counts/extremes of grid
     values — bit-stable across engines by construction). One window
-    pass per group + map-only filter; STAGED for the r07 window;
-    oracle `_BUDGET_FILL_ORACLE`, parity-tested at sf0.001/0.01 in
+    pass per group + map-only filter. Re-graded r07: the NULL-token
+    exclusion contract (ADVICE r06) changed the oracle text; oracle
+    `_BUDGET_FILL_ORACLE`, parity-tested at sf0.001/0.01 in
     tests/test_pipeline_ops.py."""
     from .operators.sampling import quality_budget_fill
     docs = (_docs(spark, sf_dir)
@@ -1552,7 +1554,7 @@ _BUDGET_FILL_ORACLE = f"""
                    PARTITION BY source
                    ORDER BY quality DESC, doc_id
                    ROWS UNBOUNDED PRECEDING) AS cum_tok
-        FROM q)
+        FROM q WHERE tok IS NOT NULL)
     SELECT source, count(*) AS n_kept,
            CAST(max(cum_tok) AS BIGINT) AS tokens_used,
            min(quality) AS q_floor
@@ -2225,14 +2227,19 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # re-graded changed hashes — and only then were the r07 double-pin
 # edits applied, so the 7 voided rows below hold pre-edit manifest
 # hashes until the driver re-grades them):
-#   tier 1 (21) — voided by the r07 correctness migrations: the
+#   tier 1 (23) — voided by the r07 correctness migrations: the
 #            bare-float-literal retirement (7 rows) and the
-#            exact-DECIMAL money-aggregation migration (14 rows) —
+#            exact-DECIMAL money-aggregation migration (14 rows),
+#            plus budget_fill's NULL-token exclusion contract
+#            (ADVICE r06) and embed_lsh_ann's docstring
+#            plane-count correction (VERDICT r06 item 7) —
 #            details on the tier marker below.
 #   tier 2 (13) — last graded r04, the oldest evidence on record.
-#   tier 3 (16) — last graded r05, oldest-first window fill.
+#   tier 3 (15 in-window) — last graded r05, oldest-first fill;
+#            json_subfield and limit_by slip just behind the 50,
+#            green on record.
 #   behind the window (64) — 24 r05-graded rows (rotate forward r08)
-#            then the 40 remaining r06-graded rows (freshest).
+#            then the 38 remaining r06-graded rows (freshest).
 # EVERY row whose semantics changed this round (the 7 voided rows) was
 # re-verified locally at sf0.001 and sf0.01 (driver grading scale,
 # bare session) via tools/verify_local.py before entering the window;
@@ -2246,7 +2253,7 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # (variant_json tail below) plus the oldest r06-graded rows to fill
 # the 50; any r07-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1 (21): no usable green record — all voided by the two
+    # --- tier 1 (23): no usable green record — all voided by the two
     #     r07 correctness migrations (VERDICT r06 item 1 + ADVICE):
     #     (a) bare-float-literal retirement: legacy QUALITY ->
     #     QUALITY_D on engine AND oracle sides (quality_pct,
@@ -2283,6 +2290,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preagg_rollup": q_preagg_rollup,
     "alias_fanout": q_alias_fanout,
     "nested_response": q_nested_response,
+    "budget_fill": q_budget_fill,
+    "embed_lsh_ann": q_embed_lsh_ann,
     # --- tier 2 (13): oldest evidence on record — last graded r04
     #     (VERDICT r06 item 4: no row's evidence older than ~2 rounds) ---
     "resampled": q_resampled,
@@ -2298,8 +2307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_backings": q_union_backings,
     "value_bands": q_value_bands,
     "window_analytics": q_window_analytics,
-    # --- tier 3 (16): last graded r05, oldest-first fill of the
-    #     50-row window ---
+    # --- tier 3: last graded r05, oldest-first fill of the 50-row
+    #     window (14 in-window; json_subfield and limit_by slip just
+    #     behind, green on record) ---
     "variant_json": q_variant_json,
     "unigram_lm": q_unigram_lm,
     "transitions": q_transitions,
@@ -2343,7 +2353,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_topn": q_graphql_topn,
     # --- behind the window: graded green in r06 (freshest evidence) ---
     "asof_join": q_asof_join,
-    "budget_fill": q_budget_fill,
     "char_dup": q_char_dup,
     "click_purchase_join": q_click_purchase_join,
     "containment": q_containment,
@@ -2354,7 +2363,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_centroids": q_embed_centroids,
     "embed_ivf_ann": q_embed_ivf_ann,
     "embed_keep": q_embed_keep,
-    "embed_lsh_ann": q_embed_lsh_ann,
     "embed_neardup": q_embed_neardup,
     "embed_range": q_embed_range,
     "embed_stats": q_embed_stats,

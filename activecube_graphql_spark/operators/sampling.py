@@ -186,6 +186,14 @@ def quality_budget_fill(df: DataFrame, by: str, budget: int,
     a coarse quality-band filter first (the band gate is
     :func:`activecube_graphql_spark.operators.robust.percentile_filter`).
 
+    NULL contract (ADVICE r06): rows with a NULL ``token_col`` are
+    EXCLUDED before the window — a document of unknown token cost
+    cannot be admitted against a token budget (the previous behavior
+    admitted them at zero cost and counted them in the output, because
+    window SUM skips NULLs on every engine — consistent, but silently
+    wrong semantics). Same explicit-exclusion shape as winsorize's
+    NULL contract.
+
     Output: the admitted rows with ``cum_tok`` (running total including
     the row) for auditing."""
     from pyspark.sql import Window
@@ -193,6 +201,7 @@ def quality_budget_fill(df: DataFrame, by: str, budget: int,
     w = (Window.partitionBy(by)
          .orderBy(F.col(quality_col).desc(), F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, 0))
-    return (df.withColumn("cum_tok",
-                          F.sum(F.col(token_col).cast("long")).over(w))
+    return (df.filter(F.col(token_col).isNotNull())
+            .withColumn("cum_tok",
+                        F.sum(F.col(token_col).cast("long")).over(w))
             .filter(F.col("cum_tok") <= F.lit(int(budget))))

@@ -125,8 +125,18 @@ def split_salted_join(skewed: DataFrame, other: DataFrame,
             f"split_salted_join key dtype mismatch {mismatched}: "
             f"{[(c, lt[c], rt[c]) for c in mismatched]} — cast the key "
             "columns to a common type before salting")
-    parts = int(partitions if partitions is not None else
-                skewed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if partitions is not None:
+        parts = int(partitions)
+    else:
+        # spark.sql.shuffle.partitions may be non-numeric on managed
+        # platforms (e.g. 'auto' under Databricks AQE); fall back to
+        # the cluster's default parallelism rather than raising
+        # (ADVICE r06)
+        conf = skewed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            parts = int(conf)
+        except (TypeError, ValueError):
+            parts = skewed.sparkSession.sparkContext.defaultParallelism
     hk = F.broadcast(hot_keys.select(*keys).distinct()
                      .withColumn("__aq_hot", F.lit(1)))
     basis = [c for c in (salt_by if salt_by is not None else

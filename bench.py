@@ -66,8 +66,10 @@ def compact_line(total: float, timings: dict[str, float],
     for name in sorted(timings, key=lambda n: (-timings[n], n)):
         keep[name] = round(timings[name], 2)
         if len(render(keep)) > TAIL_BUDGET:
+            # keep trying: a shorter name further down the time order
+            # may still fit — maximal subset, not prefix-only
+            # (ADVICE r06)
             del keep[name]
-            break
     return render(keep)
 
 

@@ -1413,6 +1413,27 @@ def test_budget_fill_row_matches_oracle_and_reference(spark):
         assert got[src] == (kept, cum, floor), src
 
 
+def test_budget_fill_null_tokens_excluded(spark):
+    """NULL-token contract (ADVICE r06): a document of unknown token
+    cost is EXCLUDED from budget admission, never admitted at zero
+    cost — previously window SUM skipped the NULL on both engines and
+    the row rode in free, distorting n_kept."""
+    from activecube_graphql_spark.operators.sampling import (
+        quality_budget_fill)
+    rows = [(1, "a", 0.9, 100), (2, "a", 0.8, None), (3, "a", 0.7, 100),
+            (4, "b", 0.5, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality double, tok long")
+    kept = quality_budget_fill(df, "source", budget=250,
+                               quality_col="quality",
+                               token_col="tok").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # doc 2 (NULL tok) excluded; doc 3 admitted in its place;
+    # group b (all-NULL) contributes nothing
+    assert ids == [1, 3]
+    assert all(r["cum_tok"] is not None for r in kept)
+
+
 def test_source_dup_matrix_consistent_with_pair_set(spark, sf_dir):
     """The matrix's total pair mass equals the verified pair count, and
     every (source_a, source_b) cell is ordered source_a <= source_b."""
