@@ -190,6 +190,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
       accumulation is exact for counts < 2^24). Jaccard is then one
       float64 division of exact integers — bit-identical to a SQL oracle.
 
+    ``auto`` routes on BOTH a memory guard (the packed docs × vocab
+    broadcast, ≤ ``dense_bits_limit`` bits) and a measured COMPUTE
+    model (r07): bitmap costs docs²·vocab flops regardless of
+    candidate sparsity, the index join Σ df² rows — bitmap wins only
+    while docs²·vocab ≤ ~2e4 · Σ df² (one shuffled join row ≈ 2e4
+    BLAS flops at local[32]). A 27k-shingle corpus that passes the
+    memory guard alone ran 6× slower on bitmap than index; the
+    compute term routes it correctly, and the df² probe runs only
+    when the vocabulary is already measured dense-regime-small, so it
+    never shuffles a web-scale vocabulary.
+
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs (stop-shingle control; makes the result approximate).
 
@@ -215,7 +226,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         inv = inv.join(hot, "shingle", "left_anti")
 
     if strategy == "auto":
-        # one cheap aggregation decides the physical plan (engine-side
+        # cheap aggregations decide the physical plan (engine-side
         # stats probe, same spirit as AQE's runtime re-planning). The
         # bitmap path broadcasts a docs × vocab bit matrix, so the guard
         # bounds the PRODUCT (packed bytes = docs × vocab / 8 — the
@@ -233,9 +244,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             F.approx_count_distinct("shingle", 0.02).alias("v"))
             .first()["v"] / 0.9)
         n_docs = df.count()
-        strategy = ("bitmap" if vocab_size <= dense_vocab_limit
-                    and n_docs * max(vocab_size, 1) <= dense_bits_limit
-                    else "index")
+        eligible = (vocab_size <= dense_vocab_limit
+                    and n_docs * max(vocab_size, 1) <= dense_bits_limit)
+        if eligible:
+            # COMPUTE model, not just memory (r07 sf1 scaling-curve
+            # finding: the memory guard alone routed a 27k-vocab corpus
+            # to bitmap where it ran 6× slower than the index join, and
+            # at 10× docs the gap grows — bitmap work is docs²·vocab
+            # flops REGARDLESS of candidate sparsity, while the index
+            # join's mass is Σ df² rows). The df² probe only runs once
+            # bitmap is memory-eligible, i.e. vocab ≤ 2^17 — so this
+            # groupBy partial-aggregates to a bounded key set and never
+            # shuffles a web-scale vocabulary. Measured cost ratio at
+            # local[32]: ~2e10 bitmap flop/s vs ~1e6 index join rows/s
+            # → one join row ≈ 2e4 flops (ROWS_TO_FLOPS); both regimes
+            # of the calibration matrix reproduce (2-gram/961-vocab →
+            # bitmap, 3-gram/27k-vocab → index).
+            sum_df2 = float(
+                inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum(F.col("c").cast("double")
+                           * F.col("c")).alias("w")).first()["w"] or 0.0)
+            ROWS_TO_FLOPS = 2e4
+            bitmap_flops = float(n_docs) * n_docs * max(vocab_size, 1)
+            eligible = bitmap_flops <= ROWS_TO_FLOPS * sum_df2
+        strategy = "bitmap" if eligible else "index"
     from ..stats import record_routing
     record_routing("ngram_jaccard.strategy", strategy)
 
@@ -324,21 +356,35 @@ def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_packed, b_sizes = bc_mat.value
-        bmat = np.unpackbits(b_packed, axis=1)[:, :nbits].astype(np.float32)
+        # corpus side unpacks in ROW BLOCKS, never whole (r07): the
+        # memory guard bounds the PACKED broadcast (≤ 256 MB), but a
+        # full float32 unpack is 32× that — up to 8 GB per python
+        # worker, × one worker per core. 4096-row blocks cap the
+        # unpacked working set at block×vocab fp32 (≤ 2 GB/worker at
+        # the vocab limit) with identical results; the matmul is the
+        # same flops either way.
+        BLOCK = 4096
         for pdf in batches:
             a_ids = pdf["id"].to_numpy(dtype=np.int64)
             a_bits = np.unpackbits(
                 np.frombuffer(b"".join(pdf["bm"]), dtype=np.uint8)
             ).reshape(len(pdf), -1)[:, :nbits].astype(np.float32)
-            inter = a_bits @ bmat.T          # exact: 0/1 sums < 2^24
             a_sz = a_bits.sum(axis=1)
-            union = a_sz[:, None] + b_sizes[None, :] - inter
-            union[union == 0.0] = 1.0
-            jac = inter.astype(np.float64) / union.astype(np.float64)
-            ai, bi = np.nonzero((jac >= threshold) &
-                                (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi],
-                                "jaccard": jac[ai, bi]})
+            for lo in range(0, len(b_ids), BLOCK):
+                hi = min(lo + BLOCK, len(b_ids))
+                bmat = np.unpackbits(
+                    b_packed[lo:hi], axis=1)[:, :nbits].astype(np.float32)
+                inter = a_bits @ bmat.T      # exact: 0/1 sums < 2^24
+                union = (a_sz[:, None] + b_sizes[lo:hi][None, :] - inter)
+                union[union == 0.0] = 1.0
+                jac = inter.astype(np.float64) / union.astype(np.float64)
+                ai, bi = np.nonzero(
+                    (jac >= threshold)
+                    & (a_ids[:, None] < b_ids[lo:hi][None, :]))
+                if len(ai):
+                    yield pd.DataFrame(
+                        {"id_a": a_ids[ai], "id_b": b_ids[lo:hi][bi],
+                         "jaccard": jac[ai, bi]})
 
     return packed.mapInPandas(score,
                               schema="id_a long, id_b long, jaccard double")
