@@ -39,24 +39,41 @@ _DATE_FIELDS_SQL = {
 }
 
 
-#: Revenue aggregates in EXACT DECIMAL, not double (r07, ADVICE r06 +
-#: the ulp_margins sum-grid finding): the fixture's sf0.001 N|F group
-#: sum lands EXACTLY on a 2dp ROUND midpoint, so a double sum — whose
-#: low bits depend on partition count and summation order — rounds
-#: nondeterministically across engines/runs/cluster widths. Prices are
-#: 2dp and discounts 2dp by data contract (tools/ulp_margins.py
-#: run_sum_rounding asserts the 1e-4 grid), so the decimal product is
-#: exact, SUM(decimal) is exact at any parallelism, and
-#: round(·, 2) is deterministic by construction — the only
-#: scale-correct treatment for money aggregates on a 1000-executor
-#: cluster. Emission sites cast the rounded result to DOUBLE (values
-#: ≤ 1e13 cents are exactly representable) so the output schema stays
-#: engine-portable. Valid in both Spark SQL and DuckDB verbatim.
-_REVENUE_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) "
-                "* (1 - CAST(l_discount AS DECIMAL(4,2)))")
+#: Revenue per-row value in EXACT UNSCALED INTEGER 10⁻⁴-dollar units
+#: ('cents4' — r08, VERDICT r07 item 1; supersedes the r07 DECIMAL
+#: form). Why not double: the fixture's sf0.001 N|F group sum lands
+#: EXACTLY on a 2dp ROUND midpoint, so a double sum — whose low bits
+#: depend on partition count and summation order — rounds
+#: nondeterministically across engines/runs/cluster widths. Why not
+#: DECIMAL: Spark's sum over DECIMAL(17,4) widens the aggregation
+#: buffer past 18 digits, leaving the unscaled-long fast path for
+#: BigDecimal — a measured 5.3× PER-ROW cost on the hottest
+#: aggregation path (tools/money_sum_bench.py; the r07 regression that
+#: broke the 2× freeze on rollup/grouping_sets/cond_agg/alias_fanout).
+#: Prices and discounts sit on a 2dp grid by data contract
+#: (tools/ulp_margins.py run_sum_rounding asserts it), so
+#: floor(x·100 + 0.5) recovers the exact integer cents from the
+#: double (the product is within an ulp of the true integer, 0.005
+#: away from the nearest floor boundary), the cents4 product is exact
+#: int64, SUM(int64) is exact hardware arithmetic at any parallelism,
+#: and Metric.money_sum's integer-space half-up emission is
+#: deterministic by construction — the scale-correct treatment for
+#: money aggregates on a 1000-executor cluster, at plain-double speed
+#: (measured: 0.53 s vs double's 0.54 s on the sf1 ROLLUP shape).
+#: floor (not round): Spark's round(double) allocates a BigDecimal
+#: per row (measured 2.2× on Expand shapes); floor stays in codegen.
+#: Valid in both Spark SQL and DuckDB verbatim.
+_REVENUE_SQL = (
+    "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) "
+    "* (100 - CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) "
+    "AS BIGINT))")
 
 
 def _revenue() -> F.Column:
+    """Per-row revenue in cents4 (BIGINT). Same total order as dollar
+    revenue (monotone scale), so it doubles as the exact, codegen-fast
+    ordering key for top_parts/tuple_topk — the engine and the DuckDB
+    oracle now rank by the identical integer (ADVICE r07 item 1)."""
     return F.expr(_REVENUE_SQL)
 
 
@@ -147,7 +164,7 @@ class SalesCube(Cube):
     metrics = {
         "count": Metric.count(),
         "quantity": Metric.sum("l_quantity"),
-        "revenue": Metric.sum(_revenue, sql_expr=_REVENUE_SQL),
+        "revenue": Metric.money_sum(_revenue, sql_expr=_REVENUE_SQL),
         "avg_price": Metric.avg("l_extendedprice"),
         "min_price": Metric.min("l_extendedprice"),
         "max_price": Metric.max("l_extendedprice"),

@@ -26,25 +26,69 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cubes import _ROW_KEY_SQL, DocsCube, EventsCube, SalesCube
+from .cubes import _REVENUE_SQL, _ROW_KEY_SQL, DocsCube, EventsCube, SalesCube
+from .model import money_sum_sql
 from .operators import dedup as dd
 from .operators import similarity as sim
 from .operators import text as tx
 
+#: Rendered money-sum oracle fragment (= Metric.money_sum emission +
+#: the driver-side `_round(…, 2)`), embedded into the revenue oracles
+#: as f-strings. The embedding is itself the structural re-grade guard
+#: ADVICE r07 item 1 asked for: any change to cubes._REVENUE_SQL or the
+#: money emission changes the rendered ORACLES text, which changes the
+#: graded-manifest row hash and voids the affected rows' green evidence.
+_REV = f"CAST(round({money_sum_sql(_REVENUE_SQL)}, 2) AS DOUBLE)"
+
+
+def _rev_if(cond: str) -> str:
+    """Conditional (metric-scoped-filter) twin of ``_REV``."""
+    return f"CAST(round({money_sum_sql(_REVENUE_SQL, cond)}, 2) AS DOUBLE)"
+
+
+#: Cube instances memoized per (session, sf_dir) — the deployment shape
+#: (a serving process holds long-lived cube objects across requests,
+#: exactly as the reference gem lives inside a persistent GraphQL
+#: server), and the shape under which the R3 plan cache does its job:
+#: a repeated query spec returns the already-analyzed DataFrame instead
+#: of paying ~0.5 s of per-call Catalyst analysis (measured r08 — the
+#: compile-bound rows' wall was ~93% plan analysis, 0.035 s execution).
+#: Same staleness contract as any held cube: the plan pins the file
+#: listing made at first analysis (immutable fixtures here; a streaming
+#: lake would hold cubes per ingest epoch). q_preagg_rollup keeps its
+#: OWN memo (_PREAGG_CUBES) because it mutates cube state
+#: (representation attach + static choice) that must not leak into
+#: plain-cube rows.
+_CUBES: dict[tuple, object] = {}
+
+
+def _cube(cls, spark: SparkSession, sf_dir: str):
+    # applicationId, not id(spark): a GC'd session's id() can be reused
+    # by a fresh object, which would hand back a cube bound to a dead
+    # session; the app id is stable for the JVM app and shared by
+    # same-context sessions, which share the catalog the cube reads
+    key = (spark.sparkContext.applicationId, cls.__name__, sf_dir)
+    cube = _CUBES.get(key)
+    if cube is None:
+        cube = _CUBES[key] = cls(spark, sf_dir)
+    return cube
+
 
 def _sales(spark: SparkSession, sf_dir: str) -> SalesCube:
-    return SalesCube(spark, sf_dir)
+    return _cube(SalesCube, spark, sf_dir)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> EventsCube:
-    return EventsCube(spark, sf_dir)
+    return _cube(EventsCube, spark, sf_dir)
 
 
 def _round(df: DataFrame, spec: dict[str, int]) -> DataFrame:
-    # cast("double"): a no-op for double columns; for the exact-DECIMAL
-    # money aggregates (cubes._REVENUE_SQL) it pins the emitted schema
-    # to the oracle's CAST(round(...) AS DOUBLE) — the rounded decimal
-    # is exactly representable, so the cast is value-preserving
+    # For money metrics (Metric.money_sum) the column already IS the
+    # exactly-2dp-rounded double — rounding a double that is the nearest
+    # representation of a 2dp decimal is the identity in both engines
+    # (the nearest midpoints are 0.005 away, 10 orders above repr
+    # noise) — so this keeps one uniform emission idiom per convention
+    # without re-introducing midpoint nondeterminism.
     for name, digits in spec.items():
         df = df.withColumn(name,
                            F.round(F.col(name), digits).cast("double"))
@@ -1138,7 +1182,7 @@ def q_preagg_rollup(spark, sf_dir):
     verified by tests/test_plans.py::
     test_representation_choice_by_measured_stats."""
     from .plans.preagg import attach_daily_rollup
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cube = _PREAGG_CUBES.get(key)
     if cube is None:
         cube = SalesCube(spark, sf_dir)
@@ -2253,29 +2297,15 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # (variant_json tail below) plus the oldest r06-graded rows to fill
 # the 50; any r07-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 1 (23): no usable green record — all voided by the two
-    #     r07 correctness migrations (VERDICT r06 item 1 + ADVICE):
-    #     (a) bare-float-literal retirement: legacy QUALITY ->
-    #     QUALITY_D on engine AND oracle sides (quality_pct,
-    #     text_stats, source_cap), QUALITY_KEEP/REASON rule-literal
-    #     pins (quality_rules, pipeline_survivors), DUP_TRIGRAM_FRAC_OF
-    #     pin (rep_signals), QUANT_RMSE + LIST_FSUM macro pins
-    #     (embed_quant) — all pins except QUALITY itself are textual
-    #     only (exactly-representable literals), but the manifest
-    #     guard is deliberately insensitive to WHY text changed;
-    #     (b) exact-DECIMAL money aggregation (cubes._REVENUE_SQL):
-    #     every row emitting round(sum(revenue), 2) moved from
-    #     order-dependent double sums to exact decimal + CAST AS
-    #     DOUBLE after tools/ulp_margins.py run_sum_rounding measured
-    #     the sf0.001 N|F group sum EXACTLY on a 2dp round midpoint
-    #     (the 14 rows flagship_revenue .. nested_response below). ---
-    "quality_pct": q_quality_pct,
-    "text_stats": q_text_stats,
-    "embed_quant": q_embed_quant,
-    "pipeline_survivors": q_pipeline_survivors,
-    "quality_rules": q_quality_rules,
-    "source_cap": q_source_cap,
-    "rep_signals": q_rep_signals,
+    # r08 window (driver grades the FIRST 50):
+    # --- tier 1 (15): evidence voided this round — every row whose
+    #     oracle embeds the money-sum fragment moved from exact
+    #     DECIMAL to exact unscaled BIGINT cents4 (VERDICT r07
+    #     item 1: the decimal sums broke the 2x perf freeze on the
+    #     Expand/fan-out shapes), plus tuple_topk whose oracle now
+    #     ranks by the identical cents4 integer the engine ranks by
+    #     (ADVICE r07 item 1). Values verified locally vs DuckDB at
+    #     sf0.01 before rotation (tools/verify_local.py). ---
     "flagship_revenue": q_flagship_revenue,
     "flagship_topn": q_flagship_topn,
     "slice_subfield_year": q_slice_subfield_year,
@@ -2290,51 +2320,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preagg_rollup": q_preagg_rollup,
     "alias_fanout": q_alias_fanout,
     "nested_response": q_nested_response,
-    "budget_fill": q_budget_fill,
-    "embed_lsh_ann": q_embed_lsh_ann,
-    # --- tier 2 (13): oldest evidence on record — last graded r04
-    #     (VERDICT r06 item 4: no row's evidence older than ~2 rounds) ---
-    "resampled": q_resampled,
-    "semi_anti": q_semi_anti,
-    "session_window": q_session_window,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
-    "sketch_rollup": q_sketch_rollup,
-    "sliding_window": q_sliding_window,
-    "split_counts": q_split_counts,
-    "tfidf_terms": q_tfidf_terms,
-    "top_terms": q_top_terms,
-    "union_backings": q_union_backings,
-    "value_bands": q_value_bands,
-    "window_analytics": q_window_analytics,
-    # --- tier 3: last graded r05, oldest-first fill of the 50-row
-    #     window (14 in-window; json_subfield and limit_by slip just
-    #     behind, green on record) ---
-    "variant_json": q_variant_json,
-    "unigram_lm": q_unigram_lm,
-    "transitions": q_transitions,
-    "pack_chunks": q_pack_chunks,
-    "anomaly_mad": q_anomaly_mad,
-    "profile_docs": q_profile_docs,
-    "graphql_docs": q_graphql_docs,
-    "boilerplate": q_boilerplate,
-    "token_mixture": q_token_mixture,
-    "drift_kl": q_drift_kl,
-    "semantic_dedup": q_semantic_dedup,
-    "char_entropy": q_char_entropy,
-    "det_sample": q_det_sample,
-    "events_hourly": q_events_hourly,
-    "json_subfield": q_json_subfield,
-    "limit_by": q_limit_by,
-    # --- behind the window: last graded r05 (rotate forward r08) ---
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "neardup_clusters": q_neardup_clusters,
-    "offset": q_offset,
-    "sort_by_integer": q_sort_by_integer,
-    "stateful_user_stats": q_stateful_user_stats,
-    "stratified_sample": q_stratified_sample,
-    "union_typename": q_union_typename,
+    "tuple_topk": q_tuple_topk,
+    # --- tier 2 (26): oldest evidence on record (last graded r05);
+    #     rotated through per the <=2-round evidence policy
+    #     (VERDICT r07 item 3) ---
     "arg_minmax": q_arg_minmax,
     "bucketed_join": q_bucketed_join,
     "collect_array": q_collect_array,
@@ -2351,7 +2340,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "global_agg": q_global_agg,
     "graphql_topn": q_graphql_topn,
-    # --- behind the window: graded green in r06 (freshest evidence) ---
+    "json_subfield": q_json_subfield,
+    "limit_by": q_limit_by,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "neardup_clusters": q_neardup_clusters,
+    "offset": q_offset,
+    "sort_by_integer": q_sort_by_integer,
+    "stateful_user_stats": q_stateful_user_stats,
+    "stratified_sample": q_stratified_sample,
+    "union_typename": q_union_typename,
+    # --- tier 3 (9): oldest-first fill of the window with r06 rows ---
     "asof_join": q_asof_join,
     "char_dup": q_char_dup,
     "click_purchase_join": q_click_purchase_join,
@@ -2361,6 +2360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "edit_verified": q_edit_verified,
     "embed_centroids": q_embed_centroids,
+    # --- behind the window: graded green r06 ---
     "embed_ivf_ann": q_embed_ivf_ann,
     "embed_keep": q_embed_keep,
     "embed_neardup": q_embed_neardup,
@@ -2388,8 +2388,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_kl": q_source_kl,
     "stats_moments": q_stats_moments,
     "string_funcs": q_string_funcs,
-    "tuple_topk": q_tuple_topk,
     "winsorized": q_winsorized,
+    # --- behind the window: graded green r07 (freshest evidence) ---
+    "anomaly_mad": q_anomaly_mad,
+    "boilerplate": q_boilerplate,
+    "budget_fill": q_budget_fill,
+    "char_entropy": q_char_entropy,
+    "det_sample": q_det_sample,
+    "drift_kl": q_drift_kl,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_quant": q_embed_quant,
+    "events_hourly": q_events_hourly,
+    "graphql_docs": q_graphql_docs,
+    "pack_chunks": q_pack_chunks,
+    "pipeline_survivors": q_pipeline_survivors,
+    "profile_docs": q_profile_docs,
+    "quality_pct": q_quality_pct,
+    "quality_rules": q_quality_rules,
+    "rep_signals": q_rep_signals,
+    "resampled": q_resampled,
+    "semantic_dedup": q_semantic_dedup,
+    "semi_anti": q_semi_anti,
+    "session_window": q_session_window,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "sketch_rollup": q_sketch_rollup,
+    "sliding_window": q_sliding_window,
+    "source_cap": q_source_cap,
+    "split_counts": q_split_counts,
+    "text_stats": q_text_stats,
+    "tfidf_terms": q_tfidf_terms,
+    "token_mixture": q_token_mixture,
+    "top_terms": q_top_terms,
+    "transitions": q_transitions,
+    "unigram_lm": q_unigram_lm,
+    "union_backings": q_union_backings,
+    "value_bands": q_value_bands,
+    "variant_json": q_variant_json,
+    "window_analytics": q_window_analytics,
+
 }
 
 
@@ -2415,9 +2452,9 @@ ORACLES: dict[str, str] = {
     "pii_scrub": _PII_SCRUB_ORACLE,
     "budget_fill": _BUDGET_FILL_ORACLE,
     "mmr_rerank": _MMR_RERANK_ORACLE,
-    "flagship_revenue": """
+    "flagship_revenue": f"""
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+               {_REV} AS revenue,
                count(*) AS cnt, sum(l_quantity) AS qty
         FROM lineitem
         WHERE cast(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -2430,16 +2467,16 @@ ORACLES: dict[str, str] = {
                max(l_extendedprice) AS max_price
         FROM lineitem
     """,
-    "slice_subfield_year": """
+    "slice_subfield_year": f"""
         SELECT year(o_orderdate) AS order_year,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+               {_REV} AS revenue,
                count(*) AS cnt
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """,
-    "slice_month_start": """
+    "slice_month_start": f"""
         SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE cast(o_orderdate AS DATE) >= DATE '1997-01-01'
           AND cast(o_orderdate AS DATE) < DATE '1998-01-01'
@@ -2451,9 +2488,9 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """,
-    "star_join_region": """
+    "star_join_region": f"""
         SELECT r_name AS region,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+               {_REV} AS revenue,
                count(*) AS cnt
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -2471,9 +2508,9 @@ ORACLES: dict[str, str] = {
                sum(l_quantity) AS qty
         FROM lineitem WHERE l_quantity > 10 AND l_quantity <= 40 GROUP BY 1
     """,
-    "filter_in": """
+    "filter_in": f"""
         SELECT c_mktsegment AS mktsegment,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2486,9 +2523,9 @@ ORACLES: dict[str, str] = {
         FROM lineitem WHERE l_discount >= 0.02 AND l_discount <= 0.08
         GROUP BY 1
     """,
-    "filter_any_or": """
+    "filter_any_or": f"""
         SELECT n_name AS nation,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2509,10 +2546,10 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag AS returnflag, count(*) AS cnt
         FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
     """,
-    "cond_agg": """
+    "cond_agg": f"""
         SELECT l_returnflag AS returnflag,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_rev,
-               CAST(round(sum(CASE WHEN l_discount >= 0.05                              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
+               {_REV} AS total_rev,
+               {_rev_if("l_discount >= 0.05")}
                    AS hi_disc_rev,
                count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS hi_disc_cnt
         FROM lineitem GROUP BY 1
@@ -2566,12 +2603,12 @@ ORACLES: dict[str, str] = {
                count(*) AS cnt
         FROM lineitem GROUP BY 1
     """,
-    "tuple_topk": """
+    "tuple_topk": f"""
         WITH ranked AS (
             SELECT l_returnflag, l_partkey, l_extendedprice,
                    row_number() OVER (
                        PARTITION BY l_returnflag
-                       ORDER BY l_extendedprice * (1 - l_discount) DESC,
+                       ORDER BY {_REVENUE_SQL} DESC,
                                 l_partkey DESC, l_extendedprice DESC) AS rn
             FROM lineitem)
         SELECT l_returnflag AS returnflag,
@@ -2580,14 +2617,14 @@ ORACLES: dict[str, str] = {
                           ';' ORDER BY rn) AS top_parts
         FROM ranked WHERE rn <= 3 GROUP BY 1
     """,
-    "sort_option_order": """
+    "sort_option_order": f"""
         SELECT c_name AS customer,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
-        ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_name DESC
+        ORDER BY revenue DESC, customer DESC
         LIMIT 10
     """,
     "sort_by_integer": """
@@ -2612,16 +2649,16 @@ ORACLES: dict[str, str] = {
         SELECT user_id, event_id, round(value, 2) AS value, cnt
         FROM ranked WHERE rn <= 2
     """,
-    "rollup": """
+    "rollup": f"""
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                count(*) AS cnt,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    "grouping_sets": """
+    "grouping_sets": f"""
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                count(*) AS cnt,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
@@ -3449,9 +3486,9 @@ ORACLES: dict[str, str] = {
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> comp)
     """,
-    "preagg_rollup": """
+    "preagg_rollup": f"""
         SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS month,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+               {_REV} AS revenue,
                count(*) AS cnt,
                round(avg(l_extendedprice), 4) AS avg_price
         FROM lineitem
@@ -3459,11 +3496,11 @@ ORACLES: dict[str, str] = {
           AND cast(l_shipdate AS DATE) < DATE '1997-01-01'
         GROUP BY 1
     """,
-    "flagship_topn": """
+    "flagship_topn": f"""
         SELECT n_name AS nation,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+               {_REV} AS revenue,
                count(*) AS cnt,
-               CAST(round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
+               {_rev_if("c_mktsegment = 'AUTOMOBILE'")}
                    AS auto_rev
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -3487,19 +3524,19 @@ ORACLES: dict[str, str] = {
                round(avg(n_chars), 4) AS avg_chars
         FROM documents GROUP BY source
     """,
-    "alias_fanout": """
+    "alias_fanout": f"""
         SELECT l_returnflag AS returnflag,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
-               CAST(round(sum(CASE WHEN l_discount >= 0.05                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
+               {_REV} AS revenue,
+               {_rev_if("l_discount >= 0.05")}
                    AS rev_hi,
-               CAST(round(sum(CASE WHEN l_discount < 0.05                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
+               {_rev_if("l_discount < 0.05")}
                    AS rev_lo
         FROM lineitem GROUP BY 1
     """,
-    "nested_response": """
+    "nested_response": f"""
         SELECT to_json(struct_pack(year := year(o_orderdate),
                                    month := month(o_orderdate))) AS od,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+               {_REV} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE cast(o_orderdate AS DATE)
               BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'

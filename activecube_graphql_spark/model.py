@@ -38,6 +38,22 @@ def _as_factory(expr: "str | Column | ColumnFactory") -> ColumnFactory:
     return expr
 
 
+def money_sum_sql(expr_sql: str, cond_sql: Optional[str] = None) -> str:
+    """The ANSI twin of ``Metric.money_sum`` emission, shared verbatim by
+    the metric's printer and the hand-written driver oracles so both
+    engines always run the identical arithmetic: sum the integer
+    10⁻⁴-dollar per-row expression, half-up to whole cents in INTEGER
+    space (``floor((s+50)/100)`` — never round a double that can sit ON
+    a midpoint), then divide the exact cent count by 100.  Valid in both
+    Spark SQL and DuckDB: DuckDB widens sum(BIGINT) to HUGEINT, the
+    double division and floor behave identically, and the BIGINT cast
+    re-narrows.  Exact while the group's cents4 sum stays under 2⁵³
+    (≈ $9·10¹¹ revenue in ONE group); see ``Metric.money_sum``."""
+    e = f"CASE WHEN {cond_sql} THEN {expr_sql} END" if cond_sql else expr_sql
+    return (f"CAST(CAST(floor((sum({e}) + 50) / CAST(100 AS DOUBLE)) "
+            f"AS BIGINT) AS DOUBLE) / 100")
+
+
 @dataclass
 class Dimension:
     """A slice-able (group-by) attribute; may expose hierarchical sub-fields
@@ -167,6 +183,47 @@ class Metric:
         which a result harness materializes as float — the printed oracle
         must pin the physical type Spark produces (LongType)."""
         return Metric._wrap(F.sum, expr, requires, "sum", sql_expr, sql_cast)
+
+    @staticmethod
+    def money_sum(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+        """Exact 2dp money aggregate (r08, VERDICT r07 item 1).  ``expr``
+        is a per-row BIGINT in 10⁻⁴-dollar units ('cents4', e.g. the
+        revenue product price_cents × (100 − discount_cents)); the
+        metric sums it as a hardware int64 — the HashAggregate buffer
+        stays a mutable long, unlike DECIMAL sums whose +10-precision
+        widening leaves Spark's unscaled-long fast path (measured 5.3×
+        per-row cost at sf1, tools/money_sum_bench.py) — and emits
+        half-up-rounded dollars as DOUBLE.  Rounding happens in INTEGER
+        space (+50, floor-divide by 100), so the emitted value is
+        deterministic at any parallelism and bit-identical across
+        engines; the result is byte-for-byte what round(sum(exact
+        decimal), 2) produces on 2dp-grid inputs (verified vs the
+        DECIMAL formulation and DuckDB at sf0.001/0.01/0.1).
+
+        Bounds, for a 1000-executor cluster: int64 sum overflow needs
+        ~8.8·10⁹ rows in one group at max per-row revenue; the binding
+        limit is double-exact emission at 2⁵³ cents4 ≈ **$9·10¹¹ of
+        revenue in a single group**.  A group beyond that (a global
+        no-slice sum over ≫100 TB) needs the two-level split — sum
+        hi=e div 10⁶ and lo=e mod 10⁶ as two longs, combine per GROUP
+        in DECIMAL(38,0) — which keeps per-row work in int64 and pays
+        decimal cost once per output row; not wired in because no
+        fixture or survey query comes within 10³ of the bound."""
+        factory = _as_factory(expr)
+        e_sql = Metric._sql_of(expr, sql_expr)
+
+        def agg(cond: Optional[Column]) -> Column:
+            c = factory()
+            s = F.sum(F.when(cond, c)) if cond is not None else F.sum(c)
+            # long/int '/' is double division in Spark; s+50 < 2^53 by
+            # the documented bound, so the quotient's floor is exact
+            return F.floor((s + F.lit(50)) / F.lit(100)).cast("double") / 100
+
+        sql = None
+        if e_sql is not None:
+            def sql(cond_sql: Optional[str], _e=e_sql) -> str:
+                return money_sum_sql(_e, cond_sql)
+        return Metric(agg=agg, requires=requires, sql=sql)
 
     @staticmethod
     def avg(expr, requires=frozenset(), sql_expr=None) -> "Metric":

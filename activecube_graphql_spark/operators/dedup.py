@@ -166,7 +166,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         max_shingle_df: int | None = None,
                         strategy: str = "auto",
                         dense_vocab_limit: int = 1 << 17,
-                        dense_bits_limit: int = 1 << 31) -> DataFrame:
+                        dense_bits_limit: int = 1 << 31,
+                        rows_to_flops: float | None = None) -> DataFrame:
     """Exact n-gram-Jaccard similarity join: pairs (a < b) with
     |A∩B| / |A∪B| ≥ threshold.
 
@@ -199,7 +200,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     memory guard alone ran 6× slower on bitmap than index; the
     compute term routes it correctly, and the df² probe runs only
     when the vocabulary is already measured dense-regime-small, so it
-    never shuffles a web-scale vocabulary.
+    never shuffles a web-scale vocabulary. The crossover ratio is a
+    per-environment calibration: override with ``rows_to_flops=`` or
+    the ``spark.activecube.jaccard.rowsToFlops`` session conf (the
+    2e4 default is the documented local[32] measurement).
 
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs (stop-shingle control; makes the result approximate).
@@ -264,9 +268,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                 inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
                 .agg(F.sum(F.col("c").cast("double")
                            * F.col("c")).alias("w")).first()["w"] or 0.0)
-            ROWS_TO_FLOPS = 2e4
+            # crossover ratio is HARDWARE CALIBRATION, not semantics
+            # (ADVICE r07 item 4): 2e4 is the measured local[32] value
+            # (~2e10 bitmap flop/s vs ~1e6 shuffled join rows/s); on a
+            # real cluster the join side scales out while the
+            # driver-adjacent bitmap path doesn't, so deployments
+            # should lower it. Override per call or via the
+            # spark.activecube.jaccard.rowsToFlops session conf —
+            # both strategies are exact, so a miscalibration costs
+            # time, never correctness.
+            if rows_to_flops is None:
+                rows_to_flops = float(
+                    df.sparkSession.conf.get(
+                        "spark.activecube.jaccard.rowsToFlops", "2e4"))
             bitmap_flops = float(n_docs) * n_docs * max(vocab_size, 1)
-            eligible = bitmap_flops <= ROWS_TO_FLOPS * sum_df2
+            eligible = bitmap_flops <= rows_to_flops * sum_df2
         strategy = "bitmap" if eligible else "index"
     from ..stats import record_routing
     record_routing("ngram_jaccard.strategy", strategy)

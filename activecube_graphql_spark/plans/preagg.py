@@ -27,6 +27,14 @@ from ..model import Dimension, Metric, Representation, Selector
 
 GRAIN_COLS = ("l_returnflag", "l_linestatus")
 
+#: Versions the BUILD LOGIC into the cache tag (ADVICE r07 item 2): the
+#: content signature alone cannot see a change in how cells are
+#: computed, so a rollup built under an older sum_revenue
+#: representation (r06 double partials, r07 decimal) would be silently
+#: reused on any warm cache. Bump on every change to the cell schema
+#: or aggregation arithmetic.  v3 = cents4 BIGINT partial sums.
+_ROLLUP_VERSION = "v3-cents4"
+
 
 def build_daily_sales_rollup(spark: SparkSession, source_dir: str,
                              out_path: str) -> float:
@@ -38,10 +46,11 @@ def build_daily_sales_rollup(spark: SparkSession, source_dir: str,
                    F.to_date("l_shipdate").alias("ship_date"))
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.sum("l_quantity").alias("sum_qty"),
-             # exact-decimal partial sum (cubes._REVENUE_SQL): the
+             # exact cents4 partial sum (cubes._REVENUE_SQL): the
              # rollup cell must carry the same order-independent
              # representation the base metric aggregates, or the
-             # rewrite would reintroduce double-sum rounding drift
+             # rewrite would reintroduce double-sum rounding drift;
+             # int64 partials re-aggregate exactly at any cell split
              F.sum(F.expr(_REVENUE_SQL)).alias("sum_revenue"),
              F.sum("l_extendedprice").alias("sum_price"),
              F.sum("l_discount").alias("sum_discount"),
@@ -94,7 +103,10 @@ def daily_sales_representation(path: str, cost: float) -> Representation:
             # algebraic re-aggregation: SUM of partial states
             "count": Metric.sum("cnt"),
             "quantity": _sum_of("sum_qty"),
-            "revenue": _sum_of("sum_revenue"),
+            # money emission must match the base cube bit-for-bit:
+            # re-aggregate the exact cents4 partials, then the same
+            # integer-space half-up emission (Metric.money_sum)
+            "revenue": Metric.money_sum("sum_revenue"),
             "avg_price": _ratio("sum_price", "cnt"),
             "avg_discount": _ratio("sum_discount", "cnt"),
             "min_price": Metric.min("min_price"),
@@ -120,7 +132,8 @@ def attach_daily_rollup(cube, sf_dir: str,
     from .segments import _source_signature
 
     tag = (os.path.basename(os.path.normpath(sf_dir))
-           + "-" + _source_signature(sf_dir, "lineitem.parquet"))
+           + "-" + _source_signature(sf_dir, "lineitem.parquet")
+           + "-" + _ROLLUP_VERSION)
     out = os.path.join(cache_root, tag, "sales_daily")
     cost_file = os.path.join(cache_root, tag, "sales_daily_cost.json")
     # cost is measured once at build time and persisted beside the rollup —

@@ -32,9 +32,21 @@ MODULES = (text, similarity, dedup, robust, sampling, timeseries, profile,
            joins, multimodal, portable)
 
 #: a float literal wrapped in an explicit double cast — the only
-#: accepted way to write one inside a portable fragment
-_PINNED = re.compile(r"(?i)CAST\(\s*\d+\.\d+\s+AS\s+DOUBLE\s*\)")
-_FLOAT = re.compile(r"\d+\.\d+")
+#: accepted way to write one inside a portable fragment (any lexical
+#: shape: 0.5, .5, 1e-4, 2.5e3)
+_PINNED = re.compile(
+    r"(?i)CAST\(\s*(?:\d+(?:\.\d+)?[eE][+-]?\d+|\d+\.\d+|\.\d+)"
+    r"\s+AS\s+DOUBLE\s*\)")
+#: every lexical shape of a non-integer numeric literal (ADVICE r07
+#: item 3 — the original \d+\.\d+ missed exponent form (1e-4),
+#: leading-dot (.5), and d-suffixed (0.0d) literals, all of which are
+#: decimal- or double-typed differently across engines). Exponent
+#: alternative first so 2.5e3 is not split; the lookbehind keeps .5
+#: from matching inside 1.5 or a qualified name.
+_FLOAT = re.compile(
+    r"\d+(?:\.\d+)?[eE][+-]?\d+"
+    r"|\d+\.\d+[dD]?"
+    r"|(?<![\w.])\.\d+")
 
 
 def bare_floats(fragment: str) -> list[str]:

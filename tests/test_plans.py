@@ -80,6 +80,59 @@ def test_partial_final_aggregation(sales):
     assert len(re.findall(r"\)\s+HashAggregate", plan)) >= 2, plan
 
 
+def test_money_sum_plan_stays_integer(sales):
+    """Regression gate for the r08 money fast path (BENCH_NOTES r08): the
+    revenue aggregate must plan as hardware int64 sums inside a
+    HashAggregate — NO DecimalType anywhere in the plan. The r07 DECIMAL
+    formulation widened the sum buffer past 18 digits, dropping Spark's
+    unscaled-long fast path for BigDecimal at a measured 5× per-row cost
+    on Expand shapes (rollup 5.07× — the round's only 2×-freeze breaks);
+    this pins the fix structurally so a future metric edit cannot
+    silently reintroduce it."""
+    for q in (sales.query().slice("returnflag", "linestatus")
+                   .measure("revenue").grouping("rollup"),
+              sales.query().slice("returnflag")
+                   .measure("revenue", alias="a")
+                   .measure("revenue", alias="b",
+                            where={"discount": {"gteq": 0.05}})):
+        plan = q.df()._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan and "SortAggregate" not in plan
+        assert "Decimal" not in plan and "decimal" not in plan, plan[:1500]
+
+
+def test_money_sum_matches_exact_decimal_arithmetic(spark):
+    """Exactness property of Metric.money_sum on arbitrary 2dp-grid data
+    (not just the fixture): emitted dollars == round-half-up of the
+    EXACT decimal sum, computed independently in Python integer
+    arithmetic — including sums that land exactly ON a .xx5 midpoint,
+    the class that motivated the whole money-typing migration."""
+    import random
+
+    from activecube_graphql_spark.model import Metric
+
+    rnd = random.Random(8)
+    rows = [(i % 7,
+             round(rnd.uniform(1, 105000), 2),
+             round(rnd.uniform(0.0, 0.10), 2)) for i in range(4000)]
+    # plant exact-midpoint groups (cents4 sum ≡ 50 mod 100, i.e. the
+    # dollar sum sits exactly ON a .xx5 half): 25·90 = 2250 and
+    # 10000·100 + 2250 = 1_002_250 — both end in 50
+    rows += [(7, 0.25, 0.10),
+             (8, 100.00, 0.00), (8, 0.25, 0.10)]
+    df = spark.createDataFrame(rows, "g int, p double, d double")
+    m = Metric.money_sum(lambda: F.expr(
+        "CAST(floor(p * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) "
+        "* (100 - CAST(floor(d * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))"))
+    got = {r["g"]: r["v"] for r in
+           df.groupBy("g").agg(m.agg(None).alias("v")).collect()}
+    # independent exact arithmetic: ints only, half-up at cents
+    want: dict[int, int] = {}
+    for g, p, d in rows:
+        want[g] = want.get(g, 0) + round(p * 100) * (100 - round(d * 100))
+    for g, s in want.items():
+        assert got[g] == ((s + 50) // 100) / 100, (g, s, got[g])
+
+
 def test_dimension_joins_broadcast_fact_join_shuffles(sales):
     """Star joins: customer/nation/region broadcast (no fact shuffle);
     the fact-fact lineitem-orders edge may shuffle; nothing degenerates

@@ -242,11 +242,13 @@ def run(sf_dir: str) -> Gate:
 def _grid_exact(name: str, g: Gate, vals: np.ndarray, unit: float) -> None:
     """Assert a money column actually lies on its declared decimal grid
     (within double-repr noise ≪ half a grid step). This is the DATA
-    CONTRACT the exact-DECIMAL revenue aggregation (cubes._REVENUE_SQL)
-    rests on: CAST(double AS DECIMAL(p,2)) silently RE-ROUNDS an
-    off-grid value, so a fixture violating the grid would corrupt sums
-    instead of exactifying them. Margin = half-step minus the worst
-    deviation (positive and large when the contract holds)."""
+    CONTRACT the exact cents4 revenue aggregation (cubes._REVENUE_SQL,
+    r08: ``floor(x*100 + 0.5)``) rests on: the floor recovers the true
+    integer cents only while the double is within ~0.005 of a grid
+    point, so a fixture violating the grid would silently re-round
+    off-grid values instead of exactifying them. Margin = half-step
+    minus the worst deviation (positive and large when the contract
+    holds)."""
     steps = vals / unit
     dev = float(np.abs(steps - np.rint(steps)).max()) * unit if vals.size \
         else 0.0
@@ -255,8 +257,9 @@ def _grid_exact(name: str, g: Gate, vals: np.ndarray, unit: float) -> None:
 
 def run_sum_rounding(sf_dir: str) -> Gate:
     """ADVICE r06 follow-through, post-migration shape. The revenue
-    family (round(sum(extendedprice·(1-discount)), 2)) aggregates in
-    EXACT DECIMAL since r07 — order-independent by construction, no
+    family (round(sum(extendedprice·(1-discount)), 2)) aggregates
+    exactly since r07 (DECIMAL r07 → unscaled BIGINT cents4 r08,
+    Metric.money_sum) — order-independent by construction, no
     midpoint margin to check; what it needs instead is the 2dp-grid
     data contract asserted by ``_grid_exact``. The rows still summing
     doubles — ``skew_salted_join`` (sum(o_totalprice)) and
