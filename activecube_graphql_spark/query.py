@@ -91,6 +91,36 @@ def _any_groups(value: Any) -> list[dict]:
         f"{type(value).__name__}: {value!r}")
 
 
+def _drop_nil_ops(grp: dict) -> dict:
+    """The reference's any:-group nil rule (parse_tree.rb:177 ``unless
+    arg.nil?``): EVERY nil-valued operator inside an ``any:`` group is
+    dropped — including the null-aware ``is``/``not`` ops that the
+    direct selector path keeps (:158-160). Only used under
+    ``strict_reference_compat``; nested ``any:`` payloads pass through
+    (the recursive ``_predicate`` call applies the same rule a level
+    down)."""
+    out: dict = {}
+    for k, v in grp.items():
+        if k == "any":
+            out[k] = v
+            continue
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            v = {op: val for op, val in v.items() if val is not None}
+            if not v:
+                continue
+        elif isinstance(v, (list, tuple)) and v \
+                and all(isinstance(h, dict) for h in v):
+            v = [h2 for h in v
+                 for h2 in [{op: val for op, val in h.items()
+                             if val is not None}] if h2]
+            if not v:
+                continue
+        out[k] = v
+    return out
+
+
 @dataclass
 class _SliceSpec:
     key: str
@@ -120,6 +150,7 @@ class CubeQueryBuilder:
         self._grouping_mode: str = "groupby"
         self._grouping_sets: Optional[list[list[str]]] = None
         self._use_cache: bool = True
+        self._strict_ref_compat: bool = False
 
     # ------------------------------------------------------------------ API
     def slice(self, *names: str, alias: Optional[str] = None) -> "CubeQueryBuilder":
@@ -224,6 +255,19 @@ class CubeQueryBuilder:
         self._use_cache = False
         return self
 
+    def strict_reference_compat(self, on: bool = True) -> "CubeQueryBuilder":
+        """Opt into the reference's exact ``any:``-group nil semantics
+        (VERDICT r07 item 6; parse_tree.rb:177): inside ``any:`` groups
+        every nil-valued operator is dropped — INCLUDING the null-aware
+        ``is``/``not`` ops the direct selector path keeps (:158-160).
+        Default off: this engine's uniform rule is that a null-op an
+        author wrote never silently vanishes (documented divergence,
+        SURVEY §2.3 F6). The flag exists so a migrating user whose
+        queries depend on the reference's drop-all-nils behavior gets it
+        bit-for-bit."""
+        self._strict_ref_compat = bool(on)
+        return self
+
     # ------------------------------------------------------- validation
     def _normalize_any_group(self, grp: dict, selectors) -> dict:
         """Reference parity (parse_tree.rb:170): attr names inside ``any:``
@@ -317,9 +361,10 @@ class CubeQueryBuilder:
             if attr == "any":
                 groups: list[Column] = []
                 for grp in _any_groups(value):
-                    gpred = self._predicate(
-                        resolver,
-                        self._normalize_any_group(grp, resolver.selectors))
+                    grp = self._normalize_any_group(grp, resolver.selectors)
+                    if self._strict_ref_compat:
+                        grp = _drop_nil_ops(grp)
+                    gpred = self._predicate(resolver, grp)
                     if gpred is not None:
                         groups.append(gpred)
                 if groups:
@@ -382,6 +427,8 @@ class CubeQueryBuilder:
             "options": self._options,
             "grouping": self._grouping_mode,
             "grouping_sets": self._grouping_sets,
+            # semantics switch → distinct plan-cache entry
+            "strict": self._strict_ref_compat,
         }, default=str)
 
     def _filtered(self, base: DataFrame, resolver) -> DataFrame:

@@ -107,6 +107,39 @@ def test_any_group_keeps_null_ops(spark, sf_dir):
     assert mixed == only_r  # IS NULL arm contributes zero rows
 
 
+def test_any_group_strict_reference_compat_drops_null_ops(spark, sf_dir):
+    """Twin of test_any_group_keeps_null_ops under the opt-in
+    ``strict_reference_compat`` flag (VERDICT r07 item 6): the
+    reference drops EVERY nil-valued operator inside ``any:`` groups,
+    null-aware ops included (parse_tree.rb:177) — so ``{is: None}``
+    inside ``any:`` silently vanishes and the group stops filtering.
+    Both semantics selectable; default unchanged (previous test)."""
+    cube = SalesCube(spark, sf_dir)
+    base = cube.query().measure("count", alias="cnt").df().collect()[0][0]
+    # {is: None} inside any: is DROPPED under strict compat → the group
+    # carries no predicate → the filter vanishes → all rows
+    dropped = (cube.query().measure("count", alias="cnt")
+               .strict_reference_compat()
+               .when({"any": [{"returnflag": {"is": None}}]})
+               .df().collect()[0][0])
+    assert dropped == base
+    # a group mixing a (dropped) null-op with a live predicate keeps
+    # only the live one; direct (non-any) path is untouched by the flag
+    mixed = (cube.query().measure("count", alias="cnt")
+             .strict_reference_compat()
+             .when({"any": [{"returnflag": {"is": None},
+                             "linestatus": "F"}]})
+             .df().collect()[0][0])
+    only_f = (cube.query().measure("count", alias="cnt")
+              .when({"linestatus": "F"}).df().collect()[0][0])
+    assert mixed == only_f
+    direct = (cube.query().measure("count", alias="cnt")
+              .strict_reference_compat()
+              .when({"returnflag": {"is": None}})
+              .df().collect()[0][0])
+    assert direct == 0  # direct path keeps null-ops even under strict
+
+
 def test_any_group_lowercamelize_fallback(spark, sf_dir):
     """parse_tree.rb:170 — attr names inside ``any:`` selector groups
     resolve via camelize(:lower) when the exact key is absent, so
