@@ -60,6 +60,22 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, lake_root):
              .collect())}
     assert got == want
 
+    # MEASURED pruning, not just plan text (VERDICT r07 item 5): the
+    # files actually opened by the pruned scan must be a >90%-pruned
+    # subset of the lake (the fixture spans ~30 daily partitions; a
+    # 1-day filter must read ~1/30). input_file_name() runs the real
+    # scan, so this counts what the executors touched. The sf1-scale
+    # twin of this audit is tools/dpp_sf1.py (recorded in BENCH_NOTES).
+    lake = f"{lake_root}/events.parquet"
+    total = {f for f in spark.read.parquet(lake).inputFiles()}
+    read = {r[0] for r in
+            spark.read.parquet(lake)
+            .filter(F.col("event_date") == F.lit(pick))
+            .select(F.input_file_name()).distinct().collect()}
+    assert read and read < total
+    pruned = 1 - len(read) / len(total)
+    assert pruned > 0.9, (len(read), len(total))
+
 
 def test_source_registry_csv_format(spark, sf_dir, tmp_path_factory):
     """Same registry machinery over a CSV database (format + reader

@@ -2,9 +2,11 @@
 (VERDICT r06 item 6) — NOT for grading or freezing, only to measure
 whether the heavy rows' wall-time grows ~linearly in input.
 
-Writes /tmp/sf1/{documents,embeddings,lineitem}.parquet — the three
-tables the top-10 heaviest bench rows read. /root/testdata is
-read-only, and /tmp keeps the ~10× parquet out of the repo.
+Writes /tmp/sf1/{documents,embeddings,lineitem,events}.parquet — the
+three tables the top-10 heaviest bench rows read, plus events (r08)
+for the partitioned-lake pruning audit and the streaming-maintenance
+scale runs. /root/testdata is read-only, and /tmp keeps the ~10×
+parquet out of the repo.
 
 Design: naive 10× row replication would be PATHOLOGICAL for the dedup
 family — every doc would sit in a 10-clone cluster, turning the pair
@@ -138,13 +140,54 @@ def make_lineitem(out_dir: str) -> None:
     print(f"lineitem: {tbl.num_rows} rows ({LINEITEM_REPLICAS} replicas)")
 
 
+EVENTS_N = 1_000_000
+EVENTS_DAYS = 300  # 10× data at the same event RATE = 10× retention:
+#                    the realistic event-log axis of growth, and the one
+#                    that exercises date-partition pruning (302 daily
+#                    partitions vs sf0.1's 30)
+
+
+def make_events(rng: np.random.RandomState, out_dir: str) -> None:
+    """Events with sf0.1's schema and marginals (type mix, user range,
+    cent-grid values, {"k": int} props) over a 300-day span — the sf1
+    substrate for the partitioned-lake pruning audit (tools/dpp_sf1.py)
+    and the streaming maintenance scale runs."""
+    src = pq.read_table(os.path.join(SRC, "events.parquet"))
+    types, counts = np.unique(np.asarray(src["event_type"]),
+                              return_counts=True)
+    type_p = counts / counts.sum()
+    n_users = int(np.asarray(src["user_id"]).max()) + 1
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = EVENTS_DAYS * 86_400_000_000
+    ts = t0 + np.sort(
+        rng.randint(0, span_us, EVENTS_N).astype("timedelta64[us]"))
+    value = np.round(rng.exponential(90.0, EVENTS_N), 2)  # cent grid
+    tbl = pa.table({
+        "event_id": pa.array(range(EVENTS_N), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(0, n_users, EVENTS_N), pa.int64()),
+        "event_type": pa.array(rng.choice(types, EVENTS_N, p=type_p)),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}'
+                           for k in rng.randint(0, 100, EVENTS_N)]),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
+    print(f"events: {EVENTS_N} rows over {EVENTS_DAYS} days")
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(SEED)
-    make_documents(rng, out_dir)
-    make_embeddings(rng, out_dir)
-    make_lineitem(out_dir)
+    only = set(sys.argv[2:])
+    if not only or "documents" in only:
+        make_documents(rng, out_dir)
+    if not only or "embeddings" in only:
+        make_embeddings(rng, out_dir)
+    if not only or "lineitem" in only:
+        make_lineitem(out_dir)
+    if not only or "events" in only:
+        make_events(rng, out_dir)
 
 
 if __name__ == "__main__":
