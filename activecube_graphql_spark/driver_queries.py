@@ -618,6 +618,23 @@ def q_decontam(spark, sf_dir):
     return dd.decontamination_overlap(train, bench, n=3, min_shared=2)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-screened exact decontamination (operators/dedup.py
+    bloom_decontam — r08): remove training docs whose normalized-text
+    fingerprint appears in a held-out benchmark slice (doc_id % 7 = 0),
+    at the physical shape for benchmarks too big to broadcast raw —
+    the corpus clears a broadcast m-bit Bloom bitmap map-side (no
+    false negatives), and only the candidate sliver pays the exact
+    fingerprint anti-join. Results identical to the plain anti-join
+    the oracle runs; emitted as per-source survivor counts + chars."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    out = dd.bloom_decontam(docs, bench)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("n_chars").alias("chars")))
+
+
 def q_source_cap(spark, sf_dir):
     """Per-source document cap (operators/sampling.py cap_per_group):
     keep the 5 highest-quality docs per source (quality desc, doc_id
@@ -2298,6 +2315,8 @@ def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
 # the 50; any r07-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r08 window (driver grades the FIRST 50):
+    # --- tier 0: NEW operator this round (never graded) ---
+    "bloom_decontam": q_bloom_decontam,
     # --- tier 1 (15): evidence voided this round — every row whose
     #     oracle embeds the money-sum fragment moved from exact
     #     DECIMAL to exact unscaled BIGINT cents4 (VERDICT r07
@@ -2710,6 +2729,17 @@ ORACLES: dict[str, str] = {
         JOIN (SELECT lang, source, min(doc_id) AS keep_id
               FROM documents GROUP BY 1, 2) k
           ON d.doc_id = k.keep_id
+    """,
+    "bloom_decontam": f"""
+        WITH fp AS (SELECT source, n_chars,
+                           {tx.oracle_fragment(tx.FINGERPRINT)} AS f
+                    FROM documents),
+        bfp AS (SELECT DISTINCT {tx.oracle_fragment(tx.FINGERPRINT)} AS f
+                FROM documents WHERE doc_id % 7 = 0)
+        SELECT source, count(*) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM fp WHERE f NOT IN (SELECT f FROM bfp)
+        GROUP BY 1
     """,
     "fingerprint_dedup": f"""
         SELECT source, count(*) AS cnt,

@@ -530,6 +530,96 @@ def decontaminate(train: DataFrame, bench: DataFrame,
     return train.join(flagged, id_col, "left_anti")
 
 
+def bloom_screen(df: DataFrame, keys: DataFrame, key_col: str,
+                 bits_per_key: int = 16, num_hashes: int = 4,
+                 max_bits: int = 1 << 27) -> DataFrame:
+    """Append ``__bloom_hit`` to ``df``: whether ``key_col`` MIGHT be in
+    ``keys[key_col]`` — a pure-DataFrame Bloom filter (Spark's own
+    ``bloom_filter_agg``/``might_contain`` are not exposed through the
+    public SQL registry, so this builds the identical structure from
+    registry functions; Bloom 1970, the structure behind Spark's
+    runtime row-group filters).
+
+    Guarantee (what makes composition with an exact verify EXACT): NO
+    false negatives — a key present in ``keys`` always sets all its
+    bits, so ``__bloom_hit`` is false only for true non-members. False
+    positives only widen the candidate set a downstream exact check
+    filters again (~0.24% at the 16-bit/4-hash default).
+
+    Physical shape at 100 TB: ``keys`` aggregates to an m-bit bitmap
+    ENTIRELY engine-side — k positions per key (xxhash64 seeded by the
+    hash index), ``bit_or``-folded into m/64 words map-side — so the
+    only driver materialization is the finished word set (≤ m/64 longs;
+    m caps at ``max_bits`` = 16 MB). The bitmap rides one broadcast
+    crossJoin row and the probe is a per-row ``forall`` over k
+    element_at lookups — ``df`` is never shuffled and never rescanned.
+    A benchmark too big for its ideal m degrades gracefully: m stays
+    capped, the false-positive rate rises, the screen stays correct.
+    """
+    spark = df.sparkSession
+    n_keys = keys.select(key_col).distinct().count()
+    m = max(64, min(int(max_bits), bits_per_key * max(n_keys, 1)))
+    n_words = (m + 63) // 64
+    k = int(num_hashes)
+
+    pos = (f"explode(transform(sequence(0, {k - 1}), "
+           f"i -> pmod(xxhash64({key_col}, i), {m}L)))")
+    words = (keys.selectExpr(f"{pos} AS p")
+             .selectExpr("CAST(p div 64 AS INT) AS w",
+                         "shiftleft(1L, CAST(p % 64 AS INT)) AS bit")
+             .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
+             .collect())
+    arr = [0] * n_words
+    for r in words:
+        arr[r["w"]] = r["word"]
+    bloom = spark.createDataFrame([(arr,)], "__bloom array<long>")
+
+    hit = (f"forall(transform(sequence(0, {k - 1}), "
+           f"i -> pmod(xxhash64({key_col}, i), {m}L)), "
+           f"p -> (shiftright(element_at(__bloom, CAST(p div 64 AS INT) + 1), "
+           f"CAST(p % 64 AS INT)) & 1) = 1)")
+    return (df.crossJoin(F.broadcast(bloom))
+            .withColumn("__bloom_hit", F.expr(hit))
+            .drop("__bloom"))
+
+
+def bloom_decontam(train: DataFrame, bench: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bits_per_key: int = 16, num_hashes: int = 4,
+                   max_bits: int = 1 << 27) -> DataFrame:
+    """Exact-match decontamination at the scale where the benchmark's
+    raw fingerprint set is too big to broadcast: keep every training
+    row whose normalized-text fingerprint (text.FINGERPRINT — the same
+    key exact_dedup and the dedup index use) is NOT in ``bench``.
+
+    Results are IDENTICAL to the naive exact anti-join (the oracle) —
+    what changes is the physical plan: the Bloom screen
+    (:func:`bloom_screen`, no false negatives) clears definitely-clean
+    rows map-side against a broadcast bitmap, and only the candidate
+    sliver (true hits + ~0.24% false positives) pays the exact
+    fingerprint anti-join against the full benchmark. At 100 TB the
+    train side is never shuffled: the screen is map-only over the scan,
+    candidates are anti-joined (their shuffle is candidate-sized, and
+    the bench side ships one pruned fingerprint column), and the two
+    branches are re-reads of the same column-pruned scan — two cheap
+    scans instead of one corpus-wide shuffle. The broadcast-bench
+    regime (eval suites of a few MB) should keep using
+    :func:`decontaminate` / the plain anti-join; this operator is the
+    held-out-split / corpus-vs-corpus regime."""
+    from .text import with_fingerprint
+    fp_train = with_fingerprint(ensure_parallelism(train),
+                                text_col=text_col)
+    bench_fp = (with_fingerprint(bench, text_col=text_col)
+                .select("fingerprint").distinct())
+    screened = bloom_screen(fp_train, bench_fp, "fingerprint",
+                            bits_per_key, num_hashes, max_bits)
+    clean = screened.filter(~F.col("__bloom_hit"))
+    survivors = (screened.filter(F.col("__bloom_hit"))
+                 .join(bench_fp, "fingerprint", "left_anti"))
+    out_cols = [c for c in train.columns]
+    return clean.select(*out_cols).unionByName(survivors.select(*out_cols))
+
+
 # ------------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",

@@ -337,6 +337,51 @@ def test_decontaminate_drops_exactly_flagged(spark, sf_dir):
     assert flagged, "fixture should produce at least one contaminated doc"
 
 
+def test_bloom_decontam_equals_exact_anti_join(spark, sf_dir):
+    """bloom_decontam's contract: results IDENTICAL to the naive exact
+    fingerprint anti-join at any Bloom sizing — the screen has no false
+    negatives, and the exact verify removes its false positives. Also
+    pins the screen itself: every true member hits; the measured
+    false-positive rate stays within ~5x of the (1-e^{-k n/m})^k
+    theory at default sizing; a degenerately small bitmap (the
+    graceful-degradation path for over-cap benchmarks) still yields
+    exact results."""
+    from activecube_graphql_spark.operators.text import with_fingerprint
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    fp = with_fingerprint(docs)
+    bfp = with_fingerprint(bench).select("fingerprint").distinct()
+    want = {r["doc_id"] for r in
+            fp.join(bfp, "fingerprint", "left_anti")
+            .select("doc_id").collect()}
+
+    got = {r["doc_id"] for r in dd.bloom_decontam(docs, bench)
+           .select("doc_id").collect()}
+    assert got == want and len(want) < docs.count()
+
+    # no false negatives + bounded false positives at default sizing
+    sc = dd.bloom_screen(fp, bfp, "fingerprint")
+    true_hits = {r["doc_id"] for r in
+                 fp.join(bfp, "fingerprint", "left_semi")
+                 .select("doc_id").collect()}
+    hits = {r["doc_id"] for r in sc.filter("__bloom_hit")
+            .select("doc_id").collect()}
+    assert true_hits <= hits
+    n_clean = docs.count() - len(true_hits)
+    assert (len(hits) - len(true_hits)) / max(n_clean, 1) < 0.012  # ~5x 0.24%
+
+    # graceful degradation: a 64-bit bitmap makes the screen useless but
+    # never wrong — exactness survives the cap
+    tiny = {r["doc_id"] for r in
+            dd.bloom_decontam(docs, bench, max_bits=64)
+            .select("doc_id").collect()}
+    assert tiny == want
+
+    # empty benchmark keeps everything
+    empty = bench.filter("doc_id < 0")
+    assert dd.bloom_decontam(docs, empty).count() == docs.count()
+
+
 def test_decontamination_counts_distinct_shared_shingles(spark):
     """Shared count is DISTINCT shingles (repeats inside one doc count
     once), and sub-threshold overlap is not emitted."""

@@ -623,6 +623,7 @@ def test_no_cartesian_in_any_driver_row(spark):
         "tfidf_terms",                      # 1-row N-scalar crossJoin
         "unigram_lm",                       # same 1-row totals crossJoin
         "lm_buckets",                       # 1-row threshold crossJoin
+        "bloom_decontam",                   # 1-row bloom-bitmap crossJoin
         "source_kl",                        # top-V spine crossJoin
         "semantic_decontam",                # broadcast-bench fan-out
         "mmr_rerank",                       # broadcast-query fan-out
