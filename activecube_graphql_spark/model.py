@@ -185,7 +185,8 @@ class Metric:
         return Metric._wrap(F.sum, expr, requires, "sum", sql_expr, sql_cast)
 
     @staticmethod
-    def money_sum(expr, requires=frozenset(), sql_expr=None) -> "Metric":
+    def money_sum(expr, requires=frozenset(), sql_expr=None,
+                  two_level: bool = False) -> "Metric":
         """Exact 2dp money aggregate (r08, VERDICT r07 item 1).  ``expr``
         is a per-row BIGINT in 10⁻⁴-dollar units ('cents4', e.g. the
         revenue product price_cents × (100 − discount_cents)); the
@@ -201,20 +202,41 @@ class Metric:
         DECIMAL formulation and DuckDB at sf0.001/0.01/0.1).
 
         Bounds, for a 1000-executor cluster: int64 sum overflow needs
-        ~8.8·10⁹ rows in one group at max per-row revenue; the binding
-        limit is double-exact emission at 2⁵³ cents4 ≈ **$9·10¹¹ of
+        ~8.8·10⁹ rows in one group at max per-row revenue (and FAILS
+        LOUDLY there — Spark 4 ANSI mode raises ARITHMETIC_OVERFLOW,
+        never a silently wrong total); the binding limit is
+        double-exact emission at 2⁵³ cents4 ≈ **$9·10¹¹ of
         revenue in a single group**.  A group beyond that (a global
         no-slice sum over ≫100 TB) needs the two-level split — sum
         hi=e div 10⁶ and lo=e mod 10⁶ as two longs, combine per GROUP
         in DECIMAL(38,0) — which keeps per-row work in int64 and pays
-        decimal cost once per output row; not wired in because no
-        fixture or survey query comes within 10³ of the bound."""
+        decimal cost once per output row: that is ``two_level=True``,
+        emitting exact DECIMAL(38,2) dollars (beyond 2⁵³ cents a double
+        cannot hold the value at all, so the extreme regime changes the
+        emission type by necessity). Both levels share the half-up
+        emission and assume the non-negative money domain (a NEGATIVE
+        sum landing exactly ON a half-cent would floor toward +inf
+        where round-half-away rounds down — revenue can't go negative,
+        so the bias is unreachable; a signed money metric would need
+        sign-split emission). The SQL twin is single-level either way:
+        DuckDB widens sum(BIGINT) to HUGEINT natively, so the printed
+        oracle is overflow-safe without the split."""
         factory = _as_factory(expr)
         e_sql = Metric._sql_of(expr, sql_expr)
 
         def agg(cond: Optional[Column]) -> Column:
             c = factory()
-            s = F.sum(F.when(cond, c)) if cond is not None else F.sum(c)
+            c = F.when(cond, c) if cond is not None else c
+            if two_level:
+                # per-row int64 split (floored div + pmod pair, exact
+                # for all signs); the only decimal ops run once per
+                # OUTPUT group, not per input row
+                hi = F.sum(F.floor(c / F.lit(1000000)))
+                lo = F.sum(F.pmod(c, F.lit(1000000)))
+                total = hi.cast("decimal(38,0)") * 1000000 + lo
+                cents = F.floor((total + 50) / 100)  # exact: ≤2dp value
+                return (cents / 100).cast("decimal(38,2)")
+            s = F.sum(c)
             # long/int '/' is double division in Spark; s+50 < 2^53 by
             # the documented bound, so the quotient's floor is exact
             return F.floor((s + F.lit(50)) / F.lit(100)).cast("double") / 100

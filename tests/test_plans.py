@@ -133,6 +133,55 @@ def test_money_sum_matches_exact_decimal_arithmetic(spark):
         assert got[g] == ((s + 50) // 100) / 100, (g, s, got[g])
 
 
+def test_money_sum_two_level_survives_int64_overflow(spark):
+    """The documented escape hatch past money_sum's single-level bound
+    (~$9e11/group): two int64 partial sums (hi=div 1e6, lo=pmod 1e6)
+    with a per-GROUP decimal combine. On a group whose cents4 sum
+    exceeds Long.MAX — where the single-level long sum raises
+    ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode (loud, never
+    silently wrong) — the two-level emission must still equal exact
+    Python integer arithmetic; on ordinary data both levels must agree
+    exactly."""
+    from decimal import Decimal
+
+    from activecube_graphql_spark.model import Metric
+
+    # 300 rows of 9.2e16 cents4 each → sum 2.76e19 > Long.MAX (9.22e18)
+    big = 92_000_000_000_000_000
+    df = spark.createDataFrame([(1, big)] * 300, "g int, cents long")
+    m2 = Metric.money_sum("cents", two_level=True)
+    got = df.groupBy("g").agg(m2.agg(None).alias("v")).collect()[0]["v"]
+    want = Decimal(((300 * big + 50) // 100)) / 100
+    assert got == want, (got, want)
+    # the single-level long sum fails LOUDLY here (Spark 4 ANSI mode —
+    # ARITHMETIC_OVERFLOW — never a silently wrong total)
+    m1 = Metric.money_sum("cents")
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.groupBy("g").agg(m1.agg(None).alias("v")).collect()
+
+    # parity on in-bounds data (incl. a planted midpoint and a
+    # conditional aggregate)
+    import random
+    rnd = random.Random(88)
+    rows = [(i % 5, rnd.randrange(0, 10_500_000_000)) for i in range(2000)]
+    rows += [(5, 2250)]  # ...50 → exact half-cent midpoint group
+    df2 = spark.createDataFrame(rows, "g int, cents long")
+    cond = F.col("cents") % 3 == 0
+    for c in (None, cond):
+        a = {r["g"]: r["v"] for r in
+             df2.groupBy("g").agg(
+                 Metric.money_sum("cents").agg(c).alias("v")).collect()}
+        b = {r["g"]: r["v"] for r in
+             df2.groupBy("g").agg(
+                 Metric.money_sum("cents", two_level=True)
+                 .agg(c).alias("v")).collect()}
+        for g in a:
+            if a[g] is None:
+                assert b[g] is None
+            else:
+                assert float(b[g]) == a[g], (g, a[g], b[g])
+
+
 def test_dimension_joins_broadcast_fact_join_shuffles(sales):
     """Star joins: customer/nation/region broadcast (no fact shuffle);
     the fact-fact lineitem-orders edge may shuffle; nothing degenerates
