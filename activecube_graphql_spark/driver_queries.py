@@ -2738,7 +2738,7 @@ ORACLES: dict[str, str] = {
                 FROM documents WHERE doc_id % 7 = 0)
         SELECT source, count(*) AS cnt,
                CAST(sum(n_chars) AS BIGINT) AS chars
-        FROM fp WHERE f NOT IN (SELECT f FROM bfp)
+        FROM fp WHERE NOT EXISTS (SELECT 1 FROM bfp WHERE bfp.f = fp.f)
         GROUP BY 1
     """,
     "fingerprint_dedup": f"""

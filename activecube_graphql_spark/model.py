@@ -218,9 +218,12 @@ class Metric:
         sum landing exactly ON a half-cent would floor toward +inf
         where round-half-away rounds down — revenue can't go negative,
         so the bias is unreachable; a signed money metric would need
-        sign-split emission). The SQL twin is single-level either way:
-        DuckDB widens sum(BIGINT) to HUGEINT natively, so the printed
-        oracle is overflow-safe without the split."""
+        sign-split emission). Only the single-level form carries a
+        printed SQL twin: DuckDB widens sum(BIGINT) to HUGEINT so the
+        twin never overflows, but its double-division emission is exact
+        only under the same 2⁵³ bound — past it (two_level's whole
+        regime) the twin would diverge in value AND type, so two_level
+        metrics raise NotSqlExpressible from the printer instead."""
         factory = _as_factory(expr)
         e_sql = Metric._sql_of(expr, sql_expr)
 
@@ -228,12 +231,16 @@ class Metric:
             c = factory()
             c = F.when(cond, c) if cond is not None else c
             if two_level:
-                # per-row int64 split (floored div + pmod pair, exact
-                # for all signs); the only decimal ops run once per
-                # OUTPUT group, not per input row
-                hi = F.sum(F.floor(c / F.lit(1000000)))
-                lo = F.sum(F.pmod(c, F.lit(1000000)))
-                total = hi.cast("decimal(38,0)") * 1000000 + lo
+                # per-row int64 split via BIT ops at a power-of-2 radix
+                # (2²⁰), exact for EVERY long: a `/`-based split would
+                # round the dividend to double first and mis-split any
+                # per-row value above 2⁵³ (review r08 finding — the
+                # arithmetic >> floors and the mask extracts pmod for
+                # all signs, with no float anywhere). The only decimal
+                # ops run once per OUTPUT group, not per input row.
+                hi = F.sum(F.shiftright(c, 20))
+                lo = F.sum(c.bitwiseAND(F.lit((1 << 20) - 1)))
+                total = hi.cast("decimal(38,0)") * (1 << 20) + lo
                 cents = F.floor((total + 50) / 100)  # exact: ≤2dp value
                 return (cents / 100).cast("decimal(38,2)")
             s = F.sum(c)
@@ -242,7 +249,14 @@ class Metric:
             return F.floor((s + F.lit(50)) / F.lit(100)).cast("double") / 100
 
         sql = None
-        if e_sql is not None:
+        if e_sql is not None and not two_level:
+            # two_level carries NO printed twin on purpose (review r08):
+            # money_sum_sql's double-division emission is exact only
+            # under the same 2^53 bound two_level exists to exceed, and
+            # its emitted type (DOUBLE) differs from two_level's
+            # DECIMAL(38,2) — a printed twin would be wrong exactly
+            # where the variant applies, so printing raises
+            # NotSqlExpressible instead.
             def sql(cond_sql: Optional[str], _e=e_sql) -> str:
                 return money_sum_sql(_e, cond_sql)
         return Metric(agg=agg, requires=requires, sql=sql)

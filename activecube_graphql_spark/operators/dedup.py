@@ -534,7 +534,8 @@ def bloom_screen(df: DataFrame, keys: DataFrame, key_col: str,
                  bits_per_key: int = 16, num_hashes: int = 4,
                  max_bits: int = 1 << 27) -> DataFrame:
     """Append ``__bloom_hit`` to ``df``: whether ``key_col`` MIGHT be in
-    ``keys[key_col]`` — a pure-DataFrame Bloom filter (Spark's own
+    ``keys[key_col]`` (pass ``keys`` pre-distincted — duplicates only
+    oversize the bitmap) — a pure-DataFrame Bloom filter (Spark's own
     ``bloom_filter_agg``/``might_contain`` are not exposed through the
     public SQL registry, so this builds the identical structure from
     registry functions; Bloom 1970, the structure behind Spark's
@@ -557,7 +558,9 @@ def bloom_screen(df: DataFrame, keys: DataFrame, key_col: str,
     capped, the false-positive rate rises, the screen stays correct.
     """
     spark = df.sparkSession
-    n_keys = keys.select(key_col).distinct().count()
+    # callers pass an already-distinct key frame (bloom_decontam does);
+    # duplicate keys only oversize m, never change membership
+    n_keys = keys.count()
     m = max(64, min(int(max_bits), bits_per_key * max(n_keys, 1)))
     n_words = (m + 63) // 64
     k = int(num_hashes)
@@ -584,7 +587,7 @@ def bloom_screen(df: DataFrame, keys: DataFrame, key_col: str,
 
 
 def bloom_decontam(train: DataFrame, bench: DataFrame,
-                   id_col: str = "doc_id", text_col: str = "text",
+                   text_col: str = "text",
                    bits_per_key: int = 16, num_hashes: int = 4,
                    max_bits: int = 1 << 27) -> DataFrame:
     """Exact-match decontamination at the scale where the benchmark's
@@ -609,8 +612,14 @@ def bloom_decontam(train: DataFrame, bench: DataFrame,
     from .text import with_fingerprint
     fp_train = with_fingerprint(ensure_parallelism(train),
                                 text_col=text_col)
+    # persisted: the benchmark fingerprint projection is consumed three
+    # times (bitmap sizing count, bitmap build, survivor anti-join) —
+    # uncached, the non-broadcastable benchmark would be rescanned and
+    # re-normalized per consumer (review r08). MEMORY_AND_DISK,
+    # LRU-evictable, released by clearCache at pipeline boundaries —
+    # the module's cache-lifecycle contract.
     bench_fp = (with_fingerprint(bench, text_col=text_col)
-                .select("fingerprint").distinct())
+                .select("fingerprint").distinct().persist())
     screened = bloom_screen(fp_train, bench_fp, "fingerprint",
                             bits_per_key, num_hashes, max_bits)
     clean = screened.filter(~F.col("__bloom_hit"))

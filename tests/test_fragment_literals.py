@@ -35,17 +35,18 @@ MODULES = (text, similarity, dedup, robust, sampling, timeseries, profile,
 #: accepted way to write one inside a portable fragment (any lexical
 #: shape: 0.5, .5, 1e-4, 2.5e3)
 _PINNED = re.compile(
-    r"(?i)CAST\(\s*(?:\d+(?:\.\d+)?[eE][+-]?\d+|\d+\.\d+|\.\d+)"
+    r"(?i)CAST\(\s*(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?"
     r"\s+AS\s+DOUBLE\s*\)")
 #: every lexical shape of a non-integer numeric literal (ADVICE r07
 #: item 3 — the original \d+\.\d+ missed exponent form (1e-4),
 #: leading-dot (.5), and d-suffixed (0.0d) literals, all of which are
 #: decimal- or double-typed differently across engines). Exponent
-#: alternative first so 2.5e3 is not split; the lookbehind keeps .5
-#: from matching inside 1.5 or a qualified name.
+#: alternative first so 2.5e3 is not split; BOTH digit-led
+#: alternatives carry the left boundary so '1e2' inside an identifier
+#: like b1e2_mask or '.5' inside 1.5 / a qualified name never match.
 _FLOAT = re.compile(
-    r"\d+(?:\.\d+)?[eE][+-]?\d+"
-    r"|\d+\.\d+[dD]?"
+    r"(?<![\w.])\d+(?:\.\d+)?[eE][+-]?\d+"
+    r"|(?<![\w.])\d+\.\d+[dD]?"
     r"|(?<![\w.])\.\d+")
 
 

@@ -33,7 +33,10 @@ sources; lang mix ≈ en .41 / others .15):
 Deterministic (numpy RandomState(4242)). ~50 000 docs / 20 000
 vectors / ~6 M lineitem rows; runs in well under a minute.
 
-Usage: python tools/make_sf1.py [out_dir]   (default /tmp/sf1)
+Usage: python tools/make_sf1.py [out_dir] [table ...]
+       (default /tmp/sf1, all tables; table names are validated and
+       each table draws from its own SEED+k stream, so selective and
+       full runs write identical parquet)
 """
 
 from __future__ import annotations
@@ -178,16 +181,29 @@ def make_events(rng: np.random.RandomState, out_dir: str) -> None:
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.RandomState(SEED)
     only = set(sys.argv[2:])
-    if not only or "documents" in only:
-        make_documents(rng, out_dir)
-    if not only or "embeddings" in only:
-        make_embeddings(rng, out_dir)
-    if not only or "lineitem" in only:
-        make_lineitem(out_dir)
-    if not only or "events" in only:
-        make_events(rng, out_dir)
+    # one independent RandomState per table (SEED+k), so a selective
+    # run (`make_sf1.py DIR events`) writes byte-identical parquet to
+    # the full run — a shared stream would hand later tables whatever
+    # state earlier tables left behind (review r08). documents keeps
+    # SEED+0 = the original stream head, so pre-r08 documents evidence
+    # stays reproducible.
+    tables = {
+        "documents": lambda: make_documents(
+            np.random.RandomState(SEED), out_dir),
+        "embeddings": lambda: make_embeddings(
+            np.random.RandomState(SEED + 1), out_dir),
+        "lineitem": lambda: make_lineitem(out_dir),
+        "events": lambda: make_events(
+            np.random.RandomState(SEED + 3), out_dir),
+    }
+    unknown = only - set(tables)
+    if unknown:
+        raise SystemExit(f"unknown table(s) {sorted(unknown)}; "
+                         f"choose from {sorted(tables)}")
+    for name, make in tables.items():
+        if not only or name in only:
+            make()
 
 
 if __name__ == "__main__":
