@@ -406,6 +406,29 @@ class _Parser:
 
 # ------------------------------------------------------------------ facade
 
+def field_spec(node: dict) -> dict:
+    """A parsed top-level field node → ParseTree dict spec (the field's
+    args become root args; an ``options:`` object keeps client order as
+    a list of pairs). Shared by :func:`parse_graphql` and the HTTP
+    transport's per-root-field dispatch (server.py)."""
+    spec: dict[str, Any] = {"fields": node.get("fields") or {}}
+    args = dict(node.get("args") or {})
+    if "options" in args and isinstance(args["options"], dict):
+        args["options"] = list(args["options"].items())
+    if args:
+        spec["args"] = args
+    return spec
+
+
+def parse_operations(text: str,
+                     variables: Optional[dict] = None) -> dict[str, dict]:
+    """Top-level field map of a GraphQL document: response key (alias or
+    field name) → parsed node (``node['field']`` holds the real field
+    name under an alias). The multi-cube dispatch surface for the HTTP
+    transport."""
+    return _Parser(_tokenize(text), variables).document()
+
+
 def parse_graphql(text: str, variables: Optional[dict] = None) -> dict:
     """GraphQL document text → ParseTree dict spec.
 
@@ -413,17 +436,11 @@ def parse_graphql(text: str, variables: Optional[dict] = None) -> dict:
     (the reference shape — the cube-bound field, README.md:39-52), that
     field's arguments become the root args and its selections the fields;
     otherwise the whole top-level set is taken as the field dict."""
-    fields = _Parser(_tokenize(text), variables).document()
+    fields = parse_operations(text, variables)
     if len(fields) == 1:
         (name, node), = fields.items()
         if node.get("fields"):
-            spec: dict[str, Any] = {"fields": node["fields"]}
-            args = dict(node.get("args") or {})
-            if "options" in args and isinstance(args["options"], dict):
-                args["options"] = list(args["options"].items())
-            if args:
-                spec["args"] = args
-            return spec
+            return field_spec(node)
     return {"fields": fields}
 
 
