@@ -207,10 +207,13 @@ class Metric:
         never a silently wrong total); the binding limit is
         double-exact emission at 2⁵³ cents4 ≈ **$9·10¹¹ of
         revenue in a single group**.  A group beyond that (a global
-        no-slice sum over ≫100 TB) needs the two-level split — sum
-        hi=e div 10⁶ and lo=e mod 10⁶ as two longs, combine per GROUP
-        in DECIMAL(38,0) — which keeps per-row work in int64 and pays
-        decimal cost once per output row: that is ``two_level=True``,
+        no-slice sum over ≫100 TB) needs the two-level split — per-row
+        int64 BIT split at radix 2²⁰ (hi = e >> 20, lo = e & (2²⁰−1):
+        exact for every long, where a div/mod-by-10⁶ formulation would
+        round the dividend to double first), two hardware long sums,
+        DECIMAL(38,0) combine per GROUP — which keeps per-row work in
+        int64 and pays decimal cost once per output row: that is
+        ``two_level=True``,
         emitting exact DECIMAL(38,2) dollars (beyond 2⁵³ cents a double
         cannot hold the value at all, so the extreme regime changes the
         emission type by necessity). Both levels share the half-up

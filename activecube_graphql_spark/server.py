@@ -29,7 +29,7 @@ import decimal
 import json
 from typing import Any, Optional
 
-from .errors import InputArgumentError, NotSqlExpressible  # noqa: F401
+from .errors import InputArgumentError
 from .graphql import field_spec, parse_operations
 from .model import Cube
 from .parse_tree import ParseTree
@@ -59,7 +59,16 @@ def execute(cubes: dict[str, Cube], document: str,
     success, ``{"errors": [{"message": ...}], "data": None}`` on the
     first input error (fail-fast like the engine itself — a malformed
     request never half-executes). Multiple top-level fields may target
-    different cubes in one document; aliases name the response keys."""
+    different cubes in one document; aliases name the response keys.
+
+    In-band error surface: the engine's InputArgumentError plus the
+    ValueError/TypeError/AnalysisException classes its option folds and
+    Catalyst analysis raise for bad argument VALUES (e.g. limit: "x" —
+    review r08 finding: a GraphQL string is lexically fine and only
+    fails inside the fold). Messages are truncated so a JVM analysis
+    trace never ships to a client. Anything else is a genuine server
+    bug and propagates to the transport's 500."""
+    from pyspark.errors import AnalysisException
     try:
         ops = parse_operations(document, variables)
         if not ops:
@@ -79,8 +88,12 @@ def execute(cubes: dict[str, Cube], document: str,
             rows = tree.nested_df(database).collect()
             data[key] = [r.asDict(recursive=True) for r in rows]
         return {"data": data}
-    except InputArgumentError as e:
-        return {"errors": [{"message": str(e)}], "data": None}
+    except (InputArgumentError, ValueError, TypeError,
+            AnalysisException) as e:
+        msg = str(e)
+        if len(msg) > 500:
+            msg = msg[:500] + " …"
+        return {"errors": [{"message": msg}], "data": None}
 
 
 def wsgi_app(cubes: dict[str, Cube], database: str = "default"):
@@ -106,11 +119,18 @@ def wsgi_app(cubes: dict[str, Cube], database: str = "default"):
             n = int(environ.get("CONTENT_LENGTH") or 0)
             req = json.loads(environ["wsgi.input"].read(n) or b"{}")
             query = req["query"]
+            variables = req.get("variables")
+            # transport-level type contract (review r08: a null/non-str
+            # query or non-dict variables previously escaped as a 500)
+            if not isinstance(query, str) or not (
+                    variables is None or isinstance(variables, dict)):
+                raise TypeError("'query' must be a string and "
+                                "'variables' an object")
         except (ValueError, KeyError, TypeError) as e:
             return reply("400 Bad Request",
                          {"errors": [{"message": f"malformed request: {e}"}]})
         return reply("200 OK",
-                     execute(cubes, query, req.get("variables"), database))
+                     execute(cubes, query, variables, database))
     return app
 
 

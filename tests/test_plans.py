@@ -135,8 +135,9 @@ def test_money_sum_matches_exact_decimal_arithmetic(spark):
 
 def test_money_sum_two_level_survives_int64_overflow(spark):
     """The documented escape hatch past money_sum's single-level bound
-    (~$9e11/group): two int64 partial sums (hi=div 1e6, lo=pmod 1e6)
-    with a per-GROUP decimal combine. On a group whose cents4 sum
+    (~$9e11/group): two int64 partial sums (bit-split at radix 2^20 —
+    hi = e >> 20, lo = e & mask, exact for every long) with a per-GROUP
+    decimal combine. On a group whose cents4 sum
     exceeds Long.MAX — where the single-level long sum raises
     ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode (loud, never
     silently wrong) — the two-level emission must still equal exact

@@ -109,3 +109,14 @@ def test_wsgi_roundtrip_and_transport_errors(cubes):
     status, out = _post(app, {"query": "query { sales { count } }"},
                         method="GET")
     assert status.startswith("405")
+    # type-contract 400s (review r08: previously escaped as 500s)
+    for bad in [{"query": None}, {"query": 123},
+                {"query": "query { sales { count } }", "variables": "x"}]:
+        status, out = _post(app, bad)
+        assert status.startswith("400"), bad
+    # bad argument VALUE inside a lexically-valid document stays
+    # in-band (limit: "x" raises ValueError in the option fold, not
+    # InputArgumentError — review r08)
+    status, out = _post(app, {
+        "query": 'query { sales(options: {limit: "x"}) { count } }'})
+    assert status.startswith("200") and out["errors"], out
