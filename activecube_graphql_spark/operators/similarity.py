@@ -56,9 +56,21 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _safe_norm(a: Column) -> Column:
+    """Norm floored at a subnormal: a ZERO vector's norm would put NaN
+    into the cosine quotient, and Spark orders NaN above every double —
+    so an all-zero embedding would rank #1 against every query and pass
+    every ≥-threshold filter (review r08; the numpy paths already guard
+    with n[n==0]=1). The zero vector's dot with anything is exactly 0,
+    so 0/tiny = 0 — the guard changes NOTHING for any nonzero vector
+    (greatest evaluates the norm once; a when(n==0) form would double
+    the O(dim) fold on the hot path)."""
+    return F.greatest(_norm(a), F.lit(1e-300))
+
+
 def cosine(a: Column, b: Column) -> Column:
     a, b = _as_double(a), _as_double(b)
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _dot(a, b) / (_safe_norm(a) * _safe_norm(b))
 
 
 def _unit(col: Column) -> Column:
@@ -68,9 +80,11 @@ def _unit(col: Column) -> Column:
     full O(dim) norm per array element — O(dim²) work per row. On hot
     join-side prep this was measured as the r02 ``embed_topk`` regression;
     the scan-side shape is a **norm column** (see cosine_topk): O(dim)
-    per row, one dot + one divide per candidate pair."""
+    per row, one dot + one divide per candidate pair. Zero vectors stay
+    zero (_safe_norm), never NaN — an all-NaN training row would poison
+    its k-means cell mean and collapse the IVF quantizer (review r08)."""
     v = _as_double(col)
-    n = _norm(v)
+    n = _safe_norm(v)
     return F.transform(v, lambda x: x / n)
 
 
@@ -120,8 +134,13 @@ def _scored_pairs(corpus: DataFrame, queries: DataFrame, id_col: str,
             cols.append(f"`{label_col}` AS {lab_alias}")
         cols.append(
             f"transform(`{vec_col}`, x -> cast(x AS double)) AS {vec_alias}")
+        # greatest(…, subnormal): a zero vector's norm would make the
+        # cosine quotient NaN — which Spark ranks ABOVE every real
+        # score (see _safe_norm); 0-dot/tiny = 0 and nonzero vectors
+        # are untouched
         return df.selectExpr(*cols).selectExpr(
-            "*", f"sqrt({_dot_sql(vec_alias, vec_alias)}) AS {norm_alias}")
+            "*", f"greatest(sqrt({_dot_sql(vec_alias, vec_alias)}), "
+                 f"1e-300d) AS {norm_alias}")
 
     q = prep(queries, "query_id", "q_vec", "q_n", "q_label")
     c = prep(ensure_parallelism(corpus, SCAN_BYTES_PER_TASK),
@@ -148,7 +167,7 @@ def _query_topk(scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True, dim: int = 64) -> DataFrame:
+                exclude_self: bool = True) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector — the
     broadcast-query scoring pipeline (see _scored_pairs) plus a
     per-query-group top-k."""
@@ -428,13 +447,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
     # (vectors here are raw, not pre-normalized: the bucket signature needs
     # the original vector and candidates are few post-LSH)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("cosine", 4).alias("cosine"),
-                    F.col("rn").cast("long").alias("rank")))
+    return _query_topk(scored, k)
 
 
 # ----------------------------------------------------------------- IVF ANN
@@ -547,13 +560,7 @@ def _cell_topk(joined: DataFrame, k: int, exclude_self: bool) -> DataFrame:
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("cosine", 4).alias("cosine"),
-                    F.col("rn").cast("long").alias("rank")))
+    return _query_topk(scored, k)
 
 
 # ------------------------------------------------------ persistent IVF index
@@ -614,8 +621,13 @@ def ivf_index_search(spark: "SparkSession", path: str,
     training is deterministic."""
     cent = _load_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(cent)
+    # localCheckpoint: the assignment is a mapInPandas pass (Arrow
+    # round-trip + centroid matmul); without pinning it, the probed-
+    # cells collect AND the join below would each run it from scratch
+    # — doubled per-search query-side work on the probe-many serving
+    # path (review r08; same pattern as extend_ivf_index)
     q = _ivf_assign(queries, "query_id", "q_vec", id_col, vec_col, bc,
-                    nprobe)
+                    nprobe).localCheckpoint(eager=True)
     probed = sorted({r["cell"] for r in q.select("cell").distinct()
                      .collect()})
     cells = (spark.read.parquet(f"{path}/cells.parquet")

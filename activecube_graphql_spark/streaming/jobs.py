@@ -25,16 +25,10 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 from ..functions.tsutil import normalize_ts
 from ..session import ensure_runtime_confs
 
-#: explicit schema for the events stream (streaming sources require one);
-#: ts arrives as epoch-nanos long (see session.py nanosAsLong)
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+# (the old module-level EVENTS_SCHEMA constant is gone — review r08:
+# nothing used it, and its hardcoded ts-as-long contract was exactly
+# the trap events_stream's footer-derived schema exists to avoid; the
+# types imports above serve stateful_user_stats' state/output schemas)
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
@@ -72,6 +66,52 @@ def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame
     if df.isStreaming and delay:
         return df.withWatermark(ts_col, delay)
     return df
+
+
+def _days_predicate(days) -> "F.Column":
+    """Raw-timestamp range disjunction for a set of dates, [d, d+1) per
+    day in the session timezone (UTC, pinned by ensure_runtime_confs —
+    the same zone to_date() resolves in, so the predicate selects
+    exactly to_date(ts) ∈ days). The point is PUSHDOWN (review r08):
+    ``to_date(ts).isin(days)`` wraps the column in a function, so
+    parquet can prune nothing and every trigger rescans the full raw
+    history — the exact O(history) cost the maintenance jobs' docstrings
+    claim to avoid. An OR of plain ts range comparisons reaches the
+    scan's PushedFilters and row-group min/max stats, making per-trigger
+    I/O genuinely O(touched days)."""
+    import datetime
+    pred = None
+    for d in days:
+        lo = datetime.datetime(d.year, d.month, d.day)
+        p = ((F.col("ts") >= F.lit(lo))
+             & (F.col("ts") < F.lit(lo + datetime.timedelta(days=1))))
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def _file_stream(spark: SparkSession, src_dir: str, glob: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream with the schema taken from a lazy batch read
+    of the same files (footer metadata only) — the shared reader of the
+    incremental maintenance jobs below (one definition instead of five
+    hand copies, review r08)."""
+    schema = (spark.read.option("pathGlobFilter", glob)
+              .parquet(src_dir).schema)
+    reader = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    return reader.parquet(src_dir)
+
+
+def _drain(sdf: DataFrame, upsert, checkpoint: str) -> None:
+    """Run one availableNow foreachBatch pass to completion — the shared
+    drain of every incremental maintenance job."""
+    q = (sdf.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
 
 
 # ------------------------------------------------------------- operators
@@ -274,7 +314,7 @@ def maintain_daily_rollup(spark: SparkSession, src_dir: str,
         if not days:
             return
         raw = (events_batch(spark, src_dir, glob=glob)
-               .filter(F.to_date("ts").isin(days)))
+               .filter(_days_predicate(days)))
         agg = (raw.groupBy(F.to_date("ts").alias("event_date"), "event_type")
                .agg(F.count(F.lit(1)).alias("cnt"),
                     F.round(F.sum("value"), 2).alias("total")))
@@ -282,10 +322,7 @@ def maintain_daily_rollup(spark: SparkSession, src_dir: str,
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("event_date").parquet(rollup_path))
 
-    q = (sdf.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain(sdf, upsert, checkpoint)
 
 
 def maintain_sketch_cells(spark: SparkSession, src_dir: str,
@@ -315,7 +352,7 @@ def maintain_sketch_cells(spark: SparkSession, src_dir: str,
         if not days:
             return
         raw = (events_batch(spark, src_dir, glob=glob)
-               .filter(F.to_date("ts").isin(days)))
+               .filter(_days_predicate(days)))
         cells = sk.sketch_cells(
             raw, [F.to_date("ts").alias("event_date"), "event_type"],
             distinct_cols=["user_id"], quantile_cols=["value"])
@@ -323,10 +360,7 @@ def maintain_sketch_cells(spark: SparkSession, src_dir: str,
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("event_date").parquet(cells_path))
 
-    q = (sdf.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain(sdf, upsert, checkpoint)
 
 
 def run_available_now(sdf: DataFrame, query_name: str,
@@ -390,10 +424,7 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
     work is O(batch × index-probe), never O(corpus)."""
     from ..operators.dedup import dedup_against_index
 
-    schema = (spark.read.option("pathGlobFilter", glob)
-              .parquet(src_dir).schema)
-    sdf = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", glob).parquet(src_dir))
+    sdf = _file_stream(spark, src_dir, glob)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         fresh = dedup_against_index(
@@ -401,10 +432,7 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
         (fresh.select("doc_id", "fingerprint")
          .write.mode("append").parquet(index_path))
 
-    q = (sdf.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain(sdf, upsert, checkpoint)
 
 
 def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
@@ -443,14 +471,7 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
     from ..operators.dedup import dedup_against_index
     from ..operators.text import with_quality_rules
 
-    schema = (spark.read.option("pathGlobFilter", glob)
-              .parquet(src_dir).schema)
-    reader = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", glob))
-    if max_files_per_trigger is not None:  # force multi-batch ingestion
-        reader = reader.option("maxFilesPerTrigger",
-                               int(max_files_per_trigger))
-    sdf = reader.parquet(src_dir)
+    sdf = _file_stream(spark, src_dir, glob, max_files_per_trigger)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         kept = (with_quality_rules(batch_df)
@@ -460,10 +481,7 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
             kept, _read_fingerprint_index(spark, out_path))
         fresh.write.mode("append").parquet(out_path)
 
-    q = (sdf.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain(sdf, upsert, checkpoint)
 
 
 def maintain_ivf_index(spark: SparkSession, src_dir: str,
@@ -483,15 +501,9 @@ def maintain_ivf_index(spark: SparkSession, src_dir: str,
     table; the index's vector payloads are never rescanned."""
     from ..operators.similarity import extend_ivf_index
 
-    schema = (spark.read.option("pathGlobFilter", glob)
-              .parquet(src_dir).schema)
-    sdf = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", glob).parquet(src_dir))
+    sdf = _file_stream(spark, src_dir, glob)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         extend_ivf_index(spark, index_path, batch_df)
 
-    q = (sdf.writeStream.foreachBatch(upsert)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain(sdf, upsert, checkpoint)

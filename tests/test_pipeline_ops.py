@@ -129,6 +129,28 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
         assert -1.0001 <= r["cosine"] <= 1.0001
 
 
+def test_zero_vector_never_ranks_by_nan(spark):
+    """Zero-norm guard (review r08): an all-zero embedding must score
+    cosine 0 against everything — NOT NaN, which Spark orders above
+    every real double, making the zero vector the #1 neighbor of every
+    query and a member of every ≥-threshold result. Fixture vectors are
+    unit-norm, so only a synthetic corpus exercises this."""
+    rows = [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    top = sim.cosine_topk(df, q, k=2)
+    got = [(r["neighbor_id"], r["cosine"]) for r in
+           top.orderBy("rank").collect()]
+    # the unit vector at 0.8 cosine wins; the zero vector scores 0.0
+    assert got == [(1, 0.8), (2, 0.0)], got
+    rng = sim.cosine_range_search(df, q, threshold=0.5)
+    assert {r["neighbor_id"] for r in rng.collect()} == {1}
+    # the lsh path's cosine() helper takes the same guard
+    import math
+    lsh = sim.lsh_ann_topk(df, q, k=2, tables=2, planes=2, dim=2)
+    assert all(not math.isnan(r["cosine"]) for r in lsh.collect())
+
+
 def test_quality_score_bounds(spark, sf_dir):
     df = tx.with_text_stats(_docs(spark, sf_dir))
     mm = df.agg(F.min("quality"), F.max("quality")).collect()[0]
