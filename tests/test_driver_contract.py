@@ -1,5 +1,5 @@
 """Guard the driver correctness window (VERDICT r02 item 1/6, r04 items
-2 and 9).
+2 and 9, r08 item 6).
 
 The driver's CORRECTNESS harness checks only the FIRST 50 entries of
 ``queries()``.  Round 2 accidentally rotated 17 oracle-backed rows past
@@ -12,11 +12,22 @@ evidence.  These gates make that structurally impossible:
 * rows with no usable green record must occupy the EARLIEST window
   positions;
 * a green record is only usable while the row's current semantics
-  (query function source + oracle SQL) hash-match the committed
-  manifest (tests/graded_manifest.json, tools/update_manifest.py) — the
-  round-2 ``arg_minmax`` lesson: editing a graded row silently voided
-  its evidence. Now an edit structurally re-enters the row into the
-  never-green tier until the driver re-grades it.
+  hash-match the committed manifest (tests/graded_manifest.json,
+  tools/update_manifest.py) on BOTH axes:
+
+  - ``src``  — the query function source + oracle SQL text (the
+    round-2 ``arg_minmax`` lesson: editing a graded row silently
+    voided its evidence);
+  - ``plan`` — the normalized analyzed-plan fingerprint
+    (plans/fingerprint.py; the round-8 ``cosine()`` lesson: an
+    engine-side edit that reaches a graded row only transitively
+    changed no row source, and voiding was left to reviewer
+    vigilance — the rendered plan catches ANY change to what the
+    row computes, mechanically).
+
+  A ``"VOID"`` sentinel entry never matches: it marks rows whose green
+  records are known to predate the current tree (stamped via
+  ``tools/update_manifest.py --void``) until the driver re-grades them.
 """
 
 from __future__ import annotations
@@ -27,14 +38,18 @@ import inspect
 import json
 import os
 
+import pytest
+
 from activecube_graphql_spark.driver_queries import ORACLES, QUERIES
+from activecube_graphql_spark.plans.fingerprint import plan_fingerprint
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WINDOW = 50  # observed driver cap (CORRECTNESS_r01-r04 all grade 50 rows)
+WINDOW = 50  # observed driver cap (CORRECTNESS_r01-r08 all grade 50 rows)
 MANIFEST = os.path.join(REPO, "tests", "graded_manifest.json")
+SF_FP = "/root/testdata/sf0.001"  # fingerprints are sf-normalized anyway
 
 
-def _row_hash(name: str) -> str:
+def src_hash(name: str) -> str:
     src = inspect.getsource(QUERIES[name])
     return hashlib.sha256(
         (src + "\n---\n" + ORACLES.get(name, "")).encode()).hexdigest()
@@ -58,17 +73,42 @@ def _recorded_green() -> set[str]:
     return green
 
 
-def _usable_green() -> set[str]:
-    """Green-on-record names whose current semantics still match the
-    manifest entry recorded when that evidence was valid."""
+@pytest.fixture(scope="module")
+def plan_fps(spark):
+    """Current-tree plan fingerprints for every row whose manifest entry
+    carries one (computed once; ~0.4 s/row at sf0.001)."""
     manifest = json.load(open(MANIFEST))
-    return {name for name in _recorded_green()
-            if name in QUERIES and manifest.get(name) == _row_hash(name)}
+    fps: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        entry = manifest.get(name)
+        if isinstance(entry, dict) and "plan" in entry:
+            fps[name] = plan_fingerprint(fn(spark, SF_FP))
+    return fps
 
 
-def test_every_query_graded_or_on_record():
+def _usable_green(plan_fps: dict[str, str]) -> set[str]:
+    """Green-on-record names whose current semantics still match the
+    manifest entry (src hash AND plan fingerprint) recorded when that
+    evidence was valid.  ``"VOID"`` sentinels never match."""
+    manifest = json.load(open(MANIFEST))
+    usable: set[str] = set()
+    for name in _recorded_green():
+        if name not in QUERIES:
+            continue
+        entry = manifest.get(name)
+        if not isinstance(entry, dict):
+            continue  # VOID sentinel or missing
+        if entry.get("src") != src_hash(name):
+            continue
+        if entry.get("plan") != plan_fps.get(name):
+            continue
+        usable.add(name)
+    return usable
+
+
+def test_every_query_graded_or_on_record(plan_fps):
     window = set(list(QUERIES)[:WINDOW])
-    covered = window | _usable_green()
+    covered = window | _usable_green(plan_fps)
     missing = sorted(set(QUERIES) - covered)
     assert not missing, (
         f"registry rows outside the driver's {WINDOW}-row correctness window "
@@ -92,12 +132,13 @@ def test_manifest_covers_registry():
     )
 
 
-def test_never_green_rows_lead_the_window():
+def test_never_green_rows_lead_the_window(plan_fps):
     """Rows with no usable green record must occupy the earliest
     positions, so a harness that caps below 50 still grades them first.
-    'Usable' includes the manifest hash check: editing a graded row
+    'Usable' includes both manifest hash checks: editing a graded row —
+    directly or via a transitive engine edit that changes its plan —
     voids its evidence and must push it back to the front."""
-    green = _usable_green()
+    green = _usable_green(plan_fps)
     names = list(QUERIES)
     seen_recorded = False
     for name in names[:WINDOW]:
@@ -108,3 +149,40 @@ def test_never_green_rows_lead_the_window():
                 f"never-green row {name!r} appears after already-green rows "
                 "in the window; put unchecked rows first"
             )
+
+
+def test_plan_fingerprint_deterministic(spark):
+    """Two independent builds of the same row yield the same
+    fingerprint (cross-process determinism for all 116 rows was
+    verified the round this landed: two fresh interpreters, zero
+    diffs — this pins the cheap in-process half of that contract)."""
+    fn = QUERIES["flagship_revenue"]
+    assert (plan_fingerprint(fn(spark, SF_FP))
+            == plan_fingerprint(fn(spark, SF_FP)))
+
+
+def test_transitive_fragment_edit_voids_evidence(spark, monkeypatch):
+    """The r08 cosine() scenario, replayed as a unit test: patch an
+    engine-side SQL fragment that a graded row uses only transitively
+    (no graded source changes), and the row's plan fingerprint — hence
+    its manifest match, hence its usable-green status — must flip."""
+    from activecube_graphql_spark.operators import similarity as sim
+
+    fn = QUERIES["embed_topk"]
+    before = plan_fingerprint(fn(spark, SF_FP))
+    assert src_hash("embed_topk") == src_hash("embed_topk")  # src is stable
+
+    orig = sim._dot_sql
+
+    def patched(a, b):
+        return f"({orig(a, b)} + CAST(0.0 AS DOUBLE))"
+
+    monkeypatch.setattr(sim, "_dot_sql", patched)
+    after = plan_fingerprint(fn(spark, SF_FP))
+    assert after != before, (
+        "a transitive engine-side fragment edit did not change the plan "
+        "fingerprint — the structural re-grade guard would miss it"
+    )
+    # and the usable-green logic treats the mismatch as void:
+    fake_manifest_entry = {"src": src_hash("embed_topk"), "plan": before}
+    assert fake_manifest_entry["plan"] != after
