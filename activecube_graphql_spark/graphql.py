@@ -143,6 +143,21 @@ class _Parser:
         self.defaults: dict[str, Any] = {}
         self.declared: set[str] = set()
         self.fragments: dict[str, list] = {}
+        #: recursion guard shared by selection sets and value literals —
+        #: a hostile document ("{a{a{a…" or "(x: [[[[…") must fail as an
+        #: input error at a bounded depth, never as a Python
+        #: RecursionError escaping to the transport's 500 (r09 fuzz
+        #: hardening). 64 is an order of magnitude past any real cube
+        #: query (the deepest legitimate nesting here is 3).
+        self._depth = 0
+
+    _MAX_DEPTH = 64
+
+    def _descend(self) -> None:
+        self._depth += 1
+        if self._depth > self._MAX_DEPTH:
+            raise InputArgumentError(
+                f"GraphQL: document nested deeper than {self._MAX_DEPTH}")
 
     # -- token helpers
     def peek(self) -> tuple[str, Any]:
@@ -251,6 +266,7 @@ class _Parser:
         parsed (see :meth:`_expand`). Items: ``("field", out_name, node)``,
         ``("spread", frag_name)``, ``("inline", items)``. Selections
         dropped by @skip/@include never produce an item."""
+        self._descend()
         self.expect_punct("{")
         items: list = []
         while not self.at_punct("}"):
@@ -278,6 +294,7 @@ class _Parser:
                 node["fields"] = self.selection_items()
             items.append(("field", name, node, dirs))
         self.expect_punct("}")
+        self._depth -= 1
         return items
 
     def _directives(self) -> list[tuple[str, Any]]:
@@ -388,18 +405,22 @@ class _Parser:
         if kind == "punct" and val == "$":
             return _VarRef(self.expect_name())  # resolved in _expand
         if kind == "punct" and val == "[":
+            self._descend()
             items = []
             while not self.at_punct("]"):
                 items.append(self.value())
             self.next()
+            self._depth -= 1
             return items
         if kind == "punct" and val == "{":
+            self._descend()
             obj: dict[str, Any] = {}
             while not self.at_punct("}"):
                 k = self.expect_name()
                 self.expect_punct(":")
                 obj[k] = self.value()  # insertion order == client order
             self.next()
+            self._depth -= 1
             return obj
         raise InputArgumentError(f"GraphQL: unexpected value token {val!r}")
 

@@ -31,10 +31,17 @@ from typing import Any, Optional
 
 from .errors import InputArgumentError
 from .graphql import field_spec, parse_operations
+from .introspection import find_type, resolve_selection, schema_data
 from .model import Cube
 from .parse_tree import ParseTree
 
 __all__ = ["execute", "wsgi_app", "serve"]
+
+#: Transport request-size bound: a GraphQL document is human-authored
+#: text — 10 MB is orders of magnitude past GraphiQL's biggest
+#: introspection query, and bounding BEFORE the read keeps a hostile
+#: Content-Length from sizing server memory.
+MAX_BODY_BYTES = 10_000_000
 
 
 def _json_default(v: Any) -> Any:
@@ -79,6 +86,18 @@ def execute(cubes: dict[str, Cube], document: str,
             if name == "__typename":  # spec: root meta-field
                 data[key] = "Query"
                 continue
+            if name == "__schema":  # introspection (VERDICT r08 item 4)
+                data[key] = resolve_selection(
+                    schema_data(cubes, database), node or {})
+                continue
+            if name == "__type":
+                tname = ((node or {}).get("args") or {}).get("name")
+                if not isinstance(tname, str):
+                    raise InputArgumentError(
+                        "__type requires a String 'name' argument")
+                data[key] = resolve_selection(
+                    find_type(cubes, tname, database), node or {})
+                continue
             cube = cubes.get(name)
             if cube is None:
                 raise InputArgumentError(
@@ -88,6 +107,12 @@ def execute(cubes: dict[str, Cube], document: str,
             rows = tree.nested_df(database).collect()
             data[key] = [r.asDict(recursive=True) for r in rows]
         return {"data": data}
+    except RecursionError:
+        # the parser's depth cap bounds document nesting, but a hostile
+        # input could still find an unforeseen recursive corner; a
+        # Python stack blowout is an input problem, not a server bug
+        return {"errors": [{"message": "document too deeply nested"}],
+                "data": None}
     except (InputArgumentError, ValueError, TypeError,
             AnalysisException) as e:
         msg = str(e)
@@ -117,6 +142,10 @@ def wsgi_app(cubes: dict[str, Cube], database: str = "default"):
                                       '{"query": ..., "variables": ...}'}]})
         try:
             n = int(environ.get("CONTENT_LENGTH") or 0)
+            if n > MAX_BODY_BYTES:  # bound request memory before reading
+                return reply("413 Content Too Large",
+                             {"errors": [{"message": "request body over "
+                                          f"{MAX_BODY_BYTES} bytes"}]})
             req = json.loads(environ["wsgi.input"].read(n) or b"{}")
             query = req["query"]
             variables = req.get("variables")

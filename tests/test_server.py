@@ -120,3 +120,126 @@ def test_wsgi_roundtrip_and_transport_errors(cubes):
     status, out = _post(app, {
         "query": 'query { sales(options: {limit: "x"}) { count } }'})
     assert status.startswith("200") and out["errors"], out
+
+
+# ------------------------------------------------------------ introspection
+
+def test_introspection_loads_in_real_client(cubes):
+    """Acid test for VERDICT r08 item 4: graphql-core (the reference
+    implementation's Python port) sends its own full IntrospectionQuery
+    — fragments, aliases, 9-level TypeRef nesting — through the WSGI
+    transport, and ``build_client_schema`` must load the result as a
+    valid client schema (exactly what GraphiQL / codegen clients do)."""
+    import graphql
+
+    app = wsgi_app(cubes)
+    status, out = _post(
+        app, {"query": graphql.get_introspection_query(descriptions=True)})
+    assert status.startswith("200") and not out.get("errors"), out
+    schema = graphql.build_client_schema(out["data"])
+    graphql.assert_valid_schema(schema)
+    assert sorted(schema.query_type.fields) == ["documents", "sales"]
+    # engine-derived result typing (R4): money metric is Float, count is
+    # the 64-bit Long scalar, struct metrics become object types
+    sales = schema.get_type("SalesRow")
+    assert str(sales.fields["revenue"].type) == "Float"
+    assert str(sales.fields["count"].type) == "Long"
+    assert str(sales.fields["top_parts"].type) == "[SalesRowTopParts]"
+    assert str(sales.fields["orderdate"].type) == "SalesRowOrderdate"
+    assert "year" in schema.get_type("SalesRowOrderdate").fields
+    # metric args = selectors (F8 conditional aggregate surface)
+    assert "discount" in sales.fields["revenue"].args
+    # a real reference-shaped document validates against the schema
+    doc = graphql.parse("""query { sales(returnflag: "R",
+        options: {desc: "revenue", limit: 2})
+        { nation { initial } revenue hi: revenue(discount: {gteq: 0.05}) } }""")
+    assert graphql.validate(schema, doc) == []
+
+
+def test_introspection_type_and_typename(cubes):
+    out = execute(cubes, """{
+        t: __type(name: "SalesRow") { kind name fields { name } }
+        missing: __type(name: "Nope") { name }
+        tn: __typename }""")
+    assert not out.get("errors"), out
+    assert out["data"]["t"]["kind"] == "OBJECT"
+    assert {f["name"] for f in out["data"]["t"]["fields"]} >= {
+        "returnflag", "revenue", "count"}
+    assert out["data"]["missing"] is None
+    assert out["data"]["tn"] == "Query"
+    # __type without a name arg is an in-band input error
+    out = execute(cubes, "{ __type { name } }")
+    assert out["errors"] and "name" in out["errors"][0]["message"]
+
+
+# ------------------------------------------------------------ fuzz (r09)
+
+def test_transport_fuzz_contract(cubes):
+    """Property fuzz of the public transport (VERDICT r08 item 7): for
+    ANY body the app must answer with a JSON payload and a 200/400/405/
+    413 status — never raise, never leak a JVM trace — and repeated
+    requests against the module-scoped (memoized) cubes stay stable."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    app = wsgi_app(cubes)
+
+    def check(status, out):
+        assert status.split(" ")[0] in {"200", "400", "405", "413"}
+        for err in out.get("errors") or []:
+            msg = err["message"]
+            assert len(msg) < 600
+            assert "org.apache" not in msg and "\tat " not in msg
+            assert "Py4J" not in msg and "py4j" not in msg
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.binary(max_size=2000))
+    def raw_bytes_never_crash(body):
+        check(*_post(app, body))
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.text(max_size=300),
+           st.one_of(st.none(), st.dictionaries(st.text(max_size=8),
+                                                st.integers()),
+                     st.lists(st.integers(), max_size=3), st.integers(),
+                     st.text(max_size=8)))
+    def any_query_and_variables(query, variables):
+        payload = {"query": query}
+        if variables is not None:
+            payload["variables"] = variables
+        status, out = _post(app, payload)
+        check(status, out)
+        if not isinstance(variables, (dict, type(None))):
+            assert status.startswith("400")
+
+    raw_bytes_never_crash()
+    any_query_and_variables()
+
+
+def test_transport_hostile_shapes(cubes):
+    app = wsgi_app(cubes)
+    # deep selection nesting → bounded in-band error, not RecursionError
+    deep = "query " + "{ a " * 500 + "{ x }" + " }" * 500
+    status, out = _post(app, {"query": deep})
+    assert status.startswith("200") and out["errors"]
+    assert "nested deeper" in out["errors"][0]["message"]
+    # deep value nesting
+    deep_val = "query { sales(quantity: " + "[" * 500 + "]" * 500 + ") { count } }"
+    status, out = _post(app, {"query": deep_val})
+    assert status.startswith("200") and out["errors"]
+    # oversized body bounced BEFORE the read (413)
+    big = {"query": "query { sales { count } } " + "#" + "x" * 11_000_000}
+    status, out = _post(app, big)
+    assert status.startswith("413")
+    # a hostile Content-Length with a small body is also bounced
+    environ = {"REQUEST_METHOD": "POST", "CONTENT_LENGTH": "99999999999",
+               "wsgi.input": io.BytesIO(b"{}")}
+    got = {}
+    body = b"".join(app(environ, lambda s, h: got.update(status=s)))
+    assert got["status"].startswith("413") and json.loads(body)["errors"]
+    # repeated identical requests against memoized cubes: stable answers
+    answers = {json.dumps(_post(app, {"query":
+        "query { sales(returnflag: \"R\") { linestatus count } }"})[1],
+        sort_keys=True) for _ in range(5)}
+    assert len(answers) == 1
