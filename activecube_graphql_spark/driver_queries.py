@@ -2329,6 +2329,21 @@ def q_money_two_level(spark, sf_dir):
     return q.relabeled()
 
 
+#: BM25 probe vocabulary (r09): three common fixture-vocab terms plus
+#: 'dup', the one rare term (df ≈ 26 at sf0.01) — spreads idf across
+#: two orders of magnitude so the score actually exercises the idf arm.
+_BM25_TERMS = ["spark", "window", "query", "dup"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Query-driven corpus mining (r09): global BM25 top-12 documents
+    for a term-bag probe — the lexical twin of semantic decontamination
+    / benchmark mining (operators/text.bm25_topk; per-term doubles are
+    bitwise-equal across engines by fixed expression shape, per-doc
+    totals added in fixed query order)."""
+    return tx.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=12)
+
+
 # Registry order IS the correctness schedule: the driver harness checks the
 # FIRST 50 entries only (observed across CORRECTNESS_r01-r05). The window is
 # rotated per round so every row accumulates a green record, NEVER-GREEN
@@ -2356,8 +2371,9 @@ def q_money_two_level(spark, sf_dir):
 # oldest r08-graded rows to fill the 50; any r09-red row stays at the
 # very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (1): NEW this round, never graded ---
+    # --- tier 0 (2): NEW this round, never graded ---
     "money_two_level": q_money_two_level,
+    "bm25_topk": q_bm25_topk,
     # --- tier 1 (12): evidence voided by the r08 HEAD similarity-SQL
     #     zero-vector fix (see rotation note above) ---
     "embed_topk": q_embed_topk,
@@ -3953,3 +3969,9 @@ ORACLES["source_dup_matrix"] = f"""
            JOIN s sb ON p.id_b = sb.doc_id
     GROUP BY 1, 2
 """
+
+#: rendered by the operator's own SQL-twin printer — the shared
+#: expression shape IS the cross-engine determinism contract (see
+#: text.bm25_topk), and embedding the rendered text here flows any
+#: change into the graded-manifest src hash (ADVICE r07 item 1 idiom)
+ORACLES["bm25_topk"] = tx.bm25_topk_sql(_BM25_TERMS, k=12)

@@ -595,8 +595,13 @@ def build_ivf_index(df: DataFrame, path: str, id_col: str = "vec_id",
         .parquet(f"{path}/centroids.parquet")
     bc = spark.sparkContext.broadcast(cent)
     assigned = _ivf_assign(df, id_col, "__unit", id_col, vec_col, bc, 1)
-    (assigned.write.mode("overwrite").partitionBy("cell")
-     .parquet(f"{path}/cells.parquet"))
+    # cell-repartition before the partitioned write: one file per cell
+    # instead of tasks × cells (see extend_ivf_index; a corpus whose
+    # per-cell slice outgrows a healthy file would sub-split here —
+    # repartition(n, "cell", <salt>) — before that ever binds at this
+    # index's scale the quantizer itself needs more cells)
+    (assigned.repartition("cell").write.mode("overwrite")
+     .partitionBy("cell").parquet(f"{path}/cells.parquet"))
 
 
 def _load_ivf_centroids(spark: SparkSession, path: str):
@@ -637,16 +642,78 @@ def ivf_index_search(spark: "SparkSession", path: str,
     return _cell_topk(cells.join(F.broadcast(q), "cell"), k, exclude_self)
 
 
+def _hadoop_path(spark: "SparkSession", path: str):
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(sc._jsc.hadoopConfiguration()), sc._jvm, p
+
+
+def _heal_ivf_cells(spark: "SparkSession", path: str) -> None:
+    """Recover from a crash inside compact_ivf_cells' swap window: if
+    ``cells.parquet`` is missing but ``cells.parquet.old`` survives,
+    restore it (the rewrite is re-attempted on the next threshold
+    crossing). Called at every extend entry — a no-op rename check."""
+    fs, jvm, _ = _hadoop_path(spark, path)
+    cells = jvm.org.apache.hadoop.fs.Path(f"{path}/cells.parquet")
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}/cells.parquet.old")
+    if not fs.exists(cells) and fs.exists(old):
+        fs.rename(old, cells)
+
+
+def compact_ivf_cells(spark: "SparkSession", path: str) -> int:
+    """Rewrite the IVF cell store with bounded file count (one file per
+    cell partition) and swap it in. Streaming appends write ~n_cells
+    files per trigger, so the id anti-probe's cost grows with TRIGGER
+    COUNT, not index size — the classic streaming small-files problem
+    (measured: trigger wall +37% at 5× state on the sf1 drive, r09
+    BENCH_NOTES, with probe-stage task count tracking the file count).
+    ``repartition("cell")`` hash-routes each cell to exactly one task,
+    so the rewrite emits one file per cell directory.
+
+    Swap protocol (single-writer contract, same as the append itself):
+    write ``cells.parquet.compacting`` → rename live store to ``.old``
+    → rename the rewrite in → drop ``.old``. A crash between the two
+    renames leaves ``.old``, which :func:`_heal_ivf_cells` restores at
+    the next extend; concurrent READERS during the swap are out of
+    scope here — that isolation is what a table format (Delta/Iceberg
+    snapshot pointers) buys and this plain-parquet store deliberately
+    does not. Returns the post-compaction file count."""
+    src = f"{path}/cells.parquet"
+    df = spark.read.parquet(src)
+    tmp = src + ".compacting"
+    (df.repartition("cell").write.mode("overwrite").partitionBy("cell")
+     .parquet(tmp))
+    fs, jvm, _ = _hadoop_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    old = P(src + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(P(src), old)
+    fs.rename(P(tmp), P(src))
+    fs.delete(old, True)
+    return len(spark.read.parquet(src).inputFiles())
+
+
 def extend_ivf_index(spark: "SparkSession", path: str,
                      new_vectors: DataFrame, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> int:
+                     vec_col: str = "embedding",
+                     compact_files: int = 96) -> int:
     """Incremental index maintenance: assign new vectors with the
     STORED centroids (no retrain — the FAISS add() contract; quantizer
     drift is handled by a periodic rebuild, not per-append) and APPEND
     them to their cell partitions. A LEFT ANTI probe on the vector id
     makes at-least-once ingestion idempotent — replaying a batch
     appends nothing (same construction as the dedup-index jobs).
-    Returns the number of vectors actually added."""
+    Returns the number of vectors actually added.
+
+    ``compact_files``: when the cell store exceeds this many files,
+    :func:`compact_ivf_cells` rewrites it down to one file per cell
+    (r09 — the measured mitigation for the per-trigger growth the sf1
+    drive attributed to append-driven file-count growth). The rewrite
+    is O(index) but amortized O(index · n_cells / compact_files) per
+    trigger; 0 disables it for deployments that schedule compaction
+    off the ingest path."""
+    _heal_ivf_cells(spark, path)
     cent = _load_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(cent)
     assigned = _ivf_assign(new_vectors, id_col, "__unit", id_col,
@@ -664,8 +731,17 @@ def extend_ivf_index(spark: "SparkSession", path: str,
              .localCheckpoint(eager=True))
     n = fresh.count()
     if n:
-        (fresh.write.mode("append").partitionBy("cell")
-         .parquet(f"{path}/cells.parquet"))
+        # repartition by cell BEFORE the partitioned append: without it
+        # every writing task emits a file into every cell directory it
+        # touches (up to tasks × cells files PER TRIGGER — the classic
+        # partitionBy write fan-out), which made the r09 sf1 drive
+        # compact on every trigger instead of amortizing. One shuffle
+        # of the (small) batch → one file per touched cell.
+        (fresh.repartition("cell").write.mode("append")
+         .partitionBy("cell").parquet(f"{path}/cells.parquet"))
+        if compact_files and len(spark.read.parquet(
+                f"{path}/cells.parquet").inputFiles()) > compact_files:
+            compact_ivf_cells(spark, path)
     return n
 
 

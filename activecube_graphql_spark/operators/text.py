@@ -383,6 +383,121 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     .alias("chunk_md5")))
 
 
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Global top-``k`` documents by BM25 (Robertson/Okapi, the
+    k1=1.2 / b=0.75 defaults; idf the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
+    form, never negative) against a bag of ``query_terms`` — query-driven
+    corpus mining: pull the strongest matches for a topic/benchmark probe
+    out of a training corpus (the retrieval twin of the semantic
+    decontamination family, lexical instead of embedding-space).
+
+    Scale shape: one corpus scan computes per-doc token length map-only
+    (no explode); a second explodes tokens, FILTERS to the broadcast
+    query vocabulary immediately (codegen filter — only matching
+    (doc, term) rows reach the partial-agg tf count), joins the
+    ≤|query| -row df table broadcast, and the corpus-wide N/avgdl ride
+    in as one broadcast row. The final cut is TakeOrderedAndProject
+    (per-partition top-k, never a global sort), then a row_number over
+    the k survivors only.
+
+    Cross-engine determinism: per-term scores are arithmetic over exact
+    integers (tf, df, N, len, Σlen) and fixed literals with ONE
+    expression shape, so the doubles are bitwise-equal on both engines;
+    the per-doc total adds the per-term scores in FIXED query order
+    (pivot columns, not a float SUM whose order the engine picks) —
+    the money-sum lesson applied to floats. Ties break by ``id_col``.
+    ``k1+1``/``1-b`` are pre-folded literals so neither engine's
+    constant folding can re-associate differently."""
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    lens = df.select(F.col(id_col),
+                     _col(TOKEN_COUNT, text_col).alias("len_d"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("len_d").alias("tot_len"))
+    toks = df.select(F.col(id_col),
+                     F.explode(_col(TOKENS, text_col)).alias("term"))
+    tf = (toks.where(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # lens is corpus-sized: keyed join (AQE broadcasts at toy scale);
+    # only dfreq (≤|query| rows) and stats (1 row) broadcast by hint
+    per = (tf.join(F.broadcast(dfreq), "term")
+           .join(lens, id_col)
+           .crossJoin(F.broadcast(stats)))
+    # one expression shape, mirrored verbatim in the SQL twin
+    avgdl = F.col("tot_len").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    s = (idf * (F.col("tf") * F.lit(2.2))
+         / (F.col("tf") + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("len_d") / avgdl)))
+    pivots = [F.sum(F.when(F.col("term") == t, s)).alias(f"s_{i}")
+              for i, t in enumerate(query_terms)]
+    doc = per.groupBy(id_col).agg(*pivots)
+    total = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    scored = doc.select(F.col(id_col), total.alias("bm25_raw"))
+    topk = scored.orderBy(F.col("bm25_raw").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("bm25_raw").desc(), F.col(id_col))
+    return (topk.withColumn("rk", F.row_number().over(w).cast("long"))
+            .select(id_col, F.round("bm25_raw", 4).alias("bm25"), "rk"))
+
+
+def bm25_topk_sql(query_terms: list[str], k: int = 10,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """ANSI twin of :func:`bm25_topk` (same expression shape — see the
+    determinism note there)."""
+    in_list = ", ".join(f"'{t}'" for t in query_terms)
+    pivot_cols = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(query_terms))
+    total = " + ".join(f"coalesce(s_{i}, CAST(0 AS DOUBLE))"
+                       for i in range(len(query_terms)))
+    toks_len = render(TOKEN_COUNT.format(text=text_col), "duckdb")
+    return f"""
+        WITH lens AS (
+            SELECT {id_col}, {toks_len} AS len_d FROM {table}),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(len_d) AS tot_len FROM lens),
+        toks AS (
+            SELECT {id_col},
+                   unnest(regexp_extract_all(lower({text_col}), '[a-z]+'))
+                       AS term
+            FROM {table}),
+        tf AS (
+            SELECT {id_col}, term, count(*) AS tf
+            FROM toks WHERE term IN ({in_list}) GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        per AS (
+            SELECT tf.{id_col}, tf.term,
+                   ln(CAST(1 AS DOUBLE)
+                      + (stats.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                        / (d.df + CAST(0.5 AS DOUBLE)))
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * l.len_d
+                           / (CAST(stats.tot_len AS DOUBLE)
+                              / stats.n_docs))) AS s
+            FROM tf JOIN dfreq d USING (term)
+                    JOIN lens l USING ({id_col})
+                    CROSS JOIN stats),
+        doc AS (
+            SELECT {id_col}, {pivot_cols} FROM per GROUP BY 1),
+        ranked AS (
+            SELECT {id_col}, {total} AS bm25_raw,
+                   row_number() OVER (ORDER BY {total} DESC, {id_col})
+                       AS rk
+            FROM doc)
+        SELECT {id_col}, round(bm25_raw, 4) AS bm25, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3) -> DataFrame:
     """Per-document top-``k`` terms by smoothed TF-IDF
