@@ -278,15 +278,22 @@ class _Builder:
 #: schema cache per (cube identities, database) — the serving-process
 #: shape: cubes are long-lived (driver_queries._cube), so the one-time
 #: driver-side analysis (~a few hundred ms per cube) is paid once.
-_SCHEMA_CACHE: dict[tuple, dict] = {}
+#: The value pins the cube OBJECTS alongside the schema: the key uses
+#: id(), and a GC'd cube's id can be reused by a fresh object with
+#: different metadata — holding the strong ref makes that impossible
+#: while the entry lives (the driver_queries._cube applicationId
+#: lesson, applied to identity keys instead).
+_SCHEMA_CACHE: dict[tuple, tuple] = {}
 
 
 def schema_data(cubes: dict[str, Cube], database: str = "default") -> dict:
     key = (tuple((n, id(c)) for n, c in cubes.items()), database)
-    data = _SCHEMA_CACHE.get(key)
-    if data is None:
-        data = _SCHEMA_CACHE[key] = _Builder(cubes, database).build()
-    return data
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None:
+        data = _Builder(cubes, database).build()
+        _SCHEMA_CACHE[key] = (tuple(cubes.values()), data)
+        return data
+    return hit[1]
 
 
 def find_type(cubes: dict[str, Cube], name: str,

@@ -671,6 +671,7 @@ def test_no_cartesian_in_any_driver_row(spark):
         "embed_lsh_ann", "embed_ivf_ann", "knn_vote",  # query fan-out
         "hard_negatives",                   # same broadcast-query fan-out
         "tfidf_terms",                      # 1-row N-scalar crossJoin
+        "bm25_topk",                        # 1-row N/avgdl-stats crossJoin
         "unigram_lm",                       # same 1-row totals crossJoin
         "lm_buckets",                       # 1-row threshold crossJoin
         "bloom_decontam",                   # 1-row bloom-bitmap crossJoin
