@@ -162,3 +162,35 @@ def test_exact_dedup_keeps_min_id_survivor(spark, texts):
            for r in dd.exact_dedup(_df(spark, texts),
                                    ["text"], "doc_id").collect()}
     assert got == {(t, i) for t, i in want.items()}, (texts, got, want)
+
+
+# ---------------------------------------------------------------- bm25 (r09)
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(TOKENS + ["zz"]), min_size=1, max_size=4,
+                unique=True),
+       st.lists(doc, min_size=2, max_size=8))
+def test_bm25_matches_duckdb_twin_bitwise(spark, terms, texts):
+    """The operator's whole determinism contract in one property: for
+    RANDOM term bags and corpora (including terms absent everywhere and
+    empty docs), the Spark plan and the printed DuckDB twin agree on
+    the exact rounded scores, ranks, and membership. Bitwise-equal
+    per-term doubles + fixed-order totals is what makes this hold; a
+    re-association on either side fails this test, not just the fixed
+    fixture row."""
+    import duckdb
+
+    from activecube_graphql_spark.operators import text as tx
+
+    got = sorted(tuple(r) for r in
+                 tx.bm25_topk(_df(spark, texts), terms, k=5).collect())
+    con = duckdb.connect()
+    con.register("documents_py", __import__("pandas").DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    con.execute("CREATE VIEW documents AS SELECT "
+                "CAST(doc_id AS BIGINT) doc_id, text FROM documents_py")
+    want = sorted(tuple(r) for r in
+                  con.execute(tx.bm25_topk_sql(terms, k=5)).fetchall())
+    assert got == want
