@@ -243,3 +243,24 @@ def test_transport_hostile_shapes(cubes):
         "query { sales(returnflag: \"R\") { linestatus count } }"})[1],
         sort_keys=True) for _ in range(5)}
     assert len(answers) == 1
+
+
+def test_introspection_union_dimension_skips_dunder(spark, sf_dir):
+    """EventsCube.actor declares ``__typename`` as its union
+    discriminator sub-field; GraphQL reserves dunder names (implicit
+    __typename), so the declared schema must omit it while the engine
+    keeps answering it — a schema that declared it fails
+    assert_valid_schema (the bug this pins was caught by exactly that
+    call)."""
+    import graphql
+
+    from activecube_graphql_spark.cubes import EventsCube
+
+    cubes = {"events": EventsCube(spark, sf_dir)}
+    out = execute(cubes,
+                  graphql.get_introspection_query(descriptions=False))
+    assert not out.get("errors"), out.get("errors")
+    schema = graphql.build_client_schema(out["data"])
+    graphql.assert_valid_schema(schema)
+    actor = schema.get_type("EventsRowActor")
+    assert "id" in actor.fields and "__typename" not in actor.fields
