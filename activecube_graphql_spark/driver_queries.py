@@ -2335,6 +2335,19 @@ def q_money_two_level(spark, sf_dir):
 _BM25_TERMS = ["spark", "window", "query", "dup"]
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Mergeable Misra-Gries frequent-items sketch over document tokens
+    (r09): graded in the exact regime (capacity 4096 ≫ fixture vocab,
+    so every per-partition D is 0 and lb = ub = true count — the A3
+    uniq exact-twin pattern); the bounded-capacity guarantee is
+    property-tested on adversarial skew instead
+    (operators/profile.py heavy_hitters)."""
+    from .operators.profile import heavy_hitters
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tx._col(tx.TOKENS, "text")).alias("term"))
+    return heavy_hitters(toks, "term", k=10, capacity=4096)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Query-driven corpus mining (r09): global BM25 top-12 documents
     for a term-bag probe — the lexical twin of semantic decontamination
@@ -2371,9 +2384,10 @@ def q_bm25_topk(spark, sf_dir):
 # oldest r08-graded rows to fill the 50; any r09-red row stays at the
 # very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (2): NEW this round, never graded ---
+    # --- tier 0 (3): NEW this round, never graded ---
     "money_two_level": q_money_two_level,
     "bm25_topk": q_bm25_topk,
+    "heavy_hitters": q_heavy_hitters,
     # --- tier 1 (12): evidence voided by the r08 HEAD similarity-SQL
     #     zero-vector fix (see rotation note above) ---
     "embed_topk": q_embed_topk,
@@ -3975,3 +3989,19 @@ ORACLES["source_dup_matrix"] = f"""
 #: text.bm25_topk), and embedding the rendered text here flows any
 #: change into the graded-manifest src hash (ADVICE r07 item 1 idiom)
 ORACLES["bm25_topk"] = tx.bm25_topk_sql(_BM25_TERMS, k=12)
+
+#: exact-regime oracle: capacity exceeds the fixture vocabulary, so the
+#: sketch's lb = ub = the exact count and the plain GROUP BY twin
+#: hash-matches (ties break by item; total_d provably 0)
+ORACLES["heavy_hitters"] = """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
+        FROM documents),
+    counts AS (
+        SELECT item, count(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT item, c, row_number() OVER (ORDER BY c DESC, item) AS rk
+        FROM counts)
+    SELECT item, c AS count_lb, c AS count_ub, rk
+    FROM ranked WHERE rk <= 10
+"""
