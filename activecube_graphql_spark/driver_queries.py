@@ -2379,10 +2379,13 @@ def q_bm25_topk(spark, sf_dir):
 #   behind the window (66) — the 16 remaining r07-graded rows, then
 #            the 50 r08-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r10): once CORRECTNESS_r09 lands green, run
-# tools/update_manifest.py (tree unchanged), move tiers 0-3 behind the
-# window, and pull forward the 16 remaining r07-graded rows plus the
-# oldest r08-graded rows to fill the 50; any r09-red row stays at the
-# very front.
+# tools/update_manifest.py (tree unchanged — NO --void unless new
+# edits land after grading), move tiers 0-3 behind the window, and
+# pull forward the rows whose evidence is r07 (now the oldest):
+# semi_anti + session_window (tier-3 entries the r09 in-round
+# additions pushed past position 50) plus the 16 r07 rows behind the
+# window, then fill with the oldest r08-graded rows; any r09-red row
+# stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (3): NEW this round, never graded ---
     "money_two_level": q_money_two_level,
