@@ -654,10 +654,21 @@ def _heal_ivf_cells(spark: "SparkSession", path: str) -> None:
     restore it (the rewrite is re-attempted on the next threshold
     crossing). Called at every extend entry — a no-op rename check."""
     fs, jvm, _ = _hadoop_path(spark, path)
-    cells = jvm.org.apache.hadoop.fs.Path(f"{path}/cells.parquet")
-    old = jvm.org.apache.hadoop.fs.Path(f"{path}/cells.parquet.old")
-    if not fs.exists(cells) and fs.exists(old):
+    P = jvm.org.apache.hadoop.fs.Path
+    cells = P(f"{path}/cells.parquet")
+    if fs.exists(cells):
+        return
+    old = P(f"{path}/cells.parquet.old")
+    tmp = P(f"{path}/cells.parquet.compacting")
+    if fs.exists(old):
         fs.rename(old, cells)
+    elif (fs.exists(tmp)
+          and fs.exists(P(f"{path}/cells.parquet.compacting/_SUCCESS"))):
+        # crash AFTER rename(src→old) succeeded but rename(tmp→src)
+        # failed/never ran AND .old was already consumed: the complete
+        # rewrite (committed — _SUCCESS present) is the only copy left;
+        # promote it (ADVICE r09)
+        fs.rename(tmp, cells)
 
 
 def compact_ivf_cells(spark: "SparkSession", path: str) -> int:
@@ -688,9 +699,19 @@ def compact_ivf_cells(spark: "SparkSession", path: str) -> int:
     old = P(src + ".old")
     if fs.exists(old):
         fs.delete(old, True)
-    fs.rename(P(src), old)
-    fs.rename(P(tmp), P(src))
-    fs.delete(old, True)
+    # Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    # raising (ADVICE r09): an unchecked swap could delete the .old
+    # backup after a silently-failed rename, losing the live store.
+    if not fs.rename(P(src), old):
+        raise IOError(f"compact_ivf_cells: rename {src} -> {src}.old "
+                      "failed; live store untouched, rewrite left at "
+                      f"{tmp}")
+    if not fs.rename(P(tmp), P(src)):
+        fs.rename(old, P(src))  # restore the live store before raising
+        raise IOError(f"compact_ivf_cells: rename {tmp} -> {src} failed; "
+                      "previous store restored from .old")
+    if fs.exists(P(src)):  # drop the backup only once the swap is live
+        fs.delete(old, True)
     return len(spark.read.parquet(src).inputFiles())
 
 

@@ -64,6 +64,11 @@ def plan_fingerprint(df: DataFrame) -> str:
         spark.conf.set(key, _MAX_FIELDS)
         tree = df._jdf.queryExecution().analyzed().toString()
     finally:
+        # restore EXACTLY the prior state: when the conf was unset (the
+        # common case) leaving _MAX_FIELDS behind would be a silent
+        # global config leak from a read-only call (ADVICE r09)
         if prev is not None:
             spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
     return hashlib.sha256(normalize_plan(tree).encode()).hexdigest()

@@ -142,6 +142,9 @@ def wsgi_app(cubes: dict[str, Cube], database: str = "default"):
                                       '{"query": ..., "variables": ...}'}]})
         try:
             n = int(environ.get("CONTENT_LENGTH") or 0)
+            if n < 0:  # read(-1) would slurp the stream unbounded,
+                # defeating the size bound below (ADVICE r09)
+                raise ValueError(f"negative Content-Length: {n}")
             if n > MAX_BODY_BYTES:  # bound request memory before reading
                 return reply("413 Content Too Large",
                              {"errors": [{"message": "request body over "

@@ -1582,6 +1582,17 @@ def test_ivf_compaction_bounds_files_and_preserves_index(spark, sf_dir,
             "vec_id", "embedding", "label")) == 1
     assert 410 in {v for v, _ in snapshot()}
 
+    # (e) complete-rewrite crash (ADVICE r09): live store AND .old both
+    # gone; the committed rewrite (_SUCCESS present) is the only copy
+    # left — heal must promote it instead of leaving the index missing
+    os.rename(f"{path}/cells.parquet", f"{path}/cells.parquet.compacting")
+    assert os.path.exists(f"{path}/cells.parquet.compacting/_SUCCESS")
+    assert sim.extend_ivf_index(
+        spark, path,
+        corpus.filter(F.col("vec_id") == 411).select(
+            "vec_id", "embedding", "label")) == 1
+    assert {410, 411} <= {v for v, _ in snapshot()}
+
 
 def test_bm25_topk_semantics(spark):
     """BM25 ranking sanity on a hand-built corpus (value parity vs

@@ -238,6 +238,14 @@ def test_transport_hostile_shapes(cubes):
     got = {}
     body = b"".join(app(environ, lambda s, h: got.update(status=s)))
     assert got["status"].startswith("413") and json.loads(body)["errors"]
+    # a NEGATIVE Content-Length must not become read(-1) — that would
+    # slurp the stream unbounded, defeating the size bound (ADVICE r09)
+    environ = {"REQUEST_METHOD": "POST", "CONTENT_LENGTH": "-1",
+               "wsgi.input": io.BytesIO(
+                   b'{"query": "query { sales { count } }"}')}
+    got = {}
+    body = b"".join(app(environ, lambda s, h: got.update(status=s)))
+    assert got["status"].startswith("400") and json.loads(body)["errors"]
     # repeated identical requests against memoized cubes: stable answers
     answers = {json.dumps(_post(app, {"query":
         "query { sales(returnflag: \"R\") { linestatus count } }"})[1],
