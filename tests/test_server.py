@@ -156,6 +156,34 @@ def test_introspection_loads_in_real_client(cubes):
     assert graphql.validate(schema, doc) == []
 
 
+def test_introspection_sdl_roundtrip_is_fixed_point(cubes):
+    """Codegen-client contract (VERDICT r09 item 8): the loaded client
+    schema must survive a full SDL round-trip — print_schema → SDL →
+    build_schema → print_schema is a FIXED POINT, and the schema is
+    mutation-free (a query-only analytics surface). GraphiQL and every
+    SDL-based codegen pipeline do exactly this; a cube-metadata change
+    that emits something unprintable or unparsable breaks them silently
+    unless pinned here."""
+    import graphql
+
+    app = wsgi_app(cubes)
+    _, out = _post(
+        app, {"query": graphql.get_introspection_query(descriptions=True)})
+    client = graphql.build_client_schema(out["data"])
+    assert client.mutation_type is None
+    assert client.subscription_type is None
+    sdl = graphql.print_schema(client)
+    rebuilt = graphql.build_schema(sdl)
+    graphql.assert_valid_schema(rebuilt)
+    assert graphql.print_schema(rebuilt) == sdl  # fixed point
+    # the SDL really carries the surface, not a husk: spot-check that
+    # fields, metric args, and nested dimension types survived the trip
+    assert sorted(rebuilt.query_type.fields) == ["documents", "sales"]
+    sales = rebuilt.get_type("SalesRow")
+    assert "discount" in sales.fields["revenue"].args
+    assert str(sales.fields["orderdate"].type) == "SalesRowOrderdate"
+
+
 def test_introspection_type_and_typename(cubes):
     out = execute(cubes, """{
         t: __type(name: "SalesRow") { kind name fields { name } }
