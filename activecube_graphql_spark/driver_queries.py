@@ -877,6 +877,26 @@ def q_char_dup(spark, sf_dir):
                                    modulus=8, min_shared=2, max_df=100)
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/dedup.py
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD 2003, the
+    MOSS algorithm; r10): word-3-gram hashes, window w=4, each
+    window's rightmost-minimal hash selected. The coverage-guaranteed
+    sibling of char_dup's mod-p selection — any shared span of ≥ w+k−1
+    tokens is GUARANTEED to share a fingerprint. Graded as exact
+    per-bucket checksums of the selected set (doc/selection/position/
+    hash sums), so one mis-selected or mis-positioned fingerprint on
+    either engine breaks the hash; the oracle replays gram hashing,
+    the packed-key window minimum, and the tie-break in pure SQL."""
+    sel = dd.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+    return (sel.groupBy((F.col("id") % 20).alias("bucket"))
+            .agg(F.countDistinct("id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_sel"),
+                 F.sum("pos").alias("pos_sum"),
+                 F.sum("fp").alias("fp_sum"),
+                 F.countDistinct("fp").alias("n_fp")))
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (plans/sketches.py): daily cells
     hold HLL(user_id) + KLL(value) state; the query merges cells up to
@@ -2453,27 +2473,34 @@ def q_bm25_topk(spark, sf_dir):
 # money_two_level, failed only the driver's float64 decimal coercion —
 # values verified bit-identical by the r09 judge — and stays at position 0
 # with a hash-stable re-emission until green; VERDICT r09 items 1-3):
-#   tier 0 (2)  — money_two_level, red r09 (hash pipeline), re-emitted
+#   tier 0 (4)  — money_two_level, red r09 (hash pipeline), re-emitted
 #            hash-stably this round, leads the window; then
-#            multimodal_decode, NEW this round (real P6 codec) —
-#            both never-green.
+#            multimodal_decode + winnow_fp, NEW this round (real P6
+#            codec; winnowing fingerprints), and char_dup, whose r08
+#            evidence the r10 ensure_parallelism fan-out voids —
+#            all four never-green.
 #   tier 1 (18) — the full r07-graded cohort (semi_anti ..
 #            window_analytics): oldest evidence on record, due under
 #            the ≤2-round evidence-age policy.
-#   tier 2 (30) — oldest r08-graded rows in registry order
-#            (bloom_decontam .. fingerprint_dedup), fill to 50.
-#   behind the window (69) — the remaining 20 r08-graded rows, then
+#   tier 2 (28) — oldest r08-graded rows in registry order
+#            (bloom_decontam .. filter_null_ops), fill to 50.
+#   behind the window (70) — the remaining 21 r08-graded rows, then
 #            the 49 r09-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r11): once CORRECTNESS_r10 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
 # edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the remaining 20 r08-evidence rows (global_agg ..
+# pull forward the remaining 21 r08-evidence rows (filter_ophash ..
 # edit_verified, now the oldest cohort), then fill with the oldest
 # r09-graded rows; any r10-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (2): red r09 re-emitted + NEW this round ---
+    # --- tier 0 (4): red r09 re-emitted + NEW this round + plan-voided ---
     "money_two_level": q_money_two_level,
     "multimodal_decode": q_multimodal_decode,
+    "winnow_fp": q_winnow_fp,
+    # char_dup's r08 evidence is voided by the r10 ensure_parallelism
+    # fan-out in char_ngram_dup_pairs (plan change; results identical,
+    # re-verified locally) — back to the never-green tier until graded
+    "char_dup": q_char_dup,
     # --- tier 1 (18): r07-graded cohort, oldest evidence ---
     "semi_anti": q_semi_anti,
     "session_window": q_session_window,
@@ -2522,9 +2549,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
     "filter_null_ops": q_filter_null_ops,
+    # --- behind the window: remaining r08-graded rows ---
     "filter_ophash": q_filter_ophash,
     "fingerprint_dedup": q_fingerprint_dedup,
-    # --- behind the window: remaining r08-graded rows ---
     "global_agg": q_global_agg,
     "graphql_topn": q_graphql_topn,
     "json_subfield": q_json_subfield,
@@ -2538,7 +2565,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "union_typename": q_union_typename,
     "asof_join": q_asof_join,
-    "char_dup": q_char_dup,
     "click_purchase_join": q_click_purchase_join,
     "containment": q_containment,
     "decontam": q_decontam,
@@ -3755,6 +3781,53 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                round(sum(l_quantity), 2) AS qty, count(*) AS cnt
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    # replays winnowing exactly: gram md5 (32-bit prefix), packed
+    # (hash ≪ 20 | 2²⁰−1−pos) key, window-of-4 min (= rightmost-minimal
+    # hash), full-windows-only with the short-doc single-window rule,
+    # DISTINCT selections, then the same per-bucket checksums
+    "winnow_fp": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+', 0) AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - 1)) AS i,
+                   t
+            FROM toks
+            WHERE len(t) >= 3
+        ),
+        keyed AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST('0x' || substr(md5(
+                       array_to_string(list_slice(t, i, i + 2), ' ')),
+                       1, 8) AS BIGINT) * 1048576
+                   + (1048575 - (i - 1)) AS key
+            FROM grams
+        ),
+        winmin AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS kmin
+            FROM keyed
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, kmin
+            FROM winmin
+            WHERE pos <= n_grams - 4 OR (n_grams < 4 AND pos = 0)
+        )
+        SELECT doc_id % 20 AS bucket,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_sel,
+               CAST(sum(1048575 - (kmin % 1048576)) AS BIGINT) AS pos_sum,
+               CAST(sum(kmin // 1048576) AS BIGINT) AS fp_sum,
+               count(DISTINCT kmin // 1048576) AS n_fp
+        FROM sel
+        GROUP BY 1
     """,
     # re-derives the decoded-raster byte sum from the pixel function
     # (id·131 + i·17) mod 251 over a bounded index join (max raster is

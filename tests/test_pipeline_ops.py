@@ -1665,3 +1665,56 @@ def test_heavy_hitters_bounded_capacity_guarantees(spark):
     assert top1["item"] == "hot" and top1["rk"] == 1
     # summary stayed bounded: at most capacity survivors per partition
     assert len(got) <= cap * 4
+
+
+def test_winnow_fingerprints_matches_paper_reference(spark):
+    """winnow_fingerprints (r10) vs a direct transcription of the
+    SIGMOD'03 algorithm: identical (pos, fp) selections on every doc,
+    including the rightmost-min tie-break, the short-doc single-window
+    rule, and the <k-token empty case — plus the paper's coverage
+    guarantee (every window of w consecutive grams contains a
+    selection) on the long docs."""
+    import hashlib
+    import re as _re
+
+    from activecube_graphql_spark.operators.dedup import (
+        winnow_fingerprints)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short one"),                       # < k tokens
+        (3, "one two three"),                   # exactly 1 gram
+        (4, "x " * 30),                         # all-identical grams: ties
+        (5, "alpha beta gamma delta alpha beta gamma delta"),  # repeats
+        (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["id"], r["pos"], r["fp"]) for r in
+                 winnow_fingerprints(df, k=k, w=w).collect())
+
+    def ref(text):
+        toks = _re.findall(r"[a-z]+", text.lower())
+        if len(toks) < k:
+            return set()
+        hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                  .hexdigest()[:8], 16)
+              for i in range(len(toks) - k + 1)]
+        n = len(hs)
+        sel = set()
+        for j in range(max(n - w + 1, 1)):        # short doc: 1 window
+            win = hs[j:j + w]
+            m = min(win)
+            p = j + max(i for i, h in enumerate(win) if h == m)
+            sel.add((p, m))
+        return sel
+
+    want = sorted((d, p, f) for d, t in rows for (p, f) in ref(t))
+    assert got == want
+    # coverage guarantee (Theorem 1): every full window hits a selection
+    for d, t in rows:
+        n = len(_re.findall(r"[a-z]+", t.lower())) - k + 1
+        if n >= w:
+            selpos = {p for dd, p, _ in got if dd == d}
+            for j in range(n - w + 1):
+                assert selpos & set(range(j, j + w)), (d, j)
