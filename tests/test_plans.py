@@ -723,3 +723,40 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnow_fp_plan_shape(spark):
+    """winnow_fp (r10) physical-plan pin: the whole row is codegen —
+    NO Python eval nodes — and the shuffle budget is exactly the four
+    the semantics require (fan-out repartition, the doc-keyed exchange
+    BOTH window functions share, and the two-distinct aggregate's
+    expand pair). In particular the DISTINCT on (id, kmin) must ride
+    the window's id-partitioning instead of adding a fifth exchange."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    plan = (QUERIES["winnow_fp"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"MapInPandas|ArrowEval|BatchEval", plan)) == 0
+    assert len(re.findall(r"Exchange", plan)) <= 4
+    # both window functions share ONE doc-keyed exchange
+    assert len(re.findall(r"Exchange hashpartitioning\(id#\d+L, \d+\)",
+                          plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+
+
+def test_multimodal_decode_plan_shape(spark):
+    """multimodal_decode (r10) physical-plan pin: a doc_id-only pruned
+    scan feeding two chained Arrow stages (encode, decode) with ZERO
+    exchanges — the whole row is map-only, so on a cluster it scales
+    with input splits and never shuffles the binary payloads."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    plan = (QUERIES["multimodal_decode"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert len(re.findall(r"MapInPandas", plan)) == 2
+    assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan)
