@@ -1718,3 +1718,44 @@ def test_winnow_fingerprints_matches_paper_reference(spark):
             selpos = {p for dd, p, _ in got if dd == d}
             for j in range(n - w + 1):
                 assert selpos & set(range(j, j + w)), (d, j)
+
+
+def test_winnow_fingerprints_randomized_batch(spark):
+    """200 seeded-random docs (varied lengths incl. <k, =k, <w-gram
+    and tie-heavy tiny vocabularies) in ONE Spark job vs the paper
+    transcription — the randomized companion of the hand-picked-edge
+    test above, catching window/packing bugs only odd length/tie
+    combinations trigger."""
+    import hashlib
+    import random
+    import re as _re
+
+    from activecube_graphql_spark.operators.dedup import (
+        winnow_fingerprints)
+
+    rng = random.Random(1003)
+    vocab = ["a", "b", "c", "aa", "bb", "dup", "spark", "row"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(200)]
+    k, w = 3, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["id"], r["pos"], r["fp"]) for r in
+                 winnow_fingerprints(df, k=k, w=w).collect())
+
+    def ref(text):
+        toks = _re.findall(r"[a-z]+", text.lower())
+        if len(toks) < k:
+            return set()
+        hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                  .hexdigest()[:8], 16)
+              for i in range(len(toks) - k + 1)]
+        sel = set()
+        for j in range(max(len(hs) - w + 1, 1)):
+            win = hs[j:j + w]
+            m = min(win)
+            sel.add((j + max(i for i, h in enumerate(win) if h == m), m))
+        return sel
+
+    want = sorted((d, p, f) for d, t in rows for (p, f) in ref(t))
+    assert got == want
