@@ -1759,3 +1759,91 @@ def test_winnow_fingerprints_randomized_batch(spark):
 
     want = sorted((d, p, f) for d, t in rows for (p, f) in ref(t))
     assert got == want
+
+
+def test_ivf_compaction_swap_survives_rename_failure(spark, sf_dir,
+                                                     tmp_path,
+                                                     monkeypatch):
+    """Hadoop FileSystem.rename reports failure by RETURNING FALSE
+    (ADVICE r09). Inject failures at each swap step through a fake fs
+    and assert the protocol never loses the live store: a failed first
+    rename leaves cells.parquet untouched; a failed second rename
+    restores it from .old; the .old backup is never deleted unless the
+    swapped-in store exists."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.operators import similarity as sim
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus.filter(F.col("vec_id") < 100), path,
+                        n_cells=4)
+
+    class FakeFS:
+        def __init__(self, fail_renames):
+            # dst suffix -> remaining failures (one-shot: the recovery
+            # rename to the same target must be allowed to succeed)
+            self.fail = dict.fromkeys(fail_renames, 1)
+
+        def exists(self, p):
+            return os.path.exists(str(p))
+
+        def delete(self, p, recursive=True):
+            shutil.rmtree(str(p), ignore_errors=True)
+            return True
+
+        def rename(self, src, dst):
+            for s, left in self.fail.items():
+                if str(dst).endswith(s) and left > 0:
+                    self.fail[s] = left - 1
+                    return False
+            os.rename(str(src), str(dst))
+            return True
+
+    class FakeJvmPath(str):
+        pass
+
+    class FakeJvm:
+        class org:
+            class apache:
+                class hadoop:
+                    class fs:
+                        Path = FakeJvmPath
+
+    def fake_hadoop_path(fail):
+        def _f(spark_, p):
+            return FakeFS(fail), FakeJvm, FakeJvmPath(p)
+        return _f
+
+    def snapshot():
+        return sorted(r["vec_id"] for r in
+                      spark.read.parquet(f"{path}/cells.parquet")
+                      .collect())
+
+    before = snapshot()
+
+    # (1) first rename (src -> .old) fails: live store must be intact
+    monkeypatch.setattr(sim, "_hadoop_path",
+                        fake_hadoop_path({"cells.parquet.old"}))
+    with pytest.raises(IOError):
+        sim.compact_ivf_cells(spark, path)
+    assert snapshot() == before
+    shutil.rmtree(f"{path}/cells.parquet.compacting", ignore_errors=True)
+
+    # (2) second rename (tmp -> src) fails: live store restored from .old
+    monkeypatch.setattr(sim, "_hadoop_path",
+                        fake_hadoop_path({"cells.parquet"}))
+    with pytest.raises(IOError):
+        sim.compact_ivf_cells(spark, path)
+    assert snapshot() == before
+    assert not os.path.exists(f"{path}/cells.parquet.old")
+    shutil.rmtree(f"{path}/cells.parquet.compacting", ignore_errors=True)
+
+    # (3) no injected failures: swap completes, backup cleaned up
+    monkeypatch.setattr(sim, "_hadoop_path", fake_hadoop_path(set()))
+    assert sim.compact_ivf_cells(spark, path) >= 1
+    assert snapshot() == before
+    assert not os.path.exists(f"{path}/cells.parquet.old")
