@@ -1283,7 +1283,8 @@ def char_ngram_dup_pairs(df: DataFrame, n_chars: int = 24,
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        k: int = 3, w: int = 4) -> DataFrame:
+                        k: int = 3, w: int = 4,
+                        hash_fn: str = "md5") -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting",
     SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
@@ -1316,9 +1317,22 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
     Positions must fit the packing radix: ``pos < 2²⁰`` grams per doc
     (≫ any sane document; enforce upstream chunking for pathological
-    inputs — pack/chunk in operators/text.py is the tool)."""
+    inputs — pack/chunk in operators/text.py is the tool).
+
+    ``hash_fn="md5"`` is the oracle-portable selection (32-bit md5
+    prefix, hex-parse per gram); ``"xxhash64"`` is the scale default —
+    one JVM hash per gram, no hex string materialization, low 32 bits
+    kept so the packed key stays inside a BIGINT (same char_dup twin
+    convention). Both modes carry the identical coverage guarantee;
+    they merely select at different (hash-determined) positions."""
     from pyspark.sql import Window
 
+    if hash_fn == "md5":
+        h32 = "cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint)"
+    elif hash_fn == "xxhash64":
+        h32 = "(xxhash64(gram) & 4294967295)"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = (ensure_parallelism(df)
             .select(F.col(id_col).alias("id"),
                     F.expr(f"regexp_extract_all(lower({text_col}), "
@@ -1332,8 +1346,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     # min of (hash, −pos), i.e. smallest hash, rightmost position
     keyed = grams.select(
         "id", "pos",
-        F.expr("cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint)"
-               " * 1048576 + (1048575 - pos)").alias("key"))
+        F.expr(f"{h32} * 1048576 + (1048575 - pos)").alias("key"))
     by_doc = Window.partitionBy("id")
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     sel = (keyed

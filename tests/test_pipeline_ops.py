@@ -1847,3 +1847,33 @@ def test_ivf_compaction_swap_survives_rename_failure(spark, sf_dir,
     assert sim.compact_ivf_cells(spark, path) >= 1
     assert snapshot() == before
     assert not os.path.exists(f"{path}/cells.parquet.old")
+
+
+def test_winnow_fingerprints_xxhash64_twin(spark):
+    """The xxhash64 scale twin (one JVM hash per gram, no hex parse):
+    same structural contract as md5 mode — packed keys decode to valid
+    positions, selections are deterministic, and the coverage
+    guarantee holds; selection positions legitimately differ (they are
+    hash-determined)."""
+    import re as _re
+
+    from activecube_graphql_spark.operators.dedup import (
+        winnow_fingerprints)
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mu", "nu"]
+    rows = [(i, " ".join(words[(i * 7 + j) % 13] for j in range(30)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 3, 4
+    got = winnow_fingerprints(df, k=k, w=w, hash_fn="xxhash64").collect()
+    assert got and all(0 <= r["pos"] < 28 and r["fp"] >= 0 for r in got)
+    again = winnow_fingerprints(df, k=k, w=w, hash_fn="xxhash64").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    for d, t in rows:
+        n = len(_re.findall(r"[a-z]+", t.lower())) - k + 1
+        selpos = {r["pos"] for r in got if r["id"] == d}
+        for j in range(n - w + 1):
+            assert selpos & set(range(j, j + w)), (d, j)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, hash_fn="fnv")
