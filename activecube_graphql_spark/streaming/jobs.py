@@ -435,6 +435,74 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
     _drain(sdf, upsert, checkpoint)
 
 
+def _read_winnow_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the accumulated (doc_id, fp) winnow index. Same error
+    contract as :func:`_read_fingerprint_index`: ONLY a missing path
+    means "first batch"; schema drift or corruption must surface —
+    treating a broken index as empty would re-admit every near-dup."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], "doc_id long, fp long")
+        raise
+    return df.select("doc_id", "fp")
+
+
+def maintain_winnow_index(spark: SparkSession, src_dir: str,
+                          index_path: str, checkpoint: str,
+                          glob: str = "documents.parquet",
+                          k: int = 3, w: int = 4,
+                          min_shared: int = 2) -> None:
+    """Incrementally maintain a NEAR-dup winnowing index over a
+    streaming document feed — the near-duplicate sibling of
+    :func:`maintain_dedup_index` (which is exact-only): per
+    micro-batch,
+
+    1. replay guard: LEFT ANTI on ``doc_id`` vs the accumulated index
+       drops documents already processed (the extend_ivf_index
+       construction — a replayed batch appends nothing);
+    2. fingerprint: winnowing selections over the remaining docs
+       (operators/dedup.winnow_fingerprints — coverage-guaranteed, so
+       a shared span of ≥ w+k−1 tokens WILL collide with the index);
+    3. screen: a document sharing ≥ ``min_shared`` distinct
+       fingerprint hashes with the index is a near-dup of something
+       already kept and is dropped;
+    4. append the survivors' (doc_id, fp) rows to the index.
+
+    Survivor choice is FIRST-ARRIVAL-WINS across micro-batches, same
+    honest contract as the exact index. Screening is vs the
+    ACCUMULATED corpus only — two near-dups arriving in the SAME batch
+    both survive (intra-batch resolution is the batch operators' job,
+    e.g. neardup_keep; this job answers "is the new doc a near-copy of
+    anything we already kept?"). Documented, tested.
+
+    At 100 TB: per-trigger work is O(batch-fps × index probe) — the
+    fp-keyed join broadcasts while the index is small and sort-merges
+    beyond; the corpus is never rescanned. Index size is
+    ~2/(w+1) × corpus token count rows of two BIGINTs."""
+    from ..operators.dedup import winnow_fingerprints
+
+    sdf = _file_stream(spark, src_dir, glob)
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        index = _read_winnow_index(spark, index_path)
+        new = batch_df.join(index.select("doc_id").distinct(),
+                            "doc_id", "left_anti")
+        fps = (winnow_fingerprints(new, k=k, w=w)
+               .select(F.col("id").alias("doc_id"), "fp").distinct())
+        dup_ids = (fps.join(index.select("fp").distinct(), "fp")
+                   .groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("shared"))
+                   .filter(F.col("shared") >= min_shared)
+                   .select("doc_id"))
+        (fps.join(dup_ids, "doc_id", "left_anti")
+         .write.mode("append").parquet(index_path))
+
+    _drain(sdf, upsert, checkpoint)
+
+
 def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
                   checkpoint: str, glob: str = "documents.parquet",
                   max_files_per_trigger: int | None = None) -> None:

@@ -464,3 +464,66 @@ def test_maintain_ivf_index_stream_extend_and_replay(spark, sf_dir,
                                exclude_self=False).collect()
     assert hit and hit[0]["neighbor_id"] == 200 and \
         hit[0]["cosine"] >= 0.9999
+
+
+def test_maintain_winnow_index_screens_neardups_and_replays(spark,
+                                                            tmp_path):
+    """The streaming NEAR-dup index (r10): batch 1 indexes the base
+    corpus; batch 2's near-copies (high-overlap mutations of indexed
+    docs) are screened out while genuinely fresh docs survive; a full
+    replay appends nothing; and the within-batch contract (intra-batch
+    near-dups both survive — screening is vs the ACCUMULATED corpus) is
+    pinned."""
+    from activecube_graphql_spark.streaming import jobs
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+
+    def text(seed, n=24):
+        return " ".join(words[(seed * 7 + j * 3) % 10] for j in range(n))
+
+    import pandas as pd
+
+    def write(path, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}).to_parquet(path, index=False)
+
+    write(str(src / "batch1.parquet"), [(i, text(i)) for i in range(20)])
+    idx = str(tmp_path / "widx")
+    jobs.maintain_winnow_index(spark, str(src), idx,
+                               str(tmp_path / "ck1"), glob="*.parquet")
+    indexed1 = {r["doc_id"] for r in
+                spark.read.parquet(idx).select("doc_id").distinct()
+                .collect()}
+    assert indexed1 == set(range(20))  # no intra-batch screening
+
+    # batch 2: near-copies of docs 0/1 (one word changed ⇒ long shared
+    # spans ⇒ guaranteed fingerprint collisions), two fresh docs, and
+    # an intra-batch near-dup pair built from a fresh text
+    # genuinely fresh word streams (the text() cycle has period 10, so
+    # distinct seeds alone would just rotate an indexed doc)
+    extra = ["lambda", "sigma", "tau", "phi", "chi", "psi", "omega",
+             "rho", "xi", "pi", "upsilon"]
+    fresh_a = " ".join(extra[(j * 5) % 11] for j in range(24))
+    fresh_b = " ".join(extra[(j * 7 + 3) % 11] for j in range(24))
+    nd = [(200, text(0).replace("alpha", "omega", 1)),
+          (201, text(1).replace("beta", "omega", 1)),
+          (202, fresh_a), (203, fresh_b),
+          (204, fresh_b.replace("zeta", "omega", 1))]
+    write(str(src / "batch2.parquet"), nd)
+    jobs.maintain_winnow_index(spark, str(src), idx,
+                               str(tmp_path / "ck1"), glob="*.parquet")
+    indexed2 = {r["doc_id"] for r in
+                spark.read.parquet(idx).select("doc_id").distinct()
+                .collect()}
+    assert 200 not in indexed2 and 201 not in indexed2  # screened
+    assert {202, 203}.issubset(indexed2)                # fresh survive
+    assert 204 in indexed2  # intra-batch near-dup: documented survivor
+
+    # full at-least-once replay (fresh checkpoint, same data): no-op
+    n = spark.read.parquet(idx).count()
+    jobs.maintain_winnow_index(spark, str(src), idx,
+                               str(tmp_path / "ck2"), glob="*.parquet")
+    assert spark.read.parquet(idx).count() == n
