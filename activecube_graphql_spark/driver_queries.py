@@ -1611,6 +1611,19 @@ def q_unigram_lm(spark, sf_dir):
                  F.min("avg_logp").alias("min_lp")))
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-trained interpolated BIGRAM LM score (operators/text.py
+    bigram_logprob — Jelinek-Mercer λ·MLE-bigram + (1−λ)·add-k unigram,
+    the word-ORDER-sensitive step from unigram_lm toward CCNet's KenLM
+    perplexity filter; r10), summarized per source: doc count, mean/min
+    score — the same emission shape as the long-green unigram row."""
+    out = tx.bigram_logprob(_docs(spark, sf_dir), carry=("source",))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("avg_logp2"), 4).alias("mean_lp2"),
+                 F.min("avg_logp2").alias("min_lp2")))
+
+
 def q_transitions(spark, sf_dir):
     """Per-user event-type transition matrix (operators/timeseries.py
     transition_counts — the Markov/funnel estimate): one user-keyed lag
@@ -2072,6 +2085,50 @@ _UNIGRAM_LM_ORACLE = f"""
 """
 
 
+#: bigram twin of _UNIGRAM_LM_ORACLE: MLE bigram arm over history
+#: counts (w1 occurrences in non-final position = Σ bigram counts per
+#: w1), add-0.5 unigram arm over ALL tokens, λ = 0.7 interpolation
+_BIGRAM_LM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               {tx.oracle_fragment(tx.TOKENS)} AS t
+        FROM documents),
+    big AS (
+        SELECT doc_id,
+               t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)),
+    c_bi AS (SELECT w1, w2, count(*) AS c_bi FROM big GROUP BY 1, 2),
+    c_hist AS (SELECT w1, sum(c_bi) AS c_h FROM c_bi GROUP BY 1),
+    uni AS (
+        SELECT unnest({tx.oracle_fragment(tx.TOKENS)}) AS term
+        FROM documents),
+    vocab AS (SELECT term, count(*) AS c_uni FROM uni GROUP BY 1),
+    tot AS (SELECT sum(c_uni) AS n_corpus, count(*) AS v_size
+            FROM vocab),
+    scored AS (
+        SELECT b.doc_id,
+               ln(CAST(0.7 AS DOUBLE) * c.c_bi / h.c_h
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                    * (v.c_uni + CAST(0.5 AS DOUBLE))
+                    / (tot.n_corpus
+                       + CAST(0.5 AS DOUBLE) * tot.v_size)) AS logp
+        FROM big b
+        JOIN c_bi c USING (w1, w2)
+        JOIN c_hist h USING (w1)
+        JOIN vocab v ON v.term = b.w2
+        CROSS JOIN tot),
+    per_doc AS (
+        SELECT doc_id, round(avg(logp), 4) AS avg_logp2
+        FROM scored GROUP BY 1)
+    SELECT d.source, count(*) AS n_docs,
+           round(avg(coalesce(p.avg_logp2, 0.0)), 4) AS mean_lp2,
+           min(coalesce(p.avg_logp2, 0.0)) AS min_lp2
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY 1
+"""
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Selective-salt skew join exercised END-TO-END in the graded
     window (plans/skew.py split_salted_join; VERDICT r05 item 7 — the
@@ -2473,23 +2530,24 @@ def q_bm25_topk(spark, sf_dir):
 # money_two_level, failed only the driver's float64 decimal coercion —
 # values verified bit-identical by the r09 judge — and stays at position 0
 # with a hash-stable re-emission until green; VERDICT r09 items 1-3):
-#   tier 0 (4)  — money_two_level, red r09 (hash pipeline), re-emitted
+#   tier 0 (5)  — money_two_level, red r09 (hash pipeline), re-emitted
 #            hash-stably this round, leads the window; then
-#            multimodal_decode + winnow_fp, NEW this round (real P6
-#            codec; winnowing fingerprints), and char_dup, whose r08
+#            multimodal_decode + winnow_fp + bigram_lm, NEW this
+#            round (real P6 codec; winnowing fingerprints;
+#            interpolated bigram LM), and char_dup, whose r08
 #            evidence the r10 ensure_parallelism fan-out voids —
-#            all four never-green.
+#            all five never-green.
 #   tier 1 (18) — the full r07-graded cohort (semi_anti ..
 #            window_analytics): oldest evidence on record, due under
 #            the ≤2-round evidence-age policy.
-#   tier 2 (28) — oldest r08-graded rows in registry order
-#            (bloom_decontam .. filter_null_ops), fill to 50.
-#   behind the window (70) — the remaining 21 r08-graded rows, then
+#   tier 2 (27) — oldest r08-graded rows in registry order
+#            (bloom_decontam .. filter_like_between), fill to 50.
+#   behind the window (71) — the remaining 22 r08-graded rows, then
 #            the 49 r09-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r11): once CORRECTNESS_r10 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
 # edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the remaining 21 r08-evidence rows (filter_ophash ..
+# pull forward the remaining 22 r08-evidence rows (filter_null_ops ..
 # edit_verified, now the oldest cohort), then fill with the oldest
 # r09-graded rows; any r10-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2501,6 +2559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fan-out in char_ngram_dup_pairs (plan change; results identical,
     # re-verified locally) — back to the never-green tier until graded
     "char_dup": q_char_dup,
+    "bigram_lm": q_bigram_lm,
     # --- tier 1 (18): r07-graded cohort, oldest evidence ---
     "semi_anti": q_semi_anti,
     "session_window": q_session_window,
@@ -2548,8 +2607,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_and_list": q_filter_and_list,
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
-    "filter_null_ops": q_filter_null_ops,
     # --- behind the window: remaining r08-graded rows ---
+    "filter_null_ops": q_filter_null_ops,
     "filter_ophash": q_filter_ophash,
     "fingerprint_dedup": q_fingerprint_dedup,
     "global_agg": q_global_agg,
@@ -2653,6 +2712,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,
+    # r10: interpolated bigram LM (the word-order-sensitive twin)
+    "bigram_lm": _BIGRAM_LM_ORACLE,
     "transitions": _TRANSITIONS_ORACLE,
     # formerly staged rows, registered r06
     "winsorized": _WINSORIZED_ORACLE,

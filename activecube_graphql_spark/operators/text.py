@@ -724,6 +724,85 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .withColumn("avg_logp", F.coalesce("avg_logp", F.lit(0.0))))
 
 
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   carry: tuple[str, ...] = (),
+                   lam: float = 0.7, smooth: float = 0.5) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM language-model score per
+    document — one modeling step up from :func:`unigram_logprob`
+    toward the KenLM-style perplexity filter of the CCNet family:
+    per-doc mean natural-log probability of each next-token under
+
+        p(w2 | w1) = λ · c(w1,w2)/c_hist(w1)
+                     + (1−λ) · (c(w2)+k)/(N+k·V)
+
+    i.e. Jelinek-Mercer interpolation of the MLE bigram with the
+    add-k unigram (the interpolation makes unseen bigrams finite
+    instead of −inf, and the unigram arm keeps the score defined for
+    every token the corpus has seen). ``c_hist(w1)`` counts w1 as a
+    bigram HISTORY (occurrences not in doc-final position), so the
+    bigram arm is a proper conditional: Σ_w2 p_bi(w2|w1) = 1. A
+    catastrophically low tail = gibberish/OOV sequences; a
+    suspiciously high tail = templated text — same curation cuts as
+    the unigram score, but sensitive to word ORDER (shuffled tokens
+    keep their unigram score and crater here).
+
+    Emits ``n_big`` (bigram count) and ``avg_logp2`` (4dp; docs with
+    <2 tokens → 0.0, n_big 0 — left-join convention shared with
+    unigram_logprob; the 4dp round rides the same irrational-logs
+    ULP argument).
+
+    Scale shape: one bigram explode (map-side, positions via a
+    transform/element_at lambda over the materialized token array,
+    persisted across its three consumers) → bigram-keyed count
+    shuffle (partial-aggregated; bigram-vocab-sized output) →
+    history counts derived FROM the bigram counts (second shuffle is
+    vocab-sized, not corpus-sized) → joins back onto the exploded
+    stream (AQE broadcasts at toy scale, keyed joins at web scale) →
+    per-doc partial-agg mean. No Python, no driver state; every
+    frame that shuffles is vocab- or corpus-bigram-sized exactly
+    once."""
+    toks = df.select(F.col(id_col),
+                     _col(TOKENS, text_col).alias("toks"))
+    big = (toks.filter(F.size("toks") >= 2)
+           .select(F.col(id_col), F.explode(F.expr(
+               "transform(sequence(1, size(toks) - 1), "
+               "i -> struct(element_at(toks, i) as w1, "
+               "element_at(toks, i + 1) as w2))")).alias("b"))
+           .select(id_col, F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2"))
+           .persist())
+    c_bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    c_hist = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_h"))
+    # unigram arm over ALL tokens (incl. doc-final), exactly the
+    # unigram_logprob training distribution
+    uni = df.select(F.explode(_col(TOKENS, text_col)).alias("term"))
+    vocab = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    totals = vocab.agg(F.sum("c_uni").alias("n_corpus"),
+                       F.count(F.lit(1)).alias("v_size"))
+    k, l = float(smooth), float(lam)
+    scored = (big.join(c_bi, ["w1", "w2"])
+              .join(c_hist, "w1")
+              .join(vocab.withColumnRenamed("term", "w2"), "w2")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("logp", F.log(
+                  # (1−λ) is computed ENGINE-side as a double
+                  # subtraction so the oracle can reproduce the exact
+                  # IEEE value with the same two literals (a Python
+                  # `1.0 - 0.7` constant-folds to 0.30000000000000004,
+                  # which no clean SQL literal spells)
+                  F.lit(l) * F.col("c_bi") / F.col("c_h")
+                  + (F.lit(1.0) - F.lit(l)) * (F.col("c_uni") + F.lit(k))
+                  / (F.col("n_corpus") + F.lit(k) * F.col("v_size")))))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_big"),
+                    F.round(F.avg("logp"), 4).alias("avg_logp2")))
+    return (df.select(id_col, *carry).join(per_doc, id_col, "left")
+            .withColumn("n_big",
+                        F.coalesce("n_big", F.lit(0)).cast("long"))
+            .withColumn("avg_logp2", F.coalesce("avg_logp2", F.lit(0.0))))
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

@@ -1877,3 +1877,34 @@ def test_winnow_fingerprints_xxhash64_twin(spark):
             assert selpos & set(range(j, j + w)), (d, j)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, hash_fn="fnv")
+
+
+def test_bigram_logprob_is_order_sensitive(spark):
+    """The property that earns bigram_logprob its place next to
+    unigram_logprob: token ORDER moves the score. A doc made of the
+    corpus's dominant bigram chain scores high; the same multiset of
+    tokens shuffled into rare bigrams scores strictly lower — while
+    their UNIGRAM scores are identical. Short-doc conventions pinned:
+    <2 tokens -> n_big 0 / score 0.0."""
+    from pyspark.sql import functions as F
+
+    from activecube_graphql_spark.operators.text import (bigram_logprob,
+                                                         unigram_logprob)
+
+    # corpus dominated by the chain "a b a b ..."; docs 1 and 2 hold
+    # the same token multiset in chain vs anti-chain order
+    rows = [(i, "a b " * 10) for i in range(10)]
+    rows += [(100, "a b a b a b"), (101, "a a a b b b"), (102, "a"),
+             (103, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    uni = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert uni[100]["avg_logp"] == uni[101]["avg_logp"]   # same multiset
+    assert got[100]["avg_logp2"] > got[101]["avg_logp2"]  # order matters
+    assert got[100]["n_big"] == 5 and got[101]["n_big"] == 5
+    assert got[102]["n_big"] == 0 and got[102]["avg_logp2"] == 0.0
+    assert got[103]["n_big"] == 0 and got[103]["avg_logp2"] == 0.0
+    # interpolation keeps every seen-token bigram finite: the rare
+    # bigrams of doc 101 ("a a", "b b") never produce -inf
+    import math
+    assert math.isfinite(got[101]["avg_logp2"])
