@@ -2551,7 +2551,7 @@ def q_bm25_topk(spark, sf_dir):
 # edit_verified, now the oldest cohort), then fill with the oldest
 # r09-graded rows; any r10-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (4): red r09 re-emitted + NEW this round + plan-voided ---
+    # --- tier 0 (5): red r09 re-emitted + NEW this round + plan-voided ---
     "money_two_level": q_money_two_level,
     "multimodal_decode": q_multimodal_decode,
     "winnow_fp": q_winnow_fp,
@@ -2579,7 +2579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_bands": q_value_bands,
     "variant_json": q_variant_json,
     "window_analytics": q_window_analytics,
-    # --- tier 2 (31): oldest r08-graded rows, fill to 50 ---
+    # --- tier 2 (27): oldest r08-graded rows, fill to 50 ---
     "bloom_decontam": q_bloom_decontam,
     "flagship_revenue": q_flagship_revenue,
     "flagship_topn": q_flagship_topn,

@@ -91,7 +91,14 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     width, height, maxval = fields
     if not (0 < maxval <= 255):
         raise ValueError(f"unsupported P6 maxval {maxval}")
-    pos += 1  # the single whitespace byte separating header and raster
+    # the spec requires EXACTLY ONE whitespace byte between maxval and
+    # raster — anything else is a malformed header, not a separator to
+    # skip (r10 review: silently skipping a non-whitespace byte here
+    # mis-decoded garbage like b'P6 1 1 255Xabc' instead of raising)
+    if not payload[pos:pos + 1].isspace():
+        raise ValueError("malformed P6 header: missing whitespace "
+                         "separator before raster")
+    pos += 1
     n = 3 * width * height
     raster = payload[pos:pos + n]
     if len(raster) != n:

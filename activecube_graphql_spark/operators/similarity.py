@@ -707,9 +707,18 @@ def compact_ivf_cells(spark: "SparkSession", path: str) -> int:
                       "failed; live store untouched, rewrite left at "
                       f"{tmp}")
     if not fs.rename(P(tmp), P(src)):
-        fs.rename(old, P(src))  # restore the live store before raising
-        raise IOError(f"compact_ivf_cells: rename {tmp} -> {src} failed; "
-                      "previous store restored from .old")
+        # the restore itself can fail the same way — report the TRUE
+        # final state, never claim a restore that did not happen (an
+        # operator deleting .old on a false 'restored' message would
+        # lose the live store; _heal_ivf_cells repairs the un-restored
+        # state at the next extend)
+        restored = fs.rename(old, P(src))
+        raise IOError(
+            f"compact_ivf_cells: rename {tmp} -> {src} failed; "
+            + ("previous store restored from .old" if restored else
+               f"restore from .old ALSO failed — live store currently "
+               f"missing, backup at {src}.old and committed rewrite at "
+               f"{tmp}; next extend's heal will recover"))
     if fs.exists(P(src)):  # drop the backup only once the swap is live
         fs.delete(old, True)
     return len(spark.read.parquet(src).inputFiles())

@@ -753,15 +753,16 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     ULP argument).
 
     Scale shape: one bigram explode (map-side, positions via a
-    transform/element_at lambda over the materialized token array,
-    persisted across its three consumers) → bigram-keyed count
-    shuffle (partial-aggregated; bigram-vocab-sized output) →
-    history counts derived FROM the bigram counts (second shuffle is
-    vocab-sized, not corpus-sized) → joins back onto the exploded
-    stream (AQE broadcasts at toy scale, keyed joins at web scale) →
-    per-doc partial-agg mean. No Python, no driver state; every
-    frame that shuffles is vocab- or corpus-bigram-sized exactly
-    once."""
+    transform/element_at lambda over the materialized token array) →
+    bigram-keyed count shuffle (partial-aggregated; bigram-vocab-sized
+    output) → history counts derived FROM the bigram counts (second
+    shuffle is vocab-sized, not corpus-sized) → joins back onto the
+    exploded stream (AQE broadcasts at toy scale, keyed joins at web
+    scale) → per-doc partial-agg mean. No Python, no driver state, no
+    persist (same convention as unigram_logprob: the explode is a
+    cheap map stage, and an un-released corpus-sized cache per call
+    would leak across a long-lived session — r10 review finding);
+    every frame that shuffles is vocab- or corpus-bigram-sized."""
     toks = df.select(F.col(id_col),
                      _col(TOKENS, text_col).alias("toks"))
     big = (toks.filter(F.size("toks") >= 2)
@@ -770,8 +771,7 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                "i -> struct(element_at(toks, i) as w1, "
                "element_at(toks, i + 1) as w2))")).alias("b"))
            .select(id_col, F.col("b.w1").alias("w1"),
-                   F.col("b.w2").alias("w2"))
-           .persist())
+                   F.col("b.w2").alias("w2")))
     c_bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
     c_hist = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_h"))
     # unigram arm over ALL tokens (incl. doc-final), exactly the

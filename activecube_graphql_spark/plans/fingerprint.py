@@ -40,6 +40,13 @@ _MAX_FIELDS = "4096"
 
 _NORMALIZERS = [
     (re.compile(r"#\d+"), "#"),                       # exprIds
+    # higher-order-function lambda variables (lambda x_1, y_2, ...)
+    # draw from a SESSION-GLOBAL monotonic counter, so their numbers
+    # encode build ORDER, not semantics — without this rule the
+    # fingerprint of any lambda-bearing plan depends on what was built
+    # before it in the session (r10 review finding, reproduced live:
+    # two same-session builds of the same row hashed differently)
+    (re.compile(r"lambda ([a-zA-Z]+)_\d+"), r"lambda \1_"),
     (re.compile(r"plan_id=\d+"), "plan_id="),
     (re.compile(r"cte_id=\d+"), "cte_id="),
     (re.compile(r"/root/testdata/sf[\d.]+"), "<sf>"),

@@ -438,15 +438,19 @@ def maintain_dedup_index(spark: SparkSession, src_dir: str,
 def _read_winnow_index(spark: SparkSession, path: str) -> DataFrame:
     """Read the accumulated (doc_id, fp) winnow index. Same error
     contract as :func:`_read_fingerprint_index`: ONLY a missing path
-    means "first batch"; schema drift or corruption must surface —
+    (the PATH_NOT_FOUND condition, not a message substring — a wrapped
+    error whose text merely mentions a missing nested path must still
+    surface) means "first batch"; schema drift or corruption raises —
     treating a broken index as empty would re-admit every near-dup."""
     from pyspark.errors import AnalysisException
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], "doc_id long, fp long")
-        raise
+        cond = (e.getCondition() if hasattr(e, "getCondition")
+                else e.getErrorClass()) or ""
+        if "PATH_NOT_FOUND" not in cond:
+            raise
+        return spark.createDataFrame([], "doc_id long, fp long")
     return df.select("doc_id", "fp")
 
 
@@ -460,45 +464,64 @@ def maintain_winnow_index(spark: SparkSession, src_dir: str,
     :func:`maintain_dedup_index` (which is exact-only): per
     micro-batch,
 
-    1. replay guard: LEFT ANTI on ``doc_id`` vs the accumulated index
-       drops documents already processed (the extend_ivf_index
-       construction — a replayed batch appends nothing);
-    2. fingerprint: winnowing selections over the remaining docs
+    1. fingerprint: winnowing selections over the batch
        (operators/dedup.winnow_fingerprints — coverage-guaranteed, so
        a shared span of ≥ w+k−1 tokens WILL collide with the index);
-    3. screen: a document sharing ≥ ``min_shared`` distinct
-       fingerprint hashes with the index is a near-dup of something
-       already kept and is dropped;
-    4. append the survivors' (doc_id, fp) rows to the index.
+    2. screen: a document sharing ≥ ``min_shared`` distinct
+       fingerprint hashes with a DIFFERENT indexed document is a
+       near-dup of something already kept and is dropped (the
+       self-exclusion makes replay re-screening deterministic: a
+       replayed doc's own indexed rows never count against it);
+    3. append: of the survivors' (doc_id, fp) rows, only those not
+       already in the index — the replay guard is at FINGERPRINT
+       level, not doc level (r10 review: a doc-level guard turns a
+       crash inside the parquet append's commit into a permanently
+       PARTIAL fingerprint set — the replay would see the doc id
+       present and never complete it, weakening every later screen
+       against that doc; at fp level the replay completes exactly the
+       missing rows — except the doubly-degenerate case of a PARTIAL
+       doc that is also an intra-batch near-dup of a fully-committed
+       sibling, which the replay re-screens against that sibling and
+       leaves partial: its future near-copies still collide with the
+       sibling's complete set, so the screen stays effective).
 
     Survivor choice is FIRST-ARRIVAL-WINS across micro-batches, same
     honest contract as the exact index. Screening is vs the
     ACCUMULATED corpus only — two near-dups arriving in the SAME batch
     both survive (intra-batch resolution is the batch operators' job,
     e.g. neardup_keep; this job answers "is the new doc a near-copy of
-    anything we already kept?"). Documented, tested.
+    anything we already kept?"). Documented, tested, including the
+    partial-append replay.
 
     At 100 TB: per-trigger work is O(batch-fps × index probe) — the
     fp-keyed join broadcasts while the index is small and sort-merges
-    beyond; the corpus is never rescanned. Index size is
-    ~2/(w+1) × corpus token count rows of two BIGINTs."""
+    beyond; the corpus is never rescanned. The batch's fingerprint
+    frame is pinned with eager ``localCheckpoint`` (it feeds both the
+    screen and the append, and the append writes into the directory
+    the plan would otherwise re-read mid-write — the extend_ivf_index
+    lineage-cut rationale). Index size is ~2/(w+1) × corpus token
+    count rows of two BIGINTs."""
     from ..operators.dedup import winnow_fingerprints
 
     sdf = _file_stream(spark, src_dir, glob)
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         index = _read_winnow_index(spark, index_path)
-        new = batch_df.join(index.select("doc_id").distinct(),
-                            "doc_id", "left_anti")
-        fps = (winnow_fingerprints(new, k=k, w=w)
-               .select(F.col("id").alias("doc_id"), "fp").distinct())
-        dup_ids = (fps.join(index.select("fp").distinct(), "fp")
-                   .groupBy("doc_id")
+        fps = (winnow_fingerprints(batch_df, k=k, w=w)
+               .select(F.col("id").alias("doc_id"), "fp").distinct()
+               .localCheckpoint(eager=True))
+        hits = (fps.join(index.withColumnRenamed("doc_id", "idx_doc"),
+                         "fp")
+                .filter(F.col("doc_id") != F.col("idx_doc"))
+                .select("doc_id", "fp").distinct())
+        dup_ids = (hits.groupBy("doc_id")
                    .agg(F.count(F.lit(1)).alias("shared"))
                    .filter(F.col("shared") >= min_shared)
                    .select("doc_id"))
-        (fps.join(dup_ids, "doc_id", "left_anti")
-         .write.mode("append").parquet(index_path))
+        to_append = (fps.join(dup_ids, "doc_id", "left_anti")
+                     .join(index, ["doc_id", "fp"], "left_anti")
+                     .localCheckpoint(eager=True))
+        to_append.write.mode("append").parquet(index_path)
 
     _drain(sdf, upsert, checkpoint)
 

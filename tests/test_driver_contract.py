@@ -216,12 +216,19 @@ def test_pending_re_manifest_counts_green_for_ordering(
 
 def test_plan_fingerprint_deterministic(spark):
     """Two independent builds of the same row yield the same
-    fingerprint (cross-process determinism for all 116 rows was
-    verified the round this landed: two fresh interpreters, zero
-    diffs — this pins the cheap in-process half of that contract)."""
-    fn = QUERIES["flagship_revenue"]
-    assert (plan_fingerprint(fn(spark, SF_FP))
-            == plan_fingerprint(fn(spark, SF_FP)))
+    fingerprint (cross-process determinism for all rows was verified
+    the round this landed: two fresh interpreters, zero diffs — this
+    pins the cheap in-process half of that contract).
+
+    ``containment`` is in the set deliberately: its plan carries
+    higher-order-function lambdas, whose variable names draw from a
+    session-global counter — the r10 review reproduced same-session
+    fingerprint drift on exactly this row before the ``lambda x_N``
+    normalizer landed."""
+    for name in ("flagship_revenue", "containment"):
+        fn = QUERIES[name]
+        assert (plan_fingerprint(fn(spark, SF_FP))
+                == plan_fingerprint(fn(spark, SF_FP))), name
 
 
 def test_plan_fingerprint_is_config_neutral(spark):

@@ -63,7 +63,9 @@ def test_ppm_codec_roundtrip_and_spec_edges():
     for bad in (b"", b"P5\n1 1\n255\n\x00" * 3,      # wrong magic
                 p[:-1],                               # truncated raster
                 b"P6\n2 2\n65535\n" + b"\x00" * 24,   # wide maxval
-                b"P6\nx 2\n255\n"):                   # non-numeric dim
+                b"P6\nx 2\n255\n",                    # non-numeric dim
+                b"P6 1 1 255Xabc",                    # missing separator
+                b"P6 1 1 255"):                       # header-only
         with pytest.raises(ValueError):
             mm.decode_ppm(bad)
     with pytest.raises(ValueError):

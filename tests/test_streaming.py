@@ -527,3 +527,25 @@ def test_maintain_winnow_index_screens_neardups_and_replays(spark,
     jobs.maintain_winnow_index(spark, str(src), idx,
                                str(tmp_path / "ck2"), glob="*.parquet")
     assert spark.read.parquet(idx).count() == n
+
+    # partial-append crash (r10 review): rebuild the index with HALF of
+    # doc 202's fingerprint rows missing — a crash inside the append's
+    # commit — and replay; the fp-level guard must complete exactly the
+    # missing rows instead of treating the doc as done
+    full = spark.read.parquet(idx)
+    fps202 = sorted(r["fp"] for r in
+                    full.filter("doc_id = 202").collect())
+    assert len(fps202) >= 2
+    keep_fps = set(fps202[: len(fps202) // 2])
+    idx2 = str(tmp_path / "widx_partial")
+    (full.filter("doc_id <> 202").unionByName(
+        full.filter("doc_id = 202")
+        .filter(full["fp"].isin(list(keep_fps))))
+     .write.parquet(idx2))
+    jobs.maintain_winnow_index(spark, str(src), idx2,
+                               str(tmp_path / "ck3"), glob="*.parquet")
+    got202 = sorted(r["fp"] for r in spark.read.parquet(idx2)
+                    .filter("doc_id = 202").collect())
+    assert got202 == fps202          # completed, no duplicates
+    assert (spark.read.parquet(idx2).count()
+            == spark.read.parquet(idx).count())
