@@ -660,15 +660,31 @@ def _heal_ivf_cells(spark: "SparkSession", path: str) -> None:
         return
     old = P(f"{path}/cells.parquet.old")
     tmp = P(f"{path}/cells.parquet.compacting")
+    # Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    # raising (ADVICE r10 — the same pitfall compact_ivf_cells checks):
+    # a silently-failed heal leaves cells.parquet missing and the
+    # caller's next read dies with a confusing path-not-found instead
+    # of naming the un-healed state.
     if fs.exists(old):
-        fs.rename(old, cells)
+        if not fs.rename(old, cells):
+            raise IOError(
+                f"_heal_ivf_cells: restore rename {path}/cells.parquet"
+                f".old -> {path}/cells.parquet failed; index is still "
+                "missing its live cell store — backup left in place, "
+                "heal will be re-attempted at the next extend")
     elif (fs.exists(tmp)
           and fs.exists(P(f"{path}/cells.parquet.compacting/_SUCCESS"))):
         # crash AFTER rename(src→old) succeeded but rename(tmp→src)
         # failed/never ran AND .old was already consumed: the complete
         # rewrite (committed — _SUCCESS present) is the only copy left;
         # promote it (ADVICE r09)
-        fs.rename(tmp, cells)
+        if not fs.rename(tmp, cells):
+            raise IOError(
+                f"_heal_ivf_cells: promote rename {path}/cells.parquet"
+                f".compacting -> {path}/cells.parquet failed; the "
+                "committed rewrite is the only surviving copy and is "
+                "left untouched — heal will be re-attempted at the "
+                "next extend")
 
 
 def compact_ivf_cells(spark: "SparkSession", path: str) -> int:

@@ -468,10 +468,14 @@ def maintain_winnow_index(spark: SparkSession, src_dir: str,
        (operators/dedup.winnow_fingerprints — coverage-guaranteed, so
        a shared span of ≥ w+k−1 tokens WILL collide with the index);
     2. screen: a document sharing ≥ ``min_shared`` distinct
-       fingerprint hashes with a DIFFERENT indexed document is a
-       near-dup of something already kept and is dropped (the
-       self-exclusion makes replay re-screening deterministic: a
-       replayed doc's own indexed rows never count against it);
+       fingerprint hashes with a SINGLE different indexed document is
+       a near-dup of that document and is dropped — the count is per
+       (doc, indexed-doc) PAIR, exactly the batch
+       char_ngram_dup_pairs groupBy(id_a, id_b) semantics, so a doc
+       sharing one incidental fingerprint each with several different
+       documents is NOT dropped (ADVICE r10). The self-exclusion
+       makes replay re-screening deterministic: a replayed doc's own
+       indexed rows never count against it;
     3. append: of the survivors' (doc_id, fp) rows, only those not
        already in the index — the replay guard is at FINGERPRINT
        level, not doc level (r10 review: a doc-level guard turns a
@@ -510,14 +514,21 @@ def maintain_winnow_index(spark: SparkSession, src_dir: str,
         fps = (winnow_fingerprints(batch_df, k=k, w=w)
                .select(F.col("id").alias("doc_id"), "fp").distinct()
                .localCheckpoint(eager=True))
+        # per-PAIR collision count (ADVICE r10): a doc is dropped only
+        # when it shares >= min_shared fingerprints with ONE indexed
+        # document — the batch char_ngram_dup_pairs groupBy(id_a,id_b)
+        # semantics. Pooling across idx docs would drop a doc sharing
+        # 1 incidental fp each with two different documents. Both join
+        # sides are (id, fp)-distinct (fps by construction, the index
+        # by its append guard), so the triples are unique and a plain
+        # count IS the distinct-fp count per pair.
         hits = (fps.join(index.withColumnRenamed("doc_id", "idx_doc"),
                          "fp")
-                .filter(F.col("doc_id") != F.col("idx_doc"))
-                .select("doc_id", "fp").distinct())
-        dup_ids = (hits.groupBy("doc_id")
+                .filter(F.col("doc_id") != F.col("idx_doc")))
+        dup_ids = (hits.groupBy("doc_id", "idx_doc")
                    .agg(F.count(F.lit(1)).alias("shared"))
                    .filter(F.col("shared") >= min_shared)
-                   .select("doc_id"))
+                   .select("doc_id").distinct())
         to_append = (fps.join(dup_ids, "doc_id", "left_anti")
                      .join(index, ["doc_id", "fp"], "left_anti")
                      .localCheckpoint(eager=True))

@@ -25,9 +25,14 @@ evidence.  These gates make that structurally impossible:
     vigilance — the rendered plan catches ANY change to what the
     row computes, mechanically).
 
-  A ``"VOID"`` sentinel entry never matches: it marks rows whose green
-  records are known to predate the current tree (stamped via
-  ``tools/update_manifest.py --void``) until the driver re-grades them.
+  A void entry (``tools/update_manifest.py --void``) never counts as
+  evidence: it marks rows whose green records are known to predate the
+  current tree until the driver re-grades them.  Since r11 (ADVICE r10)
+  the void entry CARRIES the hashes current at stamp time, so the
+  round-boundary carve-out below can tell 'graded this round, pending
+  re-manifest' from 'edited AFTER grading, then voided' — only the
+  former counts green for ordering.  Legacy bare ``"VOID"`` strings
+  are honored as evidence-void but never as pending.
 """
 
 from __future__ import annotations
@@ -125,7 +130,9 @@ def _usable_green(plan_fps: dict[str, str]) -> set[str]:
             continue
         entry = manifest.get(name)
         if not isinstance(entry, dict):
-            continue  # VOID sentinel or missing
+            continue  # legacy VOID sentinel or missing
+        if entry.get("void"):
+            continue  # voided: evidence predates the tree by decree
         if entry.get("src") != src_hash(name):
             continue
         if entry.get("plan") != plan_fps.get(name):
@@ -135,11 +142,21 @@ def _usable_green(plan_fps: dict[str, str]) -> set[str]:
 
 
 def _green_for_ordering(plan_fps: dict[str, str]) -> set[str]:
-    """Usable-green plus the round-boundary 'pending re-manifest' rows
-    (VOID sentinel in the manifest, green in the newest CORRECTNESS
-    file) — see _latest_round_green."""
+    """Usable-green plus the round-boundary 'pending re-manifest' rows:
+    void entry in the manifest, green in the newest CORRECTNESS file,
+    AND the current tree still hash-matches what the void stamp
+    recorded (ADVICE r10: without the hash check a row edited AFTER
+    this round's grading — whose green record the edit stales — would
+    escape the never-green-rows-lead-the-window guard).  Legacy bare
+    "VOID" strings carry no hashes and never count as pending."""
     manifest = json.load(open(MANIFEST))
-    pending = {n for n in _latest_round_green() if manifest.get(n) == "VOID"}
+    pending = set()
+    for n in _latest_round_green():
+        entry = manifest.get(n)
+        if (isinstance(entry, dict) and entry.get("void")
+                and entry.get("src") == src_hash(n)
+                and entry.get("plan") == plan_fps.get(n)):
+            pending.add(n)
     return _usable_green(plan_fps) | pending
 
 
@@ -199,19 +216,41 @@ def test_pending_re_manifest_counts_green_for_ordering(
         tmp_path, monkeypatch, plan_fps):
     """Replay the r09 judged-snapshot timing: the driver lands
     CORRECTNESS after the final commit, so a row graded green this
-    round can still carry its pre-grading VOID sentinel.  Such a row
+    round can still carry its pre-grading void stamp.  Such a row
     must count green for ORDERING (it has been graded) while staying
-    out of the evidence set until the next-round re-stamp."""
+    out of the evidence set until the next-round re-stamp — but ONLY
+    while the tree still matches the hashes the void stamp recorded
+    (ADVICE r10: an edit after grading stales the green record and the
+    carve-out must refuse it), and never for a legacy bare "VOID"
+    string (it carries no hashes to check)."""
     latest_green = _latest_round_green()
     assert latest_green, "no CORRECTNESS files on disk"
     victim = sorted(latest_green & set(QUERIES))[0]
     manifest = json.load(open(MANIFEST))
-    manifest[victim] = "VOID"
-    p = tmp_path / "manifest.json"
-    p.write_text(json.dumps(manifest))
-    monkeypatch.setitem(globals(), "MANIFEST", str(p))
+
+    def with_entry(entry):
+        m = dict(manifest)
+        m[victim] = entry
+        p = tmp_path / f"manifest_{len(list(tmp_path.iterdir()))}.json"
+        p.write_text(json.dumps(m))
+        monkeypatch.setitem(globals(), "MANIFEST", str(p))
+
+    # (1) void stamped at the graded tree: pending, not evidence
+    with_entry({"src": src_hash(victim), "plan": plan_fps.get(victim),
+                "void": True})
     assert victim not in _usable_green(plan_fps)      # evidence: void
     assert victim in _green_for_ordering(plan_fps)    # ordering: pending
+
+    # (2) row edited AFTER grading (hashes no longer match the stamp):
+    # the green record is stale — NOT pending, row must re-lead
+    with_entry({"src": "0" * 64, "plan": plan_fps.get(victim),
+                "void": True})
+    assert victim not in _green_for_ordering(plan_fps)
+
+    # (3) legacy bare "VOID": evidence-void and never pending
+    with_entry("VOID")
+    assert victim not in _usable_green(plan_fps)
+    assert victim not in _green_for_ordering(plan_fps)
 
 
 def test_plan_fingerprint_deterministic(spark):

@@ -1848,6 +1848,33 @@ def test_ivf_compaction_swap_survives_rename_failure(spark, sf_dir,
     assert snapshot() == before
     assert not os.path.exists(f"{path}/cells.parquet.old")
 
+    # (4) HEAL rename failures (ADVICE r10: _heal_ivf_cells ignored the
+    # boolean returns — the exact pitfall steps 1-3 pin for the swap).
+    # restore path: .old present, rename back fails -> IOError naming
+    # the un-healed state, backup left in place; second attempt heals.
+    os.rename(f"{path}/cells.parquet", f"{path}/cells.parquet.old")
+    monkeypatch.setattr(sim, "_hadoop_path",
+                        fake_hadoop_path({"cells.parquet"}))
+    with pytest.raises(IOError, match="restore rename"):
+        sim._heal_ivf_cells(spark, path)
+    assert os.path.exists(f"{path}/cells.parquet.old")
+    monkeypatch.setattr(sim, "_hadoop_path", fake_hadoop_path(set()))
+    sim._heal_ivf_cells(spark, path)  # retry with the fs healthy again
+    assert snapshot() == before
+
+    # promote path: only the committed rewrite survives, rename fails
+    # -> IOError, the sole copy is left untouched; retry promotes it.
+    os.rename(f"{path}/cells.parquet", f"{path}/cells.parquet.compacting")
+    open(f"{path}/cells.parquet.compacting/_SUCCESS", "w").close()
+    monkeypatch.setattr(sim, "_hadoop_path",
+                        fake_hadoop_path({"cells.parquet"}))
+    with pytest.raises(IOError, match="promote rename"):
+        sim._heal_ivf_cells(spark, path)
+    assert os.path.exists(f"{path}/cells.parquet.compacting")
+    monkeypatch.setattr(sim, "_hadoop_path", fake_hadoop_path(set()))
+    sim._heal_ivf_cells(spark, path)
+    assert snapshot() == before
+
 
 def test_winnow_fingerprints_xxhash64_twin(spark):
     """The xxhash64 scale twin (one JVM hash per gram, no hex parse):

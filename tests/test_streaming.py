@@ -549,3 +549,57 @@ def test_maintain_winnow_index_screens_neardups_and_replays(spark,
     assert got202 == fps202          # completed, no duplicates
     assert (spark.read.parquet(idx2).count()
             == spark.read.parquet(idx).count())
+
+
+def test_maintain_winnow_index_screens_per_pair_not_pooled(spark,
+                                                           tmp_path):
+    """ADVICE r10 (medium): the near-dup screen thresholds the shared
+    fingerprint count per (doc, indexed-doc) PAIR — a doc sharing one
+    incidental fingerprint each with TWO different indexed documents
+    is NOT a near-dup of either and must survive, while a doc sharing
+    min_shared fps with a single indexed doc is dropped.  The index is
+    pre-seeded with exact fingerprints computed from the incoming doc,
+    so the pooled-vs-per-pair distinction is deterministic."""
+    import pandas as pd
+
+    from activecube_graphql_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from activecube_graphql_spark.streaming import jobs
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "mu nu omicron pi sigma tau upsilon phi chi psi")
+    batch = spark.createDataFrame([(500, text)], "doc_id long, text string")
+    fps = sorted(r["fp"] for r in winnow_fingerprints(
+        batch, id_col="doc_id", k=3, w=4).select("fp").distinct()
+        .collect())
+    assert len(fps) >= 3  # need >= min_shared distinct fps to plant
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    pd.DataFrame([(500, text)], columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}).to_parquet(
+        str(src / "b.parquet"), index=False)
+
+    # scattered case: docs 1 and 2 hold ONE of the incoming doc's fps
+    # each (pooled count 2 = min_shared, per-pair count 1) -> survive
+    idx_scatter = str(tmp_path / "idx_scatter")
+    spark.createDataFrame([(1, fps[0]), (2, fps[1])],
+                          "doc_id long, fp long").write.parquet(
+        idx_scatter)
+    jobs.maintain_winnow_index(spark, str(src), idx_scatter,
+                               str(tmp_path / "ck_s"), glob="*.parquet",
+                               min_shared=2)
+    assert 500 in {r["doc_id"] for r in
+                   spark.read.parquet(idx_scatter).collect()}
+
+    # concentrated case: doc 1 holds TWO of the fps (per-pair count 2
+    # >= min_shared) -> screened out
+    idx_conc = str(tmp_path / "idx_conc")
+    spark.createDataFrame([(1, fps[0]), (1, fps[1])],
+                          "doc_id long, fp long").write.parquet(idx_conc)
+    jobs.maintain_winnow_index(spark, str(src), idx_conc,
+                               str(tmp_path / "ck_c"), glob="*.parquet",
+                               min_shared=2)
+    assert 500 not in {r["doc_id"] for r in
+                       spark.read.parquet(idx_conc).collect()}

@@ -68,11 +68,18 @@ def main() -> None:
     spark = ensure_runtime_confs(get_spark("update-manifest"))
     manifest: dict[str, object] = {}
     for name, fn in QUERIES.items():
+        entry = {"src": src_hash(name),
+                 "plan": plan_fingerprint(fn(spark, SF_FP))}
         if name in args.void:
-            manifest[name] = "VOID"
-            continue
-        manifest[name] = {"src": src_hash(name),
-                          "plan": plan_fingerprint(fn(spark, SF_FP))}
+            # void entries CARRY the current hashes (ADVICE r10): the
+            # round-boundary carve-out in test_driver_contract.py only
+            # honors a void row as 'pending re-manifest' while the
+            # tree still hash-matches what was stamped — an edit AFTER
+            # this stamp (hence after the grading it anticipates)
+            # breaks the match and the row re-leads the window. Re-run
+            # --void after any further edit to the row.
+            entry["void"] = True
+        manifest[name] = entry
     with open(OUT, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.write("\n")
