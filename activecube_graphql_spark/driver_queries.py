@@ -1200,6 +1200,79 @@ _DECODE_SCHEMA = "asset_id long, width int, height int, " \
                  "n_bytes long, pix_sum long"
 
 
+def _png_assets(spark, sf_dir):
+    """Deterministic PNG asset table (r11, VERDICT r10 item 4): one
+    tiny real 8-bit truecolor PNG per document — width 5+id%6, height
+    2+id%5, pixel byte i = (id·37 + i·23) mod 241 — encoded through
+    the real stdlib-zlib codec (operators/multimodal.encode_png) with
+    scanline filters cycling (id + row) % 5, so ALL FIVE PNG filter
+    types (None/Sub/Up/Average/Paeth) are exercised — and must be
+    correctly INVERTED by the decoder — across the graded corpus. The
+    pixel function is plain integer arithmetic so an ANSI oracle can
+    re-derive every byte the unfilter pipeline must recover."""
+    import pandas as _pd
+
+    from .operators import multimodal as mm
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                w, h = 5 + aid % 6, 2 + aid % 5
+                px = bytes((aid * 37 + i * 23) % 241
+                           for i in range(3 * w * h))
+                ids.append(aid)
+                payloads.append(mm.encode_png(
+                    w, h, px, filters=[(aid + y) % 5 for y in range(h)]))
+            yield _pd.DataFrame({"asset_id": ids,
+                                 "mime": "image/png",
+                                 "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def q_multimodal_png(spark, sf_dir):
+    """REAL PNG decode graded end-to-end (r11, VERDICT r10 item 4 —
+    the last honest image stub retired): assets encoded as real PNGs
+    (zlib deflate, CRC'd chunks, all five scanline filters across the
+    corpus) are decoded by operators/multimodal.decode_png inside
+    Arrow-batched mapInPandas; the row emits decoded dimensions and
+    the exact sum of all raster bytes, which the oracle re-derives
+    from the pixel function in pure SQL — any byte the inflate,
+    unfilter, or chunk walk mangles changes pix_sum. JPEG remains the
+    one honest stub (no stdlib DCT)."""
+    import pandas as _pd
+
+    from .operators import multimodal as mm
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, nb, ps = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = mm.decode_image(bytes(payload))
+                ids.append(int(aid))
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(px))
+                ps.append(sum(px))
+            yield _pd.DataFrame({"asset_id": ids, "width": ws,
+                                 "height": hs, "n_bytes": nb,
+                                 "pix_sum": ps})
+
+    return (_png_assets(spark, sf_dir)
+            .mapInPandas(run, schema=_DECODE_SCHEMA))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode, graded (r10, VERDICT r09 item 6): PPM assets
     are encoded and then DECODED by the dependency-free P6 codec
@@ -2551,7 +2624,10 @@ def q_bm25_topk(spark, sf_dir):
 # edit_verified, now the oldest cohort), then fill with the oldest
 # r09-graded rows; any r10-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (5): red r09 re-emitted + NEW this round + plan-voided ---
+    # --- tier 0: NEW this round (r11), never-green, lead the window ---
+    "multimodal_png": q_multimodal_png,
+    # --- r10 window below (rotation to the r11 schedule happens once
+    # --- all of this round's new rows are registered) ---
     "money_two_level": q_money_two_level,
     "multimodal_decode": q_multimodal_decode,
     "winnow_fp": q_winnow_fp,
@@ -3907,6 +3983,23 @@ ORACLES: dict[str, str] = {
                CAST(a.h AS INT) AS height,
                CAST(3 * a.w * a.h AS BIGINT) AS n_bytes,
                CAST(sum((a.asset_id * 131 + idx.i * 17) % 251) AS BIGINT)
+                   AS pix_sum
+        FROM a JOIN idx ON idx.i < 3 * a.w * a.h
+        GROUP BY a.asset_id, a.w, a.h
+    """,
+    "multimodal_png": """
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   5 + doc_id % 6 AS w,
+                   2 + doc_id % 5 AS h
+            FROM documents
+        ),
+        idx AS (SELECT unnest(range(0, 180)) AS i)
+        SELECT a.asset_id,
+               CAST(a.w AS INT) AS width,
+               CAST(a.h AS INT) AS height,
+               CAST(3 * a.w * a.h AS BIGINT) AS n_bytes,
+               CAST(sum((a.asset_id * 37 + idx.i * 23) % 241) AS BIGINT)
                    AS pix_sum
         FROM a JOIN idx ON idx.i < 3 * a.w * a.h
         GROUP BY a.asset_id, a.w, a.h

@@ -40,9 +40,139 @@ def test_extract_features_shapes(assets):
 
 
 def test_decode_stub_raises_for_codec_formats():
-    """Formats that genuinely need codec libraries stay honest stubs."""
+    """Formats that genuinely need codec libraries stay honest stubs
+    (JPEG since r11 — PNG decodes for real now); a PNG-signature
+    payload with garbage after the signature is a MALFORMED png
+    (ValueError), not a stub path."""
     with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nanything")
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The real dependency-free PNG codec (r11, VERDICT r10 item 4):
+    encode→decode is byte-exact under every scanline filter type, both
+    uniformly and with the default row%5 cycle (so Sub/Up/Average/
+    Paeth all reconstruct against real neighbor bytes)."""
+    for w, h in [(1, 1), (4, 3), (7, 5), (16, 9), (3, 8)]:
+        px = bytes((i * 17 + w * 131 + h * 7) % 251
+                   for i in range(3 * w * h))
+        for filters in [None] + [[f] * h for f in range(5)]:
+            p = mm.encode_png(w, h, px, filters=filters)
+            assert mm.decode_png(p) == (w, h, px), (w, h, filters)
+    # dispatch on the PNG signature
+    px = bytes(range(36))
+    assert mm.decode_image(mm.encode_png(4, 3, px)) == (4, 3, px)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _png_build(w, h, color_type, nch, samples, extra=b""):
+    """Hand-assemble a PNG with filter-0 scanlines for color types the
+    encoder doesn't emit (grey/palette/alpha)."""
+    import struct
+    import zlib
+    stride = nch * w
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += samples[y * stride:(y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (mm._PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_color_types_expand_to_rgb():
+    """Greyscale replicates, palette looks up PLTE, alpha variants
+    strip alpha AFTER unfiltering at the source channel count."""
+    g = bytes(range(12))
+    assert mm.decode_png(_png_build(4, 3, 0, 1, g)) == (
+        4, 3, bytes(v for x in g for v in (x, x, x)))
+    ga = bytes(range(24))
+    assert mm.decode_png(_png_build(4, 3, 4, 2, ga)) == (
+        4, 3, bytes(v for i in range(0, 24, 2) for v in (ga[i],) * 3))
+    rgba = bytes(range(48))
+    assert mm.decode_png(_png_build(4, 3, 6, 4, rgba)) == (
+        4, 3, bytes(rgba[i + j] for i in range(0, 48, 4)
+                    for j in range(3)))
+    # palette: 3 entries, indices 0..2
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    got = mm.decode_png(_png_build(3, 2, 3, 1, idx,
+                                   extra=_png_chunk(b"PLTE", plte)))
+    assert got == (3, 2, bytes(plte[3 * i + j] for i in idx
+                               for j in range(3)))
+
+
+def test_png_rejects_malformed_instead_of_misreading():
+    """CRC mismatch, truncation, interlacing, sub-8-bit depth, missing
+    PLTE, out-of-range palette index, wrong inflated length — all
+    ValueError, never a silently wrong raster."""
+    import struct
+    import zlib
+    p = mm.encode_png(4, 3, bytes(36))
+    bad = bytearray(p)
+    bad[len(mm._PNG_SIG) + 20] ^= 0xFF      # inside IHDR data -> CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(p[:-5])
+    with pytest.raises(ValueError, match="signature"):
+        mm.decode_png(b"\x89PNx" + p[4:])
+    ihdr_i = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="Adam7"):
+        mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
+                      + _png_chunk(b"IDAT", zlib.compress(bytes(39)))
+                      + _png_chunk(b"IEND", b""))
+    ihdr_d = struct.pack(">IIBBBBB", 4, 3, 2, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="bit depth"):
+        mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_d)
+                      + _png_chunk(b"IDAT", b"") + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png(_png_build(3, 2, 3, 1, bytes(6)))
+    plte = bytes([1, 2, 3])  # one entry; index 4 out of range
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_png(_png_build(3, 2, 3, 1, bytes([0, 4, 0, 0, 0, 0]),
+                                 extra=_png_chunk(b"PLTE", plte)))
+    short = mm._PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)) \
+        + _png_chunk(b"IDAT", zlib.compress(bytes(10))) \
+        + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates"):
+        mm.decode_png(short)
+    # ancillary chunks are skipped, not tripped over
+    p2 = (p[:len(mm._PNG_SIG) + 25]
+          + _png_chunk(b"tEXt", b"k\x00v") + p[len(mm._PNG_SIG) + 25:])
+    assert mm.decode_png(p2) == mm.decode_png(p)
+
+
+def test_png_decodes_foreign_encoder_output():
+    """Decode PNGs produced by REAL third-party encoders (shipped with
+    the OS docs/gitweb) — the cross-encoder check a round-trip test
+    can't provide. Skipped quietly if the files aren't present."""
+    import os
+    fixtures = [
+        ("/usr/share/doc/python3/_static/file.png", 16, 16),
+        ("/usr/share/doc/python3/_static/minus.png", 11, 11),
+        ("/usr/share/gitweb/static/git-logo.png", 72, 27),  # palette
+    ]
+    seen = 0
+    for path, w, h in fixtures:
+        if not os.path.exists(path):
+            continue
+        gw, gh, rgb = mm.decode_png(open(path, "rb").read())
+        assert (gw, gh) == (w, h)
+        assert len(rgb) == 3 * w * h
+        seen += 1
+    if not seen:
+        pytest.skip("no system PNG fixtures on this box")
 
 
 def test_ppm_codec_roundtrip_and_spec_edges():
