@@ -1697,6 +1697,25 @@ def q_bigram_lm(spark, sf_dir):
                  F.min("avg_logp2").alias("min_lp2")))
 
 
+def q_trigram_lm(spark, sf_dir):
+    """Corpus-trained interpolated TRIGRAM LM score with a TRAIN/SCORE
+    split (operators/text.py trigram_logprob; r11, VERDICT r10 item 5
+    — the declared next step toward CCNet's KenLM perplexity filter):
+    counts trained on the even-doc_id half, scores on the odd half, so
+    unseen trigrams/bigrams occur and the backoff arms genuinely fire
+    (self-scoring would leave them dead code — every n-gram seen).
+    Summarized per source: doc count, mean/min score — the sibling
+    emission shape of the unigram/bigram rows."""
+    docs = _docs(spark, sf_dir)
+    out = tx.trigram_logprob(docs.filter(F.col("doc_id") % 2 == 1),
+                             train=docs.filter(F.col("doc_id") % 2 == 0),
+                             carry=("source",))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("avg_logp3"), 4).alias("mean_lp3"),
+                 F.min("avg_logp3").alias("min_lp3")))
+
+
 def q_transitions(spark, sf_dir):
     """Per-user event-type transition matrix (operators/timeseries.py
     transition_counts — the Markov/funnel estimate): one user-keyed lag
@@ -2161,6 +2180,67 @@ _UNIGRAM_LM_ORACLE = f"""
 #: bigram twin of _UNIGRAM_LM_ORACLE: MLE bigram arm over history
 #: counts (w1 occurrences in non-final position = Σ bigram counts per
 #: w1), add-0.5 unigram arm over ALL tokens, λ = 0.7 interpolation
+_TRIGRAM_LM_ORACLE = f"""
+    WITH train AS (
+        SELECT doc_id, {tx.oracle_fragment(tx.TOKENS)} AS t
+        FROM documents WHERE doc_id % 2 = 0),
+    score AS (
+        SELECT doc_id, source, {tx.oracle_fragment(tx.TOKENS)} AS t
+        FROM documents WHERE doc_id % 2 = 1),
+    tri_t AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+              FROM train WHERE len(t) >= 3)),
+    c_tri AS (SELECT w1, w2, w3, count(*) AS c_tri
+              FROM tri_t GROUP BY 1, 2, 3),
+    c_h12 AS (SELECT w1, w2, sum(c_tri) AS c_h12
+              FROM c_tri GROUP BY 1, 2),
+    bi_t AS (
+        SELECT t[i] AS b1, t[i + 1] AS b2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i
+              FROM train WHERE len(t) >= 2)),
+    c_bi AS (SELECT b1, b2, count(*) AS c_bi FROM bi_t GROUP BY 1, 2),
+    c_h2 AS (SELECT b1 AS h1, sum(c_bi) AS c_h2 FROM c_bi GROUP BY 1),
+    uni AS (SELECT unnest(t) AS term FROM train),
+    vocab AS (SELECT term, count(*) AS c_uni FROM uni GROUP BY 1),
+    tot AS (SELECT sum(c_uni) AS n_corpus, count(*) AS v_size
+            FROM vocab),
+    tri_s AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM score WHERE len(t) >= 3)),
+    scored AS (
+        SELECT s.doc_id,
+               ln(CAST(0.6 AS DOUBLE)
+                    * coalesce(c.c_tri / h.c_h12, CAST(0.0 AS DOUBLE))
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE))
+                    * (CAST(0.7 AS DOUBLE)
+                         * coalesce(b.c_bi / h2.c_h2,
+                                    CAST(0.0 AS DOUBLE))
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                         * (coalesce(CAST(v.c_uni AS DOUBLE),
+                                     CAST(0.0 AS DOUBLE))
+                            + CAST(0.5 AS DOUBLE))
+                         / (tot.n_corpus
+                            + CAST(0.5 AS DOUBLE) * tot.v_size))) AS logp
+        FROM tri_s s
+        LEFT JOIN c_tri c USING (w1, w2, w3)
+        LEFT JOIN c_h12 h USING (w1, w2)
+        LEFT JOIN c_bi b ON b.b1 = s.w2 AND b.b2 = s.w3
+        LEFT JOIN c_h2 h2 ON h2.h1 = s.w2
+        LEFT JOIN vocab v ON v.term = s.w3
+        CROSS JOIN tot),
+    per_doc AS (
+        SELECT doc_id, round(avg(logp), 4) AS avg_logp3
+        FROM scored GROUP BY 1)
+    SELECT d.source, count(*) AS n_docs,
+           round(avg(coalesce(p.avg_logp3, 0.0)), 4) AS mean_lp3,
+           min(coalesce(p.avg_logp3, 0.0)) AS min_lp3
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    WHERE d.doc_id % 2 = 1
+    GROUP BY 1
+"""
+
 _BIGRAM_LM_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, source,
@@ -2626,6 +2706,7 @@ def q_bm25_topk(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0: NEW this round (r11), never-green, lead the window ---
     "multimodal_png": q_multimodal_png,
+    "trigram_lm": q_trigram_lm,
     # --- r10 window below (rotation to the r11 schedule happens once
     # --- all of this round's new rows are registered) ---
     "money_two_level": q_money_two_level,
@@ -2790,6 +2871,7 @@ ORACLES: dict[str, str] = {
     "unigram_lm": _UNIGRAM_LM_ORACLE,
     # r10: interpolated bigram LM (the word-order-sensitive twin)
     "bigram_lm": _BIGRAM_LM_ORACLE,
+    "trigram_lm": _TRIGRAM_LM_ORACLE,
     "transitions": _TRANSITIONS_ORACLE,
     # formerly staged rows, registered r06
     "winsorized": _WINSORIZED_ORACLE,

@@ -803,6 +803,111 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .withColumn("avg_logp2", F.coalesce("avg_logp2", F.lit(0.0))))
 
 
+def trigram_logprob(df: DataFrame, train: DataFrame | None = None,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    carry: tuple[str, ...] = (),
+                    lam3: float = 0.6, lam2: float = 0.7,
+                    smooth: float = 0.5) -> DataFrame:
+    """Corpus-trained INTERPOLATED TRIGRAM language-model score per
+    document — the declared next step of the unigram→bigram track
+    toward the CCNet KenLM perplexity filter (VERDICT r10 item 5):
+    per-doc mean natural-log probability of each token given its
+    two-token history under the recursively interpolated
+    (Jelinek-Mercer) model
+
+        p(w3 | w1,w2) = λ3 · c(w1,w2,w3)/c_h(w1,w2)
+                      + (1−λ3) · [ λ2 · c(w2,w3)/c_h(w2)
+                                 + (1−λ2) · (c(w3)+k)/(N+k·V) ]
+
+    — MLE trigram backed off through the MLE bigram into the add-k
+    unigram floor, each history count derived from its n-gram counts
+    so every arm is a proper conditional on its own level.
+
+    ``train`` is the corpus the counts come from; ``df`` is what gets
+    scored. They differ on purpose in real curation (CCNet trains on
+    a reference corpus and scores the crawl): on held-out text unseen
+    trigrams/bigrams/tokens occur and the corresponding arms COALESCE
+    to zero — the backoff genuinely fires — while the add-k unigram
+    floor keeps every score finite (an OOV token scores
+    ln((1−λ3)(1−λ2)·k/(N+kV))). With ``train=None`` (self-scoring,
+    the bigram_logprob convention) every n-gram is by construction
+    seen and all three arms contribute.
+
+    Emits ``n_tri`` (scored trigram count) and ``avg_logp3`` (4dp;
+    docs with <3 tokens → 0.0, n_tri 0 — the left-join convention of
+    the sibling scores; same irrational-logs ULP argument for the
+    round).
+
+    Bitwise reproducibility: (1−λ) factors are ENGINE-side double
+    subtractions (the bigram_logprob double-subtraction discipline —
+    a Python ``1.0 - 0.7`` constant-folds to a value no clean SQL
+    literal spells), and the arm sum is written in one fixed
+    association so both engines evaluate the identical IEEE tree.
+
+    Scale shape: three map-stage explodes over ``train`` (trigram /
+    bigram / token) → three n-gram-vocab-sized count shuffles
+    (partial-aggregated; histories DERIVED from the counts, so the
+    history shuffles are vocab-sized, not corpus-sized) → LEFT joins
+    back onto the scored trigram stream (AQE broadcasts at toy scale,
+    keyed joins at web scale; the count frames are natural persistent
+    preaggs for score-many deployments) → per-doc partial-agg mean.
+    No Python, no driver state, no persist."""
+    train = df if train is None else train
+
+    def ngrams(frame, n: int):
+        return (frame.select(F.col(id_col),
+                             _col(TOKENS, text_col).alias("toks"))
+                .filter(F.size("toks") >= n)
+                .select(F.col(id_col), F.explode(F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}), "
+                    "i -> struct(" + ", ".join(
+                        f"element_at(toks, i + {j}) as w{j + 1}"
+                        for j in range(n)) + "))")).alias("g"))
+                .select(id_col, *[F.col(f"g.w{j + 1}").alias(f"w{j + 1}")
+                                  for j in range(n)]))
+
+    c_tri = (ngrams(train, 3).groupBy("w1", "w2", "w3")
+             .agg(F.count(F.lit(1)).alias("c_tri")))
+    c_h12 = c_tri.groupBy("w1", "w2").agg(F.sum("c_tri").alias("c_h12"))
+    c_bi = (ngrams(train, 2)
+            .select(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+            .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c_bi")))
+    c_h2 = (c_bi.groupBy("b1").agg(F.sum("c_bi").alias("c_h2"))
+            .withColumnRenamed("b1", "h1"))  # lineage-distinct key name
+    uni = train.select(F.explode(_col(TOKENS, text_col)).alias("term"))
+    vocab = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    totals = vocab.agg(F.sum("c_uni").alias("n_corpus"),
+                       F.count(F.lit(1)).alias("v_size"))
+
+    k, l3, l2 = float(smooth), float(lam3), float(lam2)
+    zero = F.lit(0.0)
+    scored = (ngrams(df, 3)
+              .join(c_tri, ["w1", "w2", "w3"], "left")
+              .join(c_h12, ["w1", "w2"], "left")
+              .join(c_bi, [F.col("w2") == F.col("b1"),
+                           F.col("w3") == F.col("b2")], "left")
+              .join(c_h2, F.col("w2") == F.col("h1"), "left")
+              .join(vocab.withColumnRenamed("term", "w3"), "w3", "left")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("logp", F.log(
+                  F.lit(l3) * F.coalesce(F.col("c_tri") / F.col("c_h12"),
+                                         zero)
+                  + (F.lit(1.0) - F.lit(l3))
+                  * (F.lit(l2) * F.coalesce(F.col("c_bi") / F.col("c_h2"),
+                                            zero)
+                     + (F.lit(1.0) - F.lit(l2))
+                     * (F.coalesce(F.col("c_uni").cast("double"), zero)
+                        + F.lit(k))
+                     / (F.col("n_corpus") + F.lit(k) * F.col("v_size"))))))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tri"),
+                    F.round(F.avg("logp"), 4).alias("avg_logp3")))
+    return (df.select(id_col, *carry).join(per_doc, id_col, "left")
+            .withColumn("n_tri",
+                        F.coalesce("n_tri", F.lit(0)).cast("long"))
+            .withColumn("avg_logp3", F.coalesce("avg_logp3", F.lit(0.0))))
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

@@ -1935,3 +1935,53 @@ def test_bigram_logprob_is_order_sensitive(spark):
     # bigrams of doc 101 ("a a", "b b") never produce -inf
     import math
     assert math.isfinite(got[101]["avg_logp2"])
+
+
+def test_trigram_logprob_backoff_and_heldout(spark):
+    """trigram_logprob (r11): (a) exact arithmetic vs hand-computed
+    interpolation on a held-out doc where all three arms carry
+    distinct mass; (b) unseen trigram/bigram arms COALESCE to zero
+    (backoff fires) and a fully-OOV token still scores the finite
+    add-k unigram floor; (c) two-token-history order sensitivity: a
+    doc continuing the corpus's dominant trigram chain outscores the
+    same multiset in rare order; (d) <3-token docs -> n_tri 0 /
+    0.0."""
+    import math
+
+    from activecube_graphql_spark.operators.text import trigram_logprob
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "the cat sat"),            # all arms live
+         (11, "a dog barked loud"),      # fully OOV
+         (12, "hi"), (13, "")],          # short-doc convention
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           trigram_logprob(score, train=train).collect()}
+
+    lam3, lam2, k = 0.6, 0.7, 0.5
+    n_corpus, v_size = 9, 6
+    # (the,cat,sat): c_tri=1, c_h12(the,cat)=2; bi (cat,sat)=1 of
+    # c_h2(cat)=2; uni(sat)=1
+    p10 = (lam3 * (1 / 2)
+           + (1.0 - lam3) * (lam2 * (1 / 2)
+                             + (1.0 - lam2) * (1 + k)
+                             / (n_corpus + k * v_size)))
+    assert got[10]["n_tri"] == 1
+    assert got[10]["avg_logp3"] == round(math.log(p10), 4)
+    # fully-OOV trigram: tri and bi arms zero, unigram floor only
+    p_oov = (1.0 - lam3) * ((1.0 - lam2) * k / (n_corpus + k * v_size))
+    assert got[11]["n_tri"] == 2
+    assert got[11]["avg_logp3"] == round(math.log(p_oov), 4)
+    assert math.isfinite(got[11]["avg_logp3"])
+    assert got[12]["n_tri"] == 0 and got[12]["avg_logp3"] == 0.0
+    assert got[13]["n_tri"] == 0 and got[13]["avg_logp3"] == 0.0
+
+    # order sensitivity at the trigram level (self-scored chain corpus)
+    rows = [(i, "a b c " * 8) for i in range(10)]
+    rows += [(100, "a b c a b c"), (101, "c b a c b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got2 = {r["doc_id"]: r for r in trigram_logprob(df).collect()}
+    assert got2[100]["avg_logp3"] > got2[101]["avg_logp3"]
