@@ -762,6 +762,47 @@ def q_pipeline_survivors(spark, sf_dir):
         F.count(F.lit(1)).alias("survivors"))
 
 
+def q_curated_survivors(spark, sf_dir):
+    """BATCH TWIN of the streaming curation surface (r11, VERDICT r10
+    item 6 — the one major subsystem that had only stream==batch +
+    replay pytests gets driver-graded evidence): the docs with
+    doc_id % 3 == 0 play the ACCUMULATED curated corpus/index, the
+    rest arrive as the batch, and the composition is exactly the
+    incremental jobs' per-trigger pipeline —
+
+    1. quality-rule filter (curate_stream stage 1, before any join so
+       rejects never pay the probe);
+    2. exact dedup vs the index fingerprints + within-batch min-id
+       survivor (curate_stream stage 2 / dedup_against_index);
+    3. winnow near-dup screen vs the indexed docs: drop a doc sharing
+       ≥2 distinct winnow fingerprints with a SINGLE indexed document
+       (maintain_winnow_index's per-pair screen, k=3/w=4).
+
+    Emits per-source survivor count + doc_id sum, which pins the exact
+    survivor SET — one wrongly kept or dropped doc breaks the hash."""
+    docs = _docs(spark, sf_dir)
+    index = docs.filter(F.col("doc_id") % 3 == 0)
+    incoming = docs.filter(F.col("doc_id") % 3 != 0)
+    kept = (tx.with_quality_rules(incoming).filter(F.col("keep"))
+            .select(*incoming.columns))
+    idx_fp = (tx.with_fingerprint(index)
+              .select("fingerprint").distinct())
+    fresh = dd.dedup_against_index(kept, idx_fp)
+    bfp = (dd.winnow_fingerprints(fresh, k=3, w=4)
+           .select(F.col("id").alias("doc_id"), "fp").distinct())
+    ifp = (dd.winnow_fingerprints(index, k=3, w=4)
+           .select(F.col("id").alias("idx_doc"), "fp").distinct())
+    dup_ids = (bfp.join(ifp, "fp")
+               .groupBy("doc_id", "idx_doc")
+               .agg(F.count(F.lit(1)).alias("shared"))
+               .filter(F.col("shared") >= 2)
+               .select("doc_id").distinct())
+    surv = fresh.join(dup_ids, "doc_id", "left_anti")
+    return (surv.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_survivors"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def q_value_bands(spark, sf_dir):
     """Non-equi banded range join (operators/joins.py band_join —
     §2.6 beyond the equi star joins): events classify into value tiers
@@ -2180,6 +2221,73 @@ _UNIGRAM_LM_ORACLE = f"""
 #: bigram twin of _UNIGRAM_LM_ORACLE: MLE bigram arm over history
 #: counts (w1 occurrences in non-final position = Σ bigram counts per
 #: w1), add-0.5 unigram arm over ALL tokens, λ = 0.7 interpolation
+def _winnow_fps_ctes(prefix: str, src: str) -> str:
+    """Render the winnowing-selection CTE chain (k=3, w=4, md5 —
+    exactly the graded winnow_fp oracle's construction) over the
+    (doc_id, text) CTE ``src``, ending in ``{prefix}fps`` =
+    DISTINCT (doc_id, fp)."""
+    return f"""
+    {prefix}toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS t
+        FROM {src}),
+    {prefix}grams AS (
+        SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t
+        FROM {prefix}toks WHERE len(t) >= 3),
+    {prefix}keyed AS (
+        SELECT doc_id, i - 1 AS pos,
+               CAST('0x' || substr(md5(
+                   array_to_string(list_slice(t, i, i + 2), ' ')),
+                   1, 8) AS BIGINT) * 1048576
+               + (1048575 - (i - 1)) AS key
+        FROM {prefix}grams),
+    {prefix}winmin AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id) AS n_grams,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND 3 FOLLOWING) AS kmin
+        FROM {prefix}keyed),
+    {prefix}fps AS (
+        SELECT DISTINCT doc_id, kmin // 1048576 AS fp
+        FROM {prefix}winmin
+        WHERE pos <= n_grams - 4 OR (n_grams < 4 AND pos = 0))"""
+
+
+_CURATED_SURVIVORS_ORACLE = f"""
+    WITH inc AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id % 3 <> 0),
+    idx AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    q AS (SELECT * FROM inc WHERE {tx.oracle_fragment(tx.QUALITY_KEEP)}),
+    qf AS (
+        SELECT doc_id, source, text,
+               {tx.oracle_fragment(tx.FINGERPRINT)} AS fpx
+        FROM q),
+    fresh AS (
+        SELECT doc_id, source, text FROM (
+            SELECT qf.*,
+                   min(doc_id) OVER (PARTITION BY fpx) AS min_id
+            FROM qf
+            WHERE NOT EXISTS (
+                SELECT 1 FROM idx
+                WHERE {tx.oracle_fragment(tx.FINGERPRINT)} = qf.fpx))
+        WHERE doc_id = min_id),
+    {_winnow_fps_ctes("b_", "fresh")},
+    {_winnow_fps_ctes("i_", "idx")},
+    dups AS (
+        SELECT DISTINCT b.doc_id
+        FROM b_fps b JOIN i_fps i ON b.fp = i.fp
+        GROUP BY b.doc_id, i.doc_id
+        HAVING count(*) >= 2)
+    SELECT source, count(*) AS n_survivors,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM fresh f
+    WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = f.doc_id)
+    GROUP BY 1
+"""
+
+
 _TRIGRAM_LM_ORACLE = f"""
     WITH train AS (
         SELECT doc_id, {tx.oracle_fragment(tx.TOKENS)} AS t
@@ -2707,6 +2815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0: NEW this round (r11), never-green, lead the window ---
     "multimodal_png": q_multimodal_png,
     "trigram_lm": q_trigram_lm,
+    "curated_survivors": q_curated_survivors,
     # --- r10 window below (rotation to the r11 schedule happens once
     # --- all of this round's new rows are registered) ---
     "money_two_level": q_money_two_level,
@@ -2872,6 +2981,7 @@ ORACLES: dict[str, str] = {
     # r10: interpolated bigram LM (the word-order-sensitive twin)
     "bigram_lm": _BIGRAM_LM_ORACLE,
     "trigram_lm": _TRIGRAM_LM_ORACLE,
+    "curated_survivors": _CURATED_SURVIVORS_ORACLE,
     "transitions": _TRANSITIONS_ORACLE,
     # formerly staged rows, registered r06
     "winsorized": _WINSORIZED_ORACLE,

@@ -5,6 +5,8 @@ batch-mode twin on the same fixture data.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from activecube_graphql_spark.streaming import jobs
 
 
@@ -403,6 +405,76 @@ def test_curate_stream_equals_batch_and_replays_idempotent(
     assert got.select("fingerprint").distinct().count() == n_out
     jobs.curate_stream(spark, sf_dir, out, str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == n_out
+
+
+def test_curated_survivors_row_equals_streaming_composition(
+        spark, sf_dir, tmp_path):
+    """The graded curated_survivors row (r11, VERDICT r10 item 6) is
+    the BATCH TWIN of the streaming curation surface: drive the ACTUAL
+    streaming jobs — curate_stream over the incoming half against a
+    corpus pre-seeded with the index half, then maintain_winnow_index
+    over those survivors against a winnow index pre-seeded from the
+    same index half — and assert the docs that survive both equal the
+    row's survivor set exactly (per-source count + id_sum, the row's
+    own emission)."""
+    from activecube_graphql_spark.driver_queries import (
+        q_curated_survivors,
+    )
+    from activecube_graphql_spark.operators import dedup as dd
+    from activecube_graphql_spark.operators import text as tx
+    from activecube_graphql_spark.streaming import jobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = docs.filter("doc_id % 3 = 0")
+    incoming = docs.filter("doc_id % 3 <> 0")
+
+    # corpus pre-seeded with the index half (fingerprint column = the
+    # dedup index, curate_stream's one-sink convention)
+    corpus = str(tmp_path / "corpus")
+    tx.with_fingerprint(index).write.parquet(corpus)
+    feed1 = str(tmp_path / "feed1")
+    incoming.write.parquet(feed1)
+    jobs.curate_stream(spark, feed1, corpus, str(tmp_path / "ck1"),
+                       glob="*.parquet")
+    seeded = {r["doc_id"] for r in index.select("doc_id").collect()}
+    se_survivors = {r["doc_id"] for r in
+                    spark.read.parquet(corpus).select("doc_id").collect()
+                    } - seeded
+
+    # winnow index pre-seeded from the index half; feed = the
+    # quality+exact survivors (the row's pipeline order)
+    widx = str(tmp_path / "widx")
+    (dd.winnow_fingerprints(index, k=3, w=4)
+     .select(F.col("id").alias("doc_id"), "fp").distinct()
+     .write.parquet(widx))
+    feed2 = str(tmp_path / "feed2")
+    incoming.filter(F.col("doc_id").isin(list(se_survivors))) \
+        .write.parquet(feed2)
+    jobs.maintain_winnow_index(spark, feed2, widx,
+                               str(tmp_path / "ck2"), glob="*.parquet",
+                               k=3, w=4, min_shared=2)
+    # a doc with <k+w-1 tokens yields no fingerprints: it survives the
+    # screen (nothing to collide) but is unindexable, so the widx doc
+    # set under-represents survivors by exactly those docs
+    with_fp = {r["id"] for r in
+               dd.winnow_fingerprints(
+                   incoming.filter(F.col("doc_id").isin(
+                       list(se_survivors))), k=3, w=4)
+               .select("id").distinct().collect()}
+    no_fp = se_survivors - with_fp
+    final = ({r["doc_id"] for r in
+              spark.read.parquet(widx).select("doc_id").distinct()
+              .collect()} - seeded) | no_fp
+
+    # the streaming composition's survivor set, aggregated the row's way
+    surv_docs = incoming.filter(F.col("doc_id").isin(list(final)))
+    want = {(r["source"], r["n_survivors"], r["id_sum"]) for r in
+            surv_docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_survivors"),
+                 F.sum("doc_id").alias("id_sum")).collect()}
+    got = {(r["source"], r["n_survivors"], r["id_sum"]) for r in
+           q_curated_survivors(spark, sf_dir).collect()}
+    assert got == want
 
 
 def test_curate_stream_multi_batch_dedup_holds(spark, sf_dir, tmp_path):
