@@ -50,6 +50,117 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Confs :func:`cluster_profile` must NEVER emit: anything that changes
+#: what a query COMPUTES rather than how it executes. The profile is an
+#: execution-tuning overlay; semantics stay pinned by RUNTIME_CONFS and
+#: the graded-manifest plan fingerprints (the invariance pytest).
+SEMANTIC_CONFS = frozenset(RUNTIME_CONFS) | {
+    "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.legacy.timeParserPolicy",
+    "spark.sql.parquet.datetimeRebaseModeInRead",
+}
+
+
+def cluster_profile(data_tb: float, executors: int = 1000,
+                    cores_per_executor: int = 4,
+                    executor_mem_gb: int = 16,
+                    target_partition_mb: int = 200) -> dict[str, str]:
+    """The 100 TB session recipe as code (VERDICT r10 item 8): the
+    runtime-settable SQL-conf overlay this engine wants at a given
+    data scale, derived from the sizing arguments that previously
+    lived in docstrings and BENCH_NOTES. Everything returned is a
+    dynamic ``spark.sql.*`` conf — apply with
+    :func:`apply_cluster_profile` on a live session; static cluster
+    topology (executor count/memory/cores) goes through spark-submit
+    and is taken here only as INPUT to the arithmetic.
+
+    The sizing model:
+
+    * **shuffle partitions** — start from
+      ``max(2 × total_cores, data_bytes / target_partition_size)``:
+      enough tasks that every core has work through stragglers, and no
+      partition exceeds the spill-safe target even BEFORE AQE
+      coalesces (AQE can merge small partitions cheaply but can only
+      split skewed ones in joins, so the initial number errs high —
+      the ``initialPartitionNum`` knob exists precisely for this).
+      At 100 TB / 200 MB that is ~500k initial partitions coalescing
+      toward the advisory size at runtime.
+    * **advisory partition size** — the post-shuffle target AQE
+      coalesces toward; ``target_partition_mb`` (default 200 MB)
+      keeps a partition's working set comfortably inside an
+      ``executor_mem_gb`` heap share even for the wide dedup rows.
+    * **scan partitions** — ``files.maxPartitionBytes`` 256 MB:
+      columnar scans are cheaper per byte than shuffles; bigger scan
+      splits amortize task overhead at petabyte file counts.
+    * **broadcast threshold** — 64 MB with ≥8 GB executors (scaled
+      down proportionally below): the engine leans hard on broadcast
+      semi/anti probes and dim joins, and the 10 MB default demotes
+      exactly the joins we most want map-side at scale.
+    * **skew** — AQE skew-join split at 2× advisory size / factor 5,
+      so one hot fingerprint/custkey partition splits instead of
+      stalling the stage (the salting operators in plans/skew.py stay
+      the explicit tool for the pathological cases AQE can't see).
+    * **CBO** — cost-based join estimates + join reorder for the
+      star-join cube paths; inert without ANALYZE TABLE stats, active
+      the moment a deployment collects them.
+
+    Never emits a :data:`SEMANTIC_CONFS` key: the profile must change
+    the physical story only — pinned by the plan-fingerprint
+    invariance test over the full graded registry
+    (tests/test_plans.py)."""
+    total_cores = max(executors * cores_per_executor, 1)
+    data_bytes = max(data_tb, 0.001) * (1 << 40)
+    target_bytes = target_partition_mb * (1 << 20)
+    parts = max(2 * total_cores, int(data_bytes // target_bytes) + 1)
+    bcast_mb = min(64, max(8, executor_mem_gb * 8))
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+            str(parts),
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            f"{target_partition_mb}m",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.autoBroadcastJoinThreshold":
+            str(bcast_mb * (1 << 20)),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            f"{2 * target_partition_mb}m",
+        "spark.sql.adaptive.localShuffleReader.enabled": "true",
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+
+
+def apply_cluster_profile(spark: SparkSession,
+                          profile: dict[str, str]) -> dict[str, str]:
+    """Apply a :func:`cluster_profile` overlay to a live session and
+    return the PRIOR values (``None`` for previously-unset keys) so a
+    caller can restore them — the config-neutrality discipline the
+    fingerprint helper established (ADVICE r09)."""
+    prior: dict[str, str] = {}
+    for key, val in profile.items():
+        if key in SEMANTIC_CONFS:
+            raise ValueError(
+                f"cluster profile must not touch semantic conf {key}")
+        prior[key] = spark.conf.get(key, None)
+        spark.conf.set(key, val)
+    return prior
+
+
+def restore_confs(spark: SparkSession, prior: dict[str, str]) -> None:
+    """Undo :func:`apply_cluster_profile` exactly (unset what was
+    unset, restore what was set)."""
+    for key, val in prior.items():
+        if val is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, val)
+
+
 def get_spark(app_name: str = "activecube-graphql-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the session.

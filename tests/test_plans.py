@@ -761,3 +761,121 @@ def test_multimodal_decode_plan_shape(spark):
     assert "Exchange" not in plan
     assert len(re.findall(r"MapInPandas", plan)) == 2
     assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan)
+
+
+def test_cluster_profile_sizing_and_guard():
+    """cluster_profile (r11, VERDICT r10 item 8) arithmetic: partition
+    counts scale with data size and floor at 2x cores; every key is a
+    runtime-settable spark.sql conf; the semantic-conf guard refuses
+    overlays that would change what a query computes."""
+    import pytest as _pytest
+
+    from activecube_graphql_spark import session as S
+
+    p100 = S.cluster_profile(100.0)  # 100 TB, 1000x4 cores
+    assert int(p100["spark.sql.shuffle.partitions"]) >= 500_000
+    assert (p100["spark.sql.adaptive.coalescePartitions."
+                 "initialPartitionNum"]
+            == p100["spark.sql.shuffle.partitions"])
+    tiny = S.cluster_profile(0.001, executors=4, cores_per_executor=4)
+    assert int(tiny["spark.sql.shuffle.partitions"]) == 32  # 2x cores
+    assert all(k.startswith("spark.sql.") for k in p100)
+    assert not set(p100) & S.SEMANTIC_CONFS
+    with _pytest.raises(ValueError, match="semantic conf"):
+        S.apply_cluster_profile(
+            None, {"spark.sql.session.timeZone": "PST"})
+
+
+def _profile_invariance(spark, sf_dir, names=None):
+    """Assert registry rows' normalized analyzed-plan fingerprints
+    equal the committed graded-manifest stamps WITH the 100 TB profile
+    applied. A profile conf that leaked into semantics — timezone,
+    ansi, a legacy parser flag — would flip fingerprints here and void
+    evidence mechanically; execution-only confs cannot reach the
+    analyzed plan."""
+    import json
+    import os
+
+    from activecube_graphql_spark import session as S
+    from activecube_graphql_spark.driver_queries import QUERIES
+    from activecube_graphql_spark.plans.fingerprint import (
+        plan_fingerprint,
+    )
+
+    manifest = json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "graded_manifest.json")))
+    # locally-sized instance of the SAME overlay: semantic leakage is a
+    # property of WHICH confs the profile sets, not their numeric
+    # values, and the 100 TB values (500k+ shuffle partitions) would
+    # make the build-time-training rows schedule half a million tasks
+    # on local[32]. Pin that the key set IS the 100 TB key set.
+    local = S.cluster_profile(0.01, executors=16, cores_per_executor=2)
+    assert set(local) == set(S.cluster_profile(100.0))
+    prior = S.apply_cluster_profile(spark, local)
+    try:
+        # skew_salted_join is the one row whose LOGICAL plan carries an
+        # execution literal by design: its anti-coalesce pin is a
+        # REPARTITION_BY_NUM sized from the session's shuffle-partition
+        # conf (BENCH_NOTES r06 scale lesson), so the overlay moves
+        # that literal. Results are conf-independent (the graded oracle
+        # row is the plain join); everything else must be invariant.
+        bad = []
+        for name in (names or QUERIES):
+            if name == "skew_salted_join":
+                continue
+            entry = manifest.get(name)
+            if not isinstance(entry, dict) or "plan" not in entry:
+                continue
+            got = plan_fingerprint(QUERIES[name](spark, sf_dir))
+            if got != entry["plan"]:
+                bad.append(name)
+        assert not bad, (
+            f"cluster profile changed the ANALYZED plan of {bad} — an "
+            "execution overlay must never move semantics")
+    finally:
+        S.restore_confs(spark, prior)
+
+
+def test_cluster_profile_plan_invariance_full_registry(spark):
+    """Full registry at sf0.001 — the exact contract the graded
+    manifest pins (fingerprints are sf-normalized, and sf0.001 is the
+    manifest's own stamping SF; rows that train driver-side state at
+    build time make sf0.1 a multi-minute pass, covered by the subset
+    twin below)."""
+    _profile_invariance(spark, "/root/testdata/sf0.001")
+
+
+def test_cluster_profile_plan_invariance_sf01_subset(spark):
+    """Structural subset at sf0.1 (VERDICT r10 item 8 wording): rows
+    spanning the engine's join/window/preagg/variant/streaming-twin
+    shapes, fingerprinted profile-ON vs profile-OFF at the bench SF.
+    (Compared pairwise at the same SF rather than vs the manifest:
+    bucketed_join legitimately sizes its bucket count from the data,
+    so its fingerprint is per-SF — what must hold is that the PROFILE
+    moves nothing at a fixed SF.)"""
+    from activecube_graphql_spark import session as S
+    from activecube_graphql_spark.driver_queries import QUERIES
+    from activecube_graphql_spark.plans.fingerprint import (
+        plan_fingerprint,
+    )
+
+    names = ["flagship_revenue", "semi_anti", "bucketed_join",
+             "star_join_region", "asof_join", "window_analytics",
+             "limit_by", "preagg_rollup", "sketch_rollup",
+             "variant_json", "curated_survivors", "winnow_fp",
+             "trigram_lm", "multimodal_png"]
+    sf_dir = "/root/testdata/sf0.1"
+    base = {n: plan_fingerprint(QUERIES[n](spark, sf_dir))
+            for n in names}
+    local = S.cluster_profile(0.01, executors=16, cores_per_executor=2)
+    prior = S.apply_cluster_profile(spark, local)
+    try:
+        bad = [n for n in names
+               if plan_fingerprint(QUERIES[n](spark, sf_dir))
+               != base[n]]
+        assert not bad, (
+            f"cluster profile changed the ANALYZED plan of {bad} at "
+            "sf0.1 — an execution overlay must never move semantics")
+    finally:
+        S.restore_confs(spark, prior)
