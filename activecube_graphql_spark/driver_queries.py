@@ -2787,46 +2787,115 @@ def q_bm25_topk(spark, sf_dir):
 # rows strictly first (tests/test_driver_contract.py enforces both rules,
 # plus the graded-hash manifest guard: a row whose query/oracle text or
 # rendered plan changes after its last green record re-enters tier 1).
-# r10 rotation (CORRECTNESS_r09: 49/50 green; the one red row,
-# money_two_level, failed only the driver's float64 decimal coercion —
-# values verified bit-identical by the r09 judge — and stays at position 0
-# with a hash-stable re-emission until green; VERDICT r09 items 1-3):
-#   tier 0 (5)  — money_two_level, red r09 (hash pipeline), re-emitted
-#            hash-stably this round, leads the window; then
-#            multimodal_decode + winnow_fp + bigram_lm, NEW this
-#            round (real P6 codec; winnowing fingerprints;
-#            interpolated bigram LM), and char_dup, whose r08
-#            evidence the r10 ensure_parallelism fan-out voids —
-#            all five never-green.
-#   tier 1 (18) — the full r07-graded cohort (semi_anti ..
-#            window_analytics): oldest evidence on record, due under
-#            the ≤2-round evidence-age policy.
-#   tier 2 (27) — oldest r08-graded rows in registry order
-#            (bloom_decontam .. filter_like_between), fill to 50.
-#   behind the window (71) — the remaining 22 r08-graded rows, then
-#            the 49 r09-graded rows (freshest evidence).
-# NEXT-ROUND ROTATION (r11): once CORRECTNESS_r10 lands green, run
+# r11 rotation (CORRECTNESS_r10: 50/50 green, zero red rows; manifest
+# re-stamped with no voids as round step 1 — tree was unchanged since
+# grading; VERDICT r10 item 3):
+#   tier 0 (3)  — multimodal_png + trigram_lm + curated_survivors,
+#            NEW this round (real stdlib-zlib PNG codec; interpolated
+#            trigram LM with train/score split; the streaming-curation
+#            batch twin) — never-green, lead the window.
+#   tier 1 (22) — the full remaining r08-evidence cohort
+#            (filter_null_ops .. edit_verified): oldest evidence on
+#            record; after this rotation grades green, no registry
+#            row's latest green is older than r09 (the rolling
+#            evidence-age policy).
+#   tier 2 (25) — oldest r09-evidence rows in registry order
+#            (bm25_topk .. ngram_jaccard), fill to 50.
+#   behind the window (74) — the remaining 24 r09-evidence rows, then
+#            the 50 r10-graded rows (freshest evidence).
+# NEXT-ROUND ROTATION (r12): once CORRECTNESS_r11 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
 # edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the remaining 22 r08-evidence rows (filter_null_ops ..
-# edit_verified, now the oldest cohort), then fill with the oldest
-# r09-graded rows; any r10-red row stays at the very front.
+# pull forward the remaining 24 r09-evidence rows (pii_scrub ..
+# resampled), then fill with the oldest r10-graded rows
+# (money_two_level ..); any r11-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0: NEW this round (r11), never-green, lead the window ---
+    # --- tier 0 (3): NEW r11 rows, never-green, lead the window ---
     "multimodal_png": q_multimodal_png,
     "trigram_lm": q_trigram_lm,
     "curated_survivors": q_curated_survivors,
-    # --- r10 window below (rotation to the r11 schedule happens once
-    # --- all of this round's new rows are registered) ---
+    # --- tier 1 (22): the r08-evidence cohort, oldest on record
+    # --- (VERDICT r10 item 3: after this rotation no row's latest
+    # --- green is older than r09) ---
+    "filter_null_ops": q_filter_null_ops,
+    "filter_ophash": q_filter_ophash,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "global_agg": q_global_agg,
+    "graphql_topn": q_graphql_topn,
+    "json_subfield": q_json_subfield,
+    "limit_by": q_limit_by,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "neardup_clusters": q_neardup_clusters,
+    "offset": q_offset,
+    "sort_by_integer": q_sort_by_integer,
+    "stateful_user_stats": q_stateful_user_stats,
+    "stratified_sample": q_stratified_sample,
+    "union_typename": q_union_typename,
+    "asof_join": q_asof_join,
+    "click_purchase_join": q_click_purchase_join,
+    "containment": q_containment,
+    "decontam": q_decontam,
+    "doc_chunks": q_doc_chunks,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "edit_verified": q_edit_verified,
+    # --- tier 2 (25): oldest r09-evidence rows, fill to 50 ---
+    "bm25_topk": q_bm25_topk,
+    "heavy_hitters": q_heavy_hitters,
+    "embed_topk": q_embed_topk,
+    "embed_range": q_embed_range,
+    "embed_neardup": q_embed_neardup,
+    "embed_keep": q_embed_keep,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
+    "knn_vote": q_knn_vote,
+    "hard_negatives": q_hard_negatives,
+    "semantic_decontam": q_semantic_decontam,
+    "semantic_dedup": q_semantic_dedup,
+    "mmr_rerank": q_mmr_rerank,
+    "embed_stats": q_embed_stats,
+    "embed_centroids": q_embed_centroids,
+    "histogram": q_histogram,
+    "lang_id": q_lang_id,
+    "lm_buckets": q_lm_buckets,
+    "minhash_lsh_verified": q_minhash_lsh,
+    "mixture_sample": q_mixture_sample,
+    "moving_avg": q_moving_avg,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_meta": q_multimodal_meta,
+    "neardup_keep": q_neardup_keep,
+    "ngram_jaccard": q_ngram_jaccard,
+    # --- behind the window: remaining 24 r09-evidence rows ---
+    "pii_scrub": q_pii_scrub,
+    "quantiles": q_quantiles,
+    "skew_salted_join": q_skew_salted_join,
+    "source_dup_matrix": q_source_dup_matrix,
+    "source_kl": q_source_kl,
+    "stats_moments": q_stats_moments,
+    "string_funcs": q_string_funcs,
+    "winsorized": q_winsorized,
+    "anomaly_mad": q_anomaly_mad,
+    "boilerplate": q_boilerplate,
+    "budget_fill": q_budget_fill,
+    "char_entropy": q_char_entropy,
+    "det_sample": q_det_sample,
+    "drift_kl": q_drift_kl,
+    "embed_quant": q_embed_quant,
+    "events_hourly": q_events_hourly,
+    "graphql_docs": q_graphql_docs,
+    "pack_chunks": q_pack_chunks,
+    "pipeline_survivors": q_pipeline_survivors,
+    "profile_docs": q_profile_docs,
+    "quality_pct": q_quality_pct,
+    "quality_rules": q_quality_rules,
+    "rep_signals": q_rep_signals,
+    "resampled": q_resampled,
+    # --- behind the window: the 50 r10-graded rows (freshest) ---
     "money_two_level": q_money_two_level,
     "multimodal_decode": q_multimodal_decode,
     "winnow_fp": q_winnow_fp,
-    # char_dup's r08 evidence is voided by the r10 ensure_parallelism
-    # fan-out in char_ngram_dup_pairs (plan change; results identical,
-    # re-verified locally) — back to the never-green tier until graded
     "char_dup": q_char_dup,
     "bigram_lm": q_bigram_lm,
-    # --- tier 1 (18): r07-graded cohort, oldest evidence ---
     "semi_anti": q_semi_anti,
     "session_window": q_session_window,
     "simhash": q_simhash,
@@ -2845,7 +2914,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_bands": q_value_bands,
     "variant_json": q_variant_json,
     "window_analytics": q_window_analytics,
-    # --- tier 2 (27): oldest r08-graded rows, fill to 50 ---
     "bloom_decontam": q_bloom_decontam,
     "flagship_revenue": q_flagship_revenue,
     "flagship_topn": q_flagship_topn,
@@ -2873,79 +2941,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_and_list": q_filter_and_list,
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
-    # --- behind the window: remaining r08-graded rows ---
-    "filter_null_ops": q_filter_null_ops,
-    "filter_ophash": q_filter_ophash,
-    "fingerprint_dedup": q_fingerprint_dedup,
-    "global_agg": q_global_agg,
-    "graphql_topn": q_graphql_topn,
-    "json_subfield": q_json_subfield,
-    "limit_by": q_limit_by,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "neardup_clusters": q_neardup_clusters,
-    "offset": q_offset,
-    "sort_by_integer": q_sort_by_integer,
-    "stateful_user_stats": q_stateful_user_stats,
-    "stratified_sample": q_stratified_sample,
-    "union_typename": q_union_typename,
-    "asof_join": q_asof_join,
-    "click_purchase_join": q_click_purchase_join,
-    "containment": q_containment,
-    "decontam": q_decontam,
-    "doc_chunks": q_doc_chunks,
-    "dup_cluster_sizes": q_dup_cluster_sizes,
-    "edit_verified": q_edit_verified,
-    # --- behind the window: r09-graded rows (freshest evidence) ---
-    "bm25_topk": q_bm25_topk,
-    "heavy_hitters": q_heavy_hitters,
-    "embed_topk": q_embed_topk,
-    "embed_range": q_embed_range,
-    "embed_neardup": q_embed_neardup,
-    "embed_keep": q_embed_keep,
-    "embed_lsh_ann": q_embed_lsh_ann,
-    "embed_ivf_ann": q_embed_ivf_ann,
-    "knn_vote": q_knn_vote,
-    "hard_negatives": q_hard_negatives,
-    "semantic_decontam": q_semantic_decontam,
-    "semantic_dedup": q_semantic_dedup,
-    "mmr_rerank": q_mmr_rerank,
-    "embed_stats": q_embed_stats,
-    "embed_centroids": q_embed_centroids,
-    "histogram": q_histogram,
-    "lang_id": q_lang_id,
-    "lm_buckets": q_lm_buckets,
-    "minhash_lsh_verified": q_minhash_lsh,
-    "mixture_sample": q_mixture_sample,
-    "moving_avg": q_moving_avg,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_meta": q_multimodal_meta,
-    "neardup_keep": q_neardup_keep,
-    "ngram_jaccard": q_ngram_jaccard,
-    "pii_scrub": q_pii_scrub,
-    "quantiles": q_quantiles,
-    "skew_salted_join": q_skew_salted_join,
-    "source_dup_matrix": q_source_dup_matrix,
-    "source_kl": q_source_kl,
-    "stats_moments": q_stats_moments,
-    "string_funcs": q_string_funcs,
-    "winsorized": q_winsorized,
-    "anomaly_mad": q_anomaly_mad,
-    "boilerplate": q_boilerplate,
-    "budget_fill": q_budget_fill,
-    "char_entropy": q_char_entropy,
-    "det_sample": q_det_sample,
-    "drift_kl": q_drift_kl,
-    "embed_quant": q_embed_quant,
-    "events_hourly": q_events_hourly,
-    "graphql_docs": q_graphql_docs,
-    "pack_chunks": q_pack_chunks,
-    "pipeline_survivors": q_pipeline_survivors,
-    "profile_docs": q_profile_docs,
-    "quality_pct": q_quality_pct,
-    "quality_rules": q_quality_rules,
-    "rep_signals": q_rep_signals,
-    "resampled": q_resampled,
 }
 
 
