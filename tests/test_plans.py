@@ -879,3 +879,19 @@ def test_cluster_profile_plan_invariance_sf01_subset(spark):
             "sf0.1 — an execution overlay must never move semantics")
     finally:
         S.restore_confs(spark, prior)
+
+
+def test_multimodal_png_plan_shape(spark):
+    """multimodal_png (r11) physical-plan pin, same contract as the
+    PPM row: a doc_id-only pruned scan feeding two chained Arrow
+    stages (encode, decode) with ZERO exchanges — map-only, scales
+    with input splits, never shuffles binary payloads."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    plan = (QUERIES["multimodal_png"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert len(re.findall(r"MapInPandas", plan)) == 2
+    assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan)
