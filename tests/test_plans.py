@@ -675,6 +675,7 @@ def test_no_cartesian_in_any_driver_row(spark):
         "heavy_hitters",                    # 1-row total-error crossJoin
         "unigram_lm",                       # same 1-row totals crossJoin
         "bigram_lm",                        # same 1-row totals crossJoin
+        "trigram_lm",                       # same 1-row totals crossJoin
         "lm_buckets",                       # 1-row threshold crossJoin
         "bloom_decontam",                   # 1-row bloom-bitmap crossJoin
         "source_kl",                        # top-V spine crossJoin
