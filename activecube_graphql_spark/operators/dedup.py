@@ -389,9 +389,17 @@ def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
         yield pd.DataFrame({"ids": [ids_blob],
                             "mat": [b"".join(bm_bufs)]})
 
-    blob = (packed.coalesce(1)
-            .mapInPandas(fold, schema="ids binary, mat binary")
-            .collect())[0]
+    # materialize the persisted pack stage IN PARALLEL first: coalesce
+    # without shuffle pulls parent partitions into its one task, so if
+    # the fold were the frame's first action the whole pack mapInPandas
+    # would compute serially inside it (ADVICE r11). After the count,
+    # the coalesced fold task just reads cached blocks.
+    packed.count()
+    folded = (packed.coalesce(1)
+              .mapInPandas(fold, schema="ids binary, mat binary")
+              .collect())
+    # a 0-partition empty input runs no fold task at all -> empty list
+    blob = folded[0] if folded else {"ids": b"", "mat": b""}
     ids = np.frombuffer(blob["ids"], dtype=np.int64)
     nbytes = (nbits + 7) // 8
     packed_mat = np.frombuffer(blob["mat"], dtype=np.uint8).reshape(

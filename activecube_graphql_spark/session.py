@@ -141,11 +141,15 @@ def apply_cluster_profile(spark: SparkSession,
     return the PRIOR values (``None`` for previously-unset keys) so a
     caller can restore them — the config-neutrality discipline the
     fingerprint helper established (ADVICE r09)."""
+    # validate EVERY key before setting ANY: a semantic conf appearing
+    # after other keys must not leave the session partially mutated
+    # with the partial `prior` map lost to the raise (ADVICE r11)
+    bad = sorted(k for k in profile if k in SEMANTIC_CONFS)
+    if bad:
+        raise ValueError(
+            f"cluster profile must not touch semantic confs {bad}")
     prior: dict[str, str] = {}
     for key, val in profile.items():
-        if key in SEMANTIC_CONFS:
-            raise ValueError(
-                f"cluster profile must not touch semantic conf {key}")
         prior[key] = spark.conf.get(key, None)
         spark.conf.set(key, val)
     return prior
@@ -172,6 +176,17 @@ def get_spark(app_name: str = "activecube-graphql-spark",
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # Pin BLAS/OMP pools to one thread per python worker (r12, VERDICT
+    # r11 item 1): Spark already runs one task per core, so any BLAS
+    # threading inside a worker oversubscribes cores × threads — on a
+    # 1000-executor cluster with a stock OpenBLAS (default threads =
+    # cores) the numpy-bound operators would fight themselves N×.
+    # setdefault: an explicit user override survives. Local mode
+    # inherits the driver env at JVM launch; executorEnv carries the
+    # same pin to real-cluster executors, where the driver env doesn't.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -200,6 +215,14 @@ def get_spark(app_name: str = "activecube-graphql-spark",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
+        # same single-thread BLAS pin for real-cluster executors (no-op
+        # under local[N], which inherits the driver env set above)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS",
+                os.environ["MKL_NUM_THREADS"])
     )
     if os.environ.get("SPARK_GRAFT_NO_PROGRESS"):
         # bench.py sets this: console progress bars interleave with (and

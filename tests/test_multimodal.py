@@ -111,10 +111,44 @@ def test_png_color_types_expand_to_rgb():
                                for j in range(3)))
 
 
+def test_png_adam7_roundtrip_and_foreign_decode():
+    """Adam7 interlace (r12, VERDICT r11 item 8): encode→decode is
+    exact across dims that exercise empty passes (w or h < the pass
+    origin), single-pixel images, and the full 8×8 grid; the scatter
+    must agree with the sequential decode of the same pixels; and
+    libpng's own interlaced pngtest.png (a REAL third-party encoder's
+    Adam7 output) decodes to the right dimensions."""
+    import os
+    for w, h in [(1, 1), (2, 3), (5, 2), (8, 8), (9, 10), (16, 5),
+                 (1, 9), (31, 17)]:
+        px = bytes((i * 37 + w + h) % 251 for i in range(3 * w * h))
+        il = mm.encode_png(w, h, px, interlace=True)
+        assert il[len(mm._PNG_SIG) + 8 + 12] == 1  # IHDR interlace byte
+        assert mm.decode_png(il) == (w, h, px)
+        assert mm.decode_png(mm.encode_png(w, h, px)) == (w, h, px)
+    # explicit filters are a sequential-only knob
+    with pytest.raises(ValueError, match="sequential"):
+        mm.encode_png(2, 2, bytes(12), filters=[0, 0], interlace=True)
+    # a truncated Adam7 stream (sequential-length raster under an
+    # interlaced header) rejects, never mis-reads
+    import struct
+    import zlib
+    ihdr_i = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="truncated|Adam7"):
+        mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
+                      + _png_chunk(b"IDAT", zlib.compress(bytes(39)))
+                      + _png_chunk(b"IEND", b""))
+    third_party = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+    if os.path.exists(third_party):
+        w, h, rgb = mm.decode_png(open(third_party, "rb").read())
+        assert (w, h) == (91, 69) and len(rgb) == 3 * 91 * 69
+
+
 def test_png_rejects_malformed_instead_of_misreading():
-    """CRC mismatch, truncation, interlacing, sub-8-bit depth, missing
-    PLTE, out-of-range palette index, wrong inflated length — all
-    ValueError, never a silently wrong raster."""
+    """CRC mismatch, truncation, sub-8-bit depth, missing PLTE,
+    out-of-range palette index, wrong inflated length, zero-IDAT,
+    corrupt deflate, bad filters list — all ValueError, never a
+    silently wrong raster."""
     import struct
     import zlib
     p = mm.encode_png(4, 3, bytes(36))
@@ -126,11 +160,23 @@ def test_png_rejects_malformed_instead_of_misreading():
         mm.decode_png(p[:-5])
     with pytest.raises(ValueError, match="signature"):
         mm.decode_png(b"\x89PNx" + p[4:])
-    ihdr_i = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
-    with pytest.raises(ValueError, match="Adam7"):
-        mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
-                      + _png_chunk(b"IDAT", zlib.compress(bytes(39)))
+    # zero IDAT chunks (all CRCs valid) and a corrupt-yet-CRC-valid
+    # deflate stream both keep the ValueError contract (ADVICE r11)
+    ihdr_s = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="IDAT"):
+        mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_s)
                       + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflate"):
+        mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_s)
+                      + _png_chunk(b"IDAT", b"notdeflate")
+                      + _png_chunk(b"IEND", b""))
+    # encoder-side filters validation (ADVICE r11): short list and
+    # empty list both reject up front, no mid-encode IndexError and no
+    # silent fallback to the cycle
+    with pytest.raises(ValueError, match="filters list"):
+        mm.encode_png(2, 2, bytes(12), filters=[0])
+    with pytest.raises(ValueError, match="filters list"):
+        mm.encode_png(2, 2, bytes(12), filters=[])
     ihdr_d = struct.pack(">IIBBBBB", 4, 3, 2, 2, 0, 0, 0)
     with pytest.raises(ValueError, match="bit depth"):
         mm.decode_png(mm._PNG_SIG + _png_chunk(b"IHDR", ihdr_d)
