@@ -40,11 +40,13 @@ def test_extract_features_shapes(assets):
 
 
 def test_decode_stub_raises_for_codec_formats():
-    """Formats that genuinely need codec libraries stay honest stubs
-    (JPEG since r11 — PNG decodes for real now); a PNG-signature
-    payload with garbage after the signature is a MALFORMED png
-    (ValueError), not a stub path."""
+    """Formats with no real codec stay honest stubs (GIF/WebP/...);
+    formats that DO decode for real (PPM r10, PNG r11, JPEG r12)
+    treat a signature-plus-garbage payload as MALFORMED (ValueError),
+    never as a silent stub path."""
     with pytest.raises(NotImplementedError):
+        mm.decode_image(b"GIF89agif-ish")
+    with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nanything")
