@@ -1448,6 +1448,147 @@ def q_multimodal_jpeg(spark, sf_dir):
             .mapInPandas(run, schema=_DECODE_SCHEMA))
 
 
+def _avi_assets(spark, sf_dir):
+    """Deterministic MJPEG-AVI asset table (r12: video stops being a
+    fake modality): one real single-stream AVI per eighth document
+    (``doc_id % 8 == 0`` — a video corpus is sparser than an image
+    corpus, and each asset costs ``n_frames`` JPEG codec passes).
+    Asset ``id``: ``3 + id % 4`` frames at ``5 + id % 3`` fps, frame
+    dims ``16·(1 + id % 2) × 16`` (MCU-aligned), encode mode cycling
+    ``id % 3`` grayscale / 4:4:4 / 4:2:0 like the JPEG corpus.
+
+    Exactness: frame ``f`` is constant per 8×8 luma block with
+    v = 128 + 2·(((id·7 + f·11 + bx·5 + by·3) mod 49) − 24) — the
+    same DC-exact invariant as `_jpeg_assets`, so the LOSSY frame
+    codec is bit-exact on this family and an ANSI oracle re-derives
+    every decoded frame byte from the block formula."""
+    import pandas as _pd
+
+    from .operators import jpeg as J
+    from .operators import video as V
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                w, h = 16 * (1 + aid % 2), 16
+                frames = []
+                for f in range(3 + aid % 4):
+                    px = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            v = 128 + 2 * (((aid * 7 + f * 11
+                                             + (x // 8) * 5
+                                             + (y // 8) * 3) % 49) - 24)
+                            px += bytes((v, v, v))
+                    mode = aid % 3
+                    if mode == 0:
+                        enc = J.encode_jpeg(w, h, bytes(px),
+                                            grayscale=True)
+                    elif mode == 1:
+                        enc = J.encode_jpeg(w, h, bytes(px),
+                                            subsampling="4:4:4")
+                    else:
+                        enc = J.encode_jpeg(w, h, bytes(px),
+                                            subsampling="4:2:0")
+                    frames.append(enc)
+                ids.append(aid)
+                payloads.append(V.encode_avi(w, h, frames,
+                                             rate=5 + aid % 3))
+            yield _pd.DataFrame({"asset_id": ids,
+                                 "mime": "video/x-msvideo",
+                                 "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select("doc_id").filter(F.col("doc_id") % 8 == 0)
+            .mapInPandas(gen, schema=schema))
+
+
+def q_video_frames(spark, sf_dir):
+    """REAL video decode graded end-to-end (r12 — the last fake
+    modality retired): MJPEG-AVI assets are demuxed by
+    operators/video.avi_frames (RIFF walk, hdrl/strh/strf parse,
+    movi chunk walk with header-count cross-check) and EVERY frame is
+    decoded by the real JPEG codec inside Arrow-batched mapInPandas.
+    One output row per (asset, frame) with the exact raster-byte sum,
+    re-derived by the oracle from the per-block pixel formula in pure
+    SQL — any byte the container walk shifts or the frame codec
+    mangles changes pix_sum; a dropped/duplicated frame changes the
+    row fan-out itself."""
+    import pandas as _pd
+
+    from .operators import jpeg as J
+    from .operators import video as V
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "width": [],
+                    "height": [], "pix_sum": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for f, frame in enumerate(V.avi_frames(bytes(payload))):
+                    w, h, px = J.decode_jpeg(frame)
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pix_sum"].append(sum(px))
+            yield _pd.DataFrame(rows)
+
+    return (_avi_assets(spark, sf_dir)
+            .mapInPandas(run, schema="asset_id long, frame_idx int, "
+                                     "width int, height int, "
+                                     "pix_sum long"))
+
+
+def q_video_sample(spark, sf_dir):
+    """Timestamp frame-sampling over REAL video (r12): the
+    vision-encoder feed shape — a fixed 0.25 s grid over [0, 1 s) per
+    asset, each grid point resolved to a frame via the AVI ``idx1``
+    index (operators/video.avi_frame — one index entry + one bounded
+    chunk read, never a file walk: the at-scale seek path) and decoded
+    by the real JPEG codec through the multimodal.auto_frame_decoder
+    dispatch.  Emits the frame index the timestamp resolved to and the
+    decoded raster sum; the oracle re-derives both from
+    floor(t·rate) (+ last-frame clamp) and the block formula — a
+    corrupt index entry, a wrong seek convention, or an off-by-one in
+    the timestamp map all change the output."""
+    import pandas as _pd
+
+    from .operators import multimodal as mm
+    from .operators import video as V
+
+    grid = [0.0, 0.25, 0.5, 0.75]
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "t_s": [], "frame_idx": [],
+                    "pix_sum": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = V.avi_meta(payload)
+                for t in grid:
+                    px = mm.auto_frame_decoder(payload, t)
+                    rows["asset_id"].append(int(aid))
+                    rows["t_s"].append(t)
+                    rows["frame_idx"].append(
+                        V.frame_index_at(meta, t))
+                    rows["pix_sum"].append(sum(px))
+            yield _pd.DataFrame(rows)
+
+    return (_avi_assets(spark, sf_dir)
+            .mapInPandas(run, schema="asset_id long, t_s double, "
+                                     "frame_idx int, pix_sum long"))
+
+
 def _wav_assets(spark, sf_dir):
     """Deterministic WAV asset table (r12, VERDICT r11 item 5): one
     real RIFF/WAVE PCM16 mono file per document — 8 kHz,
@@ -3073,7 +3214,10 @@ def q_bm25_topk(spark, sf_dir):
 # rendered plan changes after its last green record re-enters tier 1).
 # r12 rotation (CORRECTNESS_r11: 50/50 green, zero red rows; manifest
 # re-stamped clean as round step 1 — tree unchanged since grading):
-#   tier 0 (5)  — the four NEW r12 rows (multimodal_jpeg: real baseline
+#   tier 0 (7)  — late-r12 additions video_frames/video_sample (real
+#            MJPEG-AVI demux + per-frame JPEG decode; the last fake
+#            modality retired) lead, then
+#            the four NEW r12 rows (multimodal_jpeg: real baseline
 #            JFIF codec; multimodal_audio: real WAV/RIFF PCM codec +
 #            features; trigram_buckets: CCNet band split over the
 #            graded trigram scores; neardup_clusters_dist: the
@@ -3085,9 +3229,10 @@ def q_bm25_topk(spark, sf_dir):
 #            resampled): oldest evidence on record; after this rotation
 #            grades green, no registry row's latest green is older
 #            than r10 (the rolling evidence-age policy).
-#   tier 2 (21) — oldest r10-evidence rows in registry order
-#            (money_two_level .. value_bands), fill to 50.
-#   behind the window (78) — the remaining 29 r10-graded rows, then
+#   tier 2 (19) — oldest r10-evidence rows in registry order
+#            (money_two_level .. unigram_lm), fill to 50
+#            (union_backings/value_bands displaced by the video rows).
+#   behind the window (80) — the remaining 31 r10-graded rows, then
 #            the 49 r11-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
@@ -3097,6 +3242,8 @@ def q_bm25_topk(spark, sf_dir):
 # (trigram_lm ..); any r12-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (5): NEW r12 rows + the Adam7-voided PNG row ---
+    "video_frames": q_video_frames,
+    "video_sample": q_video_sample,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_audio": q_multimodal_audio,
     "trigram_buckets": q_trigram_buckets,
@@ -3148,9 +3295,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms": q_top_terms,
     "transitions": q_transitions,
     "unigram_lm": q_unigram_lm,
+    # --- behind the window: the remaining 31 r10-graded rows ---
+    # (union_backings/value_bands displaced from tier 2 by the two
+    # late-r12 video rows; their r10 greens stay usable — r13 pulls
+    # them forward first)
     "union_backings": q_union_backings,
     "value_bands": q_value_bands,
-    # --- behind the window: the remaining 29 r10-graded rows ---
     "variant_json": q_variant_json,
     "window_analytics": q_window_analytics,
     "bloom_decontam": q_bloom_decontam,
@@ -4484,6 +4634,60 @@ ORACLES: dict[str, str] = {
     # the oracle is interlace-blind by construction (same pixels
     # whether the stream was sequential or Adam7) — which is exactly
     # what grades the deinterlace: any scatter error changes pix_sum
+    "video_frames": """
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   16 * (1 + doc_id % 2) AS w,
+                   16 AS h,
+                   3 + doc_id % 4 AS nf
+            FROM documents WHERE doc_id % 8 = 0
+        ),
+        f AS (SELECT unnest(range(0, 7)) AS f),
+        bx AS (SELECT unnest(range(0, 4)) AS bx),
+        by AS (SELECT unnest(range(0, 2)) AS by)
+        SELECT a.asset_id,
+               CAST(f.f AS INT) AS frame_idx,
+               CAST(a.w AS INT) AS width,
+               CAST(a.h AS INT) AS height,
+               CAST(3 * 64 * sum(128 + 2 * (((a.asset_id * 7
+                                              + f.f * 11
+                                              + bx.bx * 5
+                                              + by.by * 3) % 49) - 24))
+                    AS BIGINT) AS pix_sum
+        FROM a JOIN f ON f.f < a.nf
+               JOIN bx ON bx.bx < a.w // 8
+               CROSS JOIN by
+        GROUP BY a.asset_id, f.f, a.w, a.h
+    """,
+    "video_sample": """
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   16 * (1 + doc_id % 2) AS w,
+                   3 + doc_id % 4 AS nf,
+                   5 + doc_id % 3 AS rate
+            FROM documents WHERE doc_id % 8 = 0
+        ),
+        t AS (SELECT CAST(unnest([0.0, 0.25, 0.5, 0.75]) AS DOUBLE)
+                  AS t),
+        sel AS (
+            SELECT a.asset_id, a.w, t.t,
+                   least(CAST(floor(t.t * a.rate) AS INT),
+                         a.nf - 1) AS f
+            FROM a CROSS JOIN t
+        ),
+        bx AS (SELECT unnest(range(0, 4)) AS bx),
+        by AS (SELECT unnest(range(0, 2)) AS by)
+        SELECT sel.asset_id,
+               sel.t AS t_s,
+               CAST(sel.f AS INT) AS frame_idx,
+               CAST(3 * 64 * sum(128 + 2 * (((sel.asset_id * 7
+                                              + sel.f * 11
+                                              + bx.bx * 5
+                                              + by.by * 3) % 49) - 24))
+                    AS BIGINT) AS pix_sum
+        FROM sel JOIN bx ON bx.bx < sel.w // 8 CROSS JOIN by
+        GROUP BY sel.asset_id, sel.t, sel.f
+    """,
     "multimodal_jpeg": """
         WITH a AS (
             SELECT doc_id AS asset_id,

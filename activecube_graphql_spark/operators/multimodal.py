@@ -1,12 +1,15 @@
 """Multimodal column plumbing (SURVEY brief: image/audio/video as opaque
 ``binary`` columns + typed metadata).
 
-PPM (P6) images decode/encode/resize for REAL via the dependency-free
-codec below (r10); every other format's decode is an honest
-NotImplementedError — image/audio codec libraries are not in this
-container — with everything Spark-side real and tested either way: the
-schema convention, Arrow-batched ``mapInPandas`` plumbing, batch shapes,
-and the partition-size guidance for large binary payloads.
+Four modalities decode for REAL via dependency-free codecs: PPM (P6,
+r10) and PNG (r11, incl. Adam7) below, baseline JPEG (r12,
+:mod:`.jpeg`), WAV/RIFF PCM audio (r12, :mod:`.audio`), and MJPEG-AVI
+video (r12, :mod:`.video` — RIFF demux + per-frame JPEG decode, idx1
+seek).  Formats that genuinely need codec libraries (GIF/WebP decode,
+mp4/webm) stay honest NotImplementedError stubs, with everything
+Spark-side real and tested either way: the schema convention,
+Arrow-batched ``mapInPandas`` plumbing, batch shapes, and the
+partition-size guidance for large binary payloads.
 
 Scale notes for 100 TB of media:
 * binary payloads dominate row size → keep ``spark.sql.files.
@@ -566,6 +569,18 @@ def fake_frame_decoder(payload: bytes, t_s: float) -> bytes:
     return h.to_bytes(8, "little") * 4
 
 
+def auto_frame_decoder(payload: bytes, t_s: float) -> bytes:
+    """Frame decode dispatch (r12): MJPEG-AVI payloads seek+decode for
+    REAL — idx1 index lookup, one bounded chunk read, then the real
+    JPEG codec (operators/video.avi_frame_decoder) — so video joins
+    PPM/PNG/JPEG/WAV as a real modality; anything else stays on the
+    deterministic fake (mp4/webm genuinely need codec libraries)."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .video import avi_frame_decoder
+        return avi_frame_decoder(bytes(payload), t_s)
+    return fake_frame_decoder(payload, t_s)
+
+
 def sample_frames(assets: DataFrame, every_s: float = 1.0,
                   decoder: Callable[[bytes, float], bytes] | None = None
                   ) -> DataFrame:
@@ -577,7 +592,7 @@ def sample_frames(assets: DataFrame, every_s: float = 1.0,
     Σ duration/every_s regardless of payload sizes. Frame decode is
     pluggable (ffmpeg/PyAV in a real deployment), deterministic fake by
     default."""
-    fn = decoder or fake_frame_decoder
+    fn = decoder or auto_frame_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -161,3 +161,93 @@ def test_wav_rejects_malformed():
         au.encode_wav(8000, [1, 2, 3], channels=2)
     with pytest.raises(ValueError, match="width"):
         au.encode_wav(8000, [1], bits=24)
+
+
+# ---------------------------------------------------------------- video
+
+def _mjpeg_frames(w, h, n, grayscale=False):
+    return [J.encode_jpeg(w, h, _const_block_image(w, h, seed=11 * f),
+                          grayscale=grayscale)
+            for f in range(n)]
+
+
+def test_avi_mux_demux_roundtrip():
+    """encode_avi → avi_frames returns the exact frame payloads, and
+    the idx1 seek path (avi_frame) agrees with the sequential walk for
+    every index — including odd-length frames, which exercise RIFF
+    word alignment inside movi."""
+    from activecube_graphql_spark.operators import video as V
+    for w, h, n in [(16, 16, 1), (32, 16, 4), (16, 16, 6)]:
+        frames = _mjpeg_frames(w, h, n)
+        avi = V.encode_avi(w, h, frames, rate=7, scale=2)
+        assert V.avi_frames(avi) == frames
+        for i in range(n):
+            assert V.avi_frame(avi, i) == frames[i]
+        m = V.avi_meta(avi)
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+        assert (m["rate"], m["scale"]) == (7, 2)
+        if any(len(f) % 2 for f in frames):
+            break  # alignment exercised
+    # force an odd-length frame explicitly: a JPEG payload is opaque
+    # bytes to the muxer, so append a trailing 0xFF00-free comment
+    frames = _mjpeg_frames(16, 16, 2)
+    odd = frames[0] + b"\x00" if len(frames[0]) % 2 == 0 else frames[0]
+    avi = V.encode_avi(16, 16, [odd, frames[1]])
+    assert V.avi_frames(avi) == [odd, frames[1]]
+    assert V.avi_frame(avi, 1) == frames[1]
+
+
+def test_avi_timestamp_mapping_and_real_decode():
+    """frame_index_at = floor(t·rate/scale) with last-frame clamp, and
+    auto_frame_decoder really decodes the sought frame: the decoded
+    raster equals the encoder input on the DC-exact family."""
+    from activecube_graphql_spark.operators import video as V
+    rasters = [_const_block_image(16, 16, seed=11 * f) for f in range(4)]
+    frames = [J.encode_jpeg(16, 16, r) for r in rasters]
+    avi = V.encode_avi(16, 16, frames, rate=4, scale=1)
+    assert V.frame_index_at(avi, 0.0) == 0
+    assert V.frame_index_at(avi, 0.49) == 1
+    assert V.frame_index_at(avi, 0.5) == 2
+    assert V.frame_index_at(avi, 9.0) == 3          # clamp
+    with pytest.raises(ValueError):
+        V.frame_index_at(avi, -0.1)
+    assert mm.auto_frame_decoder(avi, 0.5) == rasters[2]
+    # non-AVI payloads stay on the deterministic fake
+    fake = mm.auto_frame_decoder(b"not-a-container", 0.5)
+    assert fake == mm.fake_frame_decoder(b"not-a-container", 0.5)
+
+
+def test_avi_rejects_malformed():
+    """Honest ValueError on every corruption class — never a mis-read
+    frame (the decode_png/decode_jpeg discipline)."""
+    from activecube_graphql_spark.operators import video as V
+    frames = _mjpeg_frames(16, 16, 2)
+    avi = V.encode_avi(16, 16, frames)
+    with pytest.raises(ValueError):
+        V.avi_meta(b"RIFF\x04\x00\x00\x00WAVE")      # not AVI
+    with pytest.raises(ValueError):
+        V.avi_meta(avi[:60])                          # truncated
+    with pytest.raises(ValueError):
+        V.encode_avi(16, 16, [])                      # no frames
+    with pytest.raises(ValueError):
+        V.encode_avi(16, 16, [b"not-jpeg"])           # bad frame
+    # header/movi frame-count disagreement
+    pos = avi.index(b"avih") + 8 + 16
+    bad = bytearray(avi)
+    bad[pos:pos + 4] = struct.pack("<I", 5)           # dwTotalFrames
+    strh = avi.index(b"strh") + 8 + 32                # dwLength
+    bad[strh:strh + 4] = struct.pack("<I", 5)
+    with pytest.raises(ValueError):
+        V.avi_frames(bytes(bad))
+    # corrupt idx1 offset must raise on seek, not mis-read
+    ipos = avi.index(b"idx1") + 8 + 8                 # entry 0 dwOffset
+    bad = bytearray(avi)
+    bad[ipos:ipos + 4] = struct.pack("<I", 2)
+    with pytest.raises(ValueError):
+        V.avi_frame(bytes(bad), 0)
+    # non-MJPG handler rejected honestly
+    hpos = avi.index(b"strh") + 8 + 4
+    bad = bytearray(avi)
+    bad[hpos:hpos + 4] = b"H264"
+    with pytest.raises(ValueError):
+        V.avi_meta(bytes(bad))
