@@ -1448,6 +1448,83 @@ def q_multimodal_jpeg(spark, sf_dir):
             .mapInPandas(run, schema=_DECODE_SCHEMA))
 
 
+def _gif_assets(spark, sf_dir):
+    """Deterministic GIF asset table (r12): one GIF89a per document —
+    16-color palette (r=16·i+7, g=(37·i) mod 256, b=(91·i) mod 256:
+    channels deliberately DISTINCT so a BGR swap is visible), raster
+    index(x,y) = (id·13 + 7x + 3y) mod 16, dims (16 + 8·(id mod 3))×16,
+    every third asset 4-pass interlaced — encoded through the real LZW
+    compressor (operators/gif.encode_gif). GIF is lossless, so the
+    oracle re-derives every decoded byte from the index/palette
+    formulas with no invariant needed (unlike the DC-exact JPEG
+    family)."""
+    import pandas as _pd
+
+    from .operators import gif as G
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+    pal = [(16 * i + 7, (37 * i) % 256, (91 * i) % 256)
+           for i in range(16)]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                w, h = 16 + 8 * (aid % 3), 16
+                idx = bytes((aid * 13 + 7 * x + 3 * y) % 16
+                            for y in range(h) for x in range(w))
+                ids.append(aid)
+                payloads.append(G.encode_gif(
+                    w, h, idx, pal, interlace=(aid % 3 == 2)))
+            yield _pd.DataFrame({"asset_id": ids, "mime": "image/gif",
+                                 "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode graded end-to-end (r12 — with PNG and JPEG this
+    completes the big-three crawl image formats): GIF89a assets
+    (real LZW streams, interlace on every third asset) are decoded by
+    operators/gif.decode_gif — LZW with code-width growth/CLEAR/KwKwK,
+    sub-block reassembly, de-interlace, palette expansion — inside
+    Arrow-batched mapInPandas via the decode_image dispatch.  Emits
+    the exact raster sum AND a channel-weighted sum (r + 3g + 7b), so
+    a BGR swap or palette mis-index changes the output even where the
+    plain sum would not."""
+    import pandas as _pd
+
+    from .operators import multimodal as mm
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "width": [], "height": [],
+                    "pix_sum": [], "chan_sum": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = mm.decode_image(bytes(payload))
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pix_sum"].append(sum(px))
+                rows["chan_sum"].append(
+                    sum(px[i] + 3 * px[i + 1] + 7 * px[i + 2]
+                        for i in range(0, len(px), 3)))
+            yield _pd.DataFrame(rows)
+
+    return (_gif_assets(spark, sf_dir)
+            .mapInPandas(run, schema="asset_id long, width int, "
+                                     "height int, pix_sum long, "
+                                     "chan_sum long"))
+
+
 def _avi_assets(spark, sf_dir):
     """Deterministic MJPEG-AVI asset table (r12: video stops being a
     fake modality): one real single-stream AVI per eighth document
@@ -3214,9 +3291,10 @@ def q_bm25_topk(spark, sf_dir):
 # rendered plan changes after its last green record re-enters tier 1).
 # r12 rotation (CORRECTNESS_r11: 50/50 green, zero red rows; manifest
 # re-stamped clean as round step 1 — tree unchanged since grading):
-#   tier 0 (7)  — late-r12 additions video_frames/video_sample (real
-#            MJPEG-AVI demux + per-frame JPEG decode; the last fake
-#            modality retired) lead, then
+#   tier 0 (8)  — late-r12 additions multimodal_gif (real LZW GIF
+#            codec) and video_frames/video_sample (real MJPEG-AVI
+#            demux + per-frame JPEG decode; the last fake modality
+#            retired) lead, then
 #            the four NEW r12 rows (multimodal_jpeg: real baseline
 #            JFIF codec; multimodal_audio: real WAV/RIFF PCM codec +
 #            features; trigram_buckets: CCNet band split over the
@@ -3229,10 +3307,11 @@ def q_bm25_topk(spark, sf_dir):
 #            resampled): oldest evidence on record; after this rotation
 #            grades green, no registry row's latest green is older
 #            than r10 (the rolling evidence-age policy).
-#   tier 2 (19) — oldest r10-evidence rows in registry order
-#            (money_two_level .. unigram_lm), fill to 50
-#            (union_backings/value_bands displaced by the video rows).
-#   behind the window (80) — the remaining 31 r10-graded rows, then
+#   tier 2 (18) — oldest r10-evidence rows in registry order
+#            (money_two_level .. transitions), fill to 50
+#            (unigram_lm/union_backings/value_bands displaced by the
+#            late-r12 media rows).
+#   behind the window (81) — the remaining 32 r10-graded rows, then
 #            the 49 r11-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
@@ -3242,6 +3321,7 @@ def q_bm25_topk(spark, sf_dir):
 # (trigram_lm ..); any r12-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (5): NEW r12 rows + the Adam7-voided PNG row ---
+    "multimodal_gif": q_multimodal_gif,
     "video_frames": q_video_frames,
     "video_sample": q_video_sample,
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -3294,11 +3374,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture": q_token_mixture,
     "top_terms": q_top_terms,
     "transitions": q_transitions,
+    # --- behind the window: the remaining 32 r10-graded rows ---
+    # (unigram_lm/union_backings/value_bands displaced from tier 2 by
+    # the three late-r12 media rows; their r10 greens stay usable —
+    # r13 pulls them forward first)
     "unigram_lm": q_unigram_lm,
-    # --- behind the window: the remaining 31 r10-graded rows ---
-    # (union_backings/value_bands displaced from tier 2 by the two
-    # late-r12 video rows; their r10 greens stay usable — r13 pulls
-    # them forward first)
     "union_backings": q_union_backings,
     "value_bands": q_value_bands,
     "variant_json": q_variant_json,
@@ -4634,6 +4714,29 @@ ORACLES: dict[str, str] = {
     # the oracle is interlace-blind by construction (same pixels
     # whether the stream was sequential or Adam7) — which is exactly
     # what grades the deinterlace: any scatter error changes pix_sum
+    "multimodal_gif": """
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   16 + 8 * (doc_id % 3) AS w,
+                   16 AS h
+            FROM documents
+        ),
+        x AS (SELECT unnest(range(0, 32)) AS x),
+        y AS (SELECT unnest(range(0, 16)) AS y),
+        px AS (
+            SELECT a.asset_id, a.w, a.h,
+                   (a.asset_id * 13 + 7 * x.x + 3 * y.y) % 16 AS m
+            FROM a JOIN x ON x.x < a.w CROSS JOIN y
+        )
+        SELECT asset_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(sum((16 * m + 7) + ((37 * m) % 256)
+                        + ((91 * m) % 256)) AS BIGINT) AS pix_sum,
+               CAST(sum((16 * m + 7) + 3 * ((37 * m) % 256)
+                        + 7 * ((91 * m) % 256)) AS BIGINT) AS chan_sum
+        FROM px GROUP BY asset_id, w, h
+    """,
     "video_frames": """
         WITH a AS (
             SELECT doc_id AS asset_id,

@@ -424,10 +424,13 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     if payload and payload.startswith(b"\xff\xd8"):
         from .jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only PPM (P6), PNG, and baseline JPEG decode without codec "
-        "libraries; use fake_feature_extractor for plumbing tests of "
-        "other formats")
+        "only PPM (P6), PNG, GIF, and baseline JPEG decode without "
+        "codec libraries; use fake_feature_extractor for plumbing "
+        "tests of other formats")
 
 
 def ppm_feature_extractor(payload: bytes) -> list[float]:

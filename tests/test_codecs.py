@@ -251,3 +251,75 @@ def test_avi_rejects_malformed():
     bad[hpos:hpos + 4] = b"H264"
     with pytest.raises(ValueError):
         V.avi_meta(bytes(bad))
+
+
+# ----------------------------------------------------------------- gif
+
+def test_gif_roundtrip_palettes_and_interlace():
+    """encode_gif → decode_gif is byte-exact across palette sizes,
+    dimensions, and 4-pass interlace (LZW code-width growth, CLEAR
+    reset, KwKwK, sub-block framing all inside the path)."""
+    from activecube_graphql_spark.operators import gif as G
+    for w, h, npal, inter in [(16, 16, 16, False), (24, 16, 16, True),
+                              (7, 5, 4, False), (1, 1, 2, False),
+                              (33, 9, 256, True)]:
+        pal = [(16 * (i % 16) + 7, (37 * i) % 256, (91 * i) % 256)
+               for i in range(npal)]
+        idx = bytes((13 * x + 7 * y + x * y) % npal
+                    for y in range(h) for x in range(w))
+        p = G.encode_gif(w, h, idx, pal, interlace=inter)
+        assert G.decode_gif(p) == \
+            (w, h, b"".join(bytes(pal[i]) for i in idx))
+    # dictionary-overflow regime: noisy 256-color image forces the
+    # 12-bit table full and a mid-stream CLEAR
+    w, h = 120, 90
+    idx = bytes((i * 197 + (i * i) % 251) % 256 for i in range(w * h))
+    pal = [(i, 255 - i, (i * i) % 256) for i in range(256)]
+    p = G.encode_gif(w, h, idx, pal)
+    assert G.decode_gif(p) == \
+        (w, h, b"".join(bytes(pal[i]) for i in idx))
+    # decode_image dispatch on the GIF signature
+    pal4 = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    idx = bytes((x + y) % 4 for y in range(4) for x in range(4))
+    assert mm.decode_image(G.encode_gif(4, 4, idx, pal4)) == \
+        (4, 4, b"".join(bytes(pal4[i]) for i in idx))
+
+
+def test_gif_decodes_real_third_party_files():
+    """OS-shipped GIFs (third-party encoders) decode without error —
+    the codec handles real extension blocks, sub-block layouts, and
+    LZW streams it did not write."""
+    import glob
+    from activecube_graphql_spark.operators import gif as G
+    paths = glob.glob("/usr/share/doc/**/*.gif", recursive=True)[:20]
+    if not paths:
+        pytest.skip("no OS-shipped GIFs on this host")
+    for path in paths:
+        w, h, rgb = G.decode_gif(open(path, "rb").read())
+        assert w > 0 and h > 0 and len(rgb) == 3 * w * h, path
+
+
+def test_gif_rejects_malformed():
+    from activecube_graphql_spark.operators import gif as G
+    pal = [(0, 0, 0), (255, 255, 255)]
+    p = G.encode_gif(4, 4, bytes([0, 1] * 8), pal)
+    with pytest.raises(ValueError):
+        G.decode_gif(b"notgif")
+    with pytest.raises(ValueError):
+        G.decode_gif(p[:20])                        # truncated
+    with pytest.raises(ValueError):
+        G.encode_gif(4, 4, bytes(15), pal)          # wrong raster len
+    with pytest.raises(ValueError):
+        G.encode_gif(4, 4, bytes([5] * 16), pal)    # index > palette
+    with pytest.raises(ValueError):
+        G.encode_gif(4, 4, bytes(16), [(0, 0, 0)])  # 1-entry palette
+    # LZW stream that emits too many pixels: descriptor says 2x2 but
+    # the stream carries 16 pixels
+    big = G.encode_gif(4, 4, bytes(16), pal)
+    small_hdr = G.encode_gif(2, 2, bytes(4), pal)
+    hybrid = small_hdr[:big.index(b"\x2C")] \
+        + b"\x2C" + small_hdr[small_hdr.index(b"\x2C") + 1:
+                              small_hdr.index(b"\x2C") + 10] \
+        + big[big.index(b"\x2C") + 10:]
+    with pytest.raises(ValueError):
+        G.decode_gif(hybrid)

@@ -40,16 +40,18 @@ def test_extract_features_shapes(assets):
 
 
 def test_decode_stub_raises_for_codec_formats():
-    """Formats with no real codec stay honest stubs (GIF/WebP/...);
-    formats that DO decode for real (PPM r10, PNG r11, JPEG r12)
+    """Formats with no real codec stay honest stubs (WebP/AVIF/...);
+    formats that DO decode for real (PPM r10, PNG r11, JPEG/GIF r12)
     treat a signature-plus-garbage payload as MALFORMED (ValueError),
     never as a silent stub path."""
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"GIF89agif-ish")
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nanything")
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89agif-ish")
 
 
 def test_png_codec_roundtrip_all_filters():
