@@ -1201,6 +1201,25 @@ def q_embed_ivf_ann(spark, sf_dir):
                             k=5, centroids=sim.fixed_centroids(16, 64))
 
 
+def q_embed_pq_ann(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou TPAMI'11) — the
+    MEMORY-bounded ANN scale path beside LSH buckets and IVF lists
+    (operators/similarity.py pq_adc_topk): vectors compress to m=8
+    4-bit-ish codes (32 bits vs 2048 — the cut that keeps a 100 TB
+    embedding corpus scannable from RAM), queries precompute an
+    m × n_codes LUT once, and the corpus scan is m look-up adds per
+    candidate with a per-task partial top-k (the exchange carries
+    partitions × Q × k rows, never corpus × Q). Sub-codebooks are
+    INJECTED as splitmix constants (sim.pq_codebooks) so the
+    quantized result is a pure function of the inputs and the oracle
+    re-derives code assignment, the LUT, and the ADC ranking from the
+    same literals in SQL; the per-subspace-k-means trained path stays
+    the serving default, recall-tested in tests/test_pipeline_ops.py."""
+    corpus = _embeds(spark, sf_dir)
+    return sim.pq_adc_topk(corpus, corpus.filter(F.col("vec_id") < 5),
+                           k=5, codebooks=sim.pq_codebooks(8, 16, 64))
+
+
 def _assets(spark, sf_dir):
     """Deterministic multimodal asset table synthesized from documents:
     payload = utf8 bytes of text, typed metadata in plain columns
@@ -3144,6 +3163,61 @@ def _ivf_ann_oracle(n_cells: int = 16, nprobe: int = 6, dim: int = 64,
     """
 
 
+def _pq_ann_oracle(m: int = 8, n_codes: int = 16, dim: int = 64,
+                   n_queries: int = 5, k: int = 5) -> str:
+    """PQ-ADC twin: encode = per-(vector, subspace) argmax of the
+    canonical dot form (score DESC, code ASC — the engine's
+    lower-code tie rule), LUT and ADC distance from the exact
+    expansion over the same codebook literals."""
+    from .operators.similarity import pq_codebooks
+    sub = dim // m
+    cb = pq_codebooks(m, n_codes, dim)
+    rows = ",\n              ".join(
+        f"({mi}, {c}, {_sql_dvec(cb[mi][c])})"
+        for mi in range(m) for c in range(n_codes))
+    sl = f"uv[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}]"
+    return f"""
+        WITH cb AS (SELECT * FROM (VALUES {rows}) t(mi, code, cv)),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+              FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(raw, qx -> qx /
+                         sqrt(list_dot_product(raw, raw))) AS uv
+              FROM v),
+        enc AS (
+            SELECT vec_id, mi, code FROM (
+                SELECT u.vec_id, cb.mi, cb.code,
+                       row_number() OVER (
+                           PARTITION BY u.vec_id, cb.mi
+                           ORDER BY list_dot_product({sl}, cb.cv)
+                                    - 0.5 * list_dot_product(cb.cv,
+                                                             cb.cv)
+                                    DESC, cb.code) AS rn
+                FROM u CROSS JOIN cb)
+            WHERE rn = 1),
+        lut AS (
+            SELECT u.vec_id AS qid, cb.mi, cb.code,
+                   list_dot_product({sl}, {sl})
+                   - 2 * list_dot_product({sl}, cb.cv)
+                   + list_dot_product(cb.cv, cb.cv) AS d
+            FROM u CROSS JOIN cb
+            WHERE u.vec_id < {n_queries}),
+        s AS (
+            SELECT l.qid AS query_id, e.vec_id AS neighbor_id,
+                   sum(l.d) AS adist
+            FROM enc e JOIN lut l ON l.mi = e.mi AND l.code = e.code
+            WHERE e.vec_id <> l.qid
+            GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adist, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, neighbor_id, round(adist, 4) AS adist,
+               rn AS rank
+        FROM r WHERE rn <= {k}
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
                            dim: int = 64, threshold: float = 0.45) -> str:
     from .operators.similarity import fixed_centroids
@@ -3291,8 +3365,9 @@ def q_bm25_topk(spark, sf_dir):
 # rendered plan changes after its last green record re-enters tier 1).
 # r12 rotation (CORRECTNESS_r11: 50/50 green, zero red rows; manifest
 # re-stamped clean as round step 1 — tree unchanged since grading):
-#   tier 0 (8)  — late-r12 additions multimodal_gif (real LZW GIF
-#            codec) and video_frames/video_sample (real MJPEG-AVI
+#   tier 0 (9)  — late-r12 additions multimodal_gif (real LZW GIF
+#            codec), embed_pq_ann (PQ-ADC, the memory-bounded ANN
+#            path), and video_frames/video_sample (real MJPEG-AVI
 #            demux + per-frame JPEG decode; the last fake modality
 #            retired) lead, then
 #            the four NEW r12 rows (multimodal_jpeg: real baseline
@@ -3307,11 +3382,11 @@ def q_bm25_topk(spark, sf_dir):
 #            resampled): oldest evidence on record; after this rotation
 #            grades green, no registry row's latest green is older
 #            than r10 (the rolling evidence-age policy).
-#   tier 2 (18) — oldest r10-evidence rows in registry order
-#            (money_two_level .. transitions), fill to 50
-#            (unigram_lm/union_backings/value_bands displaced by the
-#            late-r12 media rows).
-#   behind the window (81) — the remaining 32 r10-graded rows, then
+#   tier 2 (17) — oldest r10-evidence rows in registry order
+#            (money_two_level .. top_terms), fill to 50
+#            (transitions/unigram_lm/union_backings/value_bands
+#            displaced by the four late-r12 rows).
+#   behind the window (82) — the remaining 33 r10-graded rows, then
 #            the 49 r11-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
@@ -3322,6 +3397,7 @@ def q_bm25_topk(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (5): NEW r12 rows + the Adam7-voided PNG row ---
     "multimodal_gif": q_multimodal_gif,
+    "embed_pq_ann": q_embed_pq_ann,
     "video_frames": q_video_frames,
     "video_sample": q_video_sample,
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -3373,11 +3449,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "token_mixture": q_token_mixture,
     "top_terms": q_top_terms,
+    # --- behind the window: the remaining 33 r10-graded rows ---
+    # (transitions/unigram_lm/union_backings/value_bands displaced
+    # from tier 2 by the four late-r12 rows; their r10 greens stay
+    # usable — r13 pulls them forward first)
     "transitions": q_transitions,
-    # --- behind the window: the remaining 32 r10-graded rows ---
-    # (unigram_lm/union_backings/value_bands displaced from tier 2 by
-    # the three late-r12 media rows; their r10 greens stay usable —
-    # r13 pulls them forward first)
     "unigram_lm": q_unigram_lm,
     "union_backings": q_union_backings,
     "value_bands": q_value_bands,
@@ -3489,6 +3565,7 @@ ORACLES: dict[str, str] = {
     # constant-quantizer ANN twins (literals shared with the engine)
     "embed_lsh_ann": _lsh_ann_oracle(),
     "embed_ivf_ann": _ivf_ann_oracle(),
+    "embed_pq_ann": _pq_ann_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,

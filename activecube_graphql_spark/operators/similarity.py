@@ -910,6 +910,200 @@ QUANT_RMSE = (
 )
 
 
+# ------------------------------------------------ product quantization
+
+def pq_codebooks(m: int, n_codes: int, dim: int) -> list:
+    """Data-independent PQ sub-codebooks from the splitmix stream
+    (distinct seed; the :func:`fixed_centroids` pattern): ``m``
+    subspaces × ``n_codes`` codewords × ``dim // m`` coords, uniform in
+    ``[-1, 1) / sqrt(dim)`` so codeword magnitudes sit on the scale of
+    unit-vector subcomponents.  Injectable in place of the
+    sample-trained codebooks so the whole encode→ADC pipeline becomes
+    a pure function of the input rows — the hash-checkable twin; the
+    trained path stays the serving default (recall-tested in pytest)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    scale = 1.0 / math.sqrt(dim)
+    return [[[((_scramble(mi * n_codes + c, d, seed=0x2545F491)
+                >> 11) / float(1 << 53) * 2.0 - 1.0) * scale
+              for d in range(sub)]
+             for c in range(n_codes)]
+            for mi in range(m)]
+
+
+def train_pq_codebooks(df: DataFrame, m: int = 8, n_codes: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       sample: int = 4096, iters: int = 5):
+    """Per-subspace Lloyd k-means on a deterministic bounded sample
+    (FAISS-style: PQ training never scales with the corpus — at 100 TB
+    this collect stays a few MB; sampling order is ``xxhash64(id)``,
+    init the first ``n_codes`` sampled subvectors, no RNG state)."""
+    import numpy as np
+
+    rows = (df.select(F.col(id_col).alias("id"),
+                      _unit(F.col(vec_col)).alias("v"))
+            .orderBy(F.xxhash64(F.col("id"))).limit(sample).collect())
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    books = []
+    for mi in range(m):
+        xm = x[:, mi * sub:(mi + 1) * sub]
+        k = min(n_codes, len(xm))
+        cb = xm[:k].copy()
+        for _ in range(iters):
+            d2 = ((xm[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = xm[assign == j]
+                if len(members):
+                    cb[j] = members.mean(axis=0)
+        books.append(cb)
+    return np.stack(books)
+
+
+def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantize unit vectors to ``m`` byte codes — the 32×
+    memory cut that keeps a 100 TB embedding corpus scannable (codes
+    live in RAM; raw vectors stay on disk for optional re-ranking).
+
+    Map-only: one numpy matmul per Arrow batch per subspace against
+    the broadcast codebooks; no shuffle.  Codeword choice is the
+    canonical dot form ``argmax(x_m · c − ‖c‖²/2)`` (≡ argmin L2) with
+    equal scores resolving to the LOWER code id — the same tie rule an
+    ``ORDER BY score DESC, code`` SQL twin applies."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import ensure_parallelism
+
+    cb = np.asarray(codebooks, dtype=np.float64)     # (m, k, sub)
+    m, _k, sub = cb.shape
+    bc = df.sparkSession.sparkContext.broadcast(cb)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        half_cc = 0.5 * (books * books).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n = np.sqrt((v * v).sum(axis=1))
+            n[n == 0.0] = 1.0
+            vu = v / n[:, None]
+            codes = np.empty((len(vu), m), dtype=np.int32)
+            for mi in range(m):
+                xm = vu[:, mi * sub:(mi + 1) * sub]
+                score = xm @ books[mi].T - half_cc[mi]
+                codes[:, mi] = score.argmax(axis=1)  # first max = low id
+            objs = np.empty(len(vu), dtype=object)
+            objs[:] = list(codes)
+            yield pd.DataFrame({"__id": pdf["__id"], "codes": objs})
+
+    src = (ensure_parallelism(df, SCAN_BYTES_PER_TASK)
+           .select(F.col(id_col).alias("__id"),
+                   _as_double(F.col(vec_col)).alias("__v")))
+    return (src.mapInPandas(encode, schema="__id long, codes array<int>")
+            .select(F.col("__id").alias(id_col), "codes"))
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 8, n_codes: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codebooks=None, exclude_self: bool = True) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou/Douze/Schmid TPAMI'11) —
+    the memory-bounded member of the ANN family beside LSH buckets and
+    IVF lists: the corpus is scanned as ``m``-byte codes, each query
+    precomputes an ``m × n_codes`` distance look-up table once, and a
+    candidate's approximate distance is ``m`` LUT adds — no vector
+    arithmetic on the scan.
+
+    Scale shape: encode is map-only; the scan is map-only over codes
+    with a PER-BATCH partial top-k (each task emits ≤ queries × k
+    candidate rows, so the final exchange carries partitions × Q × k
+    rows, never corpus × Q); the global cut is one bounded window.
+    ``codebooks`` injects :func:`pq_codebooks` for the hash-checkable
+    twin; default trains per-subspace k-means on a bounded sample.
+
+    ADC distance is the exact expansion ``Σ_m (‖q_m‖² − 2·q_m·c +
+    ‖c‖²)`` over the CHOSEN codewords, emitted rounded; ranking breaks
+    ties on the lower neighbor id."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cb = (np.asarray(codebooks, dtype=np.float64)
+          if codebooks is not None
+          else train_pq_codebooks(corpus, m, n_codes, id_col, vec_col))
+    mm_, _kk, sub = cb.shape
+    q_rows = (queries.select(F.col(id_col).alias("qid"),
+                             _unit(F.col(vec_col)).alias("qv"))
+              .collect())
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    # per-query LUT: lut[q, m, c] = ||q_m||^2 - 2 q_m.c + ||c||^2
+    lut = np.empty((len(qids), mm_, cb.shape[1]), dtype=np.float64)
+    for mi in range(mm_):
+        qm = qv[:, mi * sub:(mi + 1) * sub]
+        qq = (qm * qm).sum(axis=1)[:, None]
+        cc = (cb[mi] * cb[mi]).sum(axis=1)[None, :]
+        lut[:, mi, :] = qq - 2.0 * (qm @ cb[mi].T) + cc
+    spark = corpus.sparkSession
+    bc_lut = spark.sparkContext.broadcast(lut)
+    bc_qid = spark.sparkContext.broadcast(qids)
+
+    codes = pq_encode(corpus, cb, id_col, vec_col)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lt = bc_lut.value
+        qi = bc_qid.value
+        best: dict[int, list] = {}                  # qid -> [(d, nid)]
+        for pdf in batches:
+            ids = pdf["__nid"].to_numpy()
+            cds = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            # adist[b, q] = sum_m lut[q, m, codes[b, m]]
+            ad = np.zeros((len(ids), len(qi)), dtype=np.float64)
+            for mi in range(lt.shape[1]):
+                ad += lt[:, mi, cds[:, mi]].T
+            for j, qid in enumerate(qi):
+                cand = best.setdefault(int(qid), [])
+                col = ad[:, j]
+                # (adist, neighbor_id) lexicographic — identical codes
+                # mean exactly-tied distances, and the SQL twin breaks
+                # those on the LOWER id, so the cut must too
+                for b in np.lexsort((ids, col))[:k + 1]:
+                    nid = int(ids[b])
+                    if exclude_self and nid == qid:
+                        continue
+                    cand.append((float(col[b]), nid))
+                cand.sort()
+                del cand[k:]
+        rows = {"query_id": [], "neighbor_id": [], "adist": []}
+        for qid, cand in best.items():
+            for d, nid in cand:
+                rows["query_id"].append(qid)
+                rows["neighbor_id"].append(nid)
+                rows["adist"].append(d)
+        yield pd.DataFrame(rows)
+
+    cand = codes.select(F.col(id_col).alias("__nid"), "codes") \
+                .mapInPandas(scan, schema="query_id long, "
+                                          "neighbor_id long, "
+                                          "adist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("adist", 4).alias("adist"), "rank"))
+
+
 # -------------------------------------------------- label-space operators
 
 def label_centroids(df: DataFrame, label_col: str = "label",

@@ -109,6 +109,37 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     assert a == a2
 
 
+def test_pq_adc_topk_recall_and_encode_contract(spark, sf_dir):
+    """PQ-ADC (similarity.py pq_adc_topk): with trained per-subspace
+    codebooks at m=8/n_codes=64 (48 bits/vector vs 2048 raw), the ADC
+    ranking must recover a meaningful share of the true neighbors —
+    far above the ~k/N random floor — and be deterministic (sampled
+    training is hash-ordered, no RNG). The encode contract: every
+    vector gets exactly m codes in [0, n_codes); identical input
+    vectors get identical codes."""
+    corpus = _embeds(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    brute = sim.cosine_topk(corpus, queries, k=10)
+    ann = sim.pq_adc_topk(corpus, queries, k=10, m=8, n_codes=64)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert a, "PQ ADC returned nothing"
+    n = corpus.count()
+    recall = len(a & b) / len(b)
+    assert recall > 0.2, f"PQ recall {recall} suspiciously low"
+    assert recall > 3 * 10 / n, "PQ recall at the random floor"
+    a2 = {(r["query_id"], r["neighbor_id"])
+          for r in sim.pq_adc_topk(corpus, queries, k=10,
+                                   m=8, n_codes=64).collect()}
+    assert a == a2, "trained PQ path nondeterministic"
+    cb = sim.pq_codebooks(8, 16, 64)
+    codes = sim.pq_encode(corpus, cb).collect()
+    assert len(codes) == n
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN top-5 must recover a reasonable fraction of the true top-5.
     Random gaussian vectors are LSH's worst case (true neighbors sit near
