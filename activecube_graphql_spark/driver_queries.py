@@ -1220,6 +1220,26 @@ def q_embed_pq_ann(spark, sf_dir):
                            k=5, codebooks=sim.pq_codebooks(8, 16, 64))
 
 
+def q_embed_ivfpq_ann(spark, sf_dir):
+    """IVF list pruning × PQ byte codes (operators/similarity.py
+    ivf_pq_topk) — the FAISS-IVFPQ billion-vector serving layout, sans
+    residual encoding so one codebook serves every cell and the twin
+    stays SQL-expressible: the coarse quantizer prunes the scan to
+    nprobe=6 of 16 inverted lists, and what the scan touches is m=8
+    byte codes + 8 LUT adds per candidate — both the I/O cut and the
+    memory cut at once. One fused map pass encodes cell+codes (no
+    second corpus scan), the probe set broadcasts, the global cut is
+    one bounded window. Both quantizers INJECTED as splitmix constants
+    (sim.fixed_centroids + sim.pq_codebooks) so the oracle re-derives
+    cells, codes, LUT, and ranking from the same literals; the trained
+    paths stay the serving default, recall-tested in
+    tests/test_pipeline_ops.py."""
+    corpus = _embeds(spark, sf_dir)
+    return sim.ivf_pq_topk(corpus, corpus.filter(F.col("vec_id") < 5),
+                           k=5, centroids=sim.fixed_centroids(16, 64),
+                           codebooks=sim.pq_codebooks(8, 16, 64))
+
+
 def _assets(spark, sf_dir):
     """Deterministic multimodal asset table synthesized from documents:
     payload = utf8 bytes of text, typed metadata in plain columns
@@ -3218,6 +3238,77 @@ def _pq_ann_oracle(m: int = 8, n_codes: int = 16, dim: int = 64,
     """
 
 
+def _ivfpq_ann_oracle(n_cells: int = 16, nprobe: int = 6, m: int = 8,
+                      n_codes: int = 16, dim: int = 64,
+                      n_queries: int = 5, k: int = 5) -> str:
+    """IVFPQ twin: the _ivf_ann_oracle cell CTEs composed with the
+    _pq_ann_oracle encode/LUT CTEs — candidates are the cell join,
+    distances the ADC sum over the same codebook literals."""
+    from .operators.similarity import fixed_centroids, pq_codebooks
+    sub = dim // m
+    ct_rows = _sql_mat_values(fixed_centroids(n_cells, dim))
+    cbv = pq_codebooks(m, n_codes, dim)
+    cb_rows = ",\n              ".join(
+        f"({mi}, {c}, {_sql_dvec(cbv[mi][c])})"
+        for mi in range(m) for c in range(n_codes))
+    sl = f"uv[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}]"
+    return f"""
+        WITH ct AS (SELECT * FROM (VALUES {ct_rows}) t(cell, cv)),
+        cb AS (SELECT * FROM (VALUES {cb_rows}) t(mi, code, cv)),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+              FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(raw, qx -> qx /
+                         sqrt(list_dot_product(raw, raw))) AS uv
+              FROM v),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(u.uv, ct.cv) DESC,
+                                cell) AS rn
+            FROM u CROSS JOIN ct),
+        corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        q_cells AS (SELECT vec_id, cell FROM ranked
+                    WHERE rn <= {nprobe} AND vec_id < {n_queries}),
+        enc AS (
+            SELECT vec_id, mi, code FROM (
+                SELECT u.vec_id, cb.mi, cb.code,
+                       row_number() OVER (
+                           PARTITION BY u.vec_id, cb.mi
+                           ORDER BY list_dot_product({sl}, cb.cv)
+                                    - 0.5 * list_dot_product(cb.cv,
+                                                             cb.cv)
+                                    DESC, cb.code) AS rn
+                FROM u CROSS JOIN cb)
+            WHERE rn = 1),
+        lut AS (
+            SELECT u.vec_id AS qid, cb.mi, cb.code,
+                   list_dot_product({sl}, {sl})
+                   - 2 * list_dot_product({sl}, cb.cv)
+                   + list_dot_product(cb.cv, cb.cv) AS d
+            FROM u CROSS JOIN cb
+            WHERE u.vec_id < {n_queries}),
+        s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   sum(l.d) AS adist
+            FROM q_cells q
+            JOIN corpus_cell c USING (cell)
+            JOIN enc e ON e.vec_id = c.vec_id
+            JOIN lut l ON l.qid = q.vec_id AND l.mi = e.mi
+                      AND l.code = e.code
+            WHERE c.vec_id <> q.vec_id
+            GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adist, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, neighbor_id, round(adist, 4) AS adist,
+               rn AS rank
+        FROM r WHERE rn <= {k}
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
                            dim: int = 64, threshold: float = 0.45) -> str:
     from .operators.similarity import fixed_centroids
@@ -3365,9 +3456,10 @@ def q_bm25_topk(spark, sf_dir):
 # rendered plan changes after its last green record re-enters tier 1).
 # r12 rotation (CORRECTNESS_r11: 50/50 green, zero red rows; manifest
 # re-stamped clean as round step 1 — tree unchanged since grading):
-#   tier 0 (9)  — late-r12 additions multimodal_gif (real LZW GIF
-#            codec), embed_pq_ann (PQ-ADC, the memory-bounded ANN
-#            path), and video_frames/video_sample (real MJPEG-AVI
+#   tier 0 (10) — late-r12 additions multimodal_gif (real LZW GIF
+#            codec), embed_pq_ann / embed_ivfpq_ann (PQ-ADC and the
+#            FAISS-IVFPQ composition — the memory-bounded ANN
+#            paths), and video_frames/video_sample (real MJPEG-AVI
 #            demux + per-frame JPEG decode; the last fake modality
 #            retired) lead, then
 #            the four NEW r12 rows (multimodal_jpeg: real baseline
@@ -3382,11 +3474,11 @@ def q_bm25_topk(spark, sf_dir):
 #            resampled): oldest evidence on record; after this rotation
 #            grades green, no registry row's latest green is older
 #            than r10 (the rolling evidence-age policy).
-#   tier 2 (17) — oldest r10-evidence rows in registry order
-#            (money_two_level .. top_terms), fill to 50
-#            (transitions/unigram_lm/union_backings/value_bands
-#            displaced by the four late-r12 rows).
-#   behind the window (82) — the remaining 33 r10-graded rows, then
+#   tier 2 (16) — oldest r10-evidence rows in registry order
+#            (money_two_level .. tfidf_terms+token_mixture), fill to
+#            50 (top_terms/transitions/unigram_lm/union_backings/
+#            value_bands displaced by the five late-r12 rows).
+#   behind the window (83) — the remaining 34 r10-graded rows, then
 #            the 49 r11-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
@@ -3398,6 +3490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (5): NEW r12 rows + the Adam7-voided PNG row ---
     "multimodal_gif": q_multimodal_gif,
     "embed_pq_ann": q_embed_pq_ann,
+    "embed_ivfpq_ann": q_embed_ivfpq_ann,
     "video_frames": q_video_frames,
     "video_sample": q_video_sample,
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -3448,11 +3541,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "tfidf_terms": q_tfidf_terms,
     "token_mixture": q_token_mixture,
+    # --- behind the window: the remaining 34 r10-graded rows ---
+    # (top_terms/transitions/unigram_lm/union_backings/value_bands
+    # displaced from tier 2 by the five late-r12 rows; their r10
+    # greens stay usable — r13 pulls them forward first)
     "top_terms": q_top_terms,
-    # --- behind the window: the remaining 33 r10-graded rows ---
-    # (transitions/unigram_lm/union_backings/value_bands displaced
-    # from tier 2 by the four late-r12 rows; their r10 greens stay
-    # usable — r13 pulls them forward first)
     "transitions": q_transitions,
     "unigram_lm": q_unigram_lm,
     "union_backings": q_union_backings,
@@ -3566,6 +3659,7 @@ ORACLES: dict[str, str] = {
     "embed_lsh_ann": _lsh_ann_oracle(),
     "embed_ivf_ann": _ivf_ann_oracle(),
     "embed_pq_ann": _pq_ann_oracle(),
+    "embed_ivfpq_ann": _ivfpq_ann_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,

@@ -1104,6 +1104,129 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("adist", 4).alias("adist"), "rank"))
 
 
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_cells: int = 16, nprobe: int = 6, m: int = 8,
+                n_codes: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding", centroids=None,
+                codebooks=None, exclude_self: bool = True) -> DataFrame:
+    """IVF list pruning × PQ byte codes — the FAISS IVFPQ shape (sans
+    residual encoding: codes quantize the raw unit vectors, so one
+    codebook serves every cell and the SQL twin stays expressible).
+    This is THE billion-vector serving layout: the coarse quantizer
+    prunes the scan to ``nprobe/n_cells`` of the lists, and what it
+    scans is ``m`` bytes + ``m`` LUT adds per candidate, not a vector.
+
+    One fused map pass encodes the corpus (cell + codes together — no
+    second corpus scan, no id-keyed re-join); queries are a bounded
+    driver-side pass (probe cells + the per-query LUT, the
+    pq_adc_topk convention); candidates are the cell-keyed join with
+    the broadcast probe set; scoring is LUT adds per Arrow batch and
+    the global cut one bounded window (the _cell_topk shape).
+
+    ``centroids``/``codebooks`` inject :func:`fixed_centroids` /
+    :func:`pq_codebooks` for the hash-checkable twin; both default to
+    their sample-trained paths."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import ensure_parallelism
+
+    cent = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _train_ivf_centroids(corpus, n_cells, id_col, vec_col))
+    cb = (np.asarray(codebooks, dtype=np.float64)
+          if codebooks is not None
+          else train_pq_codebooks(corpus, m, n_codes, id_col, vec_col))
+    mm_, _kk, sub = cb.shape
+    spark = corpus.sparkSession
+    bc_cent = spark.sparkContext.broadcast(cent)
+    bc_cb = spark.sparkContext.broadcast(cb)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ct = bc_cent.value
+        books = bc_cb.value
+        half_cc = 0.5 * (books * books).sum(axis=2)
+        for pdf in batches:
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n = np.sqrt((v * v).sum(axis=1))
+            n[n == 0.0] = 1.0
+            vu = v / n[:, None]
+            # stable first-max = lowest cell id, the SQL tie rule
+            cells = np.argmax(vu @ ct.T, axis=1).astype(np.int32)
+            codes = np.empty((len(vu), mm_), dtype=np.int32)
+            for mi in range(mm_):
+                xm = vu[:, mi * sub:(mi + 1) * sub]
+                codes[:, mi] = (xm @ books[mi].T
+                                - half_cc[mi]).argmax(axis=1)
+            objs = np.empty(len(vu), dtype=object)
+            objs[:] = list(codes)
+            yield pd.DataFrame({"neighbor_id": pdf["__id"],
+                                "cell": cells, "codes": objs})
+
+    src = (ensure_parallelism(corpus, SCAN_BYTES_PER_TASK)
+           .select(F.col(id_col).alias("__id"),
+                   _as_double(F.col(vec_col)).alias("__v")))
+    enc_df = src.mapInPandas(
+        enc, schema="neighbor_id long, cell int, codes array<int>")
+
+    # queries: bounded driver pass — probe cells + per-query LUT
+    q_rows = (queries.select(F.col(id_col).alias("qid"),
+                             _unit(F.col(vec_col)).alias("qv"))
+              .collect())
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    p = min(nprobe, cent.shape[0])
+    probe = np.argsort(-(qv @ cent.T), axis=1, kind="stable")[:, :p]
+    lut = np.empty((len(qids), mm_, cb.shape[1]), dtype=np.float64)
+    for mi in range(mm_):
+        qm = qv[:, mi * sub:(mi + 1) * sub]
+        qq = (qm * qm).sum(axis=1)[:, None]
+        cc = (cb[mi] * cb[mi]).sum(axis=1)[None, :]
+        lut[:, mi, :] = qq - 2.0 * (qm @ cb[mi].T) + cc
+    bc_lut = spark.sparkContext.broadcast(
+        {int(q): lut[j] for j, q in enumerate(qids)})
+    probe_df = spark.createDataFrame(
+        [(int(qids[j]), int(c)) for j in range(len(qids))
+         for c in probe[j]], schema="query_id long, cell int")
+
+    cand = enc_df.join(F.broadcast(probe_df), "cell")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lt = bc_lut.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cds = np.stack(pdf["codes"].to_numpy())
+            qcol = pdf["query_id"].to_numpy()
+            ad = np.zeros(len(pdf), dtype=np.float64)
+            for q in np.unique(qcol):
+                sel = qcol == q
+                sub_codes = cds[sel]
+                l = lt[int(q)]
+                acc = np.zeros(sel.sum(), dtype=np.float64)
+                for mi in range(l.shape[0]):
+                    acc += l[mi, sub_codes[:, mi]]
+                ad[sel] = acc
+            yield pd.DataFrame({"query_id": qcol,
+                                "neighbor_id": pdf["neighbor_id"],
+                                "adist": ad})
+
+    scored = cand.select("query_id", "neighbor_id", "codes") \
+                 .mapInPandas(score, schema="query_id long, "
+                                            "neighbor_id long, "
+                                            "adist double")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("adist", 4).alias("adist"), "rank"))
+
+
 # -------------------------------------------------- label-space operators
 
 def label_centroids(df: DataFrame, label_col: str = "label",

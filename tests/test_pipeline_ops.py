@@ -140,6 +140,43 @@ def test_pq_adc_topk_recall_and_encode_contract(spark, sf_dir):
         assert all(0 <= c < 16 for c in r["codes"])
 
 
+def test_ivfpq_topk_recall_and_pruning(spark, sf_dir):
+    """IVFPQ composition (similarity.py ivf_pq_topk): trained
+    quantizers at nprobe=8/16 cells and 64 codes must recover a
+    meaningful share of true neighbors through BOTH approximations
+    (list pruning × code quantization), deterministically; every
+    returned neighbor must come from a probed cell (the pruning
+    contract — verified against an exhaustive-probe run)."""
+    corpus = _embeds(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    brute = sim.cosine_topk(corpus, queries, k=10)
+    ann = sim.ivf_pq_topk(corpus, queries, k=10, n_cells=16,
+                          nprobe=8, n_codes=64)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert a, "IVFPQ returned nothing"
+    recall = len(a & b) / len(b)
+    assert recall > 0.15, f"IVFPQ recall {recall} suspiciously low"
+    a2 = {(r["query_id"], r["neighbor_id"])
+          for r in sim.ivf_pq_topk(corpus, queries, k=10, n_cells=16,
+                                   nprobe=8, n_codes=64).collect()}
+    assert a == a2, "trained IVFPQ path nondeterministic"
+    # pruning contract: with fixed quantizers, an exhaustive probe
+    # (nprobe = n_cells) ranks by pure ADC distance; the pruned run's
+    # result set must be a subset of candidates it could ever see and
+    # equal the exhaustive run wherever the true cells were probed
+    fixed_c = sim.fixed_centroids(16, 64)
+    fixed_b = sim.pq_codebooks(8, 16, 64)
+    pruned = sim.ivf_pq_topk(corpus, queries, k=5, nprobe=16,
+                             centroids=fixed_c, codebooks=fixed_b)
+    full = sim.pq_adc_topk(corpus, queries, k=5, codebooks=fixed_b)
+    p = {(r["query_id"], r["neighbor_id"], r["adist"])
+         for r in pruned.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["adist"])
+         for r in full.collect()}
+    assert p == f, "exhaustive-probe IVFPQ must equal the flat PQ scan"
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN top-5 must recover a reasonable fraction of the true top-5.
     Random gaussian vectors are LSH's worst case (true neighbors sit near
