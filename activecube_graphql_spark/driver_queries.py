@@ -3483,9 +3483,11 @@ def q_bm25_topk(spark, sf_dir):
 # NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
 # edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the remaining 29 r10-evidence rows (variant_json ..
-# filter_like_between), then fill with the oldest r11-graded rows
-# (trigram_lm ..); any r12-red row stays at the very front.
+# pull forward the 34 remaining r10-evidence rows FIRST (the five
+# displaced tier-2 rows top_terms/transitions/unigram_lm/
+# union_backings/value_bands, then variant_json ..
+# filter_like_between), then fill to 50 with the oldest r11-graded
+# rows (trigram_lm ..); any r12-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tier 0 (5): NEW r12 rows + the Adam7-voided PNG row ---
     "multimodal_gif": q_multimodal_gif,
