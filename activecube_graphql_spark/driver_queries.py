@@ -1569,12 +1569,15 @@ def _avi_assets(spark, sf_dir):
     fake modality): one real single-stream AVI per eighth document
     (``doc_id % 8 == 0`` — a video corpus is sparser than an image
     corpus, and each asset costs ``n_frames`` JPEG codec passes).
-    Asset ``id``: ``3 + id % 4`` frames at ``5 + id % 3`` fps, frame
-    dims ``16·(1 + id % 2) × 16`` (MCU-aligned), encode mode cycling
-    ``id % 3`` grayscale / 4:4:4 / 4:2:0 like the JPEG corpus.
+    Asset variety keys on ``g = id // 8`` (``id % 8 == 0`` zeroes
+    every ``id % k`` for k dividing 8 — review r12 finding):
+    ``3 + g % 4`` frames at ``5 + g % 3`` fps, frame dims
+    ``16·(1 + g % 2) × 16`` (MCU-aligned, so 32-wide multi-MCU frames
+    are in the graded corpus), encode mode cycling ``g % 3``
+    grayscale / 4:4:4 / 4:2:0 like the JPEG corpus.
 
     Exactness: frame ``f`` is constant per 8×8 luma block with
-    v = 128 + 2·(((id·7 + f·11 + bx·5 + by·3) mod 49) − 24) — the
+    v = 128 + 2·(((g·7 + f·11 + bx·5 + by·3) mod 49) − 24) — the
     same DC-exact invariant as `_jpeg_assets`, so the LOSSY frame
     codec is bit-exact on this family and an ANSI oracle re-derives
     every decoded frame byte from the block formula."""
@@ -1596,17 +1599,18 @@ def _avi_assets(spark, sf_dir):
             ids, payloads = [], []
             for aid in pdf["doc_id"]:
                 aid = int(aid)
-                w, h = 16 * (1 + aid % 2), 16
+                g = aid // 8
+                w, h = 16 * (1 + g % 2), 16
                 frames = []
-                for f in range(3 + aid % 4):
+                for f in range(3 + g % 4):
                     px = bytearray()
                     for y in range(h):
                         for x in range(w):
-                            v = 128 + 2 * (((aid * 7 + f * 11
+                            v = 128 + 2 * (((g * 7 + f * 11
                                              + (x // 8) * 5
                                              + (y // 8) * 3) % 49) - 24)
                             px += bytes((v, v, v))
-                    mode = aid % 3
+                    mode = g % 3
                     if mode == 0:
                         enc = J.encode_jpeg(w, h, bytes(px),
                                             grayscale=True)
@@ -1619,7 +1623,7 @@ def _avi_assets(spark, sf_dir):
                     frames.append(enc)
                 ids.append(aid)
                 payloads.append(V.encode_avi(w, h, frames,
-                                             rate=5 + aid % 3))
+                                             rate=5 + g % 3))
             yield _pd.DataFrame({"asset_id": ids,
                                  "mime": "video/x-msvideo",
                                  "payload": payloads})
@@ -1671,15 +1675,16 @@ def q_video_sample(spark, sf_dir):
     asset, each grid point resolved to a frame via the AVI ``idx1``
     index (operators/video.avi_frame — one index entry + one bounded
     chunk read, never a file walk: the at-scale seek path) and decoded
-    by the real JPEG codec through the multimodal.auto_frame_decoder
-    dispatch.  Emits the frame index the timestamp resolved to and the
+    by the real JPEG codec; the container header is parsed ONCE per
+    asset and reused across the grid (review r12 finding — the
+    auto_frame_decoder dispatch stays the pytest-covered general
+    surface).  Emits the frame index the timestamp resolved to and the
     decoded raster sum; the oracle re-derives both from
     floor(t·rate) (+ last-frame clamp) and the block formula — a
     corrupt index entry, a wrong seek convention, or an off-by-one in
     the timestamp map all change the output."""
     import pandas as _pd
 
-    from .operators import multimodal as mm
     from .operators import video as V
 
     grid = [0.0, 0.25, 0.5, 0.75]
@@ -1690,9 +1695,9 @@ def q_video_sample(spark, sf_dir):
                     "pix_sum": []}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = bytes(payload)
-                meta = V.avi_meta(payload)
+                meta = V._parse(payload)
                 for t in grid:
-                    px = mm.auto_frame_decoder(payload, t)
+                    px = V.avi_frame_decoder(payload, t, parsed=meta)
                     rows["asset_id"].append(int(aid))
                     rows["t_s"].append(t)
                     rows["frame_idx"].append(
@@ -3489,7 +3494,8 @@ def q_bm25_topk(spark, sf_dir):
 # filter_like_between), then fill to 50 with the oldest r11-graded
 # rows (trigram_lm ..); any r12-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (5): NEW r12 rows + the Adam7-voided PNG row ---
+    # --- tier 0 (10): NEW r12 rows (incl. the five late-r12
+    # --- additions) + the Adam7-voided PNG row ---
     "multimodal_gif": q_multimodal_gif,
     "embed_pq_ann": q_embed_pq_ann,
     "embed_ivfpq_ann": q_embed_ivfpq_ann,
@@ -4913,9 +4919,10 @@ ORACLES: dict[str, str] = {
     "video_frames": """
         WITH a AS (
             SELECT doc_id AS asset_id,
-                   16 * (1 + doc_id % 2) AS w,
+                   16 * (1 + (doc_id // 8) % 2) AS w,
                    16 AS h,
-                   3 + doc_id % 4 AS nf
+                   3 + (doc_id // 8) % 4 AS nf,
+                   doc_id // 8 AS g
             FROM documents WHERE doc_id % 8 = 0
         ),
         f AS (SELECT unnest(range(0, 7)) AS f),
@@ -4925,7 +4932,7 @@ ORACLES: dict[str, str] = {
                CAST(f.f AS INT) AS frame_idx,
                CAST(a.w AS INT) AS width,
                CAST(a.h AS INT) AS height,
-               CAST(3 * 64 * sum(128 + 2 * (((a.asset_id * 7
+               CAST(3 * 64 * sum(128 + 2 * (((a.g * 7
                                               + f.f * 11
                                               + bx.bx * 5
                                               + by.by * 3) % 49) - 24))
@@ -4938,15 +4945,16 @@ ORACLES: dict[str, str] = {
     "video_sample": """
         WITH a AS (
             SELECT doc_id AS asset_id,
-                   16 * (1 + doc_id % 2) AS w,
-                   3 + doc_id % 4 AS nf,
-                   5 + doc_id % 3 AS rate
+                   16 * (1 + (doc_id // 8) % 2) AS w,
+                   3 + (doc_id // 8) % 4 AS nf,
+                   5 + (doc_id // 8) % 3 AS rate,
+                   doc_id // 8 AS g
             FROM documents WHERE doc_id % 8 = 0
         ),
         t AS (SELECT CAST(unnest([0.0, 0.25, 0.5, 0.75]) AS DOUBLE)
                   AS t),
         sel AS (
-            SELECT a.asset_id, a.w, t.t,
+            SELECT a.asset_id, a.w, a.g, t.t,
                    least(CAST(floor(t.t * a.rate) AS INT),
                          a.nf - 1) AS f
             FROM a CROSS JOIN t
@@ -4956,13 +4964,13 @@ ORACLES: dict[str, str] = {
         SELECT sel.asset_id,
                sel.t AS t_s,
                CAST(sel.f AS INT) AS frame_idx,
-               CAST(3 * 64 * sum(128 + 2 * (((sel.asset_id * 7
+               CAST(3 * 64 * sum(128 + 2 * (((sel.g * 7
                                               + sel.f * 11
                                               + bx.bx * 5
                                               + by.by * 3) % 49) - 24))
                     AS BIGINT) AS pix_sum
         FROM sel JOIN bx ON bx.bx < sel.w // 8 CROSS JOIN by
-        GROUP BY sel.asset_id, sel.t, sel.f
+        GROUP BY sel.asset_id, sel.t, sel.f, sel.g
     """,
     "multimodal_jpeg": """
         WITH a AS (

@@ -198,10 +198,16 @@ def encode_gif(width: int, height: int, indices: bytes,
 
 
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode the first frame of a GIF to ``(width, height, rgb)``."""
+    """Decode the first frame of a GIF to ``(width, height, rgb)`` —
+    the LOGICAL-SCREEN-sized raster: a first frame smaller than the
+    screen (common in optimized/animated GIFs) is composited at its
+    (left, top) placement onto a canvas filled with the background
+    color, matching what PIL/browsers render (review r12 finding —
+    returning the cropped sub-frame silently mis-sized real crawl
+    images)."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -276,8 +282,21 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         if max(idx) >= n_colors:
             raise ValueError("GIF pixel index outside the color table")
         # frame 0 only — the still-image semantics
-        rgb = bytearray(3 * w * h)
-        for i, c in enumerate(idx):
-            rgb[3 * i:3 * i + 3] = ct[3 * c:3 * c + 3]
-        return w, h, bytes(rgb)
+        if (left, top, w, h) == (0, 0, sw, sh):
+            rgb = bytearray(3 * w * h)
+            for i, c in enumerate(idx):
+                rgb[3 * i:3 * i + 3] = ct[3 * c:3 * c + 3]
+            return w, h, bytes(rgb)
+        # sub-screen frame: composite at (left, top) onto the
+        # background-colored logical-screen canvas
+        bg_rgb = (bytes(gct[3 * bg:3 * bg + 3])
+                  if gct is not None and bg < len(gct) // 3
+                  else b"\x00\x00\x00")
+        canvas = bytearray(bg_rgb * (sw * sh))
+        for y in range(h):
+            row = idx[y * w:(y + 1) * w]
+            o = 3 * ((top + y) * sw + left)
+            for x, c in enumerate(row):
+                canvas[o + 3 * x:o + 3 * x + 3] = ct[3 * c:3 * c + 3]
+        return sw, sh, bytes(canvas)
     raise ValueError("GIF ended without an image block")

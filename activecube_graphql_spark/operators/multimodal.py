@@ -1,15 +1,16 @@
 """Multimodal column plumbing (SURVEY brief: image/audio/video as opaque
 ``binary`` columns + typed metadata).
 
-Four modalities decode for REAL via dependency-free codecs: PPM (P6,
-r10) and PNG (r11, incl. Adam7) below, baseline JPEG (r12,
-:mod:`.jpeg`), WAV/RIFF PCM audio (r12, :mod:`.audio`), and MJPEG-AVI
-video (r12, :mod:`.video` — RIFF demux + per-frame JPEG decode, idx1
-seek).  Formats that genuinely need codec libraries (GIF/WebP decode,
-mp4/webm) stay honest NotImplementedError stubs, with everything
-Spark-side real and tested either way: the schema convention,
-Arrow-batched ``mapInPandas`` plumbing, batch shapes, and the
-partition-size guidance for large binary payloads.
+All three modalities decode for REAL via dependency-free codecs —
+images: PPM (P6, r10) and PNG (r11, incl. Adam7) below, baseline JPEG
+(r12, :mod:`.jpeg`), GIF87a/89a (r12, :mod:`.gif`); audio: WAV/RIFF
+PCM (r12, :mod:`.audio`); video: MJPEG-AVI (r12, :mod:`.video` — RIFF
+demux + per-frame JPEG decode, idx1 seek).  Formats that genuinely
+need codec libraries (WebP/AVIF, mp4/webm) stay honest
+NotImplementedError stubs, with everything Spark-side real and tested
+either way: the schema convention, Arrow-batched ``mapInPandas``
+plumbing, batch shapes, and the partition-size guidance for large
+binary payloads.
 
 Scale notes for 100 TB of media:
 * binary payloads dominate row size → keep ``spark.sql.files.

@@ -966,6 +966,36 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, n_codes: int = 16,
     return np.stack(books)
 
 
+def _pq_assign(vu, books, half_cc):
+    """Shared code-assignment kernel: per-subspace
+    ``argmax(x_m · c − ‖c‖²/2)`` (≡ argmin L2), first max = lowest
+    code id — the single source of the tie rule the SQL twins mirror
+    (review r12: duplicated kernels drift)."""
+    import numpy as np
+
+    m, _k, sub = books.shape
+    codes = np.empty((len(vu), m), dtype=np.int32)
+    for mi in range(m):
+        xm = vu[:, mi * sub:(mi + 1) * sub]
+        codes[:, mi] = (xm @ books[mi].T - half_cc[mi]).argmax(axis=1)
+    return codes
+
+
+def _pq_lut(qv, cb):
+    """Shared per-query ADC look-up table: ``lut[q, m, c] = ‖q_m‖² −
+    2·q_m·c + ‖c‖²`` — the exact expansion the SQL twins re-derive."""
+    import numpy as np
+
+    m, k, sub = cb.shape
+    lut = np.empty((len(qv), m, k), dtype=np.float64)
+    for mi in range(m):
+        qm = qv[:, mi * sub:(mi + 1) * sub]
+        qq = (qm * qm).sum(axis=1)[:, None]
+        cc = (cb[mi] * cb[mi]).sum(axis=1)[None, :]
+        lut[:, mi, :] = qq - 2.0 * (qm @ cb[mi].T) + cc
+    return lut
+
+
 def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     """Product-quantize unit vectors to ``m`` byte codes — the 32×
@@ -996,11 +1026,7 @@ def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
             n = np.sqrt((v * v).sum(axis=1))
             n[n == 0.0] = 1.0
             vu = v / n[:, None]
-            codes = np.empty((len(vu), m), dtype=np.int32)
-            for mi in range(m):
-                xm = vu[:, mi * sub:(mi + 1) * sub]
-                score = xm @ books[mi].T - half_cc[mi]
-                codes[:, mi] = score.argmax(axis=1)  # first max = low id
+            codes = _pq_assign(vu, books, half_cc)
             objs = np.empty(len(vu), dtype=object)
             objs[:] = list(codes)
             yield pd.DataFrame({"__id": pdf["__id"], "codes": objs})
@@ -1047,13 +1073,7 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .collect())
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    # per-query LUT: lut[q, m, c] = ||q_m||^2 - 2 q_m.c + ||c||^2
-    lut = np.empty((len(qids), mm_, cb.shape[1]), dtype=np.float64)
-    for mi in range(mm_):
-        qm = qv[:, mi * sub:(mi + 1) * sub]
-        qq = (qm * qm).sum(axis=1)[:, None]
-        cc = (cb[mi] * cb[mi]).sum(axis=1)[None, :]
-        lut[:, mi, :] = qq - 2.0 * (qm @ cb[mi].T) + cc
+    lut = _pq_lut(qv, cb)
     spark = corpus.sparkSession
     bc_lut = spark.sparkContext.broadcast(lut)
     bc_qid = spark.sparkContext.broadcast(qids)
@@ -1155,11 +1175,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             vu = v / n[:, None]
             # stable first-max = lowest cell id, the SQL tie rule
             cells = np.argmax(vu @ ct.T, axis=1).astype(np.int32)
-            codes = np.empty((len(vu), mm_), dtype=np.int32)
-            for mi in range(mm_):
-                xm = vu[:, mi * sub:(mi + 1) * sub]
-                codes[:, mi] = (xm @ books[mi].T
-                                - half_cc[mi]).argmax(axis=1)
+            codes = _pq_assign(vu, books, half_cc)
             objs = np.empty(len(vu), dtype=object)
             objs[:] = list(codes)
             yield pd.DataFrame({"neighbor_id": pdf["__id"],
@@ -1179,12 +1195,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     p = min(nprobe, cent.shape[0])
     probe = np.argsort(-(qv @ cent.T), axis=1, kind="stable")[:, :p]
-    lut = np.empty((len(qids), mm_, cb.shape[1]), dtype=np.float64)
-    for mi in range(mm_):
-        qm = qv[:, mi * sub:(mi + 1) * sub]
-        qq = (qm * qm).sum(axis=1)[:, None]
-        cc = (cb[mi] * cb[mi]).sum(axis=1)[None, :]
-        lut[:, mi, :] = qq - 2.0 * (qm @ cb[mi].T) + cc
+    lut = _pq_lut(qv, cb)
     bc_lut = spark.sparkContext.broadcast(
         {int(q): lut[j] for j, q in enumerate(qids)})
     probe_df = spark.createDataFrame(

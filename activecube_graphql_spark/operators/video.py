@@ -205,13 +205,17 @@ def avi_frames(payload: bytes) -> list[bytes]:
     return out
 
 
-def avi_frame(payload: bytes, idx: int) -> bytes:
+def avi_frame(payload: bytes, idx: int, parsed: dict | None = None
+              ) -> bytes:
     """Random access to frame ``idx`` via ``idx1`` — one index entry
     read + one bounded chunk read (the at-scale seek path; a sampler
     pulling 3 frames from a 2-hour file must not walk the file).  The
     chunk header at the seek target is re-validated against the index
-    entry, so a corrupt index raises instead of mis-reading."""
-    p = _parse(payload)
+    entry, so a corrupt index raises instead of mis-reading.
+    ``parsed`` reuses a prior :func:`_parse` result so a multi-point
+    sampler pays the header walk once per asset, not per timestamp
+    (review r12 finding)."""
+    p = parsed if parsed is not None else _parse(payload)
     if p["idx1"] is None:
         raise ValueError("AVI has no idx1 index (seek unsupported)")
     i_start, i_len = p["idx1"]
@@ -249,11 +253,16 @@ def frame_index_at(payload_or_meta, t_s: float) -> int:
     return min(int(t_s * m["rate"] / m["scale"]), m["n_frames"] - 1)
 
 
-def avi_frame_decoder(payload: bytes, t_s: float) -> bytes:
+def avi_frame_decoder(payload: bytes, t_s: float,
+                      parsed: dict | None = None) -> bytes:
     """REAL drop-in for :func:`..multimodal.fake_frame_decoder` on AVI
     payloads: idx1 seek to the frame covering ``t_s``, then decode the
-    JPEG to raw RGB bytes via the real codec."""
+    JPEG to raw RGB bytes via the real codec.  The container is parsed
+    ONCE per call (the parse dict carries rate/scale/n_frames for the
+    timestamp map and the idx1 span for the seek); pass ``parsed`` to
+    amortize it across a timestamp grid."""
     from .jpeg import decode_jpeg
-    idx = frame_index_at(payload, t_s)
-    _w, _h, px = decode_jpeg(avi_frame(payload, idx))
+    p = parsed if parsed is not None else _parse(payload)
+    idx = frame_index_at(p, t_s)
+    _w, _h, px = decode_jpeg(avi_frame(payload, idx, parsed=p))
     return px

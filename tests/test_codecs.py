@@ -323,3 +323,29 @@ def test_gif_rejects_malformed():
         + big[big.index(b"\x2C") + 10:]
     with pytest.raises(ValueError):
         G.decode_gif(hybrid)
+
+
+def test_gif_subscreen_frame_composites_onto_canvas():
+    """A first frame smaller than the logical screen composites at its
+    (left, top) onto a background-colored screen-sized canvas — the
+    PIL/browser still-image semantics (review r12: returning the
+    cropped sub-frame silently mis-sizes real crawl images)."""
+    from activecube_graphql_spark.operators import gif as G
+    pal = [(10, 20, 30), (200, 100, 50)]
+    inner = G.encode_gif(2, 2, bytes([1, 0, 0, 1]), pal)
+    # surgically enlarge the logical screen to 5x4 and place the
+    # 2x2 frame at (2, 1); background index 0
+    buf = bytearray(inner)
+    struct.pack_into("<HH", buf, 6, 5, 4)            # sw, sh
+    desc = bytes(buf).index(b"\x2C")
+    struct.pack_into("<HH", buf, desc + 1, 2, 1)     # left, top
+    w, h, rgb = G.decode_gif(bytes(buf))
+    assert (w, h) == (5, 4)
+    px = [tuple(rgb[3 * i:3 * i + 3]) for i in range(20)]
+    bg, fg = (10, 20, 30), (200, 100, 50)
+    expect = [bg] * 20
+    expect[1 * 5 + 2] = fg                            # (2,1) idx 1
+    expect[1 * 5 + 3] = bg                            # idx 0
+    expect[2 * 5 + 2] = bg
+    expect[2 * 5 + 3] = fg
+    assert px == expect
