@@ -1074,11 +1074,25 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     lut = _pq_lut(qv, cb)
-    spark = corpus.sparkSession
+    codes = pq_encode(corpus, cb, id_col, vec_col)
+    return _pq_scan_topk(codes.select(F.col(id_col).alias("__nid"),
+                                      "codes"),
+                         lut, qids, k, exclude_self)
+
+
+def _pq_scan_topk(codes_df: DataFrame, lut, qids, k: int,
+                  exclude_self: bool) -> DataFrame:
+    """Shared ADC scan tail (one-shot pq_adc_topk and the persisted
+    code store): map-only LUT adds over ``(__nid, codes)`` with a
+    per-task partial top-k, then one bounded window cut."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = codes_df.sparkSession
     bc_lut = spark.sparkContext.broadcast(lut)
     bc_qid = spark.sparkContext.broadcast(qids)
-
-    codes = pq_encode(corpus, cb, id_col, vec_col)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lt = bc_lut.value
@@ -1112,16 +1126,99 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 rows["adist"].append(d)
         yield pd.DataFrame(rows)
 
-    cand = codes.select(F.col(id_col).alias("__nid"), "codes") \
-                .mapInPandas(scan, schema="query_id long, "
-                                          "neighbor_id long, "
-                                          "adist double")
+    cand = codes_df.mapInPandas(scan, schema="query_id long, "
+                                             "neighbor_id long, "
+                                             "adist double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("adist", 4).alias("adist"), "rank"))
+
+
+def build_pq_store(spark: "SparkSession", df: DataFrame, path: str,
+                   m: int = 8, n_codes: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   codebooks=None) -> int:
+    """Persist a PQ code store: ``codebooks.parquet`` (mi, code,
+    codeword) + ``codes.parquet`` (id, m byte codes) — the build-once/
+    scan-many lifecycle of the memory-bounded ANN path (the IVF-index
+    sibling; at 100 TB the codes are ~m bytes/vector, so the WHOLE
+    store fits the page cache that the raw vectors never could).
+    Returns the number of vectors encoded."""
+    import numpy as np
+
+    cb = (np.asarray(codebooks, dtype=np.float64)
+          if codebooks is not None
+          else train_pq_codebooks(df, m, n_codes, id_col, vec_col))
+    rows = [(mi, c, [float(x) for x in cb[mi][c]])
+            for mi in range(cb.shape[0]) for c in range(cb.shape[1])]
+    (spark.createDataFrame(rows, schema="mi int, code int, "
+                                        "cv array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/codebooks.parquet"))
+    codes = pq_encode(df, cb, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(f"{path}/codes.parquet")
+    return spark.read.parquet(f"{path}/codes.parquet").count()
+
+
+def _load_pq_codebooks(spark: "SparkSession", path: str):
+    import numpy as np
+
+    rows = (spark.read.parquet(f"{path}/codebooks.parquet")
+            .orderBy("mi", "code").collect())
+    m = 1 + max(r["mi"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    cb = np.empty((m, k, len(rows[0]["cv"])), dtype=np.float64)
+    for r in rows:
+        cb[r["mi"], r["code"]] = r["cv"]
+    return cb
+
+
+def extend_pq_store(spark: "SparkSession", path: str,
+                    new_vectors: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> int:
+    """Incremental code-store maintenance: encode new vectors with the
+    STORED codebooks (no retrain — the FAISS add() contract) and
+    append. The LEFT ANTI probe on the id makes at-least-once replay
+    append nothing; the localCheckpoint cuts lineage so the append
+    never recomputes against the directory it is writing (the
+    extend_ivf_index construction). Codes are a flat unpartitioned
+    store — ~m bytes/row, no per-cell directories, so there is no
+    file fan-out to compact."""
+    cb = _load_pq_codebooks(spark, path)
+    codes = pq_encode(new_vectors, cb, id_col, vec_col)
+    existing = (spark.read.parquet(f"{path}/codes.parquet")
+                .select(id_col))
+    fresh = (codes.join(existing, id_col, "left_anti")
+             .localCheckpoint(eager=True))
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(f"{path}/codes.parquet")
+    return n
+
+
+def pq_store_search(spark: "SparkSession", path: str,
+                    queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    exclude_self: bool = True) -> DataFrame:
+    """ADC top-k over the persisted code store — identical semantics
+    to a one-shot :func:`pq_adc_topk` with the stored codebooks
+    (pytest-pinned equality), but the corpus side reads ~m bytes per
+    vector instead of the raw embeddings."""
+    import numpy as np
+
+    cb = _load_pq_codebooks(spark, path)
+    q_rows = (queries.select(F.col(id_col).alias("qid"),
+                             _unit(F.col(vec_col)).alias("qv"))
+              .collect())
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    codes = (spark.read.parquet(f"{path}/codes.parquet")
+             .select(F.col(id_col).alias("__nid"), "codes"))
+    return _pq_scan_topk(codes, _pq_lut(qv, cb), qids, k, exclude_self)
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

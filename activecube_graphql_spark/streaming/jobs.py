@@ -598,6 +598,33 @@ def curate_stream(spark: SparkSession, src_dir: str, out_path: str,
     _drain(sdf, upsert, checkpoint)
 
 
+def maintain_pq_store(spark: SparkSession, src_dir: str,
+                      store_path: str, checkpoint: str,
+                      glob: str = "embeddings.parquet") -> None:
+    """Keep a persisted PQ code store
+    (operators/similarity.build_pq_store) fresh over a streaming
+    vector feed: per micro-batch, encode new vectors with the STORED
+    codebooks and append their m-byte codes
+    (operators/similarity.extend_pq_store — the FAISS add() contract;
+    codebook refresh is a periodic rebuild, not a per-append concern).
+    The extend's LEFT ANTI probe on the vector id makes at-least-once
+    replay append nothing — the same idempotence construction as every
+    incremental job in this module.
+
+    At 100 TB: per-trigger cost is one map-only encode over the batch
+    plus one id-keyed anti-join against the (column-pruned) code
+    table; the store's code payloads are ~m bytes/vector, so even the
+    anti-join probe side stays cache-resident."""
+    from ..operators.similarity import extend_pq_store
+
+    sdf = _file_stream(spark, src_dir, glob)
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        extend_pq_store(spark, store_path, batch_df)
+
+    _drain(sdf, upsert, checkpoint)
+
+
 def maintain_ivf_index(spark: SparkSession, src_dir: str,
                        index_path: str, checkpoint: str,
                        glob: str = "embeddings.parquet") -> None:

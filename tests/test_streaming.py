@@ -576,6 +576,42 @@ def test_maintain_ivf_index_stream_extend_and_replay(spark, sf_dir,
         hit[0]["cosine"] >= 0.9999
 
 
+def test_maintain_pq_store_stream_extend_replay_and_parity(spark,
+                                                           sf_dir,
+                                                           tmp_path):
+    """Streamed PQ code-store maintenance (r12): vectors arriving
+    after the build are encoded with the STORED codebooks and appended
+    (searchable); a full replay (fresh checkpoint, same feed) appends
+    nothing; and the persisted-store search is IDENTICAL to a one-shot
+    pq_adc_topk over the same corpus with the same codebooks — the
+    store changes the I/O layout, never the result."""
+    from pyspark.sql import functions as F
+    from activecube_graphql_spark.operators import similarity as sim
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = corpus.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "pq")
+    cb = sim.pq_codebooks(8, 16, 64)
+    n0 = sim.build_pq_store(spark, seed, path, codebooks=cb)
+    assert n0 == seed.count()
+
+    feed = str(tmp_path / "feed" / "embeddings.parquet")
+    corpus.filter(F.col("vec_id") >= 100).write.mode("overwrite") \
+        .parquet(feed)
+    jobs.maintain_pq_store(spark, feed, path, str(tmp_path / "ck1"),
+                           glob="*.parquet")
+    n1 = spark.read.parquet(f"{path}/codes.parquet").count()
+    assert n1 == corpus.count()     # every fed vector landed once
+    jobs.maintain_pq_store(spark, feed, path, str(tmp_path / "ck2"),
+                           glob="*.parquet")
+    assert spark.read.parquet(f"{path}/codes.parquet").count() == n1
+
+    queries = corpus.filter(F.col("vec_id") < 5)
+    via_store = sim.pq_store_search(spark, path, queries, k=5)
+    one_shot = sim.pq_adc_topk(corpus, queries, k=5, codebooks=cb)
+    assert sorted(map(tuple, via_store.collect())) == \
+        sorted(map(tuple, one_shot.collect()))
+
+
 def test_maintain_winnow_index_screens_neardups_and_replays(spark,
                                                             tmp_path):
     """The streaming NEAR-dup index (r10): batch 1 indexes the base
