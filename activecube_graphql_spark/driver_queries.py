@@ -1201,6 +1201,41 @@ def q_embed_ivf_ann(spark, sf_dir):
                             k=5, centroids=sim.fixed_centroids(16, 64))
 
 
+#: Injected merge table for the graded BPE row (the fixed_centroids
+#: pattern: sf-independent literals so the tokenization is a pure
+#: function of the input rows and the oracle can re-derive it). The
+#: serving path trains merges from the corpus (text.train_bpe,
+#: pytest-pinned); these twelve are a plausible English prefix.
+_BPE_FIXED_MERGES: list = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("t", "h"), ("a", "n"),
+    ("i", "n"), ("s", "</w>"), ("or", "</w>"), ("th", "e"),
+]
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """REAL BPE tokenization graded end-to-end (r12 — the tokenizer
+    stops being a regex approximation): operators/text.bpe_tokenize
+    applies a merge table with the canonical greedy lowest-rank loop
+    (broadcast ranks, Arrow-batched map-only). The oracle exploits the
+    rank-order-exhaustive ≡ greedy-lowest-rank equivalence of BPE
+    apply: each word becomes a bracket-delimited symbol string
+    ('[l][o][w][</w>]') and each merge one chained
+    replace('[a][b]' → '[ab]') — bracket-wrapping makes matches
+    boundary-safe and non-overlap semantics identical to the Python
+    loop (host-fuzzed over 5k words). Emits per-source token totals
+    and the exact global sub-word vocabulary size; the trained-merges
+    path (text.train_bpe — corpus reduced once to the word-frequency
+    table, each merge one vocab-bounded shuffle) stays the serving
+    default, pytest-pinned."""
+    docs = _docs(spark, sf_dir)
+    out = tx.bpe_tokenize(docs, _BPE_FIXED_MERGES, carry=("source",))
+    ex = out.select("source", F.explode("tokens").alias("tok"))
+    return (ex.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("tok").alias("vocab")))
+
+
 def q_embed_pq_ann(spark, sf_dir):
     """Product-quantization ADC top-k (Jégou TPAMI'11) — the
     MEMORY-bounded ANN scale path beside LSH buckets and IVF lists
@@ -3461,10 +3496,11 @@ def q_bm25_topk(spark, sf_dir):
 # rendered plan changes after its last green record re-enters tier 1).
 # r12 rotation (CORRECTNESS_r11: 50/50 green, zero red rows; manifest
 # re-stamped clean as round step 1 — tree unchanged since grading):
-#   tier 0 (10) — late-r12 additions multimodal_gif (real LZW GIF
+#   tier 0 (11) — late-r12 additions multimodal_gif (real LZW GIF
 #            codec), embed_pq_ann / embed_ivfpq_ann (PQ-ADC and the
 #            FAISS-IVFPQ composition — the memory-bounded ANN
-#            paths), and video_frames/video_sample (real MJPEG-AVI
+#            paths), bpe_tokens (real BPE apply, chained-replace
+#            oracle), and video_frames/video_sample (real MJPEG-AVI
 #            demux + per-frame JPEG decode; the last fake modality
 #            retired) lead, then
 #            the four NEW r12 rows (multimodal_jpeg: real baseline
@@ -3479,18 +3515,19 @@ def q_bm25_topk(spark, sf_dir):
 #            resampled): oldest evidence on record; after this rotation
 #            grades green, no registry row's latest green is older
 #            than r10 (the rolling evidence-age policy).
-#   tier 2 (16) — oldest r10-evidence rows in registry order
-#            (money_two_level .. tfidf_terms+token_mixture), fill to
-#            50 (top_terms/transitions/unigram_lm/union_backings/
-#            value_bands displaced by the five late-r12 rows).
-#   behind the window (83) — the remaining 34 r10-graded rows, then
+#   tier 2 (15) — oldest r10-evidence rows in registry order
+#            (money_two_level .. tfidf_terms), fill to 50
+#            (token_mixture/top_terms/transitions/unigram_lm/
+#            union_backings/value_bands displaced by the six
+#            late-r12 rows).
+#   behind the window (84) — the remaining 35 r10-graded rows, then
 #            the 49 r11-graded rows (freshest evidence).
 # NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
 # edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the 34 remaining r10-evidence rows FIRST (the five
-# displaced tier-2 rows top_terms/transitions/unigram_lm/
-# union_backings/value_bands, then variant_json ..
+# pull forward the 35 remaining r10-evidence rows FIRST (the six
+# displaced tier-2 rows token_mixture/top_terms/transitions/
+# unigram_lm/union_backings/value_bands, then variant_json ..
 # filter_like_between), then fill to 50 with the oldest r11-graded
 # rows (trigram_lm ..); any r12-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3498,6 +3535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- additions) + the Adam7-voided PNG row ---
     "multimodal_gif": q_multimodal_gif,
     "embed_pq_ann": q_embed_pq_ann,
+    "bpe_tokens": q_bpe_tokens,
     "embed_ivfpq_ann": q_embed_ivfpq_ann,
     "video_frames": q_video_frames,
     "video_sample": q_video_sample,
@@ -3549,10 +3587,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "tfidf_terms": q_tfidf_terms,
     "token_mixture": q_token_mixture,
-    # --- behind the window: the remaining 34 r10-graded rows ---
-    # (top_terms/transitions/unigram_lm/union_backings/value_bands
-    # displaced from tier 2 by the five late-r12 rows; their r10
-    # greens stay usable — r13 pulls them forward first)
+    # --- behind the window: the remaining 35 r10-graded rows ---
+    # (token_mixture/top_terms/transitions/unigram_lm/union_backings/
+    # value_bands displaced from tier 2 by the six late-r12 rows;
+    # their r10 greens stay usable — r13 pulls them forward first)
     "top_terms": q_top_terms,
     "transitions": q_transitions,
     "unigram_lm": q_unigram_lm,
@@ -3667,6 +3705,37 @@ ORACLES: dict[str, str] = {
     "embed_lsh_ann": _lsh_ann_oracle(),
     "embed_ivf_ann": _ivf_ann_oracle(),
     "embed_pq_ann": _pq_ann_oracle(),
+    "bpe_tokens": """
+        WITH words AS (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+', 0))
+                       AS w
+            FROM documents),
+        enc AS (
+            SELECT source,
+                   replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace('[' || array_to_string(string_split(w, ''), '][') || '][</w>]',
+                           '[e][r]', '[er]'),
+                           '[e][</w>]', '[e</w>]'),
+                           '[n][</w>]', '[n</w>]'),
+                           '[o][r]', '[or]'),
+                           '[t][</w>]', '[t</w>]'),
+                           '[er][</w>]', '[er</w>]'),
+                           '[t][h]', '[th]'),
+                           '[a][n]', '[an]'),
+                           '[i][n]', '[in]'),
+                           '[s][</w>]', '[s</w>]'),
+                           '[or][</w>]', '[or</w>]'),
+                           '[th][e]', '[the]') AS s
+            FROM words),
+        toks AS (
+            SELECT source,
+                   unnest(string_split(s[2:len(s) - 1], '][')) AS tok
+            FROM enc)
+        SELECT source,
+               count(*) AS n_tokens,
+               count(DISTINCT tok) AS vocab
+        FROM toks GROUP BY source
+    """,
     "embed_ivfpq_ann": _ivfpq_ann_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05

@@ -2053,3 +2053,49 @@ def test_trigram_logprob_backoff_and_heldout(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got2 = {r["doc_id"]: r for r in trigram_logprob(df).collect()}
     assert got2[100]["avg_logp3"] > got2[101]["avg_logp3"]
+
+
+def test_bpe_train_and_apply_contract(spark):
+    """Real BPE (text.train_bpe / bpe_tokenize): on a hand corpus the
+    learned merges are the textbook sequence (most frequent pair
+    first, lexicographic ties), training is deterministic, the most
+    frequent word collapses to ONE token, and applying the merges
+    leaves no adjacent pair that any learned merge could still join
+    (the fixed-point contract of greedy lowest-rank apply)."""
+    rows = [(0, "low low low lower lower lowest"),
+            (1, "low lower newer newest new"),
+            (2, "low low wider wide wide")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    merges = tx.train_bpe(docs, n_merges=8)
+    assert merges[:3] == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    assert merges == tx.train_bpe(docs, n_merges=8)
+    out = {r["doc_id"]: r for r in
+           tx.bpe_tokenize(docs, merges).collect()}
+    assert "low</w>" in out[0]["tokens"]
+    assert out[0]["bpe_count"] == len(out[0]["tokens"])
+    mset = set(merges)
+    for r in out.values():
+        toks = r["tokens"]
+        for j in range(len(toks) - 1):
+            # a mergeable pair may only survive across a word
+            # boundary (previous token ends the word)
+            if (toks[j], toks[j + 1]) in mset:
+                assert toks[j].endswith("</w>")
+
+
+def test_bpe_trained_on_fixture_corpus(spark, sf_dir):
+    """Trained merges on the real fixture corpus apply cleanly: every
+    document tokenizes, counts are positive where text has words, and
+    token arrays re-concatenate to the word characters + one </w> per
+    word (losslessness of BPE segmentation)."""
+    docs = _docs(spark, sf_dir).limit(200)
+    merges = tx.train_bpe(docs, n_merges=16)
+    assert len(merges) == 16
+    out = tx.bpe_tokenize(docs, merges).collect()
+    assert len(out) == 200
+    import re
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out[:25]:
+        words = re.findall(r"[a-z]+", (texts[r["doc_id"]] or "").lower())
+        joined = "".join(r["tokens"])
+        assert joined == "".join(w + "</w>" for w in words)
