@@ -349,3 +349,46 @@ def test_gif_subscreen_frame_composites_onto_canvas():
     expect[2 * 5 + 2] = bg
     expect[2 * 5 + 3] = fg
     assert px == expect
+
+
+def test_gif_local_color_table_and_extension_skip():
+    """A GIF whose image carries a LOCAL color table (none global) and
+    leading extension blocks (graphic control + comment) decodes via
+    the local palette — the real-crawl layout optimized encoders
+    emit."""
+    from activecube_graphql_spark.operators import gif as G
+    pal = [(5, 6, 7), (250, 100, 0)]
+    base = G.encode_gif(4, 2, bytes([0, 1] * 4), pal)
+    # strip the global color table (flags bit 7 + 6 bytes) and re-home
+    # the palette as a LOCAL table on the image descriptor; inject a
+    # graphic-control extension + a comment before the descriptor
+    hdr = bytearray(base[:13])
+    hdr[10] &= 0x7F                                  # no GCT
+    gct = base[13:13 + 6]
+    rest = base[13 + 6:]
+    desc_at = rest.index(b"\x2C")
+    desc = bytearray(rest[desc_at:desc_at + 10])
+    desc[9] |= 0x80                                  # local table, depth 1
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"        # graphic control
+    com = b"\x21\xFE\x05hello\x00"                   # comment
+    rebuilt = (bytes(hdr) + gce + com + bytes(desc) + bytes(gct)
+               + rest[desc_at + 10:])
+    w, h, rgb = G.decode_gif(rebuilt)
+    assert (w, h) == (4, 2)
+    assert rgb == b"".join(bytes(pal[i]) for i in [0, 1] * 4)
+
+
+def test_avi_rational_fps_seek():
+    """Non-integer fps (rate/scale rational, e.g. 30000/1001-style):
+    frame_index_at uses floor(t*rate/scale) exactly, and the idx1 seek
+    agrees with the walk at every grid point."""
+    from activecube_graphql_spark.operators import video as V
+    frames = _mjpeg_frames(16, 16, 5)
+    avi = V.encode_avi(16, 16, frames, rate=30000, scale=1001)
+    m = V.avi_meta(avi)
+    assert (m["rate"], m["scale"]) == (30000, 1001)
+    walked = V.avi_frames(avi)
+    for t in [0.0, 0.0333, 0.0334, 0.1, 0.2]:
+        idx = V.frame_index_at(avi, t)
+        assert idx == min(int(t * 30000 / 1001), 4)
+        assert V.avi_frame(avi, idx) == walked[idx]
