@@ -897,3 +897,23 @@ def test_multimodal_png_plan_shape(spark):
     assert "Exchange" not in plan
     assert len(re.findall(r"MapInPandas", plan)) == 2
     assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan)
+
+
+def test_media_codec_rows_plan_shapes(spark):
+    """Plan pins for the late-r12 media rows, same contract as the
+    PPM/PNG rows: a doc_id-only pruned scan feeding chained Arrow
+    stages with ZERO exchanges — map-only, scales with input splits,
+    never shuffles binary payloads. (multimodal_gif and video_frames
+    are encode→decode = 2 Arrow stages; video_sample parses + seeks in
+    the same decode stage = 2 as well.)"""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    for name in ["multimodal_jpeg", "multimodal_gif", "video_frames",
+                 "video_sample", "multimodal_audio"]:
+        plan = (QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, name
+        assert len(re.findall(r"MapInPandas", plan)) == 2, name
+        assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), name
