@@ -917,3 +917,32 @@ def test_media_codec_rows_plan_shapes(spark):
         assert "Exchange" not in plan, name
         assert len(re.findall(r"MapInPandas", plan)) == 2, name
         assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), name
+
+
+def test_pq_and_bpe_rows_plan_shapes(spark):
+    """Scale-shape pins for the late-r12 ANN/tokenizer rows:
+
+    * embed_pq_ann — encode + scan are two chained Arrow stages over a
+      vec_id+embedding-only scan; the ONLY exchange is the bounded
+      final window cut over partitions × Q × k candidate rows (the
+      per-task partial top-k contract).
+    * bpe_tokens — one Arrow apply stage and a partial/final
+      HashAggregate pair around a single exchange (token-keyed
+      rollup); binary/text payloads never shuffle twice."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    plan = (QUERIES["embed_pq_ann"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"MapInPandas", plan)) == 2
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+    plan = (QUERIES["bpe_tokens"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"MapInPandas", plan)) == 1
+    assert "HashAggregate" in plan
+    # countDistinct adds its own expand/agg exchange; the token rollup
+    # must stay at TWO exchanges max (partial-agg both levels)
+    assert plan.count("Exchange") <= 2, plan[:1200]
