@@ -3494,103 +3494,35 @@ def q_bm25_topk(spark, sf_dir):
 # rows strictly first (tests/test_driver_contract.py enforces both rules,
 # plus the graded-hash manifest guard: a row whose query/oracle text or
 # rendered plan changes after its last green record re-enters tier 1).
-# r12 rotation (CORRECTNESS_r11: 50/50 green, zero red rows; manifest
-# re-stamped clean as round step 1 — tree unchanged since grading):
-#   tier 0 (11) — late-r12 additions multimodal_gif (real LZW GIF
-#            codec), embed_pq_ann / embed_ivfpq_ann (PQ-ADC and the
-#            FAISS-IVFPQ composition — the memory-bounded ANN
-#            paths), bpe_tokens (real BPE apply, chained-replace
-#            oracle), and video_frames/video_sample (real MJPEG-AVI
-#            demux + per-frame JPEG decode; the last fake modality
-#            retired) lead, then
-#            the four NEW r12 rows (multimodal_jpeg: real baseline
-#            JFIF codec; multimodal_audio: real WAV/RIFF PCM codec +
-#            features; trigram_buckets: CCNet band split over the
-#            graded trigram scores; neardup_clusters_dist: the
-#            distributed label-propagation route under its own oracle)
-#            plus multimodal_png, VOIDED this round by the Adam7
-#            fixture change (every third asset now interlaced) — all
-#            never-green, lead the window.
-#   tier 1 (24) — the full remaining r09-evidence cohort (pii_scrub ..
-#            resampled): oldest evidence on record; after this rotation
-#            grades green, no registry row's latest green is older
-#            than r10 (the rolling evidence-age policy).
-#   tier 2 (15) — oldest r10-evidence rows in registry order
-#            (money_two_level .. tfidf_terms), fill to 50
-#            (token_mixture/top_terms/transitions/unigram_lm/
-#            union_backings/value_bands displaced by the six
-#            late-r12 rows).
-#   behind the window (84) — the remaining 35 r10-graded rows, then
-#            the 49 r11-graded rows (freshest evidence).
-# NEXT-ROUND ROTATION (r13): once CORRECTNESS_r12 lands green, run
+# r13 rotation (CORRECTNESS_r12: 50/50 green, zero red rows; manifest
+# re-stamped clean as round step 1 — tree unchanged since grading, the
+# r12-era multimodal_png VOID retired by its r12 green):
+#   tier 0 (35) — every remaining r10-evidence row, oldest evidence on
+#            record: the six tier-2 rows displaced by the late-r12
+#            additions (token_mixture .. value_bands) FIRST, then
+#            variant_json .. filter_like_between in registry order.
+#            After this rotation grades green, no registry row's
+#            latest green is older than r11.
+#   tier 1 (15) — the oldest r11-graded rows (trigram_lm ..
+#            stateful_user_stats), fill to 50.
+#   behind the window (84) — the remaining 34 r11-graded rows
+#            (stratified_sample .. ngram_jaccard), then the 50
+#            r12-graded rows (freshest evidence, multimodal_gif ..
+#            tfidf_terms).
+#   NEW never-green r13 rows, when added, are inserted at the VERY
+#   front and displace the tier-1 tail (those rows keep their valid
+#   r11 greens behind the window).
+# NEXT-ROUND ROTATION (r14): once CORRECTNESS_r13 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
-# edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the 35 remaining r10-evidence rows FIRST (the six
-# displaced tier-2 rows token_mixture/top_terms/transitions/
-# unigram_lm/union_backings/value_bands, then variant_json ..
-# filter_like_between), then fill to 50 with the oldest r11-graded
-# rows (trigram_lm ..); any r12-red row stays at the very front.
+# edits land after grading), move tiers 0-1 behind the window, and
+# pull forward the remaining 34 r11-evidence rows
+# (stratified_sample .. ngram_jaccard) plus any tier-1 rows displaced
+# by late-r13 additions, then fill to 50 with the oldest r12-graded
+# rows (multimodal_gif ..); any r13-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier 0 (10): NEW r12 rows (incl. the five late-r12
-    # --- additions) + the Adam7-voided PNG row ---
-    "multimodal_gif": q_multimodal_gif,
-    "embed_pq_ann": q_embed_pq_ann,
-    "bpe_tokens": q_bpe_tokens,
-    "embed_ivfpq_ann": q_embed_ivfpq_ann,
-    "video_frames": q_video_frames,
-    "video_sample": q_video_sample,
-    "multimodal_jpeg": q_multimodal_jpeg,
-    "multimodal_audio": q_multimodal_audio,
-    "trigram_buckets": q_trigram_buckets,
-    "neardup_clusters_dist": q_neardup_clusters_dist,
-    "multimodal_png": q_multimodal_png,
-    # --- tier 1 (24): the r09-evidence cohort, oldest on record
-    # --- (VERDICT r11 item 3) ---
-    "pii_scrub": q_pii_scrub,
-    "quantiles": q_quantiles,
-    "skew_salted_join": q_skew_salted_join,
-    "source_dup_matrix": q_source_dup_matrix,
-    "source_kl": q_source_kl,
-    "stats_moments": q_stats_moments,
-    "string_funcs": q_string_funcs,
-    "winsorized": q_winsorized,
-    "anomaly_mad": q_anomaly_mad,
-    "boilerplate": q_boilerplate,
-    "budget_fill": q_budget_fill,
-    "char_entropy": q_char_entropy,
-    "det_sample": q_det_sample,
-    "drift_kl": q_drift_kl,
-    "embed_quant": q_embed_quant,
-    "events_hourly": q_events_hourly,
-    "graphql_docs": q_graphql_docs,
-    "pack_chunks": q_pack_chunks,
-    "pipeline_survivors": q_pipeline_survivors,
-    "profile_docs": q_profile_docs,
-    "quality_pct": q_quality_pct,
-    "quality_rules": q_quality_rules,
-    "rep_signals": q_rep_signals,
-    "resampled": q_resampled,
-    # --- tier 2 (21): oldest r10-evidence rows, fill to 50 ---
-    "money_two_level": q_money_two_level,
-    "multimodal_decode": q_multimodal_decode,
-    "winnow_fp": q_winnow_fp,
-    "char_dup": q_char_dup,
-    "bigram_lm": q_bigram_lm,
-    "semi_anti": q_semi_anti,
-    "session_window": q_session_window,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
-    "sketch_rollup": q_sketch_rollup,
-    "sliding_window": q_sliding_window,
-    "source_cap": q_source_cap,
-    "split_counts": q_split_counts,
-    "text_stats": q_text_stats,
-    "tfidf_terms": q_tfidf_terms,
+    # --- tier 0 (35): the r10-evidence cohort, oldest on record
+    # --- (VERDICT r12 item 1: six displaced tier-2 rows first) ---
     "token_mixture": q_token_mixture,
-    # --- behind the window: the remaining 35 r10-graded rows ---
-    # (token_mixture/top_terms/transitions/unigram_lm/union_backings/
-    # value_bands displaced from tier 2 by the six late-r12 rows;
-    # their r10 greens stay usable — r13 pulls them forward first)
     "top_terms": q_top_terms,
     "transitions": q_transitions,
     "unigram_lm": q_unigram_lm,
@@ -3625,7 +3557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_and_list": q_filter_and_list,
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
-    # --- behind the window: the 49 r11-graded rows (freshest) ---
+    # --- tier 1 (15): oldest r11-graded rows, fill to 50 ---
     "trigram_lm": q_trigram_lm,
     "curated_survivors": q_curated_survivors,
     "filter_null_ops": q_filter_null_ops,
@@ -3641,6 +3573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "offset": q_offset,
     "sort_by_integer": q_sort_by_integer,
     "stateful_user_stats": q_stateful_user_stats,
+    # --- behind the window: the remaining 34 r11-graded rows ---
     "stratified_sample": q_stratified_sample,
     "union_typename": q_union_typename,
     "asof_join": q_asof_join,
@@ -3675,6 +3608,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "neardup_keep": q_neardup_keep,
     "ngram_jaccard": q_ngram_jaccard,
+    # --- behind the window: the 50 r12-graded rows (freshest) ---
+    "multimodal_gif": q_multimodal_gif,
+    "embed_pq_ann": q_embed_pq_ann,
+    "bpe_tokens": q_bpe_tokens,
+    "embed_ivfpq_ann": q_embed_ivfpq_ann,
+    "video_frames": q_video_frames,
+    "video_sample": q_video_sample,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_audio": q_multimodal_audio,
+    "trigram_buckets": q_trigram_buckets,
+    "neardup_clusters_dist": q_neardup_clusters_dist,
+    "multimodal_png": q_multimodal_png,
+    "pii_scrub": q_pii_scrub,
+    "quantiles": q_quantiles,
+    "skew_salted_join": q_skew_salted_join,
+    "source_dup_matrix": q_source_dup_matrix,
+    "source_kl": q_source_kl,
+    "stats_moments": q_stats_moments,
+    "string_funcs": q_string_funcs,
+    "winsorized": q_winsorized,
+    "anomaly_mad": q_anomaly_mad,
+    "boilerplate": q_boilerplate,
+    "budget_fill": q_budget_fill,
+    "char_entropy": q_char_entropy,
+    "det_sample": q_det_sample,
+    "drift_kl": q_drift_kl,
+    "embed_quant": q_embed_quant,
+    "events_hourly": q_events_hourly,
+    "graphql_docs": q_graphql_docs,
+    "pack_chunks": q_pack_chunks,
+    "pipeline_survivors": q_pipeline_survivors,
+    "profile_docs": q_profile_docs,
+    "quality_pct": q_quality_pct,
+    "quality_rules": q_quality_rules,
+    "rep_signals": q_rep_signals,
+    "resampled": q_resampled,
+    "money_two_level": q_money_two_level,
+    "multimodal_decode": q_multimodal_decode,
+    "winnow_fp": q_winnow_fp,
+    "char_dup": q_char_dup,
+    "bigram_lm": q_bigram_lm,
+    "semi_anti": q_semi_anti,
+    "session_window": q_session_window,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "sketch_rollup": q_sketch_rollup,
+    "sliding_window": q_sliding_window,
+    "source_cap": q_source_cap,
+    "split_counts": q_split_counts,
+    "text_stats": q_text_stats,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 
