@@ -1424,9 +1424,13 @@ def _jpeg_assets(spark, sf_dir):
     real baseline JFIF per document, encoded through the full forward
     path (operators/jpeg.encode_jpeg — level shift, DCT, FLAT_Q16
     quantization, Annex-K Huffman entropy coding). Mode cycles
-    doc_id % 3: grayscale / YCbCr 4:4:4 / YCbCr 4:2:0, and every
-    fourth asset adds DRI/RSTn restart markers, so subsampling
-    reassembly, the color transform, and marker resync are all inside
+    doc_id % 3: grayscale / YCbCr 4:4:4 / YCbCr 4:2:0, every fourth
+    asset adds DRI/RSTn restart markers, and every SECOND asset is
+    PROGRESSIVE (SOF2, r13 VERDICT r12 item 3: the libjpeg-shaped
+    scan script — DC first + refinement, AC spectral bands, AC
+    successive-approximation refinement, per-scan optimal Huffman
+    tables) — so subsampling reassembly, the color transform, marker
+    resync, and the whole progressive scan machinery are all inside
     the graded corpus.
 
     Exactness (the oracle contract): pixels are CONSTANT per 8×8 luma
@@ -1465,17 +1469,21 @@ def _jpeg_assets(spark, sf_dir):
                         px += bytes((v, v, v))
                 mode = aid % 3
                 rst = 2 if aid % 4 == 3 else 0
+                prog = aid % 2 == 1
                 if mode == 0:
                     enc = J.encode_jpeg(w, h, bytes(px), grayscale=True,
-                                        restart_interval=rst)
+                                        restart_interval=rst,
+                                        progressive=prog)
                 elif mode == 1:
                     enc = J.encode_jpeg(w, h, bytes(px),
                                         subsampling="4:4:4",
-                                        restart_interval=rst)
+                                        restart_interval=rst,
+                                        progressive=prog)
                 else:
                     enc = J.encode_jpeg(w, h, bytes(px),
                                         subsampling="4:2:0",
-                                        restart_interval=rst)
+                                        restart_interval=rst,
+                                        progressive=prog)
                 ids.append(aid)
                 payloads.append(enc)
             yield _pd.DataFrame({"asset_id": ids, "mime": "image/jpeg",
@@ -1487,19 +1495,26 @@ def _jpeg_assets(spark, sf_dir):
 
 def q_multimodal_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode graded end-to-end (r12, VERDICT r11
-    item 4 — the last image stub retired): assets encoded as real
+    item 4 — the last image stub retired; r13, VERDICT r12 item 3:
+    every second asset now PROGRESSIVE): assets encoded as real
     JFIF streams (Huffman entropy coding, flat quant, grayscale +
-    4:4:4 + 4:2:0, restart markers on every fourth asset) are decoded
-    by operators/jpeg.decode_jpeg — marker walk, DHT/DQT parse,
-    Huffman decode, dequant, IDCT, chroma upsampling, YCbCr→RGB —
-    inside Arrow-batched mapInPandas via the decode_image dispatch.
+    4:4:4 + 4:2:0, restart markers on every fourth asset, SOF2
+    multi-scan progressive on odd ids) are decoded by
+    operators/jpeg.decode_jpeg — marker walk, DHT/DQT parse
+    (per-scan table replacement on the progressive streams), Huffman
+    decode, progressive coefficient accumulation, dequant, IDCT,
+    chroma upsampling, YCbCr→RGB — inside Arrow-batched mapInPandas
+    via the decode_image dispatch.
     The row emits decoded dimensions and the exact sum of all raster
     bytes, which the oracle re-derives from the per-block pixel
     formula in pure SQL: the fixtures sit on the DC-exact invariant
     (constant even-offset blocks, neutral chroma), so ANY byte the
     entropy decode, dequant, IDCT, upsampling, or color transform
-    mangles changes pix_sum. Progressive JPEG stays an honest
-    ValueError (pytest-pinned)."""
+    mangles changes pix_sum — the invariant holds for progressive
+    because the scan script fully refines every band to Al=0, making
+    the reconstructed quantized coefficients identical to baseline's.
+    Arithmetic/hierarchical JPEG stays an honest ValueError
+    (pytest-pinned)."""
     import pandas as _pd
 
     from .operators import multimodal as mm
@@ -3520,6 +3535,10 @@ def q_bm25_topk(spark, sf_dir):
 # by late-r13 additions, then fill to 50 with the oldest r12-graded
 # rows (multimodal_gif ..); any r13-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- never-green first: r13 rows voided/added this round ---
+    # multimodal_jpeg: fixture changed r13 (every second asset now
+    # progressive SOF2) -> manifest VOID until the driver re-grades
+    "multimodal_jpeg": q_multimodal_jpeg,
     # --- tier 0 (35): the r10-evidence cohort, oldest on record
     # --- (VERDICT r12 item 1: six displaced tier-2 rows first) ---
     "token_mixture": q_token_mixture,
@@ -3615,7 +3634,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivfpq_ann": q_embed_ivfpq_ann,
     "video_frames": q_video_frames,
     "video_sample": q_video_sample,
-    "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_audio": q_multimodal_audio,
     "trigram_buckets": q_trigram_buckets,
     "neardup_clusters_dist": q_neardup_clusters_dist,
