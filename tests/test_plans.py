@@ -911,7 +911,7 @@ def test_media_codec_rows_plan_shapes(spark):
     from activecube_graphql_spark.driver_queries import QUERIES
 
     for name in ["multimodal_jpeg", "multimodal_gif", "video_frames",
-                 "video_sample", "multimodal_audio"]:
+                 "video_sample", "video_mp4", "multimodal_audio"]:
         plan = (QUERIES[name](spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan, name
