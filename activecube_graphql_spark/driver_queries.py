@@ -1275,6 +1275,74 @@ def q_embed_ivfpq_ann(spark, sf_dir):
                            codebooks=sim.pq_codebooks(8, 16, 64))
 
 
+def q_ann_recall_audit(spark, sf_dir):
+    """Graded ANN recall audit (r13, VERDICT r12 item 6): recall@5 of
+    every approximate-NN family member — LSH buckets, IVF list
+    pruning, PQ byte codes, IVFPQ, and residual IVFPQ — measured
+    against the exact brute-force top-5 on the same fixture, as a
+    driver-graded NUMBER instead of a pytest threshold. All quantizers
+    INJECTED (splitmix literals), so both the approximate sets and the
+    exact set are pure functions of the input rows and the oracle
+    re-derives the entire audit — per-method hit counts, returned
+    counts, and recall — in SQL from the same constants. The trained
+    quantizer paths stay recall-tested in tests/test_pipeline_ops.py;
+    this row turns the injected paths' recall into graded evidence the
+    100 TB story can cite."""
+    from functools import reduce
+
+    corpus = _embeds(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = (sim.cosine_topk(corpus, queries, k=5)
+             .select("query_id", "neighbor_id"))
+    cent = sim.fixed_centroids(16, 64)
+    cb = sim.pq_codebooks(8, 16, 64)
+    approx = [
+        ("ivf", sim.ivf_ann_topk(corpus, queries, k=5,
+                                 centroids=cent)),
+        ("ivfpq", sim.ivf_pq_topk(corpus, queries, k=5,
+                                  centroids=cent, codebooks=cb)),
+        ("ivfpq_res", sim.ivf_pq_topk(corpus, queries, k=5,
+                                      centroids=cent, codebooks=cb,
+                                      residual=True)),
+        ("lsh", sim.lsh_ann_topk(corpus, queries, k=5)),
+        ("pq", sim.pq_adc_topk(corpus, queries, k=5, codebooks=cb)),
+    ]
+    un = reduce(lambda a, b: a.unionByName(b),
+                [df.select(F.lit(name).alias("method"),
+                           "query_id", "neighbor_id")
+                 for name, df in approx])
+    n_true = exact.count()              # bounded: 5 queries x k
+    hits = un.join(exact.withColumn("__hit", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+    return (hits.groupBy("method")
+            .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+                 F.count(F.lit(1)).alias("n_returned"),
+                 F.round(F.coalesce(F.sum("__hit"), F.lit(0))
+                         / F.lit(float(n_true)), 4).alias("recall"))
+            .orderBy("method"))
+
+
+def q_embed_ivfpq_res(spark, sf_dir):
+    """Residual-encoded IVFPQ (r13, VERDICT r12 item 5 — the full
+    FAISS composition): codes quantize v − centroid[cell] instead of
+    the raw unit vector — residuals cluster far tighter, so the same
+    m=8 bytes buy materially better recall (comparative recall
+    pytest-pinned in tests/test_pipeline_ops.py on clustered data) —
+    and each (query, probed cell) pair carries its own LUT over
+    q − centroid[cell] (Q × nprobe tables, a bounded broadcast). The
+    sub-codebooks stay SHARED across cells, so with both quantizers
+    INJECTED as splitmix constants the residual subtraction is an
+    elementwise expression over the centroid literals and the oracle
+    re-derives cells, residuals, codes, per-(query, cell) LUTs, and
+    the ADC ranking in pure SQL. Serving default trains the codebooks
+    on sampled RESIDUALS (operators/similarity._train_pq_residual)."""
+    corpus = _embeds(spark, sf_dir)
+    return sim.ivf_pq_topk(corpus, corpus.filter(F.col("vec_id") < 5),
+                           k=5, centroids=sim.fixed_centroids(16, 64),
+                           codebooks=sim.pq_codebooks(8, 16, 64),
+                           residual=True)
+
+
 def _assets(spark, sf_dir):
     """Deterministic multimodal asset table synthesized from documents:
     payload = utf8 bytes of text, typed metadata in plain columns
@@ -3474,6 +3542,122 @@ def _ivfpq_ann_oracle(n_cells: int = 16, nprobe: int = 6, m: int = 8,
     """
 
 
+def _ivfpq_res_oracle(n_cells: int = 16, nprobe: int = 6, m: int = 8,
+                      n_codes: int = 16, dim: int = 64,
+                      n_queries: int = 5, k: int = 5) -> str:
+    """Residual-IVFPQ twin (r13): the _ivfpq_ann_oracle CTEs with the
+    FAISS residual step — corpus residual rv = uv − centroid[cell]
+    feeds the encode argmax, and the LUT is per (query, probed cell)
+    over the query residual — all from the same injected literals."""
+    from .operators.similarity import fixed_centroids, pq_codebooks
+    sub = dim // m
+    ct_rows = _sql_mat_values(fixed_centroids(n_cells, dim))
+    cbv = pq_codebooks(m, n_codes, dim)
+    cb_rows = ",\n              ".join(
+        f"({mi}, {c}, {_sql_dvec(cbv[mi][c])})"
+        for mi in range(m) for c in range(n_codes))
+    rsl = f"r.rv[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}]"
+    qsl = f"qr.rv[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}]"
+    return f"""
+        WITH ct AS (SELECT * FROM (VALUES {ct_rows}) t(cell, cv)),
+        cb AS (SELECT * FROM (VALUES {cb_rows}) t(mi, code, cv)),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+              FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(raw, qx -> qx /
+                         sqrt(list_dot_product(raw, raw))) AS uv
+              FROM v),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(u.uv, ct.cv) DESC,
+                                cell) AS rn
+            FROM u CROSS JOIN ct),
+        corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        q_cells AS (SELECT vec_id, cell FROM ranked
+                    WHERE rn <= {nprobe} AND vec_id < {n_queries}),
+        res AS (
+            SELECT u.vec_id, s.cell,
+                   list_transform(range(1, {dim} + 1),
+                                  i -> u.uv[i] - ct.cv[i]) AS rv
+            FROM u JOIN corpus_cell s USING (vec_id)
+                 JOIN ct ON ct.cell = s.cell),
+        enc AS (
+            SELECT vec_id, mi, code FROM (
+                SELECT r.vec_id, cb.mi, cb.code,
+                       row_number() OVER (
+                           PARTITION BY r.vec_id, cb.mi
+                           ORDER BY list_dot_product({rsl}, cb.cv)
+                                    - 0.5 * list_dot_product(cb.cv,
+                                                             cb.cv)
+                                    DESC, cb.code) AS rn
+                FROM res r CROSS JOIN cb)
+            WHERE rn = 1),
+        qres AS (
+            SELECT q.vec_id AS qid, q.cell,
+                   list_transform(range(1, {dim} + 1),
+                                  i -> u.uv[i] - ct.cv[i]) AS rv
+            FROM q_cells q JOIN u ON u.vec_id = q.vec_id
+                 JOIN ct ON ct.cell = q.cell),
+        lut AS (
+            SELECT qr.qid, qr.cell, cb.mi, cb.code,
+                   list_dot_product({qsl}, {qsl})
+                   - 2 * list_dot_product({qsl}, cb.cv)
+                   + list_dot_product(cb.cv, cb.cv) AS d
+            FROM qres qr CROSS JOIN cb),
+        s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   sum(l.d) AS adist
+            FROM q_cells q
+            JOIN corpus_cell c USING (cell)
+            JOIN enc e ON e.vec_id = c.vec_id
+            JOIN lut l ON l.qid = q.vec_id AND l.cell = q.cell
+                      AND l.mi = e.mi AND l.code = e.code
+            WHERE c.vec_id <> q.vec_id
+            GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adist, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, neighbor_id, round(adist, 4) AS adist,
+               rn AS rank
+        FROM r WHERE rn <= {k}
+    """
+
+
+def _ann_recall_audit_oracle() -> str:
+    """Recall-audit twin (r13): each method's full oracle SQL nests as
+    a subquery (DuckDB WITH-in-subquery), the exact set is the
+    embed_topk brute-force SQL, and the audit is one LEFT JOIN +
+    GROUP BY over the union — every number re-derived from the same
+    injected literals the engine broadcasts."""
+    exact_sql = ORACLES["embed_topk"]
+    parts = [("ivf", _ivf_ann_oracle()),
+             ("ivfpq", _ivfpq_ann_oracle()),
+             ("ivfpq_res", _ivfpq_res_oracle()),
+             ("lsh", _lsh_ann_oracle()),
+             ("pq", _pq_ann_oracle())]
+    union = "\n            UNION ALL ".join(
+        f"SELECT '{name}' AS method, query_id, neighbor_id "
+        f"FROM ({sql})" for name, sql in parts)
+    return f"""
+        WITH exact AS (
+            SELECT query_id, neighbor_id FROM ({exact_sql})),
+        appr AS (
+            {union})
+        SELECT a.method,
+               CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_returned,
+               round(count(e.neighbor_id) * 1.0 /
+                     (SELECT count(*) FROM exact), 4) AS recall
+        FROM appr a LEFT JOIN exact e
+             ON e.query_id = a.query_id
+            AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.method
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 4, nprobe: int = 2,
                            dim: int = 64, threshold: float = 0.45) -> str:
     from .operators.similarity import fixed_centroids
@@ -3652,6 +3836,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # video_mp4: NEW r13 (VERDICT r12 item 4 — MJPEG-in-MP4 ISO-BMFF
     # demux over the real JPEG codec)
     "video_mp4": q_video_mp4,
+    # embed_ivfpq_res: NEW r13 (VERDICT r12 item 5 — FAISS residual
+    # encoding on the IVFPQ composition)
+    "embed_ivfpq_res": q_embed_ivfpq_res,
+    # ann_recall_audit: NEW r13 (VERDICT r12 item 6 — approximate-ANN
+    # recall as a graded number, not a pytest threshold)
+    "ann_recall_audit": q_ann_recall_audit,
     # multimodal_jpeg: fixture changed r13 (every second asset now
     # progressive SOF2) -> manifest VOID until the driver re-grades
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -3855,6 +4045,7 @@ ORACLES: dict[str, str] = {
         FROM toks GROUP BY source
     """,
     "embed_ivfpq_ann": _ivfpq_ann_oracle(),
+    "embed_ivfpq_res": _ivfpq_res_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,
@@ -5545,6 +5736,9 @@ ORACLES: dict[str, str] = {
 # results are identical by construction, so the oracle IS the
 # union-find row's oracle — shared text, can never drift apart.
 ORACLES["neardup_clusters_dist"] = ORACLES["neardup_clusters"]
+# r13: the recall audit composes five already-registered ANN twins +
+# the embed_topk exact twin, so it must render AFTER the dict exists
+ORACLES["ann_recall_audit"] = _ann_recall_audit_oracle()
 
 # source_dup_matrix's oracle WRAPS the graded minhash_lsh_verified SQL
 # (single source of truth for the exact pair set — the two rows can

@@ -946,6 +946,15 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, n_codes: int = 16,
                       _unit(F.col(vec_col)).alias("v"))
             .orderBy(F.xxhash64(F.col("id"))).limit(sample).collect())
     x = np.array([r["v"] for r in rows], dtype=np.float64)
+    return _kmeans_subspace_books(x, m, n_codes, iters)
+
+
+def _kmeans_subspace_books(x, m: int, n_codes: int, iters: int):
+    """Per-subspace Lloyd k-means over a sample matrix (shared by the
+    raw-vector and residual PQ trainers): init = first ``n_codes``
+    sampled subvectors, no RNG state."""
+    import numpy as np
+
     dim = x.shape[1]
     sub = dim // m
     if sub * m != dim:
@@ -964,6 +973,24 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, n_codes: int = 16,
                     cb[j] = members.mean(axis=0)
         books.append(cb)
     return np.stack(books)
+
+
+def _train_pq_residual(df: DataFrame, cent, m: int, n_codes: int,
+                       id_col: str, vec_col: str,
+                       sample: int = 4096, iters: int = 5):
+    """Codebooks for residual IVFPQ: the same bounded deterministic
+    sample as :func:`train_pq_codebooks`, but k-means runs on
+    ``v − centroid[cell(v)]`` — the quantity the codes must cover
+    (FAISS IVFPQ training discipline)."""
+    import numpy as np
+
+    rows = (df.select(F.col(id_col).alias("id"),
+                      _unit(F.col(vec_col)).alias("v"))
+            .orderBy(F.xxhash64(F.col("id"))).limit(sample).collect())
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    ct = np.asarray(cent, dtype=np.float64)
+    cells = np.argmax(x @ ct.T, axis=1)
+    return _kmeans_subspace_books(x - ct[cells], m, n_codes, iters)
 
 
 def _pq_assign(vu, books, half_cc):
@@ -1225,24 +1252,35 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 n_cells: int = 16, nprobe: int = 6, m: int = 8,
                 n_codes: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding", centroids=None,
-                codebooks=None, exclude_self: bool = True) -> DataFrame:
-    """IVF list pruning × PQ byte codes — the FAISS IVFPQ shape (sans
-    residual encoding: codes quantize the raw unit vectors, so one
-    codebook serves every cell and the SQL twin stays expressible).
+                codebooks=None, exclude_self: bool = True,
+                residual: bool = False) -> DataFrame:
+    """IVF list pruning × PQ byte codes — the FAISS IVFPQ shape.
     This is THE billion-vector serving layout: the coarse quantizer
     prunes the scan to ``nprobe/n_cells`` of the lists, and what it
     scans is ``m`` bytes + ``m`` LUT adds per candidate, not a vector.
 
+    ``residual=False`` quantizes the raw unit vectors (one LUT per
+    query). ``residual=True`` (r13, VERDICT r12 item 5) is the full
+    FAISS composition: codes quantize ``v − centroid[cell]`` — the
+    residuals cluster far tighter than the raw vectors, so the same
+    ``m`` bytes buy materially better recall — and each (query,
+    probed cell) pair gets its own LUT over ``q − centroid[cell]``
+    (``Q × nprobe`` tables, still a bounded broadcast).  The shared
+    sub-codebooks keep the twin SQL-expressible: the residual
+    subtraction is an elementwise expression over the centroid
+    literals.
+
     One fused map pass encodes the corpus (cell + codes together — no
     second corpus scan, no id-keyed re-join); queries are a bounded
-    driver-side pass (probe cells + the per-query LUT, the
-    pq_adc_topk convention); candidates are the cell-keyed join with
-    the broadcast probe set; scoring is LUT adds per Arrow batch and
-    the global cut one bounded window (the _cell_topk shape).
+    driver-side pass (probe cells + LUTs, the pq_adc_topk
+    convention); candidates are the cell-keyed join with the
+    broadcast probe set; scoring is LUT adds per Arrow batch and the
+    global cut one bounded window (the _cell_topk shape).
 
     ``centroids``/``codebooks`` inject :func:`fixed_centroids` /
     :func:`pq_codebooks` for the hash-checkable twin; both default to
-    their sample-trained paths."""
+    their sample-trained paths (with ``residual=True`` the codebooks
+    train on sampled RESIDUALS — the quantity they must cover)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1253,9 +1291,13 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cent = (np.asarray(centroids, dtype=np.float64)
             if centroids is not None
             else _train_ivf_centroids(corpus, n_cells, id_col, vec_col))
-    cb = (np.asarray(codebooks, dtype=np.float64)
-          if codebooks is not None
-          else train_pq_codebooks(corpus, m, n_codes, id_col, vec_col))
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.float64)
+    elif residual:
+        cb = _train_pq_residual(corpus, cent, m, n_codes,
+                                id_col, vec_col)
+    else:
+        cb = train_pq_codebooks(corpus, m, n_codes, id_col, vec_col)
     mm_, _kk, sub = cb.shape
     spark = corpus.sparkSession
     bc_cent = spark.sparkContext.broadcast(cent)
@@ -1272,7 +1314,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             vu = v / n[:, None]
             # stable first-max = lowest cell id, the SQL tie rule
             cells = np.argmax(vu @ ct.T, axis=1).astype(np.int32)
-            codes = _pq_assign(vu, books, half_cc)
+            base = vu - ct[cells] if residual else vu
+            codes = _pq_assign(base, books, half_cc)
             objs = np.empty(len(vu), dtype=object)
             objs[:] = list(codes)
             yield pd.DataFrame({"neighbor_id": pdf["__id"],
@@ -1284,7 +1327,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     enc_df = src.mapInPandas(
         enc, schema="neighbor_id long, cell int, codes array<int>")
 
-    # queries: bounded driver pass — probe cells + per-query LUT
+    # queries: bounded driver pass — probe cells + per-query LUT(s)
     q_rows = (queries.select(F.col(id_col).alias("qid"),
                              _unit(F.col(vec_col)).alias("qv"))
               .collect())
@@ -1292,9 +1335,17 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     p = min(nprobe, cent.shape[0])
     probe = np.argsort(-(qv @ cent.T), axis=1, kind="stable")[:, :p]
-    lut = _pq_lut(qv, cb)
-    bc_lut = spark.sparkContext.broadcast(
-        {int(q): lut[j] for j, q in enumerate(qids)})
+    if residual:
+        # one LUT per (query, probed cell) over q − centroid[cell]:
+        # Q × nprobe × m × n_codes doubles — bounded, broadcastable
+        bc_lut = spark.sparkContext.broadcast(
+            {(int(qids[j]), int(c)):
+             _pq_lut((qv[j] - cent[int(c)])[None, :], cb)[0]
+             for j in range(len(qids)) for c in probe[j]})
+    else:
+        lut = _pq_lut(qv, cb)
+        bc_lut = spark.sparkContext.broadcast(
+            {int(q): lut[j] for j, q in enumerate(qids)})
     probe_df = spark.createDataFrame(
         [(int(qids[j]), int(c)) for j in range(len(qids))
          for c in probe[j]], schema="query_id long, cell int")
@@ -1307,21 +1358,28 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             if not len(pdf):
                 continue
             cds = np.stack(pdf["codes"].to_numpy())
-            qcol = pdf["query_id"].to_numpy()
             ad = np.zeros(len(pdf), dtype=np.float64)
-            for q in np.unique(qcol):
-                sel = qcol == q
-                sub_codes = cds[sel]
-                l = lt[int(q)]
-                acc = np.zeros(sel.sum(), dtype=np.float64)
+            if residual:
+                keys = pd.DataFrame({"q": pdf["query_id"].to_numpy(),
+                                     "c": pdf["cell"].to_numpy()})
+                groups = keys.groupby(["q", "c"]).indices.items()
+            else:
+                qcol = pdf["query_id"].to_numpy()
+                groups = ((int(q), np.flatnonzero(qcol == q))
+                          for q in np.unique(qcol))
+            for key, idx in groups:
+                l = lt[(int(key[0]), int(key[1]))] if residual \
+                    else lt[int(key)]
+                sub_codes = cds[idx]
+                acc = np.zeros(len(idx), dtype=np.float64)
                 for mi in range(l.shape[0]):
                     acc += l[mi, sub_codes[:, mi]]
-                ad[sel] = acc
-            yield pd.DataFrame({"query_id": qcol,
+                ad[idx] = acc
+            yield pd.DataFrame({"query_id": pdf["query_id"],
                                 "neighbor_id": pdf["neighbor_id"],
                                 "adist": ad})
 
-    scored = cand.select("query_id", "neighbor_id", "codes") \
+    scored = cand.select("query_id", "cell", "neighbor_id", "codes") \
                  .mapInPandas(score, schema="query_id long, "
                                             "neighbor_id long, "
                                             "adist double")

@@ -2099,3 +2099,54 @@ def test_bpe_trained_on_fixture_corpus(spark, sf_dir):
         words = re.findall(r"[a-z]+", (texts[r["doc_id"]] or "").lower())
         joined = "".join(r["tokens"])
         assert joined == "".join(w + "</w>" for w in words)
+
+
+def test_ivfpq_residual_recall_gain_at_equal_bytes(spark):
+    """Residual IVFPQ (r13, VERDICT r12 item 5): on clustered data —
+    the regime IVF cells model — quantizing v − centroid[cell]
+    instead of the raw vector must buy recall at EQUAL bytes
+    (same m, n_codes): residuals concentrate near the origin, so the
+    same codebook budget covers them far more densely (the FAISS
+    IVFPQ argument, verified end-to-end on the trained paths).
+    Deterministic throughout: splitmix cluster fixture, hash-ordered
+    sample training, no RNG."""
+    import math
+
+    def sm(i):
+        # splitmix-ish scramble -> [-1, 1)
+        x = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return ((x ^ (x >> 31)) >> 11) / float(1 << 53) * 2.0 - 1.0
+
+    dim, n_clu, n_vec = 64, 8, 400
+    centers = [[sm(c * dim + d) for d in range(dim)]
+               for c in range(n_clu)]
+    rows = []
+    for i in range(n_vec):
+        c = i % n_clu
+        v = [centers[c][d] + 0.12 * sm(10_000 + i * dim + d)
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, "
+                                         "embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 16)
+    brute = sim.cosine_topk(corpus, queries, k=10)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+
+    def recall(residual):
+        ann = sim.ivf_pq_topk(corpus, queries, k=10, n_cells=8,
+                              nprobe=4, m=8, n_codes=16,
+                              residual=residual)
+        a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+        return len(a & b) / len(b)
+
+    # deterministic readings on this fixture: res 0.456 vs raw 0.394
+    # (within-cluster fine structure is noise-scale, so 16 codes per
+    # subspace cap absolute recall — the EQUAL-BYTES GAIN is the pin)
+    r_res, r_raw = recall(True), recall(False)
+    assert r_res > r_raw, (
+        f"residual recall {r_res} must beat non-residual {r_raw} on "
+        "clustered data at equal bytes")
+    assert r_res >= 0.4, f"residual IVFPQ recall {r_res} too low"
