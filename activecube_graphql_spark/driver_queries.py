@@ -1213,6 +1213,72 @@ _BPE_FIXED_MERGES: list = [
 ]
 
 
+#: Injected byte-level merge table for the graded bpe_bytes row —
+#: GPT-2-style entries over the byte alphabet ('Ġ' = the space byte's
+#: stand-in), mirroring the real vocabularies' earliest merges; the
+#: trained path stays text.train_bpe (word-level, pytest-pinned).
+_BPE_BYTE_MERGES: list = [
+    ("\u0120", "t"), ("h", "e"), ("\u0120", "a"), ("i", "n"),
+    ("r", "e"), ("o", "n"), ("\u0120t", "he"), ("e", "r"),
+    ("\u0120", "s"), ("a", "t"), ("e", "n"), ("\u0120", "w"),
+]
+
+
+def _bpe_bytes_oracle() -> str:
+    """bpe_bytes twin: rendered FROM _BPE_BYTE_MERGES so the table and
+    the SQL cannot drift — pre-tokens via the shared BPE_PRETOKEN_RE
+    classes, the GPT-2 byte map reduced to its one non-identity case
+    on this corpus (space → 'Ġ'; the fixture text is printable ASCII,
+    asserted corpus-wide in tests/test_pipeline_ops.py), then one
+    boundary-safe chained replace per merge in rank order (the
+    rank-order-exhaustive ≡ greedy equivalence, host-fuzzed)."""
+    expr = ("'[' || array_to_string(string_split("
+            "replace(w, ' ', '\u0120'), ''), '][') || ']'")
+    for a, b in _BPE_BYTE_MERGES:
+        expr = f"replace({expr},\n                   '[{a}][{b}]', '[{a}{b}]')"
+    return f"""
+        WITH words AS (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(text),
+                          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS w
+            FROM documents),
+        enc AS (
+            SELECT source,
+                   {expr} AS s
+            FROM words),
+        toks AS (
+            SELECT source,
+                   unnest(string_split(s[2:len(s) - 1], '][')) AS tok
+            FROM enc)
+        SELECT source,
+               count(*) AS n_tokens,
+               count(DISTINCT tok) AS vocab
+        FROM toks GROUP BY source
+    """
+
+
+def q_bpe_bytes(spark, sf_dir):
+    """BYTE-LEVEL BPE tokenization graded end-to-end (r13, VERDICT r12
+    item 7 — the GPT-2-family scheme): pre-tokens from the shared
+    BPE_PRETOKEN_RE classes (space-prefixed runs — spaces live INSIDE
+    tokens), each pre-token becomes its UTF-8 bytes through the
+    gpt2_byte_map stand-ins (space → 'Ġ', total byte coverage: any
+    input tokenizes, nothing is OOV), merges run over the byte
+    alphabet with the canonical greedy lowest-rank loop (broadcast
+    ranks, Arrow-batched map-only). Same oracle discipline as
+    bpe_tokens: boundary-safe bracket encoding + one chained replace
+    per merge in rank order, rendered from the merge table itself.
+    Emits per-source token totals and the exact global sub-word
+    vocabulary size."""
+    docs = _docs(spark, sf_dir)
+    out = tx.bpe_tokenize(docs, _BPE_BYTE_MERGES, carry=("source",),
+                          byte_level=True)
+    ex = out.select("source", F.explode("tokens").alias("tok"))
+    return (ex.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("tok").alias("vocab")))
+
+
 def q_bpe_tokens(spark, sf_dir):
     """REAL BPE tokenization graded end-to-end (r12 — the tokenizer
     stops being a regex approximation): operators/text.bpe_tokenize
@@ -3842,6 +3908,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_recall_audit: NEW r13 (VERDICT r12 item 6 — approximate-ANN
     # recall as a graded number, not a pytest threshold)
     "ann_recall_audit": q_ann_recall_audit,
+    # bpe_bytes: NEW r13 (VERDICT r12 item 7 — GPT-2-family byte-level
+    # BPE with an injected merge table)
+    "bpe_bytes": q_bpe_bytes,
     # multimodal_jpeg: fixture changed r13 (every second asset now
     # progressive SOF2) -> manifest VOID until the driver re-grades
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -4046,6 +4115,7 @@ ORACLES: dict[str, str] = {
     """,
     "embed_ivfpq_ann": _ivfpq_ann_oracle(),
     "embed_ivfpq_res": _ivfpq_res_oracle(),
+    "bpe_bytes": _bpe_bytes_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,

