@@ -226,6 +226,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             if n == 0:
                 return p
 
+    transparent = None                  # GCE transparent color index
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:                                 # trailer
@@ -233,6 +234,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         if b == 0x21:                                 # extension
             if pos + 2 > len(payload):
                 raise ValueError("truncated GIF extension")
+            # graphic control extension: remember the transparency
+            # flag/index (ADVICE r12 — a transparent BACKGROUND index
+            # must not paint the background palette color)
+            if payload[pos + 1] == 0xF9 and pos + 7 <= len(payload) \
+                    and payload[pos + 2] >= 4 and payload[pos + 3] & 1:
+                transparent = payload[pos + 6]
             pos = skip_subblocks(pos + 2)
             continue
         if b != 0x2C:
@@ -288,10 +295,16 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
                 rgb[3 * i:3 * i + 3] = ct[3 * c:3 * c + 3]
             return w, h, bytes(rgb)
         # sub-screen frame: composite at (left, top) onto the
-        # background-colored logical-screen canvas
-        bg_rgb = (bytes(gct[3 * bg:3 * bg + 3])
-                  if gct is not None and bg < len(gct) // 3
-                  else b"\x00\x00\x00")
+        # background-colored logical-screen canvas; a background index
+        # the GCE marks TRANSPARENT renders as browsers/PIL flatten it
+        # — a neutral white fill, never the palette entry behind the
+        # transparent slot (ADVICE r12)
+        if transparent is not None and bg == transparent:
+            bg_rgb = b"\xff\xff\xff"
+        else:
+            bg_rgb = (bytes(gct[3 * bg:3 * bg + 3])
+                      if gct is not None and bg < len(gct) // 3
+                      else b"\x00\x00\x00")
         canvas = bytearray(bg_rgb * (sw * sh))
         for y in range(h):
             row = idx[y * w:(y + 1) * w]

@@ -229,7 +229,15 @@ def avi_frame(payload: bytes, idx: int, parsed: dict | None = None
     fourcc_pos = p["movi"][0]
     hdr = fourcc_pos + off
     if payload[hdr:hdr + 4] != ckid:
-        raise ValueError(f"idx1 entry {idx} does not land on {ckid!r}")
+        # ADVICE r12: some real muxers write idx1 offsets as ABSOLUTE
+        # file positions instead of movi-fourcc-relative; retry the
+        # offset as absolute before raising — the header/size
+        # re-validation below makes the fallback exactly as safe
+        if payload[off:off + 4] == ckid:
+            hdr = off
+        else:
+            raise ValueError(
+                f"idx1 entry {idx} does not land on {ckid!r}")
     (clen,) = struct.unpack("<I", payload[hdr + 4:hdr + 8])
     if clen != size:
         raise ValueError(

@@ -594,3 +594,54 @@ def test_mp4_auto_frame_decoder_dispatch():
     # the fake-ftyp test payload (offset-2 ftyp) still hits the fake
     assert mm.auto_frame_decoder(b"\x00\x00ftyp-fake", 0.0) \
         == mm.fake_frame_decoder(b"\x00\x00ftyp-fake", 0.0)
+
+
+def test_gif_transparent_background_renders_neutral_white():
+    """ADVICE r12: when the GCE marks the BACKGROUND index
+    transparent, the sub-screen canvas must render the browser/PIL
+    flattening (neutral white), not the palette color hiding behind
+    the transparent slot; an opaque background keeps the palette
+    color."""
+    from activecube_graphql_spark.operators import gif as G
+    pal = [(10, 20, 30), (200, 100, 50)]
+    inner = G.encode_gif(2, 2, bytes([1, 0, 0, 1]), pal)
+    buf = bytearray(inner)
+    struct.pack_into("<HH", buf, 6, 5, 4)            # sw, sh = 5x4
+    desc = bytes(buf).index(b"\x2C")
+    struct.pack_into("<HH", buf, desc + 1, 2, 1)     # left, top
+    # inject a GCE flagging index 0 (the background) transparent
+    gce = b"\x21\xF9\x04\x01\x00\x00\x00\x00"
+    trans = bytes(buf[:desc]) + gce + bytes(buf[desc:])
+    w, h, rgb = G.decode_gif(trans)
+    assert (w, h) == (5, 4)
+    px = [tuple(rgb[3 * i:3 * i + 3]) for i in range(20)]
+    assert px[0] == (255, 255, 255)                  # flattened bg
+    assert px[1 * 5 + 2] == (200, 100, 50)           # frame pixels keep
+    # opaque GCE (flag clear) keeps the palette background
+    gce_opaque = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    opaque = bytes(buf[:desc]) + gce_opaque + bytes(buf[desc:])
+    _, _, rgb2 = G.decode_gif(opaque)
+    assert tuple(rgb2[0:3]) == (10, 20, 30)
+
+
+def test_avi_idx1_absolute_offsets_fallback():
+    """ADVICE r12: real-world muxers sometimes write idx1 offsets as
+    ABSOLUTE file positions; the seek path must retry the offset as
+    absolute (header re-validation keeps a corrupt index raising)."""
+    from activecube_graphql_spark.operators import video as V
+    frames = _mjpeg_frames(16, 16, 3)
+    avi = bytearray(V.encode_avi(16, 16, frames, rate=5))
+    p = V._parse(bytes(avi))
+    i_start, i_len = p["idx1"]
+    fourcc_pos = p["movi"][0]
+    for e in range(i_len // 16):
+        (off,) = struct.unpack("<I", avi[i_start + 16 * e + 8:
+                                        i_start + 16 * e + 12])
+        struct.pack_into("<I", avi, i_start + 16 * e + 8,
+                         fourcc_pos + off)           # make absolute
+    for e, f in enumerate(frames):
+        assert V.avi_frame(bytes(avi), e) == f
+    # a genuinely wrong offset still raises under both conventions
+    struct.pack_into("<I", avi, i_start + 8, 7)
+    with pytest.raises(ValueError, match="does not land"):
+        V.avi_frame(bytes(avi), 0)
