@@ -1589,18 +1589,23 @@ def _jpeg_assets(spark, sf_dir):
         StructField("payload", BinaryType()),
     ])
 
+    import numpy as _np
+
     def gen(batches):
         for pdf in batches:
             ids, payloads = [], []
             for aid in pdf["doc_id"]:
                 aid = int(aid)
                 w, h = 16 * (1 + aid % 2), 16
-                px = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        v = 128 + 2 * (((aid * 7 + (x // 8) * 5
-                                         + (y // 8) * 3) % 49) - 24)
-                        px += bytes((v, v, v))
+                # constant-per-8×8-block raster, vectorized: the block
+                # grid first, np.repeat to pixels, grey triplicate
+                bx = _np.arange(w // 8)[None, :]
+                by = _np.arange(h // 8)[:, None]
+                vg = 128 + 2 * (((aid * 7 + bx * 5 + by * 3) % 49)
+                                - 24)
+                plane = _np.repeat(_np.repeat(vg, 8, axis=0), 8,
+                                   axis=1).astype(_np.uint8)
+                px = _np.repeat(plane[:, :, None], 3, axis=2).tobytes()
                 mode = aid % 3
                 rst = 2 if aid % 4 == 3 else 0
                 prog = aid % 2 == 1
@@ -1623,8 +1628,14 @@ def _jpeg_assets(spark, sf_dir):
             yield _pd.DataFrame({"asset_id": ids, "mime": "image/jpeg",
                                  "payload": payloads})
 
+    from .operators.dedup import ensure_parallelism
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # codec work amplifies each doc_id ~1000× (encode+decode per
+    # asset): fan the 8-split scan out to every core BEFORE the Arrow
+    # stages — the exchange carries bare doc_ids, never payloads
+    return (ensure_parallelism(docs.select("doc_id"))
+            .mapInPandas(gen, schema=schema))
 
 
 def q_multimodal_jpeg(spark, sf_dir):
@@ -1653,6 +1664,8 @@ def q_multimodal_jpeg(spark, sf_dir):
 
     from .operators import multimodal as mm
 
+    import numpy as _np
+
     def run(batches):
         for pdf in batches:
             ids, ws, hs, nb, ps = [], [], [], [], []
@@ -1662,7 +1675,8 @@ def q_multimodal_jpeg(spark, sf_dir):
                 ws.append(w)
                 hs.append(h)
                 nb.append(len(px))
-                ps.append(sum(px))
+                ps.append(int(_np.frombuffer(px, _np.uint8)
+                              .sum(dtype=_np.int64)))
             yield _pd.DataFrame({"asset_id": ids, "width": ws,
                                  "height": hs, "n_bytes": nb,
                                  "pix_sum": ps})
@@ -1958,8 +1972,13 @@ def _mp4_assets(spark, sf_dir):
                                  "mime": "video/mp4",
                                  "payload": payloads})
 
+    from .operators.dedup import ensure_parallelism
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (docs.select("doc_id").filter(F.col("doc_id") % 8 == 4)
+    # one video per 8 docs but n_frames JPEG passes per video: fan the
+    # narrow id scan out to every core before the codec stages
+    return (ensure_parallelism(
+                docs.select("doc_id").filter(F.col("doc_id") % 8 == 4))
             .mapInPandas(gen, schema=schema))
 
 
