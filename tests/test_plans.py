@@ -682,6 +682,9 @@ def test_no_cartesian_in_any_driver_row(spark):
         "source_kl",                        # top-V spine crossJoin
         "semantic_decontam",                # broadcast-bench fan-out
         "mmr_rerank",                       # broadcast-query fan-out
+        "ann_recall_audit",                 # composes the embed_topk
+                                            # brute-force arm + the LSH
+                                            # fan-out (both above)
     }
     for name, fn in QUERIES.items():
         plan = fmt(fn(spark, sf_dir))
