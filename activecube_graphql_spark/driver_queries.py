@@ -1916,9 +1916,13 @@ def _mp4_assets(spark, sf_dir):
     Variety keys on ``g = id // 8``: ``3 + g % 4`` JPEG samples at
     ``4 + g % 3`` fps (media timescale = rate, delta = 1), frame dims
     ``16·(1 + g % 2) × 16``, encode mode cycling ``g % 3`` grayscale /
-    4:4:4 / 4:2:0 — and the muxer chunks samples in PAIRS, so the
-    parser's general stsc sample-to-chunk resolution is inside the
-    graded corpus.
+    4:4:4 / 4:2:0 — the unfragmented muxer chunks samples in PAIRS so
+    the parser's general stsc sample-to-chunk resolution is inside
+    the graded corpus, and every SECOND asset (``id % 16 == 12``) is
+    FRAGMENTED fMP4 (moov-first empty tables + mvex/trex, moof/tfhd/
+    tfdt/trun per sample pair — the DASH-segment layout streaming
+    crawl video ships), so both ISO-BMFF sample-location mechanisms
+    are graded by the same oracle.
 
     Exactness: sample ``f`` is constant per 8×8 luma block with
     v = 128 + 2·(((g·11 + f·7 + bx·5 + by·3) mod 49) − 24) — the
@@ -1966,8 +1970,9 @@ def _mp4_assets(spark, sf_dir):
                                             subsampling="4:2:0")
                     frames.append(enc)
                 ids.append(aid)
-                payloads.append(M.encode_mp4(w, h, frames,
-                                             rate=4 + g % 3))
+                payloads.append(M.encode_mp4(
+                    w, h, frames, rate=4 + g % 3,
+                    fragmented=(aid % 16 == 12)))
             yield _pd.DataFrame({"asset_id": ids,
                                  "mime": "video/mp4",
                                  "payload": payloads})
@@ -1987,15 +1992,18 @@ def q_video_mp4(spark, sf_dir):
     r12 item 4): the vision-encoder feed shape on the second major
     container — a fixed 0.25 s grid per asset, each grid point
     resolved through the stts runs to a sample index, seeked through
-    the stsc/stco/stsz tables (operators/mp4.mp4_frame — table
-    resolve + ONE bounded read, no mdat walk: the sample tables ARE
-    the index, so the seek path needs no idx1 analogue) and decoded
-    by the real JPEG codec; the box walk is paid ONCE per asset and
-    reused across the grid.  Emits the resolved sample index and the
-    exact decoded raster sum; the oracle re-derives both from
-    floor(t·rate) (+ last-sample clamp) and the block formula — a
-    wrong stsc run resolution, a chunk-offset slip, or an off-by-one
-    in the stts map all change the output."""
+    the sample tables (operators/mp4.mp4_frame — table resolve + ONE
+    bounded read, no mdat walk: the sample tables ARE the index, so
+    the seek path needs no idx1 analogue) and decoded by the real
+    JPEG codec; the box walk is paid ONCE per asset and reused across
+    the grid.  The corpus cycles BOTH ISO-BMFF layouts: classic
+    moov-last stsc/stco/stsz files and fragmented fMP4 (moof/tfhd/
+    tfdt/trun — the DASH-segment shape), so both sample-location
+    mechanisms carry the same oracle.  Emits the resolved sample
+    index and the exact decoded raster sum; the oracle re-derives
+    both from floor(t·rate) (+ last-sample clamp) and the block
+    formula — a wrong stsc run resolution, a trun offset slip, or an
+    off-by-one in the stts map all change the output."""
     import pandas as _pd
 
     from .operators import mp4 as M
@@ -3888,31 +3896,36 @@ def q_bm25_topk(spark, sf_dir):
 # rows strictly first (tests/test_driver_contract.py enforces both rules,
 # plus the graded-hash manifest guard: a row whose query/oracle text or
 # rendered plan changes after its last green record re-enters tier 1).
-# r13 rotation (CORRECTNESS_r12: 50/50 green, zero red rows; manifest
+# r13 rotation FINAL (CORRECTNESS_r12: 50/50 green; manifest
 # re-stamped clean as round step 1 — tree unchanged since grading, the
-# r12-era multimodal_png VOID retired by its r12 green):
-#   tier 0 (35) — every remaining r10-evidence row, oldest evidence on
-#            record: the six tier-2 rows displaced by the late-r12
+# r12-era multimodal_png VOID retired by its r12 green; re-stamped
+# again after each new-row/fixture edit with --void multimodal_jpeg):
+#   tier 0 (5) — the four NEW r13 rows (video_mp4, embed_ivfpq_res,
+#            ann_recall_audit, bpe_bytes — never green) then
+#            multimodal_jpeg (r12-green but VOIDED: the r13 fixture
+#            cycles progressive SOF2 assets; its void stamp at the
+#            current tree makes it 'pending'/green-for-ordering, so
+#            the truly-never-green rows sit ABOVE it).
+#   tier 1 (35) — every remaining r10-evidence row, oldest evidence
+#            on record: the six tier-2 rows displaced by the late-r12
 #            additions (token_mixture .. value_bands) FIRST, then
 #            variant_json .. filter_like_between in registry order.
 #            After this rotation grades green, no registry row's
 #            latest green is older than r11.
-#   tier 1 (15) — the oldest r11-graded rows (trigram_lm ..
-#            stateful_user_stats), fill to 50.
-#   behind the window (84) — the remaining 34 r11-graded rows
-#            (stratified_sample .. ngram_jaccard), then the 50
-#            r12-graded rows (freshest evidence, multimodal_gif ..
-#            tfidf_terms).
-#   NEW never-green r13 rows, when added, are inserted at the VERY
-#   front and displace the tier-1 tail (those rows keep their valid
-#   r11 greens behind the window).
+#   tier 2 (10) — the oldest r11-graded rows (trigram_lm ..
+#            multimodal_frames), fill to 50.
+#   behind the window (88) — the remaining 39 r11-graded rows
+#            (multimodal_resize .. ngram_jaccard, incl. the five
+#            tier-2 rows the new additions displaced: their r11
+#            greens stay valid), then the 50 r12-graded rows
+#            (freshest evidence, multimodal_gif .. tfidf_terms).
 # NEXT-ROUND ROTATION (r14): once CORRECTNESS_r13 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
-# edits land after grading), move tiers 0-1 behind the window, and
-# pull forward the remaining 34 r11-evidence rows
-# (stratified_sample .. ngram_jaccard) plus any tier-1 rows displaced
-# by late-r13 additions, then fill to 50 with the oldest r12-graded
-# rows (multimodal_gif ..); any r13-red row stays at the very front.
+# edits land after grading), move tiers 0-2 behind the window, and
+# pull forward the remaining 39 r11-evidence rows FIRST
+# (multimodal_resize .. ngram_jaccard, five of them displaced tier-2
+# rows), then fill to 50 with the oldest r12-graded rows
+# (multimodal_gif ..); any r13-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never-green first: r13 rows added/voided this round.
     # NEW rows go ABOVE multimodal_jpeg: its r12 green + current-tree

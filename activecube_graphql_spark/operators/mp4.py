@@ -15,7 +15,10 @@ is :func:`.jpeg.decode_jpeg`.
   (one run), ``stsc`` with samples chunked in PAIRS (so the parser's
   general sample-to-chunk resolution is exercised, not a degenerate
   one-sample-per-chunk layout), ``stsz`` per-sample sizes, ``stco``
-  absolute chunk offsets.
+  absolute chunk offsets. ``fragmented=True`` muxes the fMP4/DASH
+  layout instead: moov-first with empty tables + ``mvex/trex``
+  defaults, then ``moof``+``mdat`` pairs (mfhd/tfhd/tfdt/trun) — the
+  segmented shape streaming crawl video actually ships.
 * ``mp4_meta``    — box-walk parse of the single video trak:
   dimensions (from the sample entry), timescale/delta rational, frame
   count, fps.
@@ -51,10 +54,19 @@ def _full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
 
 
 def encode_mp4(width: int, height: int, frames: list[bytes],
-               rate: int = 10, scale: int = 1) -> bytes:
-    """Mux complete JPEG frame payloads into an unfragmented
-    MJPEG-in-MP4 at ``rate/scale`` frames per second (media timescale
-    = ``rate``, per-sample delta = ``scale``)."""
+               rate: int = 10, scale: int = 1,
+               fragmented: bool = False) -> bytes:
+    """Mux complete JPEG frame payloads into MJPEG-in-MP4 at
+    ``rate/scale`` frames per second (media timescale = ``rate``,
+    per-sample delta = ``scale``).
+
+    ``fragmented=False``: the classic unfragmented layout (ftyp +
+    mdat + trailing moov with full sample tables). ``fragmented=True``
+    (r13): the fMP4/DASH layout real crawl video increasingly ships —
+    moov FIRST with EMPTY sample tables + ``mvex/trex`` defaults, then
+    one ``moof`` + ``mdat`` pair per TWO samples (mfhd sequence
+    numbers, tfhd with default-base-is-moof + default duration, tfdt
+    decode times, trun with data-offset + per-sample sizes)."""
     if width <= 0 or height <= 0:
         raise ValueError("MP4 dimensions must be positive")
     if rate <= 0 or scale <= 0:
@@ -68,22 +80,23 @@ def encode_mp4(width: int, height: int, frames: list[bytes],
     n = len(frames)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
                 + b"isom" + b"iso2")
-    mdat = _box(b"mdat", b"".join(frames))
-    # samples are laid out in chunks of TWO (general stsc path);
-    # chunk offsets are absolute file offsets into mdat's body
-    mdat_body = len(ftyp) + 8
     sizes = [len(f) for f in frames]
-    chunk_offs = []
-    off = mdat_body
-    for i in range(0, n, 2):
-        chunk_offs.append(off)
-        off += sum(sizes[i:i + 2])
-    stsc_entries = [(1, 2, 1)]
-    if n % 2:                           # odd tail chunk holds 1 sample
-        if n == 1:
-            stsc_entries = [(1, 1, 1)]
-        else:
-            stsc_entries.append((len(chunk_offs), 1, 1))
+    if not fragmented:
+        mdat = _box(b"mdat", b"".join(frames))
+        # samples are laid out in chunks of TWO (general stsc path);
+        # chunk offsets are absolute file offsets into mdat's body
+        mdat_body = len(ftyp) + 8
+        chunk_offs = []
+        off = mdat_body
+        for i in range(0, n, 2):
+            chunk_offs.append(off)
+            off += sum(sizes[i:i + 2])
+        stsc_entries = [(1, 2, 1)]
+        if n % 2:                       # odd tail chunk holds 1 sample
+            if n == 1:
+                stsc_entries = [(1, 1, 1)]
+            else:
+                stsc_entries.append((len(chunk_offs), 1, 1))
 
     duration = n * scale
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
@@ -110,15 +123,24 @@ def encode_mp4(width: int, height: int, frames: list[bytes],
              + struct.pack(">Hh", 24, -1))
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
                  + _box(b"jpeg", entry))
-    stts = _full(b"stts", 0, 0, struct.pack(">I", 1)
-                 + struct.pack(">II", n, scale))
-    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
-                 + b"".join(struct.pack(">III", *e)
-                            for e in stsc_entries))
-    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
-                 + b"".join(struct.pack(">I", s) for s in sizes))
-    stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
-                 + b"".join(struct.pack(">I", o) for o in chunk_offs))
+    if fragmented:                      # empty tables: samples in moof
+        stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    else:
+        stts = _full(b"stts", 0, 0, struct.pack(">I", 1)
+                     + struct.pack(">II", n, scale))
+        stsc = _full(b"stsc", 0, 0,
+                     struct.pack(">I", len(stsc_entries))
+                     + b"".join(struct.pack(">III", *e)
+                                for e in stsc_entries))
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+        stco = _full(b"stco", 0, 0,
+                     struct.pack(">I", len(chunk_offs))
+                     + b"".join(struct.pack(">I", o)
+                                for o in chunk_offs))
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
                  + _full(b"url ", 0, 1, b""))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
@@ -126,8 +148,42 @@ def encode_mp4(width: int, height: int, frames: list[bytes],
     minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    if not fragmented:
+        return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+    # ---- fMP4: moov first (empty tables + trex defaults), then one
+    # ---- moof+mdat pair per TWO samples
+    trex = _full(b"trex", 0, 0,
+                 struct.pack(">IIIII", 1, 1, scale, 0, 0))
+    out = bytearray(ftyp)
+    out += _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    seq = 1
+    base_time = 0
+    for i in range(0, n, 2):
+        chunk = frames[i:i + 2]
+        csizes = [len(f) for f in chunk]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: default-base-is-moof | default-sample-duration
+        tfhd = _full(b"tfhd", 0, 0x020008,
+                     struct.pack(">II", 1, scale))
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", base_time))
+
+        def trun_box(data_offset):
+            # flags: data-offset-present | sample-size-present
+            return _full(b"trun", 0, 0x000201,
+                         struct.pack(">Ii", len(chunk), data_offset)
+                         + b"".join(struct.pack(">I", s)
+                                    for s in csizes))
+
+        probe = _box(b"moof", mfhd + _box(b"traf",
+                                          tfhd + tfdt + trun_box(0)))
+        moof = _box(b"moof", mfhd + _box(b"traf",
+                                         tfhd + tfdt
+                                         + trun_box(len(probe) + 8)))
+        out += moof + _box(b"mdat", b"".join(chunk))
+        base_time += len(chunk) * scale
+        seq += 1
+    return bytes(out)
 
 
 # ---------------------------------------------------------------- demux
@@ -190,10 +246,18 @@ def _parse(payload: bytes) -> dict:
         if hn >= 8 and payload[hs + 4:hs + 8] == b"vide":
             if vtrak is not None:
                 raise ValueError("multiple MP4 video traks unsupported")
-            vtrak = (s, n, mdia)
+            track_id = 0
+            tkhd = _find(payload, s, n, b"tkhd")
+            if tkhd is not None:        # track id gates moof fragments
+                tv, _, ts_, tn_ = _fullbox(payload, *tkhd)
+                at = ts_ + (16 if tv == 1 else 8)
+                if at + 4 <= ts_ + tn_:
+                    (track_id,) = struct.unpack(
+                        ">I", payload[at:at + 4])
+            vtrak = (s, n, mdia, track_id)
     if vtrak is None:
         raise ValueError("MP4 has no video trak")
-    _, _, mdia = vtrak
+    _, _, mdia, track_id = vtrak
 
     mdhd = _find(payload, mdia[0], mdia[1], b"mdhd")
     if mdhd is None:
@@ -268,16 +332,19 @@ def _parse(payload: bytes) -> dict:
         sizes = list(struct.unpack(f">{count}I",
                                    payload[s + 8:s + 8 + 4 * count]))
 
-    # stsc: (first_chunk, samples_per_chunk, sdi) runs
+    # stsc: (first_chunk, samples_per_chunk, sdi) runs — may be EMPTY
+    # in a fragmented file (samples live in moof trun tables instead)
     _, _, s, n = _fullbox(payload, *tables[b"stsc"])
     (cnt,) = struct.unpack(">I", payload[s:s + 4])
-    if n < 4 + 12 * cnt or cnt == 0:
+    if n < 4 + 12 * cnt:
         raise ValueError("truncated MP4 stsc")
     stsc = [struct.unpack(">III", payload[s + 4 + 12 * i:
                                           s + 16 + 12 * i])
             for i in range(cnt)]
-    if stsc[0][0] != 1 or any(e[1] <= 0 for e in stsc):
+    if stsc and (stsc[0][0] != 1 or any(e[1] <= 0 for e in stsc)):
         raise ValueError("malformed MP4 stsc")
+    if not stsc and n_frames:
+        raise ValueError("MP4 stts has samples but stsc is empty")
 
     # stco/co64: chunk offsets
     key = b"stco" if b"stco" in tables else b"co64"
@@ -291,19 +358,146 @@ def _parse(payload: bytes) -> dict:
                                        s + 4 + w * (i + 1)])[0]
             for i in range(cnt)]
 
-    return {"width": width, "height": height, "timescale": timescale,
-            "stts": stts, "n_frames": n_frames, "sizes": sizes,
-            "stsc": stsc, "stco": stco, "payload_len": len(payload)}
+    p = {"width": width, "height": height, "timescale": timescale,
+         "stts": stts, "n_frames": n_frames, "sizes": sizes,
+         "stsc": stsc, "stco": stco, "payload_len": len(payload)}
+
+    if n_frames == 0:                   # ---- fMP4: samples in moofs
+        defaults = _trex_defaults(payload, moov, track_id)
+        samples, durations = _parse_fragments(payload, track_id,
+                                              defaults)
+        if not samples:
+            raise ValueError("MP4 has no samples (empty sample "
+                             "tables and no moof fragments)")
+        # RLE the per-sample durations into stts runs so the
+        # timestamp map is shared with the unfragmented path
+        runs: list[list[int]] = []
+        for d in durations:
+            if runs and runs[-1][1] == d:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, d])
+        p["stts"] = [tuple(r) for r in runs]
+        p["n_frames"] = len(samples)
+        p["sizes"] = [sz for _, sz in samples]
+        p["frag"] = samples             # direct (offset, size) table
+    return p
+
+
+def _trex_defaults(payload, moov, track_id) -> dict:
+    """mvex/trex defaults (sample duration/size) for this track."""
+    out = {"duration": 0, "size": 0}
+    mvex = _find(payload, moov[0], moov[1], b"mvex")
+    if mvex is None:
+        return out
+    for t, s, n in _boxes(payload, mvex[0], mvex[0] + mvex[1]):
+        if t != b"trex" or n < 24:
+            continue
+        tid, _sdi, ddur, dsize, _fl = struct.unpack(
+            ">IIIII", payload[s + 4:s + 24])
+        if tid == track_id:
+            out = {"duration": ddur, "size": dsize}
+    return out
+
+
+def _parse_fragments(payload, track_id, defaults):
+    """Walk top-level ``moof`` boxes and materialize this track's
+    samples from the traf/tfhd/trun tables: ``(offset, size)`` per
+    sample plus per-sample durations. Handles base-data-offset,
+    default-base-is-moof, tfhd/trex defaults, multiple truns per traf
+    (a data-offset-less trun continues where the previous one ended),
+    and skips other tracks' fragments (real files interleave audio)."""
+    samples: list[tuple[int, int]] = []
+    durations: list[int] = []
+    for t, s, n in _boxes(payload, 0, len(payload)):
+        if t != b"moof":
+            continue
+        moof_start = s - 8
+        for t2, s2, n2 in _boxes(payload, s, s + n):
+            if t2 != b"traf":
+                continue
+            tfhd = _find(payload, s2, n2, b"tfhd")
+            if tfhd is None:
+                raise ValueError("MP4 traf missing tfhd")
+            _, fl, ts, tn = _fullbox(payload, *tfhd)
+            q = ts
+            (tid,) = struct.unpack(">I", payload[q:q + 4])
+            q += 4
+            base = moof_start
+            if fl & 0x000001:           # base-data-offset
+                (base,) = struct.unpack(">Q", payload[q:q + 8])
+                q += 8
+            if fl & 0x000002:           # sample-description-index
+                q += 4
+            def_dur = defaults["duration"]
+            if fl & 0x000008:
+                (def_dur,) = struct.unpack(">I", payload[q:q + 4])
+                q += 4
+            def_size = defaults["size"]
+            if fl & 0x000010:
+                (def_size,) = struct.unpack(">I", payload[q:q + 4])
+                q += 4
+            if fl & 0x020000:           # default-base-is-moof
+                base = moof_start
+            if tid != track_id:
+                continue                # another track's fragment
+            cursor = None               # running offset across truns
+            for t3, s3, n3 in _boxes(payload, s2, s2 + n2):
+                if t3 != b"trun":
+                    continue
+                _, fl3, s4, n4 = _fullbox(payload, s3, n3)
+                (cnt,) = struct.unpack(">I", payload[s4:s4 + 4])
+                q3 = s4 + 4
+                if fl3 & 0x000001:      # data-offset-present
+                    (doff,) = struct.unpack(
+                        ">i", payload[q3:q3 + 4])
+                    q3 += 4
+                    cursor = base + doff
+                elif cursor is None:
+                    cursor = base
+                if fl3 & 0x000004:      # first-sample-flags
+                    q3 += 4
+                for _ in range(cnt):
+                    dur = def_dur
+                    if fl3 & 0x000100:
+                        (dur,) = struct.unpack(
+                            ">I", payload[q3:q3 + 4])
+                        q3 += 4
+                    size = def_size
+                    if fl3 & 0x000200:
+                        (size,) = struct.unpack(
+                            ">I", payload[q3:q3 + 4])
+                        q3 += 4
+                    if fl3 & 0x000400:  # per-sample flags
+                        q3 += 4
+                    if fl3 & 0x000800:  # composition offsets
+                        q3 += 4
+                    if q3 > s4 + n4:
+                        raise ValueError("truncated MP4 trun")
+                    if size <= 0:
+                        raise ValueError(
+                            "fMP4 sample without a size (no trun "
+                            "entry, tfhd default, or trex default)")
+                    if dur <= 0:
+                        raise ValueError(
+                            "fMP4 sample without a duration")
+                    samples.append((cursor, size))
+                    durations.append(dur)
+                    cursor += size
+    return samples, durations
 
 
 def _sample_location(p: dict, i: int) -> tuple[int, int]:
     """Absolute (offset, size) of sample ``i`` from the tables: stsc
     run walk → owning chunk, stco offset + within-chunk size prefix.
     Cost is bounded by table size and samples-per-chunk — never a
-    payload walk."""
+    payload walk. Fragmented files resolve through the materialized
+    trun table directly (one tuple read)."""
     if not 0 <= i < p["n_frames"]:
         raise ValueError(
             f"frame {i} out of range ({p['n_frames']} samples)")
+    if "frag" in p:
+        return p["frag"][i]
     stsc, stco, sizes = p["stsc"], p["stco"], p["sizes"]
     base = 0                            # first sample of current run
     for j, (first, spc, _sdi) in enumerate(stsc):

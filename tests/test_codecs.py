@@ -645,3 +645,41 @@ def test_avi_idx1_absolute_offsets_fallback():
     struct.pack_into("<I", avi, i_start + 8, 7)
     with pytest.raises(ValueError, match="does not land"):
         V.avi_frame(bytes(avi), 0)
+
+
+def test_fmp4_roundtrip_seek_and_defaults():
+    """fMP4 (r13): the fragmented layout recovers the same samples as
+    the classic one — moov-first empty tables + trex defaults,
+    moof/tfhd/tfdt/trun pairs, default-base-is-moof data offsets,
+    tfhd default durations — for every frame-count parity; seek ==
+    sequential walk; the timestamp map flows through the RLE'd trun
+    durations."""
+    for n in (1, 2, 3, 4, 5, 7):
+        frames = _mk_frames(n, seed=n)
+        flat = M.encode_mp4(32, 16, frames, rate=6)
+        frag = M.encode_mp4(32, 16, frames, rate=6, fragmented=True)
+        assert frag != flat and b"moof" in frag and b"trex" in frag
+        assert M.mp4_frames(frag) == M.mp4_frames(flat) == frames
+        p = M._parse(frag)
+        for i in range(n):
+            assert M.mp4_frame(frag, i, parsed=p) == frames[i]
+        assert M.frame_index_at(p, 99.0) == n - 1
+        m = M.mp4_meta(frag)
+        assert (m["n_frames"], m["fps"]) == (n, 6.0)
+
+
+def test_fmp4_corruption_rejected():
+    """A corrupt trun sample size re-validates at the SOI/bounds check
+    and raises — the idx1-discipline applied to fragment tables."""
+    frames = _mk_frames(4, seed=9)
+    enc = bytearray(M.encode_mp4(16, 16, frames, rate=4,
+                                 fragmented=True))
+    i = enc.index(b"trun")
+    struct.pack_into(">I", enc, i + 16, 5)        # sample 0 size
+    with pytest.raises(ValueError, match="not a JPEG|exceeds"):
+        M.mp4_frames(bytes(enc))
+    # empty tables AND no moofs is an honest rejection, not 0 frames
+    flat = M.encode_mp4(16, 16, frames, rate=4, fragmented=True)
+    no_moof = flat[:flat.index(b"moof") - 4]
+    with pytest.raises(ValueError, match="no samples"):
+        M._parse(no_moof)
