@@ -1257,6 +1257,67 @@ def _bpe_bytes_oracle() -> str:
     """
 
 
+#: Deterministic messy-URL synthesis for the graded url_canon row —
+#: a portable fragment (rendered for BOTH engines) over doc_id/source,
+#: deliberately cycling every canonicalization hazard: scheme case,
+#: www + subdomain prefixes, default/non-default explicit ports,
+#: trailing slashes, unsorted query params, fragments.
+_URL_SYNTH = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 "
+    "THEN 'https' ELSE 'HtTpS' END,"
+    "'://',"
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.cdn.' ELSE '' END,"
+    "source, '-Site.COM',"
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 "
+    "THEN ':80' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,"
+    "'/Path/', TO_STR(doc_id % 50),"
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
+    "CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' WHEN doc_id % 3 = 1 "
+    "THEN '?a=1&b=2' ELSE '' END,"
+    "CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)")
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization + per-domain crawl rollup (r13;
+    beyond-reference: the crawl-side dedup a training pipeline runs
+    before any content-level dedup). Deterministic messy URLs —
+    mixed-case schemes/hosts, www+subdomain prefixes, explicit
+    default AND non-default ports, unsorted query params, fragments,
+    trailing slashes — are canonicalized by operators/web.py
+    canonicalize_urls (pure built-in string algebra from the
+    URL_STEPS portable-fragment chain: map-only, codegen'd, no UDF)
+    and rolled up per PSL-approximate registered domain: raw URL
+    count, DISTINCT canonical URLs (the gap IS the dedup win), and
+    the https share. The oracle renders the IDENTICAL step chain for
+    DuckDB (web.canon_steps_sql), so engine/oracle drift is
+    impossible by construction."""
+    from .operators import web
+    from .functions.portable import render as _render
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id", "source",
+        _render(_URL_SYNTH, "spark") + " AS url")
+    return web.domain_counts(urls, "url")
+
+
+def _url_canon_oracle() -> str:
+    from .operators import web
+    from .functions.portable import render as _render
+    src = ("SELECT doc_id, source, " + _render(_URL_SYNTH, "duckdb")
+           + " AS url FROM documents")
+    staged = web.canon_steps_sql("duckdb", src)
+    return f"""
+        SELECT domain,
+               count(*) AS n_urls,
+               count(DISTINCT canon_url) AS n_canonical,
+               count(CASE WHEN scheme = 'https' THEN 1 END) AS n_https
+        FROM {staged}
+        GROUP BY domain ORDER BY domain
+    """
+
+
 def q_bpe_bytes(spark, sf_dir):
     """BYTE-LEVEL BPE tokenization graded end-to-end (r13, VERDICT r12
     item 7 — the GPT-2-family scheme): pre-tokens from the shared
@@ -3943,6 +4004,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bpe_bytes: NEW r13 (VERDICT r12 item 7 — GPT-2-family byte-level
     # BPE with an injected merge table)
     "bpe_bytes": q_bpe_bytes,
+    # url_canon: NEW r13 (beyond-reference: crawl-side URL
+    # canonicalization + per-domain rollup, the cheapest dedup lever)
+    "url_canon": q_url_canon,
     # multimodal_jpeg: fixture changed r13 (every second asset now
     # progressive SOF2) -> manifest VOID until the driver re-grades
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -4148,6 +4212,7 @@ ORACLES: dict[str, str] = {
     "embed_ivfpq_ann": _ivfpq_ann_oracle(),
     "embed_ivfpq_res": _ivfpq_res_oracle(),
     "bpe_bytes": _bpe_bytes_oracle(),
+    "url_canon": _url_canon_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,

@@ -27,6 +27,11 @@ Macros:
                            (1-based start, length n, clamps at the end)
     LIST_JOIN(x, sep)    → array_join(x, sep)     | array_to_string(x, sep)
     LIST_MAX(x)          → array_max(x)           | list_max(x)
+    LIST_SORT(x)         → sort_array(x)          | list_sort(x)
+    SPLIT_LIT(x, sep)    → split(x, sep)          | string_split(x, sep)
+                           (sep must be a literal with no regex
+                           metacharacters — Spark's split is regex)
+    TO_STR(x)            → cast(x as string)      | cast(x as varchar)
     MD5_BUCKET(x, m)     → cast(conv(substring(   | CAST('0x' ||
                              md5(x),1,8),16,10)       substr(md5(x),1,8)
                              as bigint) % m           AS BIGINT) % m
@@ -52,6 +57,8 @@ _MACROS = {
         "LIST_HAS": "array_contains",
         "LIST_AT": "element_at",
         "LIST_MAX": "array_max",
+        "LIST_SORT": "sort_array",
+        "SPLIT_LIT": "split",
     },
     "duckdb": {
         "ARRAY_LEN": "len",
@@ -62,6 +69,8 @@ _MACROS = {
         "LIST_HAS": "list_contains",
         "LIST_AT": "list_extract",
         "LIST_MAX": "list_max",
+        "LIST_SORT": "list_sort",
+        "SPLIT_LIT": "string_split",
     },
 }
 
@@ -152,6 +161,8 @@ def render(sql: str, engine: str) -> str:
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, '')")
         out = _rewrite(out, "REGEX_SUB",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})")
+        out = _rewrite(out, "TO_STR",
+                       lambda a: f"cast({a[0]} as string)")
     else:
         out = _rewrite(out, "LIST_FSUM",
                        lambda a: f"coalesce(cast(list_sum({a[0]}) "
@@ -176,6 +187,8 @@ def render(sql: str, engine: str) -> str:
         out = _rewrite(out, "REGEX_SUB",
                        lambda a: f"regexp_replace({a[0]}, {a[1]}, "
                                  f"{a[2]}, 'g')")
+        out = _rewrite(out, "TO_STR",
+                       lambda a: f"cast({a[0]} as varchar)")
 
     for macro, fn in _MACROS[engine].items():
         out = out.replace(macro + "(", fn + "(")

@@ -1,0 +1,121 @@
+"""URL canonicalization + domain rollups — the crawl-side dedup ops a
+training-data pipeline runs before any content-level dedup (r13;
+beyond-reference: the LLM-pipeline brief).
+
+A raw crawl frontier stores the same page under many spellings —
+scheme/host case, explicit default ports, ``www.`` prefixes, unsorted
+query parameters, fragments, trailing slashes. Canonicalizing before
+content fetch/dedup is the cheapest dedup in the whole pipeline: pure
+string algebra, map-only, no shuffle.
+
+Everything here is expressed through the portable-fragment vocabulary
+(:mod:`..functions.portable`), so the Spark query and its DuckDB
+oracle render from ONE ordered step list (:data:`URL_STEPS`) — the
+engine/oracle pair cannot drift by construction. All regexes are
+backslash-free ('[.]' classes instead of escapes) because Spark SQL
+and DuckDB string literals disagree on backslash handling.
+
+Canonical form (documented policy, the common-crawl conventions):
+
+* scheme and host lowercased; ``www.`` prefix dropped;
+* explicit DEFAULT ports dropped (``:80`` for http, ``:443`` for
+  https); non-default ports kept;
+* fragment dropped;
+* query parameters sorted lexicographically (``?b=2&a=1`` ≡
+  ``?a=1&b=2``); empty query dropped;
+* trailing slashes stripped from the path; empty path rendered ``/``;
+  path CASE IS KEPT (URL paths are case-sensitive);
+* ``domain`` = the last two dot-labels of the canonical host — a
+  deliberate public-suffix-list APPROXIMATION (the real PSL is a data
+  file; ``example.co.uk``-style suffixes group one level too high and
+  that is documented, not hidden).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions.portable import render
+
+#: Ordered canonicalization steps: (column, fragment). Each fragment
+#: may reference the url column as {url} and any PRIOR step column by
+#: name — rendered into a staged subquery chain for either engine by
+#: :func:`canon_steps_sql`, and applied engine-side by
+#: :func:`canonicalize_urls`. ONE source of truth for both.
+URL_STEPS: tuple[tuple[str, str], ...] = (
+    # fragment dropped first: nothing after '#' survives
+    ("nofrag", "REGEX_STRIP({url}, '#.*$')"),
+    ("scheme", "lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1))"),
+    ("rest", "REGEX_STRIP(nofrag, '^[A-Za-z]+://')"),
+    ("hostport", "regexp_extract(rest, '^([^/?]*)', 1)"),
+    ("pathq", "substr(rest, length(hostport) + 1)"),
+    ("host", "REGEX_STRIP(REGEX_STRIP(lower(hostport), ':[0-9]+$'), "
+             "'^www[.]')"),
+    ("port", "regexp_extract(hostport, ':([0-9]+)$', 1)"),
+    ("portk", "CASE WHEN port = '' "
+              "OR (scheme = 'https' AND port = '443') "
+              "OR (scheme = 'http' AND port = '80') "
+              "THEN '' ELSE concat(':', port) END"),
+    ("rawpath", "regexp_extract(pathq, '^([^?]*)', 1)"),
+    ("path", "CASE WHEN REGEX_STRIP(rawpath, '/+$') = '' THEN '/' "
+             "ELSE REGEX_STRIP(rawpath, '/+$') END"),
+    ("qstr", "regexp_extract(pathq, '[?](.+)$', 1)"),
+    ("qcanon", "CASE WHEN qstr = '' THEN '' ELSE concat('?', "
+               "LIST_JOIN(LIST_SORT(SPLIT_LIT(qstr, '&')), '&')) END"),
+    ("canon_url", "concat(scheme, '://', host, portk, path, qcanon)"),
+    ("domain", "regexp_extract(host, '([^.]+[.][^.]+)$', 1)"),
+)
+
+#: step columns that are intermediate plumbing, dropped from the
+#: canonical output surface
+_INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "port",
+                 "portk", "rawpath", "qstr", "qcanon")
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      keep_intermediate: bool = False) -> DataFrame:
+    """Append ``scheme``, ``host``, ``path``, ``canon_url`` and
+    ``domain`` columns derived from ``url_col``.
+
+    Map-only string algebra over built-in expressions — whole-stage
+    codegen end-to-end, no UDF, no shuffle: at 100 TB this runs at
+    scan speed and is the cheapest dedup lever in the pipeline."""
+    out = df
+    for name, frag in URL_STEPS:
+        out = out.selectExpr(
+            "*", render(frag.format(url=url_col), "spark")
+            + f" AS {name}")
+    if not keep_intermediate:
+        out = out.drop(*_INTERMEDIATE)
+    return out
+
+
+def canon_steps_sql(engine: str, source_select: str,
+                    url_expr: str = "url") -> str:
+    """The same step chain as nested subqueries for raw SQL — the
+    DuckDB oracle path (``engine='duckdb'``), but valid Spark SQL too
+    (``engine='spark'``), so tests can pin that both renderings agree
+    row-for-row. ``source_select`` must select ``{url_expr}`` plus any
+    carry columns."""
+    sql = f"({source_select})"
+    for name, frag in URL_STEPS:
+        col = render(frag.format(url=url_expr), engine)
+        sql = f"(SELECT *, {col} AS {name} FROM {sql})"
+    return sql
+
+
+def domain_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain crawl rollup: raw URL count, DISTINCT canonical
+    URLs (the dedup win is the gap between the two), and the https
+    share — grouped on the PSL-approximate registered domain. One
+    partial-agg shuffle on the domain key; canonicalization itself is
+    map-side."""
+    from pyspark.sql import functions as F
+
+    c = canonicalize_urls(df, url_col)
+    return (c.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("canon_url").alias("n_canonical"),
+                 F.count(F.when(F.col("scheme") == "https", 1))
+                 .alias("n_https"))
+            .orderBy("domain"))

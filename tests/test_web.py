@@ -1,0 +1,103 @@
+"""URL canonicalization (operators/web.py, r13) — the crawl-side
+dedup ops. Pins the one-source-of-truth property (DataFrame path ≡
+SQL rendering ≡ DuckDB rendering) and the canonical-form policy on
+hand-picked hazards."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from activecube_graphql_spark.operators import web
+
+CASES = [
+    # (raw, scheme, host, path, canon)
+    ("HTTP://WWW.Ex.COM:80/A/b/?b=2&a=1#f", "http", "ex.com", "/A/b",
+     "http://ex.com/A/b?a=1&b=2"),
+    ("https://ex.com:443/x", "https", "ex.com", "/x",
+     "https://ex.com/x"),
+    ("https://ex.com:8080/x", "https", "ex.com", "/x",
+     "https://ex.com:8080/x"),
+    # 443 is NOT http's default: kept
+    ("http://ex.com:443/x", "http", "ex.com", "/x",
+     "http://ex.com:443/x"),
+    ("HtTpS://CDN.Sub.Ex.ORG", "https", "cdn.sub.ex.org", "/",
+     "https://cdn.sub.ex.org/"),
+    ("http://ex.com#only-frag", "http", "ex.com", "/",
+     "http://ex.com/"),
+    ("http://ex.com/?z=1&a=2&m=3", "http", "ex.com", "/",
+     "http://ex.com/?a=2&m=3&z=1"),
+    ("http://www.ex.com///", "http", "ex.com", "/",
+     "http://ex.com/"),
+]
+
+
+def test_url_canonical_policy(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, *_) in
+                                enumerate(CASES)], "i long, url string")
+    got = {r["i"]: r for r in web.canonicalize_urls(df, "url").collect()}
+    for i, (raw, scheme, host, path, canon) in enumerate(CASES):
+        r = got[i]
+        assert (r["scheme"], r["host"], r["path"], r["canon_url"]) \
+            == (scheme, host, path, canon), raw
+
+
+def test_url_steps_single_source_of_truth(spark):
+    """The DataFrame path, the Spark-SQL rendering, and the DuckDB
+    rendering of URL_STEPS must agree row-for-row — drift between the
+    graded engine path and its oracle is impossible only if all three
+    stay one artifact."""
+    rows = [(i, raw) for i, (raw, *_) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "i long, url string")
+    df.createOrReplaceTempView("urls_v")
+    api = {r["i"]: (r["scheme"], r["host"], r["path"], r["canon_url"],
+                    r["domain"])
+           for r in web.canonicalize_urls(df, "url").collect()}
+    sql = ("SELECT i, scheme, host, path, canon_url, domain FROM "
+           + web.canon_steps_sql("spark", "SELECT * FROM urls_v"))
+    via_sql = {r["i"]: tuple(r[1:]) for r in spark.sql(sql).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls_v AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{u}')" for i, u in rows)
+                + ") t(i, url)")
+    dsql = ("SELECT i, scheme, host, path, canon_url, domain FROM "
+            + web.canon_steps_sql("duckdb", "SELECT * FROM urls_v"))
+    via_duck = {r[0]: tuple(r[1:]) for r in con.sql(dsql).fetchall()}
+    assert api == via_sql == via_duck
+
+
+def test_domain_counts_rollup_and_plan(spark):
+    """Per-domain rollup: the n_urls/n_canonical gap counts the
+    canonicalization dedup win; the plan stays UDF-free (whole-stage
+    string algebra) with the only exchanges belonging to the
+    domain-keyed aggregate."""
+    rows = [
+        (0, "http://www.a.com/x?b=2&a=1"),
+        (1, "HTTP://A.COM/x?a=1&b=2"),       # same canon as 0? no: www
+        (2, "http://a.com/x/?a=1&b=2"),      # == 1 after slash strip
+        (3, "https://b.org:443/y"),
+        (4, "https://b.org/y#frag"),         # == 3
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = {r["domain"]: r for r in
+           web.domain_counts(df, "url").collect()}
+    assert out["a.com"]["n_urls"] == 3
+    assert out["a.com"]["n_canonical"] == 1   # all collapse
+    assert out["a.com"]["n_https"] == 0
+    assert out["b.org"]["n_urls"] == 2
+    assert out["b.org"]["n_canonical"] == 1
+    assert out["b.org"]["n_https"] == 2
+    plan = (web.domain_counts(df, "url")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_url_psl_approximation_documented():
+    """The domain column is the documented last-two-labels
+    approximation — co.uk-style suffixes group one level high, by
+    policy not accident."""
+    assert "APPROXIMATION" in web.__doc__
+    import re
+    frag = dict(web.URL_STEPS)["domain"]
+    assert re.search(r"\[\^\.\]\+\[\.\]\[\^\.\]\+", frag) \
+        or "[^.]+[.][^.]+" in frag
