@@ -3973,18 +3973,18 @@ def q_bm25_topk(spark, sf_dir):
 #            variant_json .. filter_like_between in registry order.
 #            After this rotation grades green, no registry row's
 #            latest green is older than r11.
-#   tier 2 (10) — the oldest r11-graded rows (trigram_lm ..
-#            multimodal_frames), fill to 50.
-#   behind the window (88) — the remaining 39 r11-graded rows
-#            (multimodal_resize .. ngram_jaccard, incl. the five
+#   tier 2 (9) — the oldest r11-graded rows (trigram_lm ..
+#            limit_by), fill to 50.
+#   behind the window (89) — the remaining 40 r11-graded rows
+#            (multimodal_frames .. ngram_jaccard, incl. the six
 #            tier-2 rows the new additions displaced: their r11
 #            greens stay valid), then the 50 r12-graded rows
 #            (freshest evidence, multimodal_gif .. tfidf_terms).
 # NEXT-ROUND ROTATION (r14): once CORRECTNESS_r13 lands green, run
 # tools/update_manifest.py (tree unchanged — NO --void unless new
 # edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the remaining 39 r11-evidence rows FIRST
-# (multimodal_resize .. ngram_jaccard, five of them displaced tier-2
+# pull forward the remaining 40 r11-evidence rows FIRST
+# (multimodal_frames .. ngram_jaccard, six of them displaced tier-2
 # rows), then fill to 50 with the oldest r12-graded rows
 # (multimodal_gif ..); any r13-red row stays at the very front.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
