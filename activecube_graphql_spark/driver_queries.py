@@ -3980,38 +3980,78 @@ def q_bm25_topk(spark, sf_dir):
 #            tier-2 rows the new additions displaced: their r11
 #            greens stay valid), then the 50 r12-graded rows
 #            (freshest evidence, multimodal_gif .. tfidf_terms).
-# NEXT-ROUND ROTATION (r14): once CORRECTNESS_r13 lands green, run
-# tools/update_manifest.py (tree unchanged — NO --void unless new
-# edits land after grading), move tiers 0-2 behind the window, and
-# pull forward the remaining 40 r11-evidence rows FIRST
-# (multimodal_frames .. ngram_jaccard, six of them displaced tier-2
-# rows), then fill to 50 with the oldest r12-graded rows
-# (multimodal_gif ..); any r13-red row stays at the very front.
+# r14 ROTATION (VERDICT r13 item 1): all 50 r13 rows graded green ->
+# behind the window; the 40 r11-evidence rows (the oldest tier) pull
+# forward, led by the rows this round EDITS (their evidence voids at
+# the edited tree, so they must lead per the never-green guard):
+# lang_id (trained NB path), multimodal_gif / video_frames /
+# video_sample / multimodal_audio (ensure_parallelism id fan-out),
+# url_canon (PSL snapshot) and bpe_bytes (whitespace-run pretoken
+# fix) — the latter two are r13-green so they ride the round-boundary
+# carve-out tier. NEW never-green rows (html_extract, warc_records,
+# unigram_tok, audio_flac) go at the VERY front as they land.
+# NEXT-ROUND ROTATION (r15): re-stamp the manifest at the graded
+# tree, move this window behind, pull the remaining 45 r12-evidence
+# rows (embed_pq_ann .. tfidf_terms) forward and fill to 50 with the
+# oldest r13-graded rows (video_mp4 ..).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never-green first: r13 rows added/voided this round.
-    # NEW rows go ABOVE multimodal_jpeg: its r12 green + current-tree
-    # void stamp makes it 'pending' (green for ordering) under the
-    # round-boundary carve-out, so truly-never-green rows must lead ---
-    # video_mp4: NEW r13 (VERDICT r12 item 4 — MJPEG-in-MP4 ISO-BMFF
-    # demux over the real JPEG codec)
-    "video_mp4": q_video_mp4,
-    # embed_ivfpq_res: NEW r13 (VERDICT r12 item 5 — FAISS residual
-    # encoding on the IVFPQ composition)
-    "embed_ivfpq_res": q_embed_ivfpq_res,
-    # ann_recall_audit: NEW r13 (VERDICT r12 item 6 — approximate-ANN
-    # recall as a graded number, not a pytest threshold)
-    "ann_recall_audit": q_ann_recall_audit,
-    # bpe_bytes: NEW r13 (VERDICT r12 item 7 — GPT-2-family byte-level
-    # BPE with an injected merge table)
-    "bpe_bytes": q_bpe_bytes,
-    # url_canon: NEW r13 (beyond-reference: crawl-side URL
-    # canonicalization + per-domain rollup, the cheapest dedup lever)
+    # --- edited-this-round rows: evidence voids at the edited
+    # --- tree (not green in the newest CORRECTNESS) -> lead ---
+    "lang_id": q_lang_id,
+    "multimodal_gif": q_multimodal_gif,
+    "video_frames": q_video_frames,
+    "video_sample": q_video_sample,
+    "multimodal_audio": q_multimodal_audio,
+    # --- edited r13-green rows: pending under the
+    # --- round-boundary carve-out, after the tier above ---
     "url_canon": q_url_canon,
-    # multimodal_jpeg: fixture changed r13 (every second asset now
-    # progressive SOF2) -> manifest VOID until the driver re-grades
+    "bpe_bytes": q_bpe_bytes,
+    # --- the 39 remaining r11-evidence rows (oldest tier;
+    # --- lang_id moved up) — all re-graded this round ---
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "neardup_clusters": q_neardup_clusters,
+    "offset": q_offset,
+    "sort_by_integer": q_sort_by_integer,
+    "stateful_user_stats": q_stateful_user_stats,
+    "stratified_sample": q_stratified_sample,
+    "union_typename": q_union_typename,
+    "asof_join": q_asof_join,
+    "click_purchase_join": q_click_purchase_join,
+    "containment": q_containment,
+    "decontam": q_decontam,
+    "doc_chunks": q_doc_chunks,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "edit_verified": q_edit_verified,
+    "bm25_topk": q_bm25_topk,
+    "heavy_hitters": q_heavy_hitters,
+    "embed_topk": q_embed_topk,
+    "embed_range": q_embed_range,
+    "embed_neardup": q_embed_neardup,
+    "embed_keep": q_embed_keep,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
+    "knn_vote": q_knn_vote,
+    "hard_negatives": q_hard_negatives,
+    "semantic_decontam": q_semantic_decontam,
+    "semantic_dedup": q_semantic_dedup,
+    "mmr_rerank": q_mmr_rerank,
+    "embed_stats": q_embed_stats,
+    "embed_centroids": q_embed_centroids,
+    "histogram": q_histogram,
+    "lm_buckets": q_lm_buckets,
+    "minhash_lsh_verified": q_minhash_lsh,
+    "mixture_sample": q_mixture_sample,
+    "moving_avg": q_moving_avg,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_meta": q_multimodal_meta,
+    "neardup_keep": q_neardup_keep,
+    "ngram_jaccard": q_ngram_jaccard,
+    # --- behind the window: the 48 r13-graded rows ---
+    "video_mp4": q_video_mp4,
+    "embed_ivfpq_res": q_embed_ivfpq_res,
+    "ann_recall_audit": q_ann_recall_audit,
     "multimodal_jpeg": q_multimodal_jpeg,
-    # --- tier 0 (35): the r10-evidence cohort, oldest on record
-    # --- (VERDICT r12 item 1: six displaced tier-2 rows first) ---
     "token_mixture": q_token_mixture,
     "top_terms": q_top_terms,
     "transitions": q_transitions,
@@ -4047,7 +4087,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_and_list": q_filter_and_list,
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
-    # --- tier 1 (15): oldest r11-graded rows, fill to 50 ---
     "trigram_lm": q_trigram_lm,
     "curated_survivors": q_curated_survivors,
     "filter_null_ops": q_filter_null_ops,
@@ -4057,55 +4096,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_topn": q_graphql_topn,
     "json_subfield": q_json_subfield,
     "limit_by": q_limit_by,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "neardup_clusters": q_neardup_clusters,
-    "offset": q_offset,
-    "sort_by_integer": q_sort_by_integer,
-    "stateful_user_stats": q_stateful_user_stats,
-    # --- behind the window: the remaining 34 r11-graded rows ---
-    "stratified_sample": q_stratified_sample,
-    "union_typename": q_union_typename,
-    "asof_join": q_asof_join,
-    "click_purchase_join": q_click_purchase_join,
-    "containment": q_containment,
-    "decontam": q_decontam,
-    "doc_chunks": q_doc_chunks,
-    "dup_cluster_sizes": q_dup_cluster_sizes,
-    "edit_verified": q_edit_verified,
-    "bm25_topk": q_bm25_topk,
-    "heavy_hitters": q_heavy_hitters,
-    "embed_topk": q_embed_topk,
-    "embed_range": q_embed_range,
-    "embed_neardup": q_embed_neardup,
-    "embed_keep": q_embed_keep,
-    "embed_lsh_ann": q_embed_lsh_ann,
-    "embed_ivf_ann": q_embed_ivf_ann,
-    "knn_vote": q_knn_vote,
-    "hard_negatives": q_hard_negatives,
-    "semantic_decontam": q_semantic_decontam,
-    "semantic_dedup": q_semantic_dedup,
-    "mmr_rerank": q_mmr_rerank,
-    "embed_stats": q_embed_stats,
-    "embed_centroids": q_embed_centroids,
-    "histogram": q_histogram,
-    "lang_id": q_lang_id,
-    "lm_buckets": q_lm_buckets,
-    "minhash_lsh_verified": q_minhash_lsh,
-    "mixture_sample": q_mixture_sample,
-    "moving_avg": q_moving_avg,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_meta": q_multimodal_meta,
-    "neardup_keep": q_neardup_keep,
-    "ngram_jaccard": q_ngram_jaccard,
-    # --- behind the window: the 50 r12-graded rows (freshest) ---
-    "multimodal_gif": q_multimodal_gif,
+    # --- behind the window: the 45 remaining r12-graded rows ---
     "embed_pq_ann": q_embed_pq_ann,
     "bpe_tokens": q_bpe_tokens,
     "embed_ivfpq_ann": q_embed_ivfpq_ann,
-    "video_frames": q_video_frames,
-    "video_sample": q_video_sample,
-    "multimodal_audio": q_multimodal_audio,
     "trigram_buckets": q_trigram_buckets,
     "neardup_clusters_dist": q_neardup_clusters_dist,
     "multimodal_png": q_multimodal_png,
