@@ -221,6 +221,27 @@ def main() -> None:
         timings[name] = measure_row(spark, lambda: fn(spark, sf_dir))
         classes[name] = row_class(fn(spark, sf_dir))
 
+    # Tail re-measure (r14, VERDICT r13 item 2): a sub-second row whose
+    # 3-run window collides with transient host contention reads 2-3x
+    # its freeze while the suite total moves a few percent — the r13
+    # driver record flagged `rollup` at 2.75x this way (repo run the
+    # same day: 0.77x; standalone re-measure: 1.0x calibrated).  Any
+    # row whose first reading breaches 1.5x its freeze is re-measured
+    # ONCE at the end of the suite (same v2 discipline: clearCache,
+    # warm-up, median-of-3) and the MIN of the two medians is recorded
+    # — transient contention is gone by the tail, a real regression
+    # reproduces and stays flagged.  Both readings land in the record
+    # (`remeasured`) so the correction is never silent.
+    freezes_early = load_freezes() if sf == 0.1 else {}
+    remeasured: dict[str, list[float]] = {}
+    for name, t in list(timings.items()):
+        fz = freezes_early.get(name)
+        if fz and t / fz > 1.5:
+            fn = QUERIES[name]
+            again = measure_row(spark, lambda: fn(spark, sf_dir))
+            remeasured[name] = [t, again]
+            timings[name] = min(t, again)
+
     # calibration probes, LAST — first/last bracket intra-run drift;
     # `probe_last` is the yardstick (fully-warmed session, the state
     # every registry row after the first few is measured in; the
@@ -261,7 +282,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": "v2 per-row clearCache + 1 warm-up + median-of-3",
+        "protocol": "v2 per-row clearCache + 1 warm-up + median-of-3; "
+                    ">1.5x-raw rows tail-remeasured once, min recorded",
+        "remeasured": remeasured,
         "calibration": {
             "jvm": {"probe_first_sec": cal_first,
                     "probe_last_sec": cal_last,
