@@ -1331,6 +1331,90 @@ def _url_canon_oracle() -> str:
     """
 
 
+# HTML fixture synthesis (r14, VERDICT r13 item 3): a realistic page
+# around each document's text — head/style/script junk (with fake
+# close tags inside string literals), nav + footer + related-links
+# boilerplate (short and/or link-saturated), a comment hiding fake
+# content, entities in a KEPT block, inline tags inside paragraphs,
+# and the text itself as three <p>/<div> slices. One portable
+# fragment builds the page ENGINE-side; the oracle never parses HTML
+# — it re-derives the expected extraction from the same slice
+# formulas over documents.text (the codec-grading discipline applied
+# to markup: any tag-boundary, entity, density or block-split bug in
+# operators/htmltext.py changes n_blocks/n_kept/text).
+_HTML_SYNTH = (
+    "concat("
+    "'<html><head><title>Doc ', TO_STR(doc_id), '</title>',"
+    "'<style>p { color: red; }</style>',"
+    "'<script>var x = 1 < 2 && \"</p> fake\";</script></head>',"
+    "'<body><nav><ul><li><a href=\"/\">Home</a></li>',"
+    "'<li><a href=\"/about\">About</a></li></ul></nav>',"
+    "'<!-- hidden <p>never appears</p> -->',"
+    "'<h1>Doc ', TO_STR(doc_id), ' &amp; Friends</h1>',"
+    "'<p>Q&amp;A intro: <em>', substr(text, 1, 100), '</em></p>',"
+    "'<div>', substr(text, 101, 150),"
+    "' <a href=\"/r\">see more</a></div>',"
+    "'<p>', substr(text, 251, 400), '</p>',"
+    "'<div><a href=\"/a\">read the documentation pages</a> '"
+    ",'<a href=\"/b\">browse the archive index</a></div>',"
+    "'<footer>(c) 2026 <a href=\"/t\">Terms</a> '"
+    ",'<a href=\"/p\">Privacy</a></footer>',"
+    "'</body></html>')")
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML→text extraction graded end-to-end (r14, VERDICT r13
+    item 3 — the crawl-ingestion front door): deterministic pages are
+    synthesized ENGINE-side around each document's text (_HTML_SYNTH:
+    head/script/style junk with fake close tags in string literals,
+    comment-hidden fake content, nav/footer/related-links
+    boilerplate, entities and inline tags inside the content) and
+    extracted by the REAL dependency-free parser
+    (operators/htmltext.py: element removal -> block split -> tag
+    strip -> entity decode -> whitespace collapse -> jusText-style
+    length + link-density keep rules) inside Arrow mapInPandas —
+    map-only, zero exchanges, plan-pinned. Emits the block accounting
+    AND the extracted text itself; the oracle re-derives all three
+    from the slice formulas over documents.text without parsing —
+    independent derivations meeting at the value hash."""
+    from .functions.portable import render as _render
+    from .operators import htmltext as ht
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = docs.selectExpr(
+        "doc_id", _render(_HTML_SYNTH, "spark") + " AS html")
+    out = ht.extract_text_df(html, "html", carry=("doc_id",))
+    return out.select("doc_id", "n_blocks", "n_kept", "text")
+
+
+# expected-extraction oracle: the engine's collapse(tag->space) +
+# trim normalization reduces, on this fixture's alphabet, to
+# trim(regexp_replace(s, ' +', ' ')); keep2 (density 8/len <= 0.33
+# with len >= 25) is exactly len >= 25 over integers
+_HTML_EXTRACT_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               trim(regexp_replace('Q&A intro: ' || substr(text, 1, 100),
+                                   ' +', ' ', 'g')) AS p1,
+               trim(regexp_replace(substr(text, 101, 150) || ' see more',
+                                   ' +', ' ', 'g')) AS p2,
+               trim(regexp_replace(substr(text, 251, 400),
+                                   ' +', ' ', 'g')) AS p3
+        FROM documents)
+    SELECT doc_id,
+           CAST(7 + CASE WHEN length(p3) > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS n_blocks,
+           CAST(1 + CASE WHEN length(p2) >= 25 THEN 1 ELSE 0 END
+                  + CASE WHEN length(p3) >= 25 THEN 1 ELSE 0 END
+                AS INTEGER) AS n_kept,
+           p1 || CASE WHEN length(p2) >= 25
+                      THEN chr(10) || p2 ELSE '' END
+              || CASE WHEN length(p3) >= 25
+                      THEN chr(10) || p3 ELSE '' END AS text
+    FROM d
+"""
+
+
 def q_bpe_bytes(spark, sf_dir):
     """BYTE-LEVEL BPE tokenization graded end-to-end (r13, VERDICT r12
     item 7 — the GPT-2-family scheme): pre-tokens from the shared
@@ -4008,6 +4092,10 @@ def q_bm25_topk(spark, sf_dir):
 # rows (embed_pq_ann .. tfidf_terms) forward and fill to 50 with the
 # oldest r13-graded rows (video_mp4 ..).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- NEW never-green rows (r14) lead the window ---
+    # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
+    # extraction, the crawl-ingestion front door)
+    "html_extract": q_html_extract,
     # --- edited-this-round rows: evidence voids at the edited
     # --- tree (not green in the newest CORRECTNESS) -> lead ---
     "lang_id": q_lang_id,
@@ -4220,6 +4308,7 @@ ORACLES: dict[str, str] = {
     "embed_ivfpq_res": _ivfpq_res_oracle(),
     "bpe_bytes": _bpe_bytes_oracle(),
     "url_canon": _url_canon_oracle(),
+    "html_extract": _HTML_EXTRACT_ORACLE,
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,
