@@ -1415,6 +1415,120 @@ _HTML_EXTRACT_ORACLE = """
 """
 
 
+# WARC fixture URL (r14): exercises scheme/host case, www prefix,
+# default port, unsorted query, fragment AND the PSL snapshot (co.uk)
+_WARC_URL_SYNTH = ("concat('HTTP://WWW.', source, '-Site.CO.UK:80/warc/',"
+                   " TO_STR(doc_id), '?b=2&a=1#Frag')")
+
+
+def _warc_assets(spark, sf_dir):
+    """Deterministic WARC member per document (r14, VERDICT r13
+    item 4): warcinfo + request + response records through the real
+    encoder (operators/warc.encode_warc). The request record's body
+    deliberately contains `WARC/1.0` magic and CRLF-CRLF sequences —
+    a parser that splits on magic or blank lines instead of walking
+    Content-Length mis-frames the member and the oracle catches it.
+    The response body is the SAME engine-side _HTML_SYNTH page as the
+    html_extract row, so no text logic is duplicated in Python."""
+    import pandas as _pd
+
+    from .functions.portable import render as _render
+    from .operators import warc as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.selectExpr(
+        "doc_id",
+        _render(_WARC_URL_SYNTH, "spark") + " AS url",
+        _render(_HTML_SYNTH, "spark") + " AS html")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in range(len(pdf)):
+                doc_id = int(pdf["doc_id"].iloc[i])
+                url = str(pdf["url"].iloc[i])
+                html = str(pdf["html"].iloc[i])
+                request = (b"GET /warc HTTP/1.1\r\nHost: decoy\r\n\r\n"
+                           b"WARC/1.0\r\nWARC-Type: response\r\n"
+                           b"Content-Length: 0\r\n\r\n\r\n\r\ndecoy")
+                response = (b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n"
+                            b"Server: synth\r\n\r\n" + html.encode())
+                payload = W.encode_warc([
+                    {"type": "warcinfo",
+                     "payload": b"software: acgs-warc-fixture\r\n"
+                                b"format: WARC file version 1.0\r\n",
+                     "content_type": "application/warc-fields"},
+                    {"type": "request", "uri": url, "payload": request,
+                     "content_type": "application/http;msgtype=request"},
+                    {"type": "response", "uri": url, "payload": response,
+                     "content_type": "application/http;msgtype=response"},
+                ])
+                ids.append(doc_id)
+                payloads.append(payload)
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return base.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def q_warc_records(spark, sf_dir):
+    """WARC → url_canon → html_extract, the pipeline's true front door
+    graded end-to-end (r14, VERDICT r13 item 4): the length-prefixed
+    record walk (operators/warc.parse_warc — Content-Length framing,
+    never magic/blank-line splitting; the fixture plants decoy magic
+    inside a request body), response-type filtering, the HTTP
+    header/body split, URL canonicalization through the PSL snapshot,
+    and main-content extraction — one map-only, zero-exchange plan
+    (plan-pinned in tests/test_plans.py). The oracle re-derives every
+    column from the synthesis formulas (canon_steps_sql over the url
+    fragment; the html slice formulas) without touching a byte of
+    WARC — a one-byte framing slip changes status/n_records/text."""
+    from .operators import htmltext as ht
+    from .operators import warc as W
+    from .operators import web
+
+    resp = W.warc_responses(_warc_assets(spark, sf_dir), "payload",
+                            carry=("doc_id",))
+    ext = ht.extract_text_df(
+        resp, "body", carry=("doc_id", "url", "status", "n_records"))
+    out = web.canonicalize_urls(ext, "url")
+    return out.select("doc_id", "n_records", "status", "domain",
+                      "canon_url", "n_kept", "text")
+
+
+def _warc_records_oracle() -> str:
+    from .functions.portable import render as _render
+    from .operators import web
+
+    src = ("SELECT doc_id, text, " + _render(_WARC_URL_SYNTH, "duckdb")
+           + " AS url FROM documents")
+    staged = web.canon_steps_sql("duckdb", src)
+    return f"""
+        WITH c AS (SELECT doc_id, text, domain, canon_url FROM {staged}),
+        d AS (
+            SELECT doc_id, domain, canon_url,
+                   trim(regexp_replace('Q&A intro: ' || substr(text, 1, 100),
+                                       ' +', ' ', 'g')) AS p1,
+                   trim(regexp_replace(substr(text, 101, 150) || ' see more',
+                                       ' +', ' ', 'g')) AS p2,
+                   trim(regexp_replace(substr(text, 251, 400),
+                                       ' +', ' ', 'g')) AS p3
+            FROM c)
+        SELECT doc_id,
+               CAST(3 AS INTEGER) AS n_records,
+               CAST(200 AS INTEGER) AS status,
+               domain, canon_url,
+               CAST(1 + CASE WHEN length(p2) >= 25 THEN 1 ELSE 0 END
+                      + CASE WHEN length(p3) >= 25 THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_kept,
+               p1 || CASE WHEN length(p2) >= 25
+                          THEN chr(10) || p2 ELSE '' END
+                  || CASE WHEN length(p3) >= 25
+                          THEN chr(10) || p3 ELSE '' END AS text
+        FROM d
+    """
+
+
 def q_bpe_bytes(spark, sf_dir):
     """BYTE-LEVEL BPE tokenization graded end-to-end (r13, VERDICT r12
     item 7 — the GPT-2-family scheme): pre-tokens from the shared
@@ -4096,6 +4210,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
     # extraction, the crawl-ingestion front door)
     "html_extract": q_html_extract,
+    # warc_records: NEW r14 (VERDICT r13 item 4 — WARC record walk ->
+    # url_canon -> html_extract, the full ingestion chain)
+    "warc_records": q_warc_records,
     # --- edited-this-round rows: evidence voids at the edited
     # --- tree (not green in the newest CORRECTNESS) -> lead ---
     "lang_id": q_lang_id,
@@ -4309,6 +4426,7 @@ ORACLES: dict[str, str] = {
     "bpe_bytes": _bpe_bytes_oracle(),
     "url_canon": _url_canon_oracle(),
     "html_extract": _HTML_EXTRACT_ORACLE,
+    "warc_records": _warc_records_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,

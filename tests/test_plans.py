@@ -930,6 +930,30 @@ def test_media_codec_rows_plan_shapes(spark):
         assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), name
 
 
+def test_ingestion_rows_plan_shapes(spark):
+    """Plan pins for the r14 crawl-ingestion rows (VERDICT r13 items
+    3-4): map-only, ZERO exchanges end-to-end.
+
+    * html_extract — a doc_id+text-only pruned scan, the engine-side
+      page synthesis as a codegen'd Project, ONE Arrow stage (the
+      parser); nothing shuffles.
+    * warc_records — the same scan plus url synthesis, THREE chained
+      Arrow stages (WARC member build, record walk + HTTP split,
+      main-content extraction) and the codegen'd URL_STEPS chain;
+      payloads never shuffle."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    for name, n_arrow in [("html_extract", 1), ("warc_records", 3)]:
+        plan = (QUERIES[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, name
+        assert len(re.findall(r"MapInPandas", plan)) == n_arrow, name
+        assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string",
+                         plan), name
+
+
 def test_pq_and_bpe_rows_plan_shapes(spark):
     """Scale-shape pins for the late-r12 ANN/tokenizer rows:
 
