@@ -1529,6 +1529,87 @@ def _warc_records_oracle() -> str:
     """
 
 
+# Injected unigram-LM piece table (r14, VERDICT r13 item 5): integer
+# centinat costs (round(-log p · 100) scale). Single characters at a
+# uniform 600 keep segmentation total; the multi-character pieces are
+# chosen to create REAL DP decisions on the corpus vocabulary —
+# overlapping pieces ('the' vs 'th', 'part' vs 'art', 'que'+'ry' vs
+# singles), whole-word pieces, and prefix/suffix fragments.
+_UNIGRAM_COSTS: dict[str, int] = {
+    **{c: 600 for c in "abcdefghijklmnopqrstuvwxyz"},
+    "the": 250, "data": 300, "line": 305, "in": 310, "part": 315,
+    "er": 320, "sort": 325, "an": 330, "join": 335, "or": 340,
+    "key": 345, "th": 350, "scan": 355, "re": 360, "row": 365,
+    "on": 370, "merge": 375, "at": 380, "table": 385, "en": 390,
+    "st": 440, "ing": 450, "hash": 460, "val": 465, "que": 480,
+    "ue": 490, "ry": 495, "art": 470, "ow": 500, "sm": 505,
+}
+
+#: DP unroll depth for the oracle — corpus max word length is 8
+#: ('customer'); 12 leaves margin and is asserted engine-side
+_UNIGRAM_DP_LEN = 12
+
+
+def q_unigram_tok(spark, sf_dir):
+    """Unigram-LM (SentencePiece-family) tokenization graded
+    end-to-end (r14, VERDICT r13 item 5 — the OTHER tokenizer
+    production LMs use): Viterbi minimum-cost segmentation per word
+    under the injected integer piece table (operators/text.py
+    viterbi_segment — broadcast vocab, Arrow map-only, the
+    bpe_tokenize plan shape). The DP minimizes the encoded value
+    cost·1000 + piece-count lexicographically, which is PATH-UNIQUE
+    even when segmentations tie, so the graded aggregates (summed
+    cost and piece count per source) grade the DP itself rather than
+    a tie-break. The oracle runs the IDENTICAL DP in pure SQL — the
+    recurrence unrolled to _UNIGRAM_DP_LEN chained stages, one
+    least() over the piece table per prefix length, rendered FROM the
+    table itself (the rank-exhaustive oracle discipline of
+    bpe_tokens). The trained path (text.train_unigram — substring
+    seeding, forward-backward EM over the word-frequency table,
+    prune, all at train_bpe's altitude) stays the serving default,
+    pytest-pinned."""
+    docs = _docs(spark, sf_dir)
+    out = tx.unigram_tokenize(docs, _UNIGRAM_COSTS, carry=("source",))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("um_cost").alias("total_cost"),
+                 F.sum(F.col("n_pieces").cast("long"))
+                 .alias("n_tokens")))
+
+
+def _unigram_tok_oracle() -> str:
+    """The Viterbi DP as chained SQL stages, generated from
+    _UNIGRAM_COSTS: dp_i = least over pieces p (len l <= i) of
+    dp_{i-l} + cost(p)*1000 + 1 — the same lexicographic
+    (cost, piece-count) encoding the engine minimizes."""
+    costs = _UNIGRAM_COSTS
+    sql = ("(SELECT doc_id, source, "
+           "unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w, "
+           "0 AS dp0 FROM documents)")
+    for i in range(1, _UNIGRAM_DP_LEN + 1):
+        terms = []
+        for p, c in sorted(costs.items()):
+            l = len(p)
+            if l > i:
+                continue
+            terms.append(f"CASE WHEN substr(w, {i - l + 1}, {l}) = "
+                         f"'{p}' THEN dp{i - l} + {c * 1000 + 1} END")
+        sql = (f"(SELECT *, least({', '.join(terms)}) AS dp{i} "
+               f"FROM {sql})")
+    case = ("CASE length(w) "
+            + " ".join(f"WHEN {i} THEN dp{i}"
+                       for i in range(1, _UNIGRAM_DP_LEN + 1))
+            + " END")
+    return f"""
+        SELECT source,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(({case}) // 1000) AS BIGINT) AS total_cost,
+               CAST(sum(({case}) % 1000) AS BIGINT) AS n_tokens
+        FROM {sql}
+        GROUP BY source
+    """
+
+
 def q_bpe_bytes(spark, sf_dir):
     """BYTE-LEVEL BPE tokenization graded end-to-end (r13, VERDICT r12
     item 7 — the GPT-2-family scheme): pre-tokens from the shared
@@ -4213,6 +4294,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # warc_records: NEW r14 (VERDICT r13 item 4 — WARC record walk ->
     # url_canon -> html_extract, the full ingestion chain)
     "warc_records": q_warc_records,
+    # unigram_tok: NEW r14 (VERDICT r13 item 5 — SentencePiece-family
+    # unigram-LM tokenizer, Viterbi DP vs an unrolled-DP SQL oracle)
+    "unigram_tok": q_unigram_tok,
     # --- edited-this-round rows: evidence voids at the edited
     # --- tree (not green in the newest CORRECTNESS) -> lead ---
     "lang_id": q_lang_id,
@@ -4427,6 +4511,7 @@ ORACLES: dict[str, str] = {
     "url_canon": _url_canon_oracle(),
     "html_extract": _HTML_EXTRACT_ORACLE,
     "warc_records": _warc_records_oracle(),
+    "unigram_tok": _unigram_tok_oracle(),
     "semantic_dedup": _semantic_dedup_oracle(),
     # formerly staged rows, registered r05
     "unigram_lm": _UNIGRAM_LM_ORACLE,
