@@ -683,3 +683,105 @@ def test_fmp4_corruption_rejected():
     no_moof = flat[:flat.index(b"moof") - 4]
     with pytest.raises(ValueError, match="no samples"):
         M._parse(no_moof)
+
+
+# ------------------------------------------------------------------
+# FLAC (operators/flac.py, r14 — VERDICT r13 item 8)
+# ------------------------------------------------------------------
+
+def _flac_sig(aid, n):
+    return [((aid * 31 + i * 17) % 201) - 100 for i in range(n)]
+
+
+def test_flac_roundtrip_all_subframe_families():
+    from activecube_graphql_spark.operators import flac as FL
+
+    for aid in range(12):
+        n = 64 + 32 * (aid % 5)
+        mode = ("constant", "verbatim", "fixed", "lpc")[aid % 4]
+        s = ([(aid * 7 % 201) - 100] * n if mode == "constant"
+             else _flac_sig(aid, n))
+        enc = FL.encode_flac(8000, s, mode=mode,
+                             partition_order=1 if aid % 3 == 0 else 0)
+        sr, bits, out, info = FL.decode_flac(enc)
+        assert (sr, bits) == (8000, 16)
+        assert out == s, (aid, mode)
+        assert info["modes"] == [mode]
+
+
+def test_flac_multiframe_and_compression():
+    from activecube_graphql_spark.operators import flac as FL
+
+    s = _flac_sig(7, 10000)
+    enc = FL.encode_flac(8000, s, mode="fixed", block_size=4096)
+    sr, bits, out, info = FL.decode_flac(enc)
+    assert out == s and info["n_frames"] == 3
+    # rice-coded fixed-order-2 beats raw PCM on this signal
+    assert len(enc) < 2 * len(s)
+
+
+def test_flac_variants_wasted_escape_rice2_orders():
+    from activecube_graphql_spark.operators import flac as FL
+
+    s4 = [x * 4 for x in _flac_sig(3, 96)]
+    assert FL.decode_flac(FL.encode_flac(
+        8000, s4, mode="fixed", wasted_bits=2))[2] == s4
+    s = _flac_sig(5, 64)
+    assert FL.decode_flac(FL.encode_flac(
+        8000, s, mode="fixed", force_escape=True))[2] == s
+    s = _flac_sig(9, 64)
+    assert FL.decode_flac(FL.encode_flac(
+        8000, s, mode="lpc", rice2=True, lpc_coefs=[5, -3, 1],
+        lpc_shift=2))[2] == s
+    for order in range(5):
+        s = _flac_sig(11 + order, 64)
+        assert FL.decode_flac(FL.encode_flac(
+            8000, s, mode="fixed", order=order))[2] == s
+    # 8-bit depth
+    s8 = [v % 100 - 50 for v in _flac_sig(13, 80)]
+    assert FL.decode_flac(FL.encode_flac(
+        8000, s8, bits=8, mode="verbatim"))[2] == s8
+
+
+def test_flac_integrity_layers_reject_corruption():
+    import pytest
+
+    from activecube_graphql_spark.operators import flac as FL
+
+    s = _flac_sig(2, 96)
+    enc = FL.encode_flac(8000, s, mode="fixed")
+    with pytest.raises(ValueError, match="magic"):
+        FL.decode_flac(b"fLaX" + enc[4:])
+    with pytest.raises(ValueError):
+        FL.decode_flac(enc[:-3])  # truncated frame
+    # flip a residual bit mid-frame: CRC-16 must catch it
+    bad = bytearray(enc)
+    bad[len(bad) - 10] ^= 0x10
+    with pytest.raises(ValueError, match="CRC|truncated|unary"):
+        FL.decode_flac(bytes(bad))
+    # corrupt the frame header: CRC-8 must catch it
+    hdr = bytearray(enc)
+    # frame starts right after 4(magic)+4(block hdr)+34(streaminfo)
+    hdr[42 + 2] ^= 0x04
+    with pytest.raises(ValueError, match="CRC-8|sync|reserved"):
+        FL.decode_flac(bytes(hdr))
+    # tamper the STREAMINFO MD5: decoded PCM no longer matches
+    md5bad = bytearray(enc)
+    md5bad[42 - 16] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        FL.decode_flac(bytes(md5bad))
+
+
+def test_flac_honest_rejections():
+    import pytest
+
+    from activecube_graphql_spark.operators import flac as FL
+
+    with pytest.raises(ValueError, match="at least one"):
+        FL.encode_flac(8000, [])
+    with pytest.raises(ValueError, match="constant"):
+        FL.encode_flac(8000, [1, 2], mode="constant")
+    with pytest.raises(ValueError, match="range"):
+        FL.encode_flac(8000, [40000], bits=16)
+    with pytest.raises(ValueError, match="divisible"):
+        FL.encode_flac(8000, [3], wasted_bits=2)

@@ -914,10 +914,11 @@ def test_media_codec_rows_plan_shapes(spark):
     from activecube_graphql_spark.driver_queries import QUERIES
 
     for name in ["multimodal_jpeg", "multimodal_gif", "video_frames",
-                 "video_sample", "video_mp4", "multimodal_audio"]:
+                 "video_sample", "video_mp4", "multimodal_audio",
+                 "audio_flac"]:
         plan = (QUERIES[name](spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
-        if name in ("multimodal_jpeg", "video_mp4"):
+        if name in ("multimodal_jpeg", "video_mp4", "audio_flac"):
             # r13: the codec stage amplifies each doc_id ~1000×, so
             # these fixtures fan the narrow scan out to every core —
             # exactly ONE round-robin exchange carrying bare doc_ids,
