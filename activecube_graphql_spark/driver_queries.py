@@ -4388,7 +4388,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_flac": q_audio_flac,
     # --- edited-this-round rows: evidence voids at the edited
     # --- tree (not green in the newest CORRECTNESS) -> lead ---
-    "lang_id": q_lang_id,
     "multimodal_gif": q_multimodal_gif,
     "video_frames": q_video_frames,
     "video_sample": q_video_sample,
@@ -4397,8 +4396,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-boundary carve-out, after the tier above ---
     "url_canon": q_url_canon,
     "bpe_bytes": q_bpe_bytes,
-    # --- the 39 remaining r11-evidence rows (oldest tier;
-    # --- lang_id moved up) — all re-graded this round ---
+    # --- the 40 remaining r11-evidence rows (oldest tier) —
+    # --- all re-graded this round. lang_id is UNEDITED (VERDICT r13
+    # --- item 7 resolved as the pytest-contract arm: the trained NB
+    # --- is real but the fixture text carries no language signal —
+    # --- see tests/test_pipeline_ops.py) so it stays green-ordered --
+    "lang_id": q_lang_id,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "neardup_clusters": q_neardup_clusters,
