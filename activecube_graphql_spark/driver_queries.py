@@ -1240,7 +1240,7 @@ def _bpe_bytes_oracle() -> str:
         WITH words AS (
             SELECT doc_id, source,
                    unnest(regexp_extract_all(lower(text),
-                          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS w
+                          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +', 0)) AS w
             FROM documents),
         enc AS (
             SELECT source,
@@ -2076,8 +2076,14 @@ def _gif_assets(spark, sf_dir):
             yield _pd.DataFrame({"asset_id": ids, "mime": "image/gif",
                                  "payload": payloads})
 
+    from .operators.dedup import ensure_parallelism
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # r14: the LZW encode+decode amplifies each doc_id like the JPEG
+    # rows — fan the 8-split narrow id scan out to every core first
+    # (one round-robin exchange of bare ids; payloads never shuffle)
+    return (ensure_parallelism(docs.select("doc_id"))
+            .mapInPandas(gen, schema=schema))
 
 
 def q_multimodal_gif(spark, sf_dir):
@@ -2179,8 +2185,14 @@ def _avi_assets(spark, sf_dir):
                                  "mime": "video/x-msvideo",
                                  "payload": payloads})
 
+    from .operators.dedup import ensure_parallelism
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (docs.select("doc_id").filter(F.col("doc_id") % 8 == 0)
+    # r14: one video per 8 docs but n_frames PPM rasters per video —
+    # fan the narrow id scan out before the codec stages (JPEG-row
+    # discipline; bare ids only)
+    return (ensure_parallelism(
+                docs.select("doc_id").filter(F.col("doc_id") % 8 == 0))
             .mapInPandas(gen, schema=schema))
 
 
@@ -2416,8 +2428,14 @@ def _wav_assets(spark, sf_dir):
             yield _pd.DataFrame({"asset_id": ids, "mime": "audio/wav",
                                  "payload": payloads})
 
+    from .operators.dedup import ensure_parallelism
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # r14: PCM synth+RIFF build per doc is cheap but per-id work still
+    # dominates the 8-way input splits at sf0.1 — same id fan-out as
+    # the sibling codec fixtures
+    return (ensure_parallelism(docs.select("doc_id"))
+            .mapInPandas(gen, schema=schema))
 
 
 def q_multimodal_audio(spark, sf_dir):

@@ -407,6 +407,16 @@ def _parse_fragments(payload, track_id, defaults):
     default-base-is-moof, tfhd/trex defaults, multiple truns per traf
     (a data-offset-less trun continues where the previous one ended),
     and skips other tracks' fragments (real files interleave audio)."""
+    try:
+        return _parse_fragments_walk(payload, track_id, defaults)
+    except struct.error:
+        # a truncated moof makes some tfhd/trun field unpack run past
+        # the box end; surface it as the documented rejection instead
+        # of a raw struct.error (ADVICE r13)
+        raise ValueError("truncated MP4 tfhd/trun") from None
+
+
+def _parse_fragments_walk(payload, track_id, defaults):
     samples: list[tuple[int, int]] = []
     durations: list[int] = []
     for t, s, n in _boxes(payload, 0, len(payload)):
@@ -546,6 +556,11 @@ def mp4_frame(payload: bytes, idx: int, parsed: dict | None = None
     once per asset."""
     p = parsed if parsed is not None else _parse(payload)
     off, size = _sample_location(p, idx)
+    if off < 0:
+        # a hostile/corrupt negative trun data-offset would otherwise
+        # slice from the END of the payload via Python negative
+        # indexing (ADVICE r13) — never mis-read
+        raise ValueError(f"MP4 sample {idx} has a negative offset")
     if off + size > p["payload_len"]:
         raise ValueError(f"MP4 sample {idx} exceeds payload")
     frame = payload[off:off + size]

@@ -1053,8 +1053,16 @@ def gpt2_byte_map() -> dict[int, str]:
 
 #: byte-level pre-tokenizer — the portable :data:`BPE_TOKEN_COUNT`
 #: classes (space-prefixed letter/digit/punct runs on lowered text),
-#: shared verbatim by the engine and the SQL twins
-BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+#: shared verbatim by the engine and the SQL twins.  The trailing
+#: ``' +'`` alternative (r14, ADVICE r13) captures whitespace runs
+#: that cannot attach to a following token, restoring TOTAL byte
+#: coverage for multi-space input (the pre-r14 pattern silently
+#: dropped all but the last space of a run).  Deviation from the real
+#: GPT-2 pre-tokenizer, documented: GPT-2 attaches the LAST space of
+#: a run to the next word via a ``(?!\S)`` lookahead, which RE2 (the
+#: DuckDB oracle engine) does not support — here the whole run stays
+#: one whitespace token and the next word starts unprefixed.
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
 
 
 def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],

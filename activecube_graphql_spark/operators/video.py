@@ -205,6 +205,32 @@ def avi_frames(payload: bytes) -> list[bytes]:
     return out
 
 
+def _idx1_mode(payload: bytes, p: dict) -> str:
+    """Detect the file's idx1 offset convention — ``relative`` (to the
+    movi fourcc, the spec reading) or ``absolute`` (file positions,
+    what several real muxers write) — ONCE from the first index entry
+    and memoize it on the parse dict.  Relative wins when both happen
+    to validate (the spec-first precedence, deterministic)."""
+    mode = p.get("idx1_mode")
+    if mode is None:
+        i_start, i_len = p["idx1"]
+        if i_len < 16:
+            raise ValueError("empty idx1 index")
+        ckid0, _f, off0, _s = struct.unpack(
+            "<4sIII", payload[i_start:i_start + 16])
+        fourcc_pos = p["movi"][0]
+        if payload[fourcc_pos + off0:fourcc_pos + off0 + 4] == ckid0:
+            mode = "relative"
+        elif payload[off0:off0 + 4] == ckid0:
+            mode = "absolute"
+        else:
+            raise ValueError(
+                "idx1 offsets match neither the movi-relative nor "
+                "the absolute convention")
+        p["idx1_mode"] = mode
+    return mode
+
+
 def avi_frame(payload: bytes, idx: int, parsed: dict | None = None
               ) -> bytes:
     """Random access to frame ``idx`` via ``idx1`` — one index entry
@@ -227,17 +253,18 @@ def avi_frame(payload: bytes, idx: int, parsed: dict | None = None
     if ckid[2:4] not in (b"dc", b"db"):
         raise ValueError(f"idx1 entry {idx} is not a video chunk")
     fourcc_pos = p["movi"][0]
-    hdr = fourcc_pos + off
+    # ADVICE r12/r13: some real muxers write idx1 offsets as ABSOLUTE
+    # file positions instead of movi-fourcc-relative.  The convention
+    # is a property of the FILE, not the entry: detect it ONCE from
+    # the first index entry (the ffmpeg approach, memoized on the
+    # parse dict) and apply it uniformly — a per-entry retry could
+    # silently mix conventions when a movi-relative position happens
+    # to land on a plausible chunk header.
+    hdr = (fourcc_pos + off if _idx1_mode(payload, p) == "relative"
+           else off)
     if payload[hdr:hdr + 4] != ckid:
-        # ADVICE r12: some real muxers write idx1 offsets as ABSOLUTE
-        # file positions instead of movi-fourcc-relative; retry the
-        # offset as absolute before raising — the header/size
-        # re-validation below makes the fallback exactly as safe
-        if payload[off:off + 4] == ckid:
-            hdr = off
-        else:
-            raise ValueError(
-                f"idx1 entry {idx} does not land on {ckid!r}")
+        raise ValueError(
+            f"idx1 entry {idx} does not land on {ckid!r}")
     (clen,) = struct.unpack("<I", payload[hdr + 4:hdr + 8])
     if clen != size:
         raise ValueError(

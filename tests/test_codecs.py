@@ -625,25 +625,41 @@ def test_gif_transparent_background_renders_neutral_white():
 
 
 def test_avi_idx1_absolute_offsets_fallback():
-    """ADVICE r12: real-world muxers sometimes write idx1 offsets as
-    ABSOLUTE file positions; the seek path must retry the offset as
-    absolute (header re-validation keeps a corrupt index raising)."""
+    """ADVICE r12/r13: real-world muxers sometimes write idx1 offsets
+    as ABSOLUTE file positions.  The convention is detected ONCE per
+    file from the first index entry (the ffmpeg approach) and applied
+    uniformly — never retried per entry, so conventions cannot
+    silently mix within one file."""
     from activecube_graphql_spark.operators import video as V
     frames = _mjpeg_frames(16, 16, 3)
     avi = bytearray(V.encode_avi(16, 16, frames, rate=5))
     p = V._parse(bytes(avi))
     i_start, i_len = p["idx1"]
     fourcc_pos = p["movi"][0]
+    offs = []
     for e in range(i_len // 16):
         (off,) = struct.unpack("<I", avi[i_start + 16 * e + 8:
                                         i_start + 16 * e + 12])
+        offs.append(off)
         struct.pack_into("<I", avi, i_start + 16 * e + 8,
                          fourcc_pos + off)           # make absolute
     for e, f in enumerate(frames):
         assert V.avi_frame(bytes(avi), e) == f
-    # a genuinely wrong offset still raises under both conventions
-    struct.pack_into("<I", avi, i_start + 8, 7)
+    # a wrong NON-first offset raises under the detected convention
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, i_start + 16 + 8, 7)
     with pytest.raises(ValueError, match="does not land"):
+        V.avi_frame(bytes(bad), 1)
+    # MIXED conventions (entry 1 back to movi-relative in an
+    # absolute-convention file) must raise, not silently read the
+    # wrong chunk — the exact ADVICE r13 hazard
+    mixed = bytearray(avi)
+    struct.pack_into("<I", mixed, i_start + 16 + 8, offs[1])
+    with pytest.raises(ValueError, match="does not land"):
+        V.avi_frame(bytes(mixed), 1)
+    # a corrupt FIRST entry defeats detection itself — loudly
+    struct.pack_into("<I", avi, i_start + 8, 7)
+    with pytest.raises(ValueError, match="neither"):
         V.avi_frame(bytes(avi), 0)
 
 

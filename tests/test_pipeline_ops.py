@@ -2317,6 +2317,17 @@ def test_bpe_byte_level_coverage_and_gpt2_map(spark):
     assert out[0]["tokens"] == exp
     assert out[0]["bpe_count"] == len(exp)
     assert out[1]["tokens"] == [] and out[2]["tokens"] == []
+    # r14 (ADVICE r13): whitespace RUNS are preserved, not dropped —
+    # total coverage holds byte-for-byte on multi-space input
+    multi = "a  b   c\t\td"
+    import re as _re
+    pre = _re.findall(tx.BPE_PRETOKEN_RE, multi.lower())
+    assert "".join(pre) == multi.lower()  # nothing dropped
+    docs2 = spark.createDataFrame([(0, multi)],
+                                  "doc_id long, text string")
+    got = tx.bpe_tokenize(docs2, [], byte_level=True).collect()[0]
+    want = [bm[b] for w in pre for b in w.encode("utf-8")]
+    assert got["tokens"] == want
 
 
 def test_bpe_byte_level_greedy_equals_rank_exhaustive_fuzz():
