@@ -2428,14 +2428,13 @@ def _wav_assets(spark, sf_dir):
             yield _pd.DataFrame({"asset_id": ids, "mime": "audio/wav",
                                  "payload": payloads})
 
-    from .operators.dedup import ensure_parallelism
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # r14: PCM synth+RIFF build per doc is cheap but per-id work still
-    # dominates the 8-way input splits at sf0.1 — same id fan-out as
-    # the sibling codec fixtures
-    return (ensure_parallelism(docs.select("doc_id"))
-            .mapInPandas(gen, schema=schema))
+    # r14: the sibling codec fixtures fan the id scan out
+    # (ensure_parallelism), but MEASURED here the exchange costs more
+    # than the parallelism buys — PCM synth + RIFF build is too cheap
+    # per id (0.49 s without vs 0.68 s with, standalone sf0.1) — so
+    # the 8-split scan stays exchange-free (BENCH_NOTES r14)
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
 def q_multimodal_audio(spark, sf_dir):

@@ -919,8 +919,7 @@ def test_media_codec_rows_plan_shapes(spark):
         plan = (QUERIES[name](spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
         if name in ("multimodal_jpeg", "video_mp4", "audio_flac",
-                    "multimodal_gif", "video_frames", "video_sample",
-                    "multimodal_audio"):
+                    "multimodal_gif", "video_frames", "video_sample"):
             # r13: the codec stage amplifies each doc_id ~1000×, so
             # these fixtures fan the narrow scan out to every core —
             # exactly ONE round-robin exchange carrying bare doc_ids,
