@@ -944,7 +944,8 @@ def oracle_fragment(fragment: str, text_col: str = "text") -> str:
 # ------------------------------------------------------------ real BPE
 
 def train_bpe(docs: DataFrame, n_merges: int = 64,
-              text_col: str = "text") -> list[tuple[str, str]]:
+              text_col: str = "text",
+              byte_level: bool = False) -> list[tuple[str, str]]:
     """Learn a byte-pair-encoding merge table from the corpus — the
     REAL tokenizer-training loop (Sennrich ACL'16; the GPT-2 family
     trains the same way), replacing the BPE-style regex approximation
@@ -963,20 +964,48 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     Words are lowercase alpha runs (the :data:`TOKENS` convention)
     with ``</w>`` appended as the end-of-word symbol; ties in pair
     count break lexicographically, so training is fully deterministic
-    (no RNG, no hash order)."""
+    (no RNG, no hash order).
+
+    ``byte_level=True`` (r14, the trainer side of r13's byte-level
+    apply): pre-tokens come from :data:`BPE_PRETOKEN_RE`
+    (space-prefixed runs, spaces IN the tokens), each becomes its
+    UTF-8 bytes through :func:`gpt2_byte_map` ('Ġ'-style stand-ins,
+    no end-of-word marker) — the GPT-2-family training alphabet, at
+    the same word-frequency-table altitude (the pre-token table is
+    what iterates, never the corpus)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     spark = docs.sparkSession
-    words = (docs
-             .select(F.explode(F.expr(
-                 TOKENS.format(text=text_col))).alias("w"))
-             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-             .withColumn("syms", F.concat(
-                 F.split(F.col("w"), ""), F.array(F.lit("</w>"))))
-             .select("syms", "n")
-             .localCheckpoint(eager=True))
+    if byte_level:
+        pre = (docs
+               .select(F.explode(F.expr(
+                   f"regexp_extract_all(lower({text_col}), "
+                   f"'{BPE_PRETOKEN_RE}', 0)")).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+        bmap = gpt2_byte_map()
+
+        def to_syms(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"syms": [[bmap[b] for b in str(w).encode("utf-8")]
+                              for w in pdf["w"]],
+                     "n": pdf["n"]})
+
+        words = (pre.mapInPandas(
+            to_syms, schema="syms array<string>, n long")
+            .localCheckpoint(eager=True))
+    else:
+        words = (docs
+                 .select(F.explode(F.expr(
+                     TOKENS.format(text=text_col))).alias("w"))
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+                 .withColumn("syms", F.concat(
+                     F.split(F.col("w"), ""), F.array(F.lit("</w>"))))
+                 .select("syms", "n")
+                 .localCheckpoint(eager=True))
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -2181,6 +2181,35 @@ def test_lang_id_fixture_carries_no_language_signal(spark, sf_dir):
     assert acc <= prior + 0.1, (acc, prior)
 
 
+def test_bpe_byte_level_trainer(spark):
+    """Byte-level train_bpe (r14 — the trainer side of the r13 apply):
+    merges learn over the gpt2_byte_map alphabet from space-prefixed
+    pre-tokens, training is deterministic, the hottest pre-token
+    (' the') compresses, and the trained merges round-trip through
+    bpe_tokenize(byte_level=True) losslessly (token concat == mapped
+    pre-token bytes)."""
+    rows = [(0, "the cat and the dog and the bird"),
+            (1, "the cats and dogs run to the barn"),
+            (2, "a bird and a dog saw the cat")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    merges = tx.train_bpe(docs, n_merges=10, byte_level=True)
+    assert merges == tx.train_bpe(docs, n_merges=10, byte_level=True)
+    assert len(merges) == 10
+    # ' the' occurs 6x — some 'Ġ'-prefixed merge chain must exist and
+    # the full ' the' symbol must be reachable from the learned table
+    syms = {a + b for a, b in merges}
+    assert "Ġthe" in syms, merges
+    out = {r["doc_id"]: r for r in
+           tx.bpe_tokenize(docs, merges, byte_level=True).collect()}
+    import re
+    bm = tx.gpt2_byte_map()
+    for i, text in rows:
+        pre = re.findall(tx.BPE_PRETOKEN_RE, text.lower())
+        want = "".join(bm[b] for w in pre for b in w.encode("utf-8"))
+        assert "".join(out[i]["tokens"]) == want
+        assert out[i]["bpe_count"] < len(want)  # merges actually used
+
+
 def test_unigram_viterbi_beats_greedy_longest_match():
     """The Viterbi DP is a real optimizer, not greedy longest-match:
     on 'abcd' with pieces ab(100)/bcd(90), greedy takes 'ab' then
