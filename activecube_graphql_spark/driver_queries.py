@@ -1279,7 +1279,12 @@ _URL_SYNTH = (
     "ELSE '-Site.COM' END,"
     "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 "
     "THEN ':80' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,"
-    "'/Path/', TO_STR(doc_id % 50),"
+    # r14: doc_id % 6 = 0 spells the same path with an unreserved
+    # percent-escape ('%74' = 't', RFC 3986) -> must collapse with
+    # its bare spelling in n_canonical; %2F stays reserved-literal
+    "CASE WHEN doc_id % 6 = 0 THEN '/Pa%74h/' "
+    "WHEN doc_id % 6 = 3 THEN '/Path%2Fsub/' "
+    "ELSE '/Path/' END, TO_STR(doc_id % 50),"
     "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
     "CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' WHEN doc_id % 3 = 1 "
     "THEN '?a=1&b=2' ELSE '' END,"

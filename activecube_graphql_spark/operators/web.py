@@ -25,6 +25,11 @@ Canonical form (documented policy, the common-crawl conventions):
   ``?a=1&b=2``); empty query dropped;
 * trailing slashes stripped from the path; empty path rendered ``/``;
   path CASE IS KEPT (URL paths are case-sensitive);
+* percent-escapes of RFC 3986 UNRESERVED characters decode in the
+  path (``%74`` ≡ ``t``, both hex cases — §6.2.2.2); escapes of
+  reserved characters (``%2F``, …) survive, and uppercasing those
+  remaining escapes is documented out of scope (needs a
+  regex-callback the shared engine/oracle surface lacks);
 * ``domain`` = the registered domain per the vendored Public Suffix
   List snapshot (:mod:`.psl`, r14 — VERDICT r13 item 6): one label
   plus the longest matching snapshot suffix (``example.co.uk``,
@@ -40,6 +45,30 @@ from pyspark.sql import DataFrame
 
 from ..functions.portable import render
 from .psl import domain_regex
+
+#: RFC 3986 unreserved characters: percent-escapes of these are
+#: equivalent to the bare character and MUST decode during
+#: canonicalization (§6.2.2.2) — '%41' ≡ 'A', '%7E' ≡ '~'.
+_UNRESERVED = (list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
+               + list(range(0x30, 0x3A)) + [0x2D, 0x2E, 0x5F, 0x7E])
+
+
+def _pct_decode_chain(col: str) -> str:
+    """Render the unreserved-decode as one chained ``replace()``
+    expression generated FROM the table (both hex case variants where
+    hex contains letters) — pure string algebra valid in Spark SQL and
+    DuckDB alike, so the step stays inside the ONE portable chain.
+    Escapes of reserved/other characters (%2F, %3F, …) are NOT
+    equivalent to their characters and survive untouched; uppercasing
+    those remaining escapes (the other half of §6.2.2.2) needs a
+    regex-callback neither engine's shared surface has — documented
+    out of scope."""
+    out = col
+    for code in _UNRESERVED:
+        ch = chr(code)
+        for hx in {f"%{code:02X}", f"%{code:02x}"}:
+            out = f"replace({out}, '{hx}', '{ch}')"
+    return out
 
 #: Ordered canonicalization steps: (column, fragment). Each fragment
 #: may reference the url column as {url} and any PRIOR step column by
@@ -61,8 +90,12 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
               "OR (scheme = 'http' AND port = '80') "
               "THEN '' ELSE concat(':', port) END"),
     ("rawpath", "regexp_extract(pathq, '^([^?]*)', 1)"),
-    ("path", "CASE WHEN REGEX_STRIP(rawpath, '/+$') = '' THEN '/' "
-             "ELSE REGEX_STRIP(rawpath, '/+$') END"),
+    # r14: RFC 3986 §6.2.2.2 — decode percent-escapes of UNRESERVED
+    # characters ('%74' ≡ 't', both hex cases); reserved escapes
+    # (%2F …) are NOT path-equivalent and survive
+    ("pctpath", _pct_decode_chain("rawpath")),
+    ("path", "CASE WHEN REGEX_STRIP(pctpath, '/+$') = '' THEN '/' "
+             "ELSE REGEX_STRIP(pctpath, '/+$') END"),
     ("qstr", "regexp_extract(pathq, '[?](.+)$', 1)"),
     ("qcanon", "CASE WHEN qstr = '' THEN '' ELSE concat('?', "
                "LIST_JOIN(LIST_SORT(SPLIT_LIT(qstr, '&')), '&')) END"),
@@ -79,7 +112,8 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
 #: step columns that are intermediate plumbing, dropped from the
 #: canonical output surface
 _INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "port",
-                 "portk", "rawpath", "qstr", "qcanon", "psl_dom")
+                 "portk", "rawpath", "pctpath", "qstr", "qcanon",
+                 "psl_dom")
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",

@@ -29,6 +29,12 @@ CASES = [
      "http://ex.com/?a=2&m=3&z=1"),
     ("http://www.ex.com///", "http", "ex.com", "/",
      "http://ex.com/"),
+    # r14: RFC 3986 §6.2.2.2 — unreserved escapes decode (both hex
+    # cases); reserved escapes (%2F) survive literally
+    ("http://ex.com/Pa%74h/%7e%2Duser", "http", "ex.com",
+     "/Path/~-user", "http://ex.com/Path/~-user"),
+    ("http://ex.com/a%2Fb", "http", "ex.com", "/a%2Fb",
+     "http://ex.com/a%2Fb"),
 ]
 
 
