@@ -66,7 +66,13 @@ def _pct_decode_chain(col: str) -> str:
     out = col
     for code in _UNRESERVED:
         ch = chr(code)
-        for hx in {f"%{code:02X}", f"%{code:02x}"}:
+        # deterministic order (upper then lower, deduped) — a set
+        # here would hash-randomize the rendered SQL across processes
+        # and break the manifest plan fingerprint
+        variants = [f"%{code:02X}"]
+        if f"%{code:02x}" != variants[0]:
+            variants.append(f"%{code:02x}")
+        for hx in variants:
             out = f"replace({out}, '{hx}', '{ch}')"
     return out
 
