@@ -1245,6 +1245,10 @@ def unigram_tokenize(docs: DataFrame, costs: dict[str, int],
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
         table = bc.value
+        # per-task memo over DISTINCT words: the DP is a pure function
+        # of the word, and real corpora repeat words heavily (Zipf) —
+        # each distinct word pays the DP once per task
+        memo: dict[str, tuple[list[str], int, int]] = {}
         for pdf in batches:
             toks, tot, cnt = [], [], []
             for text in pdf["__text"]:
@@ -1252,7 +1256,11 @@ def unigram_tokenize(docs: DataFrame, costs: dict[str, int],
                 cost_sum = 0
                 k_sum = 0
                 for w in re.findall(r"[a-z]+", (text or "").lower()):
-                    pieces, cost, k = viterbi_segment(w, table, max_len)
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = viterbi_segment(w, table, max_len)
+                        memo[w] = hit
+                    pieces, cost, k = hit
                     pieces_all.extend(pieces)
                     cost_sum += cost
                     k_sum += k
