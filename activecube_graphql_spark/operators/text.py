@@ -1141,16 +1141,25 @@ def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
 
         import re
         pat = BPE_PRETOKEN_RE if byte_level else r"[a-z]+"
+        # per-task memo over DISTINCT pre-tokens (r14): the merge loop
+        # is a pure function of the pre-token, and corpora repeat
+        # tokens heavily (Zipf) — each distinct pre-token pays the
+        # greedy loop once per task
+        memo: dict[str, list[str]] = {}
         for pdf in batches:
             toks, counts = [], []
             for text in pdf["__text"]:
                 out: list[str] = []
                 for w in re.findall(pat, (text or "").lower()):
-                    if byte_level:
-                        syms = [bmap[b] for b in w.encode("utf-8")]
-                    else:
-                        syms = list(w) + ["</w>"]
-                    out.extend(encode_syms(syms))
+                    enc = memo.get(w)
+                    if enc is None:
+                        if byte_level:
+                            syms = [bmap[b] for b in w.encode("utf-8")]
+                        else:
+                            syms = list(w) + ["</w>"]
+                        enc = encode_syms(syms)
+                        memo[w] = enc
+                    out.extend(enc)
                 toks.append(out)
                 counts.append(len(out))
             res = {"__id": pdf["__id"], "tokens": toks,
