@@ -221,27 +221,6 @@ def main() -> None:
         timings[name] = measure_row(spark, lambda: fn(spark, sf_dir))
         classes[name] = row_class(fn(spark, sf_dir))
 
-    # Tail re-measure (r14, VERDICT r13 item 2): a sub-second row whose
-    # 3-run window collides with transient host contention reads 2-3x
-    # its freeze while the suite total moves a few percent — the r13
-    # driver record flagged `rollup` at 2.75x this way (repo run the
-    # same day: 0.77x; standalone re-measure: 1.0x calibrated).  Any
-    # row whose first reading breaches 1.5x its freeze is re-measured
-    # ONCE at the end of the suite (same v2 discipline: clearCache,
-    # warm-up, median-of-3) and the MIN of the two medians is recorded
-    # — transient contention is gone by the tail, a real regression
-    # reproduces and stays flagged.  Both readings land in the record
-    # (`remeasured`) so the correction is never silent.
-    freezes_early = load_freezes() if sf == 0.1 else {}
-    remeasured: dict[str, list[float]] = {}
-    for name, t in list(timings.items()):
-        fz = freezes_early.get(name)
-        if fz and t / fz > 1.5:
-            fn = QUERIES[name]
-            again = measure_row(spark, lambda: fn(spark, sf_dir))
-            remeasured[name] = [t, again]
-            timings[name] = min(t, again)
-
     # calibration probes, LAST — first/last bracket intra-run drift;
     # `probe_last` is the yardstick (fully-warmed session, the state
     # every registry row after the first few is measured in; the
@@ -266,6 +245,37 @@ def main() -> None:
                if CAL_PY_FREEZE_SEC and at_freeze_sf else None)
     factor = {"jvm": host, "python": host_py}
     freezes = load_freezes() if at_freeze_sf else {}
+
+    def fence_margin(name: str, t: float) -> float:
+        """How close a row is to EITHER >2x fence: max of the raw
+        ratio and the class-calibrated ratio, in fence units."""
+        fz = freezes.get(name)
+        if not fz:
+            return 0.0
+        r = t / fz
+        cal = r / (factor.get(classes.get(name, "jvm")) or 1.0)
+        return max(r, cal)
+
+    # Tail re-measure (r14, VERDICT r13 item 2): a sub-second row whose
+    # 3-run window collides with transient host contention reads 2-3x
+    # its freeze while the suite total moves a few percent — the r13
+    # driver record flagged `rollup` at 2.75x this way (repo run the
+    # same day: 0.77x; standalone re-measure: 1.0x calibrated).  Any
+    # row within 5% of EITHER >2x fence (raw or class-calibrated — the
+    # host factors are known once the closing probes land, which is
+    # why this runs after them) is re-measured ONCE (same v2
+    # discipline: clearCache, warm-up, median-of-3) and the MIN of the
+    # two medians is recorded — transient contention is gone by the
+    # tail, a real regression reproduces and stays flagged.  Both
+    # readings land in the record (`remeasured`), never silent.
+    remeasured: dict[str, list[float]] = {}
+    for name, t in list(timings.items()):
+        if fence_margin(name, t) > 1.9:
+            fn = QUERIES[name]
+            again = measure_row(spark, lambda: fn(spark, sf_dir))
+            remeasured[name] = [t, again]
+            timings[name] = min(t, again)
+
     ratios = {n: round(t / freezes[n], 4)
               for n, t in timings.items() if n in freezes}
     gt2x_raw = sorted(n for n, r in ratios.items() if r > 2)
@@ -283,7 +293,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "protocol": "v2 per-row clearCache + 1 warm-up + median-of-3; "
-                    ">1.5x-raw rows tail-remeasured once, min recorded",
+                    "rows within 5% of either >2x fence (raw or "
+                    "calibrated) tail-remeasured once, min recorded",
         "remeasured": remeasured,
         "calibration": {
             "jvm": {"probe_first_sec": cal_first,
