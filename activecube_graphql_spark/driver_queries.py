@@ -1551,7 +1551,10 @@ _UNIGRAM_COSTS: dict[str, int] = {
 }
 
 #: DP unroll depth for the oracle — corpus max word length is 8
-#: ('customer'); 12 leaves margin and is asserted engine-side
+#: ('customer'); 12 leaves margin and IS asserted engine-side since
+#: r15 (ADVICE r14): q_unigram_tok passes it as assert_max_word_len,
+#: so an over-long fixture word raises loudly instead of silently
+#: dropping out of the oracle's SUM
 _UNIGRAM_DP_LEN = 12
 
 
@@ -1574,7 +1577,8 @@ def q_unigram_tok(spark, sf_dir):
     prune, all at train_bpe's altitude) stays the serving default,
     pytest-pinned."""
     docs = _docs(spark, sf_dir)
-    out = tx.unigram_tokenize(docs, _UNIGRAM_COSTS, carry=("source",))
+    out = tx.unigram_tokenize(docs, _UNIGRAM_COSTS, carry=("source",),
+                              assert_max_word_len=_UNIGRAM_DP_LEN)
     return (out.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("um_cost").alias("total_cost"),
@@ -2485,7 +2489,10 @@ def _flac_assets(spark, sf_dir):
     """Deterministic FLAC asset table (r14, VERDICT r13 item 8): one
     real FLAC stream per 4 documents — 8 kHz mono 16-bit,
     64 + 32·(id mod 5) samples, cycling ALL FOUR subframe families by
-    id mod 4 (constant / verbatim / fixed order 2 / LPC order 2) and
+    (id div 4) mod 4 (constant / verbatim / fixed order 2 / LPC
+    order 2 — ADVICE r14: the asset filter is id mod 4 = 1, so a
+    mode keyed on id mod 4 graded only VERBATIM; the div-4 modulus is
+    independent of the filter and actually cycles) and
     both partition orders 0/1 by id mod 3, encoded through the real
     codec (operators/flac.encode_flac: rice residuals, CRC-8/CRC-16,
     STREAMINFO MD5). The sample functions are integer arithmetic so
@@ -2505,7 +2512,7 @@ def _flac_assets(spark, sf_dir):
                 aid = int(aid)
                 n = 64 + 32 * (aid % 5)
                 mode = ("constant", "verbatim", "fixed",
-                        "lpc")[aid % 4]
+                        "lpc")[(aid // 4) % 4]
                 if mode == "constant":
                     samples = [(aid * 7 % 201) - 100] * n
                 else:
@@ -4634,7 +4641,7 @@ ORACLES: dict[str, str] = {
         WITH a AS (
             SELECT doc_id AS asset_id,
                    64 + 32 * (doc_id % 5) AS n,
-                   CASE doc_id % 4 WHEN 0 THEN 'constant'
+                   CASE (doc_id // 4) % 4 WHEN 0 THEN 'constant'
                         WHEN 1 THEN 'verbatim' WHEN 2 THEN 'fixed'
                         ELSE 'lpc' END AS mode,
                    (doc_id * 7 % 201) - 100 AS cv

@@ -331,10 +331,13 @@ def encode_flac(sample_rate: int, samples: list[int], bits: int = 16,
         for s in samples)).digest()
     si = _BitWriter()
     # min/max over the ACTUAL frames: full blocks of block_size plus
-    # a possibly-shorter last frame
+    # a possibly-shorter last frame. RFC 9639 defines the minimum
+    # blocksize EXCLUDING the final frame (which may legally be
+    # short); including it declared a variable-blocksize stream for
+    # what is a fixed-blocksize one (ADVICE r14).
     sizes = [min(block_size, total - p)
              for p in range(0, total, block_size)]
-    si.write(min(sizes), 16)
+    si.write(min(sizes[:-1]) if len(sizes) > 1 else sizes[0], 16)
     si.write(max(sizes), 16)
     si.write(0, 24)          # min frame size unknown
     si.write(0, 24)          # max frame size unknown

@@ -154,7 +154,10 @@ def extract_text_df(df: DataFrame, html_col: str = "html",
             rows = {c: [] for c in carry}
             rows.update({"text": [], "n_blocks": [], "n_kept": []})
             for i in range(len(pdf)):
-                r = extract_text(str(pdf[html_col].iloc[i]),
+                h = pdf[html_col].iloc[i]
+                # null html -> empty doc, not the literal 'None'
+                # (ADVICE r14, same convention as score_lang_id)
+                r = extract_text("" if h is None else str(h),
                                  min_len=min_len,
                                  max_link_density=max_link_density)
                 for c in carry:

@@ -1235,14 +1235,22 @@ def viterbi_segment(word: str, costs: dict[str, int],
 
 def unigram_tokenize(docs: DataFrame, costs: dict[str, int],
                      id_col: str = "doc_id", text_col: str = "text",
-                     carry: tuple[str, ...] = ()) -> DataFrame:
+                     carry: tuple[str, ...] = (),
+                     assert_max_word_len: int | None = None
+                     ) -> DataFrame:
     """Apply a unigram-LM piece table: Viterbi minimum-cost
     segmentation per word (lowercase alpha runs, the :data:`TOKENS`
     convention), broadcast vocabulary, Arrow-batched map-only pass —
     the exact plan shape of :func:`bpe_tokenize`.  Emits per document
     the piece array, the summed Viterbi cost (``um_cost``) and piece
     count (``n_pieces``) — both path-unique DP values, so they grade
-    the DP itself, not a tie-break."""
+    the DP itself, not a tie-break.
+
+    ``assert_max_word_len`` (ADVICE r14): when a caller's oracle
+    unrolls the DP to a fixed depth, a fixture word longer than that
+    depth would silently fall out of the oracle's SUM and surface only
+    as an opaque hash mismatch — pass the unroll depth and the engine
+    raises loudly on the first over-long word instead."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1265,6 +1273,13 @@ def unigram_tokenize(docs: DataFrame, costs: dict[str, int],
                 cost_sum = 0
                 k_sum = 0
                 for w in re.findall(r"[a-z]+", (text or "").lower()):
+                    if (assert_max_word_len is not None
+                            and len(w) > assert_max_word_len):
+                        raise ValueError(
+                            f"word {w!r} (len {len(w)}) exceeds the "
+                            f"caller's declared DP unroll depth "
+                            f"{assert_max_word_len} — the SQL oracle "
+                            "would silently drop it")
                     hit = memo.get(w)
                     if hit is None:
                         hit = viterbi_segment(w, table, max_len)
@@ -1522,7 +1537,10 @@ def score_lang_id(docs: DataFrame, model: dict,
         for pdf in batches:
             preds = []
             for text in pdf[text_col]:
-                t = (str(text) or "").lower()
+                # NOT `str(text) or ""`: str(None) == 'None' is
+                # truthy, which would score null text on garbage
+                # trigrams (ADVICE r14)
+                t = ("" if text is None else str(text)).lower()
                 best_y, best_s = "und", None
                 for y in langs:
                     s = logprior[y]

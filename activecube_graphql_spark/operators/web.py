@@ -62,7 +62,17 @@ def _pct_decode_chain(col: str) -> str:
     equivalent to their characters and survive untouched; uppercasing
     those remaining escapes (the other half of §6.2.2.2) needs a
     regex-callback neither engine's shared surface has — documented
-    out of scope."""
+    out of scope.
+
+    Malformed-escape caveat (ADVICE r14): sequential ``replace()`` is
+    not single-pass decoding — a replacement can COMPLETE a malformed
+    escape into one a later step decodes (``'%7%41'`` → ``'%7A'`` →
+    ``'z'``, because uppercase-letter escapes decode before lowercase
+    ones). VALID inputs are unaffected (no replacement introduces
+    ``%``; ``%25`` is reserved and never decodes), and the engine and
+    oracle share this exact chain so grading cannot drift — but
+    behavior on malformed escapes deviates from RFC 3986 single-pass
+    decoding and callers must not rely on it."""
     out = col
     for code in _UNRESERVED:
         ch = chr(code)
