@@ -1271,11 +1271,19 @@ _URL_SYNTH = (
     "source,"
     # r14: exercise the PSL snapshot (ICANN ccTLD second-levels AND a
     # private-section platform suffix) plus the documented fallback
-    # (k12.va.us is OUTSIDE the snapshot -> last-two-labels 'va.us')
+    # (k12.va.us is OUTSIDE the snapshot -> last-two-labels 'va.us').
+    # r15 (VERDICT r14 item 8): the wildcard tier (*.ck -> registered
+    # domain is two labels + base, here '<src>-site.shop.ck'), the
+    # exception tier (!www.ck -> 'www.ck' itself), and the multi-label
+    # wildcard/exception pair (*.kawasaki.jp / !city.kawasaki.jp)
     "CASE WHEN doc_id % 11 = 0 THEN '-Site.CO.UK' "
     "WHEN doc_id % 11 = 1 THEN '-site.com.au' "
     "WHEN doc_id % 11 = 2 THEN '-Team.GitHub.IO' "
     "WHEN doc_id % 11 = 3 THEN '-site.k12.va.us' "
+    "WHEN doc_id % 11 = 4 THEN '-site.Shop.CK' "
+    "WHEN doc_id % 11 = 5 THEN '-cdn.WWW.CK' "
+    "WHEN doc_id % 11 = 6 THEN '-site.Minami.Kawasaki.JP' "
+    "WHEN doc_id % 11 = 7 THEN '-app.City.Kawasaki.JP' "
     "ELSE '-Site.COM' END,"
     "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 "
     "THEN ':80' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,"
@@ -1304,8 +1312,11 @@ def q_url_canon(spark, sf_dir):
     the vendored PSL snapshot (operators/psl.py) resolves ccTLD
     second-levels (co.uk, com.au) and private-section platform
     suffixes (github.io) correctly, with the documented
-    last-two-labels fallback for suffixes outside the snapshot (the
-    fixture exercises all three regimes). Rollup: raw URL count,
+    last-two-labels fallback for suffixes outside the snapshot; r15
+    (VERDICT r14 item 8) adds the remaining PSL rule forms — wildcard
+    rules (*.ck, *.kawasaki.jp: two labels + base) and exception
+    rules (!www.ck, !city.kawasaki.jp: the domain itself) — so the
+    fixture exercises all FIVE regimes. Rollup: raw URL count,
     DISTINCT canonical URLs (the gap IS the dedup win), and the
     https share. The oracle renders the IDENTICAL step chain for
     DuckDB (web.canon_steps_sql), so engine/oracle drift is

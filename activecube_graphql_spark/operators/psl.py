@@ -19,19 +19,39 @@ coverage, not completeness:
   an independent publisher — exactly the granularity a per-domain
   training-data cap wants.
 
+Since r15 (VERDICT r14 item 8) the two remaining PSL rule forms are
+implemented as additional regex tiers:
+
+* :data:`PSL_WILDCARD` — wildcard rules (``*.ck``): EVERY label
+  directly under the base is itself a public suffix, so the
+  registered domain is TWO labels plus the base
+  (:func:`wildcard_regex`);
+* :data:`PSL_EXCEPTIONS` — exception rules (``!www.ck``): the named
+  domain is carved OUT of its wildcard, so it is itself the
+  registered domain for any host at or under it
+  (:func:`exception_regex`).
+
+Rule precedence follows the PSL algorithm: exception beats wildcard
+beats the explicit snapshot beats the last-two-labels fallback (the
+rule sets are label-disjoint here, so this fixed tier order IS the
+"most labels wins" rule).
+
 Honest limits (documented, not hidden):
 
 * the snapshot is PARTIAL — hosts under a suffix not listed here fall
   back to the last-two-labels rule (correct for every flat TLD:
   ``.com``, ``.org``, ``.de``, ``.nl``, …);
-* PSL wildcard rules (``*.ck``) and exception rules (``!www.ck``) are
-  NOT implemented — such hosts take the fallback;
+* a host that IS a bare public suffix (``co.uk``, ``shop.ck``) has no
+  registered domain; all tiers miss and the fallback reports its last
+  two labels — callers doing per-domain policy never see such hosts
+  as crawl targets anyway;
 * the United States locality scheme (``k12.<state>.us`` …) is omitted.
 
-The suffix test renders as ONE backslash-free regular expression
-(:func:`domain_regex`) so it runs identically as a Spark SQL fragment
-(Java regex) and inside the DuckDB oracle (RE2) — the portable-fragment
-discipline of :mod:`.web`.
+Each suffix test renders as ONE backslash-free regular expression
+(:func:`domain_regex`, :func:`wildcard_regex`, :func:`exception_regex`)
+so it runs identically as a Spark SQL fragment (Java regex) and inside
+the DuckDB oracle (RE2) — the portable-fragment discipline of
+:mod:`.web`.
 """
 
 from __future__ import annotations
@@ -117,8 +137,9 @@ PSL_ICANN: tuple[str, ...] = (
     "com.ec", "edu.ec", "gob.ec", "net.ec", "org.ec",
     # Pakistan
     "com.pk", "edu.pk", "gov.pk", "net.pk", "org.pk",
-    # Bangladesh
-    "ac.bd", "com.bd", "edu.bd", "gov.bd", "net.bd", "org.bd",
+    # Bangladesh is a WILDCARD registry in the real PSL (*.bd) — see
+    # PSL_WILDCARD; the r14 snapshot's explicit bd entries were an
+    # approximation and are superseded by the wildcard tier
     # Sri Lanka
     "ac.lk", "com.lk", "edu.lk", "gov.lk", "net.lk", "org.lk",
     # Nepal
@@ -169,11 +190,46 @@ PSL_SNAPSHOT: tuple[str, ...] = tuple(
            key=lambda s: (-s.count("."), s)))
 
 
+#: Wildcard rule bases (the ``*.<base>`` form): every label directly
+#: under the base is a public suffix. Snapshot: the all-wildcard
+#: ccTLD registries that dominate real crawl traffic plus one
+#: Japanese geographic base to pin the multi-label case.
+PSL_WILDCARD: tuple[str, ...] = (
+    "bd", "ck", "er", "fk", "kh", "mm", "pg", "kawasaki.jp",
+)
+
+#: Exception rules (the ``!<domain>`` form): carved out of their
+#: wildcard — the named domain is NOT a public suffix, it IS the
+#: registered domain for any host at or under it.
+PSL_EXCEPTIONS: tuple[str, ...] = (
+    "www.ck", "city.kawasaki.jp",
+)
+
+
 def domain_regex() -> str:
     """One backslash-free regex capturing the registered domain of a
     (lowercased) host whose suffix is in the snapshot: group 1 is one
     label plus the longest matching suffix. No match (flat TLD, bare
     suffix, unknown registry) returns '' in BOTH Spark and DuckDB —
-    the caller falls back to the last-two-labels rule."""
+    the caller falls through to the next tier."""
     alts = "|".join(s.replace(".", "[.]") for s in PSL_SNAPSHOT)
     return f"([^.]+[.](?:{alts}))$"
+
+
+def wildcard_regex() -> str:
+    """Registered domain under a wildcard rule: for ``*.ck`` the
+    public suffix is ``<any label>.ck``, so group 1 is TWO labels plus
+    the base. Bases sorted labels-desc then lexicographic (the
+    :data:`PSL_SNAPSHOT` longest-first discipline)."""
+    bases = sorted(PSL_WILDCARD, key=lambda s: (-s.count("."), s))
+    alts = "|".join(s.replace(".", "[.]") for s in bases)
+    return f"([^.]+[.][^.]+[.](?:{alts}))$"
+
+
+def exception_regex() -> str:
+    """Registered domain under an exception rule: the exception
+    domain itself, whether the host equals it or sits below it —
+    ``(?:^|[.])`` pins the label boundary without a backslash."""
+    excs = sorted(PSL_EXCEPTIONS, key=lambda s: (-s.count("."), s))
+    alts = "|".join(s.replace(".", "[.]") for s in excs)
+    return f"(?:^|[.])({alts})$"

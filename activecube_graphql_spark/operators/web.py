@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..functions.portable import render
-from .psl import domain_regex
+from .psl import domain_regex, exception_regex, wildcard_regex
 
 #: RFC 3986 unreserved characters: percent-escapes of these are
 #: equivalent to the bare character and MUST decode during
@@ -98,8 +98,14 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
     ("rest", "REGEX_STRIP(nofrag, '^[A-Za-z]+://')"),
     ("hostport", "regexp_extract(rest, '^([^/?]*)', 1)"),
     ("pathq", "substr(rest, length(hostport) + 1)"),
-    ("host", "REGEX_STRIP(REGEX_STRIP(lower(hostport), ':[0-9]+$'), "
-             "'^www[.]')"),
+    ("hostbase", "REGEX_STRIP(lower(hostport), ':[0-9]+$')"),
+    # strip a leading 'www.' ONLY when at least two labels remain —
+    # for hosts like 'www.ck' (the PSL !www.ck exception) the 'www'
+    # IS the registrable label, and stripping it would leave a bare
+    # TLD. No lookahead (RE2 has none): capture-the-rest + CASE.
+    ("wwwrest", "regexp_extract(hostbase, '^www[.]([^.]+[.].+)$', 1)"),
+    ("host", "CASE WHEN wwwrest = '' THEN hostbase "
+             "ELSE wwwrest END"),
     ("port", "regexp_extract(hostport, ':([0-9]+)$', 1)"),
     ("portk", "CASE WHEN port = '' "
               "OR (scheme = 'https' AND port = '443') "
@@ -116,20 +122,26 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
     ("qcanon", "CASE WHEN qstr = '' THEN '' ELSE concat('?', "
                "LIST_JOIN(LIST_SORT(SPLIT_LIT(qstr, '&')), '&')) END"),
     ("canon_url", "concat(scheme, '://', host, portk, path, qcanon)"),
-    # registered domain: PSL-snapshot suffix match first (longest-first
-    # alternation, anchored — Java regex and RE2 agree, see psl.py),
-    # last-two-labels fallback for suffixes outside the snapshot
+    # registered domain, PSL rule precedence (r15, VERDICT r14
+    # item 8): exception rules (!www.ck — the domain itself) beat
+    # wildcard rules (*.ck — two labels + base) beat the explicit
+    # snapshot (longest-first alternation, anchored — Java regex and
+    # RE2 agree, see psl.py) beat the last-two-labels fallback
+    ("psl_exc", f"regexp_extract(host, '{exception_regex()}', 1)"),
+    ("psl_wild", f"regexp_extract(host, '{wildcard_regex()}', 1)"),
     ("psl_dom", f"regexp_extract(host, '{domain_regex()}', 1)"),
-    ("domain", "CASE WHEN psl_dom = '' THEN "
-               "regexp_extract(host, '([^.]+[.][^.]+)$', 1) "
-               "ELSE psl_dom END"),
+    ("domain", "CASE WHEN psl_exc != '' THEN psl_exc "
+               "WHEN psl_wild != '' THEN psl_wild "
+               "WHEN psl_dom != '' THEN psl_dom "
+               "ELSE regexp_extract(host, '([^.]+[.][^.]+)$', 1) "
+               "END"),
 )
 
 #: step columns that are intermediate plumbing, dropped from the
 #: canonical output surface
-_INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "port",
-                 "portk", "rawpath", "pctpath", "qstr", "qcanon",
-                 "psl_dom")
+_INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "hostbase",
+                 "wwwrest", "port", "portk", "rawpath", "pctpath",
+                 "qstr", "qcanon", "psl_exc", "psl_wild", "psl_dom")
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",

@@ -124,6 +124,49 @@ def test_url_psl_snapshot_domains(spark):
         assert got[i] == dom, u
 
 
+def test_url_psl_wildcard_and_exception_rules(spark):
+    """r15 (VERDICT r14 item 8): PSL wildcard rules (*.ck — every
+    label under the base is a public suffix, so the registered domain
+    is two labels + base) and exception rules (!www.ck — the domain
+    itself, carved out of its wildcard), including the multi-label
+    pair *.kawasaki.jp / !city.kawasaki.jp, with the PSL precedence
+    exception > wildcard > snapshot > fallback."""
+    cases = [
+        # *.ck: public suffix is shop.ck -> one more label registers
+        ("http://example.shop.ck/x", "example.shop.ck"),
+        ("http://deep.sub.example.shop.ck/", "example.shop.ck"),
+        # !www.ck: www.ck is NOT a suffix — it IS the domain
+        ("http://www.ck/", "www.ck"),
+        ("http://mail.www.ck/inbox", "www.ck"),
+        # *.bd (the real PSL form; explicit bd entries superseded)
+        ("https://site.com.bd/", "site.com.bd"),
+        ("https://a.site.gov.bd/", "site.gov.bd"),
+        # multi-label wildcard + its exception
+        ("http://x.minami.kawasaki.jp/", "x.minami.kawasaki.jp"),
+        ("http://city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("http://app.city.kawasaki.jp/", "city.kawasaki.jp"),
+        # bare wildcard suffix: no registered domain -> fallback
+        ("http://shop.ck/", "shop.ck"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in
+                                enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["domain"] for r in
+           web.canonicalize_urls(df, "url").collect()}
+    for i, (u, dom) in enumerate(cases):
+        assert got[i] == dom, u
+    # the two tiers render portably: DuckDB agrees row-for-row
+    import duckdb
+
+    from tools.verify_local import rows_multiset  # noqa: F401
+    src = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{u}')" for i, (u, _) in enumerate(cases)
+    ) + ") AS t(i, url)"
+    sql = ("SELECT i, domain FROM "
+           + web.canon_steps_sql("duckdb", src))
+    for i, dom in duckdb.sql(sql).fetchall():
+        assert dom == cases[i][1], cases[i][0]
+
+
 def test_url_psl_fallback_documented():
     """The fallback remains the documented APPROXIMATION for suffixes
     outside the snapshot, and the snapshot is longest-first so both
