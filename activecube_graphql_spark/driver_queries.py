@@ -2416,6 +2416,48 @@ def q_video_mp4(spark, sf_dir):
                                      "frame_idx int, pix_sum long"))
 
 
+def q_video_mp4_walk(spark, sf_dir):
+    """MP4 sequential decode graded end-to-end (r15, VERDICT r14
+    item 4 — the AVI pattern completed on the second container:
+    `video_frames` grades the AVI sequential walk and `video_mp4` the
+    MP4 seek path; this row grades the MP4 SEQUENTIAL walk): EVERY
+    sample of EVERY asset — classic moov-last stsc/stco/stsz files
+    AND fragmented fMP4 (moof/tfhd/tfdt/trun) — is located through
+    the sample tables (operators/mp4.mp4_frames: stsc run
+    resolution → owning chunk, stco offset + within-chunk stsz
+    prefix sum, per-sample SOI + bounds integrity checks, stsz count
+    cross-checked against the stts total) and decoded by the real
+    JPEG codec inside Arrow mapInPandas. One output row per
+    (asset, sample): the row FAN-OUT itself cross-checks the frame
+    count (a dropped or duplicated sample changes the row set), and
+    the oracle re-derives the exact raster sum from the per-block
+    pixel formula — any table-walk slip in either ISO-BMFF layout
+    changes pix_sum."""
+    import pandas as _pd
+
+    from .operators import jpeg as J
+    from .operators import mp4 as M
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "width": [],
+                    "height": [], "pix_sum": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for f, frame in enumerate(M.mp4_frames(bytes(payload))):
+                    w, h, px = J.decode_jpeg(frame)
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pix_sum"].append(sum(px))
+            yield _pd.DataFrame(rows)
+
+    return (_mp4_assets(spark, sf_dir)
+            .mapInPandas(run, schema="asset_id long, frame_idx int, "
+                                     "width int, height int, "
+                                     "pix_sum long"))
+
+
 def _wav_assets(spark, sf_dir):
     """Deterministic WAV asset table (r12, VERDICT r11 item 5): one
     real RIFF/WAVE PCM16 mono file per document — 8 kHz,
@@ -4413,6 +4455,10 @@ def q_bm25_topk(spark, sf_dir):
 # rows (embed_pq_ann .. tfidf_terms) forward and fill to 50 with the
 # oldest r13-graded rows (video_mp4 ..).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- NEW never-green rows (r15) lead the window ---
+    # video_mp4_walk: NEW r15 (VERDICT r14 item 4 — the MP4
+    # sequential-walk twin; video_mp4 grades the seek path)
+    "video_mp4_walk": q_video_mp4_walk,
     # --- NEW never-green rows (r14) lead the window ---
     # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
     # extraction, the crawl-ingestion front door)
@@ -5984,8 +6030,37 @@ ORACLES: dict[str, str] = {
         FROM sel JOIN bx ON bx.bx < sel.w // 8 CROSS JOIN by
         GROUP BY sel.asset_id, sel.t, sel.f, sel.g
     """,
-    # r13: the MP4 twin of video_sample — rate 4+g%3, block formula
-    # g*11 + f*7, corpus doc_id % 8 == 4 (operators/mp4.py seek path)
+    # r15: the MP4 sequential-walk twin of video_frames (VERDICT r14
+    # item 4) — every sample of every plain/fMP4 asset via the sample
+    # tables; block formula g*11 + f*7, corpus doc_id % 8 == 4
+    "video_mp4_walk": """
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   16 * (1 + (doc_id // 8) % 2) AS w,
+                   16 AS h,
+                   3 + (doc_id // 8) % 4 AS nf,
+                   doc_id // 8 AS g
+            FROM documents WHERE doc_id % 8 = 4
+        ),
+        f AS (SELECT unnest(range(0, 7)) AS f),
+        bx AS (SELECT unnest(range(0, 4)) AS bx),
+        by AS (SELECT unnest(range(0, 2)) AS by)
+        SELECT a.asset_id,
+               CAST(f.f AS INT) AS frame_idx,
+               CAST(a.w AS INT) AS width,
+               CAST(a.h AS INT) AS height,
+               CAST(3 * 64 * sum(128 + 2 * (((a.g * 11
+                                              + f.f * 7
+                                              + bx.bx * 5
+                                              + by.by * 3) % 49) - 24))
+                    AS BIGINT) AS pix_sum
+        FROM a JOIN f ON f.f < a.nf
+               JOIN bx ON bx.bx < a.w // 8
+               CROSS JOIN by
+        GROUP BY a.asset_id, f.f, a.w, a.h
+    """,
+    # r13: the MP4 twin of video_sample — rate 4+g%3, corpus
+    # doc_id % 8 == 4 (operators/mp4.py seek path)
     "video_mp4": """
         WITH a AS (
             SELECT doc_id AS asset_id,
