@@ -1453,13 +1453,13 @@ def _warc_assets(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.selectExpr(
-        "doc_id",
+        "doc_id", "source",
         _render(_WARC_URL_SYNTH, "spark") + " AS url",
         _render(_HTML_SYNTH, "spark") + " AS html")
 
     def gen(batches):
         for pdf in batches:
-            ids, payloads = [], []
+            ids, srcs, payloads = [], [], []
             for i in range(len(pdf)):
                 doc_id = int(pdf["doc_id"].iloc[i])
                 url = str(pdf["url"].iloc[i])
@@ -1481,10 +1481,13 @@ def _warc_assets(spark, sf_dir):
                      "content_type": "application/http;msgtype=response"},
                 ])
                 ids.append(doc_id)
+                srcs.append(str(pdf["source"].iloc[i]))
                 payloads.append(payload)
-            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+            yield _pd.DataFrame({"doc_id": ids, "source": srcs,
+                                 "payload": payloads})
 
-    return base.mapInPandas(gen, "doc_id long, payload binary")
+    return base.mapInPandas(gen,
+                            "doc_id long, source string, payload binary")
 
 
 def q_warc_records(spark, sf_dir):
@@ -1542,6 +1545,73 @@ def _warc_records_oracle() -> str:
                   || CASE WHEN length(p3) >= 25
                           THEN chr(10) || p3 ELSE '' END AS text
         FROM d
+    """
+
+
+def q_warc_pipeline(spark, sf_dir):
+    """Raw-crawl end-to-end curation graded as ONE composition (r15,
+    VERDICT r14 item 3 — the `pipeline_survivors` shape started from
+    the TRUE front door): WARC member bytes → Content-Length record
+    walk + HTTP header/body split (operators/warc.warc_responses) →
+    main-content extraction (operators/htmltext.extract_text_df) →
+    Gopher quality rules ON THE EXTRACTED TEXT → exact dedup on the
+    normalized-text fingerprint (min-doc_id survivor) → per-source
+    survivor count + doc_id sum (pins the exact survivor set). Every
+    stage is its own oracle-checked row elsewhere; this row proves
+    they compose from raw crawl bytes: the WARC walk and extraction
+    fuse into one Arrow map stage (zero exchanges before the
+    fingerprint groupBy — the only shuffles are the dedup and the
+    source rollup, exactly the 100 TB shape). The oracle re-derives
+    the extracted text from the slice formulas, then applies the SAME
+    portable quality/fingerprint fragments — a one-byte framing slip,
+    a mis-kept block, or a wrong survivor all change id_sum."""
+    from .operators import htmltext as ht
+    from .operators import warc as W
+
+    resp = W.warc_responses(_warc_assets(spark, sf_dir), "payload",
+                            carry=("doc_id", "source"))
+    ext = ht.extract_text_df(resp, "body", carry=("doc_id", "source"))
+    q = tx.with_quality_rules(ext).filter(F.col("keep"))
+    surv = dd.exact_dedup(tx.with_fingerprint(q), ["fingerprint"],
+                          "doc_id")
+    return (surv.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("survivors"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+def _warc_pipeline_oracle() -> str:
+    """Extracted-text slice formulas (the html_extract oracle) feeding
+    the SAME portable quality-keep and fingerprint fragments the
+    engine evaluates — composition by construction."""
+    keep = tx.oracle_fragment(tx.QUALITY_KEEP, "text")
+    fp = tx.oracle_fragment(tx.FINGERPRINT, "text")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace('Q&A intro: ' || substr(text, 1, 100),
+                                       ' +', ' ', 'g')) AS p1,
+                   trim(regexp_replace(substr(text, 101, 150) || ' see more',
+                                       ' +', ' ', 'g')) AS p2,
+                   trim(regexp_replace(substr(text, 251, 400),
+                                       ' +', ' ', 'g')) AS p3
+            FROM documents),
+        e AS (
+            SELECT doc_id, source,
+                   p1 || CASE WHEN length(p2) >= 25
+                              THEN chr(10) || p2 ELSE '' END
+                      || CASE WHEN length(p3) >= 25
+                              THEN chr(10) || p3 ELSE '' END AS text
+            FROM d),
+        q AS (SELECT doc_id, source, text FROM e WHERE {keep}),
+        fp AS (SELECT doc_id, source, {fp} AS fpk FROM q),
+        surv AS (
+            SELECT fp.doc_id, fp.source FROM fp
+            JOIN (SELECT fpk, min(doc_id) AS keep_id
+                  FROM fp GROUP BY 1) k
+              ON fp.fpk = k.fpk AND fp.doc_id = k.keep_id)
+        SELECT source, count(*) AS survivors,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM surv GROUP BY source
     """
 
 
@@ -4459,6 +4529,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # video_mp4_walk: NEW r15 (VERDICT r14 item 4 — the MP4
     # sequential-walk twin; video_mp4 grades the seek path)
     "video_mp4_walk": q_video_mp4_walk,
+    # warc_pipeline: NEW r15 (VERDICT r14 item 3 — raw crawl bytes
+    # all the way to per-source survivors in one composition)
+    "warc_pipeline": q_warc_pipeline,
     # --- NEW never-green rows (r14) lead the window ---
     # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
     # extraction, the crawl-ingestion front door)
@@ -4689,6 +4762,7 @@ ORACLES: dict[str, str] = {
     "url_canon": _url_canon_oracle(),
     "html_extract": _HTML_EXTRACT_ORACLE,
     "warc_records": _warc_records_oracle(),
+    "warc_pipeline": _warc_pipeline_oracle(),
     "unigram_tok": _unigram_tok_oracle(),
     # FLAC decode oracle: the WAV discipline with the subframe-mode
     # column added — features re-derived from the integer sample

@@ -956,6 +956,26 @@ def test_ingestion_rows_plan_shapes(spark):
                          plan), name
 
 
+def test_warc_pipeline_plan_shape(spark):
+    """r15 (VERDICT r14 item 3): the raw-crawl composition must fuse
+    the WARC walk + extraction + quality filter into chained Arrow
+    stages with ZERO exchanges before the fingerprint dedup — the
+    only shuffles are the dedup groupBy and the source rollup (plus
+    AQE's final coalesce reads of those two)."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    plan = (QUERIES["warc_pipeline"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"MapInPandas", plan)) == 3
+    # two hash-partitioned exchanges: fingerprint dedup + source rollup
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, \
+        plan[:1500]
+    # the quality filter runs BEFORE the first exchange (scan-side)
+    assert "HashAggregate" in plan
+
+
 def test_pq_and_bpe_rows_plan_shapes(spark):
     """Scale-shape pins for the late-r12 ANN/tokenizer rows:
 
