@@ -918,6 +918,26 @@ def q_char_dup(spark, sf_dir):
                                    modulus=8, min_shared=2, max_df=100)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Suffix-array-fidelity exact-substring dedup graded end-to-end
+    (r15, VERDICT r14 item 2, carried from r13 — the Lee et al. 2022
+    §4.1 semantics char_dup/winnow_fp approximate): the MAXIMAL
+    duplicated substring extents over raw document text, min span
+    length 20 chars (operators/dedup.duplicate_spans — every
+    position's window gram hashed in whole-stage codegen, one
+    hash-keyed occurrence-count shuffle, marked positions merged per
+    document by one window pass; LINEAR in corpus size, no Σdf²
+    term). A position is in a span iff it lies inside a length-20
+    window whose exact gram occurs ≥2 times in the corpus — provably
+    the same coverage set a suffix-array pass marks (see the operator
+    docstring). The oracle re-derives the span set EXACTLY: same
+    per-position grams, same occurrence counts, same gaps-and-islands
+    merge, in pure SQL — a single mis-marked position or off-by-one
+    extent changes (span_start, span_end, n_windows)."""
+    return dd.duplicate_spans(_docs(spark, sf_dir), min_len=20,
+                              min_count=2)
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprint selection (operators/dedup.py
     winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD 2003, the
@@ -4532,6 +4552,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # warc_pipeline: NEW r15 (VERDICT r14 item 3 — raw crawl bytes
     # all the way to per-source survivors in one composition)
     "warc_pipeline": q_warc_pipeline,
+    # dup_spans: NEW r15 (VERDICT r14 item 2, carried from r13 —
+    # suffix-array-fidelity maximal duplicated substring extents)
+    "dup_spans": q_dup_spans,
     # --- NEW never-green rows (r14) lead the window ---
     # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
     # extraction, the crawl-ingestion front door)
@@ -5270,6 +5293,34 @@ ORACLES: dict[str, str] = {
         WHERE CAST('0x' || substr(md5('' || CAST(d.doc_id AS VARCHAR)),
                                   1, 8) AS BIGINT) % 10000 < r.rate_bp
         GROUP BY 1
+    """,
+    # r15 (VERDICT r14 item 2): the exact duplicated-extent set —
+    # every position's 20-char window gram, corpus occurrence counts,
+    # gaps-and-islands merge; re-derives duplicate_spans bit-for-bit
+    "dup_spans": """
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 19, 1) + 1))
+                       AS p
+            FROM documents),
+        g AS (SELECT doc_id, p, md5(substr(text, p, 20)) AS h
+              FROM pos WHERE p + 19 <= length(text)),
+        dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        m AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (h)),
+        b AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) <= 20
+                          THEN 0 ELSE 1 END AS brk
+              FROM m),
+        i AS (SELECT doc_id, p,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM b)
+        SELECT doc_id,
+               CAST(min(p) AS INTEGER) AS span_start,
+               CAST(max(p) + 20 AS INTEGER) AS span_end,
+               count(*) AS n_windows
+        FROM i GROUP BY doc_id, island
     """,
     # char grams: the SAME portable fragment the Spark side evaluates
     "char_dup": f"""

@@ -194,3 +194,44 @@ def test_bm25_matches_duckdb_twin_bitwise(spark, terms, texts):
     want = sorted(tuple(r) for r in
                   con.execute(tx.bm25_topk_sql(terms, k=5)).fetchall())
     assert got == want
+
+
+# ------------------------------------------------- duplicate spans (r15)
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=40),
+    min_size=2, max_size=6))
+def test_duplicate_spans_match_bruteforce(spark, texts):
+    """VERDICT r14 item 2: duplicate_spans must equal an independent
+    brute-force O(n²) maximal-extent finder — every position covered
+    by a length-L window whose gram occurs ≥2 times anywhere in the
+    corpus (within-doc repeats included), overlapping windows merged
+    into maximal extents. The tiny 'ab' alphabet forces dense
+    duplication, single-window islands, full-doc spans, and docs
+    shorter than L."""
+    from collections import Counter
+
+    from activecube_graphql_spark.operators import dedup as dd
+
+    L = 5
+    counts = Counter(t[i:i + L] for t in texts
+                     for i in range(len(t) - L + 1))
+    want = set()
+    for d, t in enumerate(texts):
+        marked = [i + 1 for i in range(len(t) - L + 1)
+                  if counts[t[i:i + L]] >= 2]  # 1-based
+        run: list[int] = []
+        for p in marked:
+            if run and p - run[-1] <= L:
+                run.append(p)
+            else:
+                if run:
+                    want.add((d, run[0], run[-1] + L, len(run)))
+                run = [p]
+        if run:
+            want.add((d, run[0], run[-1] + L, len(run)))
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in dd.duplicate_spans(
+               _df(spark, texts), min_len=L).collect()}
+    assert got == want
