@@ -594,6 +594,161 @@ def q_lang_id(spark, sf_dir):
     return df.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+#: Multilingual fixture column (r15, VERDICT r14 item 6): per-language
+#: wordlists; a document's synthetic text is four words drawn from its
+#: language's list by deterministic doc_id arithmetic — REAL character-
+#: level language signal (each language's trigram distribution is its
+#: own), generated identically engine-side (SQL fragment) and in the
+#: oracle renderer's pure-Python replica. Seeds documented in
+#: FIXTURES.md.
+_ML_WORDS: dict[str, tuple[str, ...]] = {
+    "de": ("das", "haus", "wasser", "licht", "nacht", "stein",
+           "fluss", "und"),
+    "en": ("the", "house", "water", "light", "night", "stone",
+           "river", "and"),
+    "es": ("la", "casa", "agua", "luz", "noche", "piedra",
+           "rio", "y"),
+    "fr": ("le", "maison", "eau", "lumiere", "nuit", "pierre",
+           "riviere", "et"),
+}
+
+#: training slice: doc_id < 120 — the SAME 120 documents exist at
+#: every sf (ids are 0..N-1 with N ≥ 500 everywhere), so the trained
+#: model is sf-independent and the oracle can carry it as literals
+_ML_TRAIN_IDS = 120
+
+_ML_PRIMES = (3, 5, 7, 11)
+
+
+def _ml_lang_sql() -> str:
+    return ("CASE doc_id % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en' "
+            "WHEN 2 THEN 'es' ELSE 'fr' END")
+
+
+def _ml_text_sql() -> str:
+    """The four-word synthetic text as portable SQL (CASE + concat +
+    integer arithmetic only — valid verbatim on Spark and DuckDB)."""
+    words = []
+    for k, prime in enumerate(_ML_PRIMES):
+        arms = []
+        for li, lang in enumerate(sorted(_ML_WORDS)):
+            inner = " ".join(
+                f"WHEN {i} THEN '{w}'"
+                for i, w in enumerate(_ML_WORDS[lang]))
+            arms.append(f"WHEN {li} THEN (CASE "
+                        f"(doc_id * {prime} + {k}) % 8 {inner} END)")
+        words.append(f"(CASE doc_id % 4 {' '.join(arms)} END)")
+    return "concat(" + ", ' ', ".join(words) + ")"
+
+
+def _ml_lang_py(d: int) -> str:
+    return ("de", "en", "es", "fr")[d % 4]
+
+
+def _ml_text_py(d: int) -> str:
+    lang = _ml_lang_py(d)
+    return " ".join(_ML_WORDS[lang][(d * p + k) % 8]
+                    for k, p in enumerate(_ML_PRIMES))
+
+
+def _lang_id_trained_model() -> dict:
+    """The quantized NB model the graded row trains, replayed in pure
+    Python at oracle-render time: same 120 training texts (the
+    generators above), same integer gram counts, the SAME
+    _fit_lang_nb + quantize_lang_model code paths — bit-identical by
+    construction, so the oracle can inject it as literals."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    priors: Counter = Counter()
+    for d in range(_ML_TRAIN_IDS):
+        y = _ml_lang_py(d)
+        t = _ml_text_py(d).lower()
+        priors[y] += 1
+        for i in range(len(t) - 2):
+            grams[(y, t[i:i + 3])] += 1
+    model = tx._fit_lang_nb(
+        [(y, g, c) for (y, g), c in sorted(grams.items())],
+        dict(priors), n=3, max_features=32, alpha=1.0)
+    return tx.quantize_lang_model(model, 1000)
+
+
+def q_lang_id_trained(spark, sf_dir):
+    """TRAINED language-ID graded end-to-end (r15, VERDICT r14 item 6
+    — the trained NB stops grading only its fallback heuristic): the
+    multilingual fixture column carries REAL per-language character
+    signal (four-word texts from per-language wordlists, generated
+    engine-side by _ml_text_sql); operators/text.train_lang_id fits
+    the char-trigram multinomial NB on the fixed doc_id < 120 slice
+    (engine-side integer gram counts → the pure _fit_lang_nb), the
+    model quantizes to integer milli-nats (quantize_lang_model, so
+    scoring is order-free integer arithmetic), and score_lang_id
+    classifies the remaining documents emitting prediction AND the
+    winning integer score. Graded per (true lang, prediction):
+    document count plus the exact score sum — the score sum pins the
+    whole scoring arithmetic, so a wrong smoothing denominator, a
+    mis-cut vocabulary, or a tie-break slip all change the hash, not
+    just cases where the argmax flips. The oracle re-derives
+    everything from the injected literal model (the render-time
+    pure-Python training replica) over the same generated texts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ml = docs.selectExpr("doc_id", _ml_lang_sql() + " AS lang",
+                         _ml_text_sql() + " AS mtext")
+    model = tx.train_lang_id(
+        ml.filter(F.col("doc_id") < _ML_TRAIN_IDS),
+        label_col="lang", text_col="mtext", n=3, max_features=32)
+    qm = tx.quantize_lang_model(model, 1000)
+    scored = tx.score_lang_id(
+        ml.filter(F.col("doc_id") >= _ML_TRAIN_IDS), qm,
+        text_col="mtext", score_col="nb_score")
+    return (scored.groupBy("lang",
+                           F.col("lang_pred_nb").alias("pred"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nb_score").alias("score_sum")))
+
+
+def _lang_id_trained_oracle() -> str:
+    qm = _lang_id_trained_model()
+    langs = qm["langs"]
+    idx = {g: i for g, i in qm["vocab"].items()}
+    rows = ", ".join(
+        "('" + g.replace("'", "''") + "', "
+        + ", ".join(str(qm["logp"][y][i]) for y in langs) + ")"
+        for g, i in sorted(idx.items()))
+    cols = ", ".join(f"c_{y}" for y in langs)
+    score_cols = ", ".join(
+        f"{qm['logprior'][y]} + CAST(sum(coalesce(v.c_{y}, "
+        f"{qm['default'][y]})) AS BIGINT) AS s_{y}" for y in langs)
+    # lexicographically-first max (the engine's tie-break)
+    pick = "CASE "
+    for i, y in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{y} >= s_{z}" for z in langs[i + 1:])
+        pick += f"WHEN {conds} THEN '{y}' "
+    pick += f"ELSE '{langs[-1]}' END"
+    best = "greatest(" + ", ".join(f"s_{y}" for y in langs) + ")"
+    return f"""
+        WITH ml AS (
+            SELECT doc_id, {_ml_lang_sql()} AS lang,
+                   {_ml_text_sql()} AS mtext
+            FROM documents WHERE doc_id >= {_ML_TRAIN_IDS}),
+        pos AS (
+            SELECT doc_id, lang, mtext,
+                   unnest(range(1, greatest(length(mtext) - 2, 0) + 1))
+                       AS i
+            FROM ml),
+        tri AS (SELECT doc_id, lang, substr(mtext, i, 3) AS g
+                FROM pos),
+        v(g, {cols}) AS (VALUES {rows}),
+        sc AS (SELECT t.doc_id, t.lang, {score_cols}
+               FROM tri t LEFT JOIN v ON t.g = v.g
+               GROUP BY t.doc_id, t.lang),
+        pick AS (SELECT lang, {pick} AS pred, {best} AS best FROM sc)
+        SELECT lang, pred, count(*) AS n_docs,
+               CAST(sum(best) AS BIGINT) AS score_sum
+        FROM pick GROUP BY lang, pred
+    """
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style hard-rule quality filter (Rae et al. 2021 table A1
     family, operators/text.py): per document the rule inputs, the keep
@@ -4734,6 +4889,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # EM itself, injected seed + quantized E-step, both rounds
     # unrolled in the oracle)
     "unigram_trained": q_unigram_trained,
+    # lang_id_trained: NEW r15 (VERDICT r14 item 6 — trained NB over
+    # the multilingual fixture column, model injected as literals)
+    "lang_id_trained": q_lang_id_trained,
     # --- NEW never-green rows (r14) lead the window ---
     # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
     # extraction, the crawl-ingestion front door)
@@ -4967,6 +5125,7 @@ ORACLES: dict[str, str] = {
     "warc_pipeline": _warc_pipeline_oracle(),
     "unigram_tok": _unigram_tok_oracle(),
     "unigram_trained": _unigram_trained_oracle(),
+    "lang_id_trained": _lang_id_trained_oracle(),
     # FLAC decode oracle: the WAV discipline with the subframe-mode
     # column added — features re-derived from the integer sample
     # formulas (constant signal for mode=constant ids, the lag-window

@@ -1534,13 +1534,15 @@ def train_unigram(docs: DataFrame, vocab_size: int = 64,
 # Trained language ID — r14, VERDICT r13 item 7 ("what's wrong" #3):
 # a character-n-gram multinomial Naive Bayes in the CCNet family,
 # through the quality_model.py broadcast-model pattern.  The marker
-# heuristic (LANG_ID above) stays the SQL-expressible fallback and the
-# graded-oracle path; the trained model is pytest-pinned because a
-# fitted NB is not SQL-expressible (SURVEY §5.2 item 4's weaker
-# contract) AND because the synthetic fixture's text carries no
-# language signal at all (its `lang` label is independent of `text` —
-# verified in tests/test_pipeline_ops.py), so only a constructed
-# multilingual corpus can demonstrate the trained path honestly.
+# heuristic (LANG_ID above) stays the SQL-expressible fallback; the
+# documents.text column carries no language signal (its `lang` label
+# is independent of `text` — the honest-negative contract in
+# tests/test_pipeline_ops.py), so the TRAINED path is graded on the
+# r15 multilingual fixture column instead (driver_queries
+# q_lang_id_trained, VERDICT r14 item 6): integer gram counts feed
+# the pure _fit_lang_nb, the model quantizes to integer milli-nats,
+# and the oracle replays training at render time and injects the
+# model as literals.
 # --------------------------------------------------------------------
 
 def train_lang_id(docs: DataFrame, label_col: str = "lang",
@@ -1565,19 +1567,45 @@ def train_lang_id(docs: DataFrame, label_col: str = "lang",
                          f"i -> substr(lower({text_col}), i, {n}))"))
                      .alias("g"))
              .groupBy("y", "g").agg(F.count(F.lit(1)).alias("c")))
+    # two-phase bounded collect (the quality_model.py pattern): the
+    # vocab cut happens engine-side, so the driver only ever sees
+    # max_features × n_langs rows. _fit_lang_nb re-derives the same
+    # top-set from the filtered counts (totals of vocab grams equal
+    # their full-corpus totals), so the split changes nothing.
     vocab_rows = (grams.groupBy("g").agg(F.sum("c").alias("c"))
                   .orderBy(F.col("c").desc(), F.col("g").asc())
                   .limit(max_features).collect())
-    vocab = {r["g"]: i for i, r in enumerate(vocab_rows)}
-    counts = (grams.filter(F.col("g").isin(list(vocab)))
-              .collect())
-    langs = sorted({r["y"] for r in counts})
-    by_lang: dict[str, dict[str, int]] = {y: {} for y in langs}
-    for r in counts:
-        by_lang[r["y"]][r["g"]] = r["c"]
-    priors = {r["y"]: r["c"] for r in
+    keep = [r["g"] for r in vocab_rows]
+    gram_counts = [(r["y"], r["g"], int(r["c"])) for r in
+                   grams.filter(F.col("g").isin(keep)).collect()]
+    priors = {r["y"]: int(r["c"]) for r in
               docs.groupBy(F.col(label_col).alias("y"))
               .agg(F.count(F.lit(1)).alias("c")).collect()}
+    return _fit_lang_nb(gram_counts, priors, n=n,
+                        max_features=max_features, alpha=alpha)
+
+
+def _fit_lang_nb(gram_counts: list[tuple[str, str, int]],
+                 priors: dict[str, int], n: int = 3,
+                 max_features: int = 2000, alpha: float = 1.0) -> dict:
+    """The NB fit as a PURE function of the integer (lang, gram,
+    count) table and the per-lang doc counts — split out (r15, VERDICT
+    r14 item 6) so the graded oracle can replay training bit-for-bit:
+    the Spark wrapper collects exact integer counts (deterministic),
+    and any replica that reproduces those integers gets the identical
+    float model from this function."""
+    import math
+
+    totals: dict[str, int] = {}
+    for _, g, c in gram_counts:
+        totals[g] = totals.get(g, 0) + c
+    top = sorted(totals, key=lambda g: (-totals[g], g))[:max_features]
+    vocab = {g: i for i, g in enumerate(top)}
+    langs = sorted({y for y, _, _ in gram_counts})
+    by_lang: dict[str, dict[str, int]] = {y: {} for y in langs}
+    for y, g, c in gram_counts:
+        if g in vocab:
+            by_lang[y][g] = by_lang[y].get(g, 0) + c
     total_docs = sum(priors.values())
     v = len(vocab)
     logp: dict[str, list[float]] = {}
@@ -1594,20 +1622,46 @@ def train_lang_id(docs: DataFrame, label_col: str = "lang",
                          for y in langs}}
 
 
+def quantize_lang_model(model: dict, scale: int = 1000) -> dict:
+    """Quantize an NB model's log-probabilities to integer
+    milli-nats (r15, VERDICT r14 item 6): scoring becomes pure
+    integer arithmetic — order-free, engine/oracle exact — while
+    argmax quality is unchanged at any realistic scale. Rounding is
+    floor(x·scale + 0.5) (round-half-up), mirrored by the oracle."""
+    import math
+
+    def q(x: float) -> int:
+        return int(math.floor(x * scale + 0.5))
+
+    return {"n": model["n"], "vocab": dict(model["vocab"]),
+            "langs": list(model["langs"]),
+            "logp": {y: [q(x) for x in xs]
+                     for y, xs in model["logp"].items()},
+            "default": {y: q(x) for y, x in model["default"].items()},
+            "logprior": {y: q(x)
+                         for y, x in model["logprior"].items()}}
+
+
 def score_lang_id(docs: DataFrame, model: dict,
                   text_col: str = "text",
-                  out_col: str = "lang_pred_nb") -> DataFrame:
+                  out_col: str = "lang_pred_nb",
+                  score_col: str | None = None) -> DataFrame:
     """Score with a trained NB model: broadcast model, Arrow map-only
-    pass; argmax with lexicographic tie-break (deterministic)."""
+    pass; argmax with lexicographic tie-break (deterministic).
+    ``score_col`` additionally emits the winning score — with a
+    :func:`quantize_lang_model` model that is an exact integer, which
+    is what lets a graded row pin the whole scoring sum rather than
+    just the argmax (r15, VERDICT r14 item 6)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(model)
-    cols = docs.columns
     types = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                       for f in docs.schema)
+    out_schema = f"{types}, {out_col} string" + (
+        f", {score_col} long" if score_col else "")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc.value
@@ -1616,6 +1670,7 @@ def score_lang_id(docs: DataFrame, model: dict,
         default, logprior = m["default"], m["logprior"]
         for pdf in batches:
             preds = []
+            scores = []
             for text in pdf[text_col]:
                 # NOT `str(text) or ""`: str(None) == 'None' is
                 # truthy, which would score null text on garbage
@@ -1633,8 +1688,11 @@ def score_lang_id(docs: DataFrame, model: dict,
                             (s == best_s and y < best_y):
                         best_y, best_s = y, s
                 preds.append(best_y)
+                scores.append(best_s)
             pdf = pdf.copy()
             pdf[out_col] = preds
+            if score_col:
+                pdf[score_col] = scores
             yield pdf
 
-    return docs.mapInPandas(run, schema=f"{types}, {out_col} string")
+    return docs.mapInPandas(run, schema=out_schema)

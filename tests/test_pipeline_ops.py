@@ -2189,6 +2189,34 @@ def test_lang_id_nb_trained_contract(spark):
     assert "Exchange" not in plan
 
 
+def test_lang_id_trained_multilingual_column(spark, sf_dir):
+    """r15 (VERDICT r14 item 6): the multilingual fixture column
+    carries REAL language signal — the trained NB, quantized to
+    integer milli-nats, classifies every held-out document correctly;
+    quantization never moves the argmax here; and the render-time
+    pure-Python training replica reproduces the engine-trained model
+    bit-for-bit (the literal-injection contract of the graded row)."""
+    from activecube_graphql_spark.driver_queries import (
+        _ML_TRAIN_IDS, _lang_id_trained_model, _ml_lang_sql,
+        _ml_text_sql)
+
+    docs = _docs(spark, sf_dir)
+    ml = docs.selectExpr("doc_id", _ml_lang_sql() + " AS lang",
+                         _ml_text_sql() + " AS mtext")
+    model = tx.train_lang_id(ml.filter(F.col("doc_id") < _ML_TRAIN_IDS),
+                             label_col="lang", text_col="mtext",
+                             n=3, max_features=32)
+    qm = tx.quantize_lang_model(model, 1000)
+    assert qm == _lang_id_trained_model()  # replica bit-identity
+    hold = ml.filter(F.col("doc_id") >= _ML_TRAIN_IDS)
+    got = tx.score_lang_id(hold, qm, text_col="mtext").collect()
+    assert got and all(r["lang_pred_nb"] == r["lang"] for r in got)
+    # unquantized model agrees on every prediction
+    got_f = tx.score_lang_id(hold, model, text_col="mtext").collect()
+    assert {(r["doc_id"], r["lang_pred_nb"]) for r in got} == \
+        {(r["doc_id"], r["lang_pred_nb"]) for r in got_f}
+
+
 def test_lang_id_fixture_carries_no_language_signal(spark, sf_dir):
     """The honest-negative contract behind keeping the graded lang_id
     row on the marker heuristic (VERDICT r13 item 7 'or a pytest
