@@ -4862,104 +4862,95 @@ def q_bm25_topk(spark, sf_dir):
 #            (freshest evidence, multimodal_gif .. tfidf_terms).
 # r14 ROTATION (VERDICT r13 item 1): all 50 r13 rows graded green ->
 # behind the window; the 40 r11-evidence rows (the oldest tier) pull
-# forward, led by the rows this round EDITS (their evidence voids at
-# the edited tree, so they must lead per the never-green guard):
-# lang_id (trained NB path), multimodal_gif / video_frames /
-# video_sample / multimodal_audio (ensure_parallelism id fan-out),
-# url_canon (PSL snapshot) and bpe_bytes (whitespace-run pretoken
-# fix) — the latter two are r13-green so they ride the round-boundary
-# carve-out tier. NEW never-green rows (html_extract, warc_records,
-# unigram_tok, audio_flac) go at the VERY front as they land.
-# NEXT-ROUND ROTATION (r15): re-stamp the manifest at the graded
-# tree, move this window behind, pull the remaining 45 r12-evidence
-# rows (embed_pq_ann .. tfidf_terms) forward and fill to 50 with the
-# oldest r13-graded rows (video_mp4 ..).
+# forward, led by the rows edited that round. New r14 rows
+# (html_extract, warc_records, unigram_tok, audio_flac) at the front.
+# r15 ROTATION (VERDICT r14 item 1, executed): CORRECTNESS_r14 50/50
+# green -> that window moved behind; manifest re-stamped at the
+# graded tree as round step 1 (5 pending r14 voids cleared), then
+# re-stamped --void for the four rows r15 edits (audio_flac,
+# unigram_tok, url_canon, warc_records). Window = 5 NEW rows
+# (video_mp4_walk, warc_pipeline, dup_spans, unigram_trained,
+# lang_id_trained — VERDICT r14 items 2-6) + those 4 voided rows +
+# 41 of the 45 r12-evidence rows (embed_pq_ann .. sliding_window).
+# The 4 r12 rows that did not fit (source_cap, split_counts,
+# text_stats, tfidf_terms) sit directly behind on still-valid r12
+# greens.
+# NEXT-ROUND ROTATION (r16): re-stamp the manifest at the graded
+# tree, move this window behind, lead with source_cap, split_counts,
+# text_stats, tfidf_terms (oldest evidence, r12), then fill to 50
+# with the oldest r13-graded rows (video_mp4 ..). After that grades
+# green, no row's evidence is older than r13.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW never-green rows (r15) lead the window ---
-    # video_mp4_walk: NEW r15 (VERDICT r14 item 4 — the MP4
-    # sequential-walk twin; video_mp4 grades the seek path)
+    # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
+    # warc_pipeline: item 3 (raw crawl bytes -> per-source survivors);
+    # dup_spans: item 2 (suffix-array-fidelity duplicated extents);
+    # unigram_trained: item 5 (the EM trainer itself, quantized);
+    # lang_id_trained: item 6 (trained NB on the multilingual column)
     "video_mp4_walk": q_video_mp4_walk,
-    # warc_pipeline: NEW r15 (VERDICT r14 item 3 — raw crawl bytes
-    # all the way to per-source survivors in one composition)
     "warc_pipeline": q_warc_pipeline,
-    # dup_spans: NEW r15 (VERDICT r14 item 2, carried from r13 —
-    # suffix-array-fidelity maximal duplicated substring extents)
     "dup_spans": q_dup_spans,
-    # unigram_trained: NEW r15 (VERDICT r14 item 5 — train_unigram's
-    # EM itself, injected seed + quantized E-step, both rounds
-    # unrolled in the oracle)
     "unigram_trained": q_unigram_trained,
-    # lang_id_trained: NEW r15 (VERDICT r14 item 6 — trained NB over
-    # the multilingual fixture column, model injected as literals)
     "lang_id_trained": q_lang_id_trained,
-    # --- NEW never-green rows (r14) lead the window ---
-    # html_extract: NEW r14 (VERDICT r13 item 3 — HTML->text
-    # extraction, the crawl-ingestion front door)
-    "html_extract": q_html_extract,
-    # warc_records: NEW r14 (VERDICT r13 item 4 — WARC record walk ->
-    # url_canon -> html_extract, the full ingestion chain)
-    "warc_records": q_warc_records,
-    # unigram_tok: NEW r14 (VERDICT r13 item 5 — SentencePiece-family
-    # unigram-LM tokenizer, Viterbi DP vs an unrolled-DP SQL oracle)
-    "unigram_tok": q_unigram_tok,
-    # audio_flac: NEW r14 (VERDICT r13 item 8 — rice/LPC FLAC decode,
-    # all four subframe families, CRC+MD5 verified)
+    # --- edited-this-round rows (evidence voided at this tree,
+    # --- green in CORRECTNESS_r14 -> round-boundary carve-out):
+    # --- audio_flac (ADVICE r14 subframe-mode fix + STREAMINFO),
+    # --- unigram_tok (engine-side DP-depth assert), url_canon +
+    # --- warc_records (PSL wildcard/exception tiers) ---
     "audio_flac": q_audio_flac,
-    # --- edited-this-round rows: evidence voids at the edited
-    # --- tree (not green in the newest CORRECTNESS) -> lead ---
-    "multimodal_gif": q_multimodal_gif,
-    "video_frames": q_video_frames,
-    "video_sample": q_video_sample,
-    "multimodal_audio": q_multimodal_audio,
-    # --- edited r13-green rows: pending under the
-    # --- round-boundary carve-out, after the tier above ---
+    "unigram_tok": q_unigram_tok,
     "url_canon": q_url_canon,
-    "bpe_bytes": q_bpe_bytes,
-    # --- the 40 remaining r11-evidence rows (oldest tier) —
-    # --- all re-graded this round. lang_id is UNEDITED (VERDICT r13
-    # --- item 7 resolved as the pytest-contract arm: the trained NB
-    # --- is real but the fixture text carries no language signal —
-    # --- see tests/test_pipeline_ops.py) so it stays green-ordered --
-    "lang_id": q_lang_id,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "neardup_clusters": q_neardup_clusters,
-    "offset": q_offset,
-    "sort_by_integer": q_sort_by_integer,
-    "stateful_user_stats": q_stateful_user_stats,
-    "stratified_sample": q_stratified_sample,
-    "union_typename": q_union_typename,
-    "asof_join": q_asof_join,
-    "click_purchase_join": q_click_purchase_join,
-    "containment": q_containment,
-    "decontam": q_decontam,
-    "doc_chunks": q_doc_chunks,
-    "dup_cluster_sizes": q_dup_cluster_sizes,
-    "edit_verified": q_edit_verified,
-    "bm25_topk": q_bm25_topk,
-    "heavy_hitters": q_heavy_hitters,
-    "embed_topk": q_embed_topk,
-    "embed_range": q_embed_range,
-    "embed_neardup": q_embed_neardup,
-    "embed_keep": q_embed_keep,
-    "embed_lsh_ann": q_embed_lsh_ann,
-    "embed_ivf_ann": q_embed_ivf_ann,
-    "knn_vote": q_knn_vote,
-    "hard_negatives": q_hard_negatives,
-    "semantic_decontam": q_semantic_decontam,
-    "semantic_dedup": q_semantic_dedup,
-    "mmr_rerank": q_mmr_rerank,
-    "embed_stats": q_embed_stats,
-    "embed_centroids": q_embed_centroids,
-    "histogram": q_histogram,
-    "lm_buckets": q_lm_buckets,
-    "minhash_lsh_verified": q_minhash_lsh,
-    "mixture_sample": q_mixture_sample,
-    "moving_avg": q_moving_avg,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_meta": q_multimodal_meta,
-    "neardup_keep": q_neardup_keep,
-    "ngram_jaccard": q_ngram_jaccard,
+    "warc_records": q_warc_records,
+    # --- the oldest-evidence tier: 41 of the 45 remaining
+    # --- r12-graded rows, pulled forward per the r15 rotation
+    # --- (VERDICT r14 item 1) ---
+    "embed_pq_ann": q_embed_pq_ann,
+    "bpe_tokens": q_bpe_tokens,
+    "embed_ivfpq_ann": q_embed_ivfpq_ann,
+    "trigram_buckets": q_trigram_buckets,
+    "neardup_clusters_dist": q_neardup_clusters_dist,
+    "multimodal_png": q_multimodal_png,
+    "pii_scrub": q_pii_scrub,
+    "quantiles": q_quantiles,
+    "skew_salted_join": q_skew_salted_join,
+    "source_dup_matrix": q_source_dup_matrix,
+    "source_kl": q_source_kl,
+    "stats_moments": q_stats_moments,
+    "string_funcs": q_string_funcs,
+    "winsorized": q_winsorized,
+    "anomaly_mad": q_anomaly_mad,
+    "boilerplate": q_boilerplate,
+    "budget_fill": q_budget_fill,
+    "char_entropy": q_char_entropy,
+    "det_sample": q_det_sample,
+    "drift_kl": q_drift_kl,
+    "embed_quant": q_embed_quant,
+    "events_hourly": q_events_hourly,
+    "graphql_docs": q_graphql_docs,
+    "pack_chunks": q_pack_chunks,
+    "pipeline_survivors": q_pipeline_survivors,
+    "profile_docs": q_profile_docs,
+    "quality_pct": q_quality_pct,
+    "quality_rules": q_quality_rules,
+    "rep_signals": q_rep_signals,
+    "resampled": q_resampled,
+    "money_two_level": q_money_two_level,
+    "multimodal_decode": q_multimodal_decode,
+    "winnow_fp": q_winnow_fp,
+    "char_dup": q_char_dup,
+    "bigram_lm": q_bigram_lm,
+    "semi_anti": q_semi_anti,
+    "session_window": q_session_window,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "sketch_rollup": q_sketch_rollup,
+    "sliding_window": q_sliding_window,
+    # --- behind the window: the 4 r12-evidence rows that did
+    # --- not fit (they lead the r16 window) ---
+    "source_cap": q_source_cap,
+    "split_counts": q_split_counts,
+    "text_stats": q_text_stats,
+    "tfidf_terms": q_tfidf_terms,
     # --- behind the window: the 48 r13-graded rows ---
     "video_mp4": q_video_mp4,
     "embed_ivfpq_res": q_embed_ivfpq_res,
@@ -5009,52 +5000,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_topn": q_graphql_topn,
     "json_subfield": q_json_subfield,
     "limit_by": q_limit_by,
-    # --- behind the window: the 45 remaining r12-graded rows ---
-    "embed_pq_ann": q_embed_pq_ann,
-    "bpe_tokens": q_bpe_tokens,
-    "embed_ivfpq_ann": q_embed_ivfpq_ann,
-    "trigram_buckets": q_trigram_buckets,
-    "neardup_clusters_dist": q_neardup_clusters_dist,
-    "multimodal_png": q_multimodal_png,
-    "pii_scrub": q_pii_scrub,
-    "quantiles": q_quantiles,
-    "skew_salted_join": q_skew_salted_join,
-    "source_dup_matrix": q_source_dup_matrix,
-    "source_kl": q_source_kl,
-    "stats_moments": q_stats_moments,
-    "string_funcs": q_string_funcs,
-    "winsorized": q_winsorized,
-    "anomaly_mad": q_anomaly_mad,
-    "boilerplate": q_boilerplate,
-    "budget_fill": q_budget_fill,
-    "char_entropy": q_char_entropy,
-    "det_sample": q_det_sample,
-    "drift_kl": q_drift_kl,
-    "embed_quant": q_embed_quant,
-    "events_hourly": q_events_hourly,
-    "graphql_docs": q_graphql_docs,
-    "pack_chunks": q_pack_chunks,
-    "pipeline_survivors": q_pipeline_survivors,
-    "profile_docs": q_profile_docs,
-    "quality_pct": q_quality_pct,
-    "quality_rules": q_quality_rules,
-    "rep_signals": q_rep_signals,
-    "resampled": q_resampled,
-    "money_two_level": q_money_two_level,
-    "multimodal_decode": q_multimodal_decode,
-    "winnow_fp": q_winnow_fp,
-    "char_dup": q_char_dup,
-    "bigram_lm": q_bigram_lm,
-    "semi_anti": q_semi_anti,
-    "session_window": q_session_window,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
-    "sketch_rollup": q_sketch_rollup,
-    "sliding_window": q_sliding_window,
-    "source_cap": q_source_cap,
-    "split_counts": q_split_counts,
-    "text_stats": q_text_stats,
-    "tfidf_terms": q_tfidf_terms,
+    # --- behind the window: the r14-graded rows (freshest) ---
+    "html_extract": q_html_extract,
+    "multimodal_gif": q_multimodal_gif,
+    "video_frames": q_video_frames,
+    "video_sample": q_video_sample,
+    "multimodal_audio": q_multimodal_audio,
+    "bpe_bytes": q_bpe_bytes,
+    "lang_id": q_lang_id,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "neardup_clusters": q_neardup_clusters,
+    "offset": q_offset,
+    "sort_by_integer": q_sort_by_integer,
+    "stateful_user_stats": q_stateful_user_stats,
+    "stratified_sample": q_stratified_sample,
+    "union_typename": q_union_typename,
+    "asof_join": q_asof_join,
+    "click_purchase_join": q_click_purchase_join,
+    "containment": q_containment,
+    "decontam": q_decontam,
+    "doc_chunks": q_doc_chunks,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "edit_verified": q_edit_verified,
+    "bm25_topk": q_bm25_topk,
+    "heavy_hitters": q_heavy_hitters,
+    "embed_topk": q_embed_topk,
+    "embed_range": q_embed_range,
+    "embed_neardup": q_embed_neardup,
+    "embed_keep": q_embed_keep,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
+    "knn_vote": q_knn_vote,
+    "hard_negatives": q_hard_negatives,
+    "semantic_decontam": q_semantic_decontam,
+    "semantic_dedup": q_semantic_dedup,
+    "mmr_rerank": q_mmr_rerank,
+    "embed_stats": q_embed_stats,
+    "embed_centroids": q_embed_centroids,
+    "histogram": q_histogram,
+    "lm_buckets": q_lm_buckets,
+    "minhash_lsh_verified": q_minhash_lsh,
+    "mixture_sample": q_mixture_sample,
+    "moving_avg": q_moving_avg,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_meta": q_multimodal_meta,
+    "neardup_keep": q_neardup_keep,
+    "ngram_jaccard": q_ngram_jaccard,
 }
 
 
