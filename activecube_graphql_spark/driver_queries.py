@@ -1445,20 +1445,23 @@ _URL_SYNTH = (
     "CASE WHEN doc_id % 2 = 0 THEN 'WWW.cdn.' ELSE '' END,"
     "source,"
     # r14: exercise the PSL snapshot (ICANN ccTLD second-levels AND a
-    # private-section platform suffix) plus the documented fallback
-    # (k12.va.us is OUTSIDE the snapshot -> last-two-labels 'va.us').
+    # private-section platform suffix).
     # r15 (VERDICT r14 item 8): the wildcard tier (*.ck -> registered
     # domain is two labels + base, here '<src>-site.shop.ck'), the
-    # exception tier (!www.ck -> 'www.ck' itself), and the multi-label
-    # wildcard/exception pair (*.kawasaki.jp / !city.kawasaki.jp)
+    # exception tier (!www.ck -> 'www.ck' itself), the multi-label
+    # wildcard/exception pair (*.kawasaki.jp / !city.kawasaki.jp),
+    # the US locality tier (k12.va.us is IN the generated snapshot
+    # since r15 -> '<src>-site.k12.va.us'), and the documented
+    # fallback (ac.zm is outside the snapshot -> last-two 'ac.zm')
     "CASE WHEN doc_id % 11 = 0 THEN '-Site.CO.UK' "
     "WHEN doc_id % 11 = 1 THEN '-site.com.au' "
     "WHEN doc_id % 11 = 2 THEN '-Team.GitHub.IO' "
-    "WHEN doc_id % 11 = 3 THEN '-site.k12.va.us' "
+    "WHEN doc_id % 11 = 3 THEN '-site.K12.VA.US' "
     "WHEN doc_id % 11 = 4 THEN '-site.Shop.CK' "
     "WHEN doc_id % 11 = 5 THEN '-cdn.WWW.CK' "
     "WHEN doc_id % 11 = 6 THEN '-site.Minami.Kawasaki.JP' "
     "WHEN doc_id % 11 = 7 THEN '-app.City.Kawasaki.JP' "
+    "WHEN doc_id % 11 = 8 THEN '-site.ac.zm' "
     "ELSE '-Site.COM' END,"
     "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 "
     "THEN ':80' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,"

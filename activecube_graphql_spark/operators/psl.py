@@ -45,7 +45,12 @@ Honest limits (documented, not hidden):
   registered domain; all tiers miss and the fallback reports its last
   two labels — callers doing per-domain policy never see such hosts
   as crawl targets anyway;
-* the United States locality scheme (``k12.<state>.us`` …) is omitted.
+* the United States locality scheme is covered for its REGULAR tier
+  (r15: ``k12/cc/lib.<state>.us`` for all 50 states + DC, generated
+  into :data:`PSL_US_LOCALITY` — the category registrations school
+  crawls actually hit); the city-name tier (``<city>.<state>.us``)
+  remains omitted: city labels are an open set the PSL itself only
+  samples.
 
 Each suffix test renders as ONE backslash-free regular expression
 (:func:`domain_regex`, :func:`wildcard_regex`, :func:`exception_regex`)
@@ -181,12 +186,24 @@ PSL_PRIVATE: tuple[str, ...] = (
     "workers.dev",
 )
 
+#: United States locality scheme, regular tier (r15): the per-state
+#: category registrations — k12 (schools), cc (community colleges),
+#: lib (libraries) — under every state code + DC. Generated, not
+#: hand-listed: the PSL spells these out per state and the set is
+#: exactly this product.
+_US_STATES = ("ak al ar az ca co ct dc de fl ga hi ia id il in ks ky "
+              "la ma md me mi mn mo ms mt nc nd ne nh nj nm nv ny oh "
+              "ok or pa ri sc sd tn tx ut va vt wa wi wv wy").split()
+
+PSL_US_LOCALITY: tuple[str, ...] = tuple(
+    f"{cat}.{st}.us" for st in _US_STATES for cat in ("cc", "k12", "lib"))
+
 #: The full snapshot, longest-first (labels desc, then lexicographic):
 #: with every alternative anchored at end-of-host, label-count-desc
 #: ordering makes leftmost-first regex engines (Java) and RE2 agree on
 #: the longest matching suffix.
 PSL_SNAPSHOT: tuple[str, ...] = tuple(
-    sorted(set(PSL_ICANN) | set(PSL_PRIVATE),
+    sorted(set(PSL_ICANN) | set(PSL_PRIVATE) | set(PSL_US_LOCALITY),
            key=lambda s: (-s.count("."), s)))
 
 

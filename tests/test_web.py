@@ -111,8 +111,14 @@ def test_url_psl_snapshot_domains(spark):
         ("https://cdn.user.github.io/repo", "user.github.io"),
         ("http://example.com/x", "example.com"),
         ("http://a.b.example.org/", "example.org"),
-        # outside the snapshot -> documented fallback (last two labels)
-        ("http://school.k12.va.us/", "va.us"),
+        # US locality regular tier (r15): k12/cc/lib.<state>.us are
+        # public suffixes -> one more label registers
+        ("http://school.k12.va.us/", "school.k12.va.us"),
+        ("http://www.district.k12.ca.us/x", "district.k12.ca.us"),
+        ("http://books.lib.tx.us/", "books.lib.tx.us"),
+        # city-name locality tier stays out of the snapshot ->
+        # documented fallback (last two labels)
+        ("http://cityhall.boston.ma.us/", "ma.us"),
         # host IS a bare suffix: no extra label to match -> fallback
         ("http://co.uk/", "co.uk"),
     ]
