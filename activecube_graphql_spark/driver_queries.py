@@ -1093,6 +1093,26 @@ def q_dup_spans(spark, sf_dir):
                               min_count=2)
 
 
+def q_dup_cut(spark, sf_dir):
+    """ExactSubstr REMOVAL graded end-to-end (r15 — the other half of
+    dup_spans: detect → excise, the operation Lee et al. 2022 actually
+    run on training corpora): every maximal duplicated extent (length
+    ≥ 20, occurrence count ≥ 2) is cut from every document
+    (operators/dedup.cut_duplicate_spans — the linear dup_spans
+    pipeline, one id-keyed join of the tiny span table back to the
+    corpus, a per-document fold over its non-overlapping extents).
+    Graded per document: span count, characters cut, and the kept
+    text pinned by length + md5 — the oracle re-derives the span set
+    exactly (the dup_spans machinery), then rebuilds the kept text
+    from gap slices in pure SQL, so an off-by-one at any extent
+    boundary changes kept_md5."""
+    out = dd.cut_duplicate_spans(_docs(spark, sf_dir), min_len=20,
+                                 min_count=2)
+    return out.select("doc_id", "n_spans", "cut_chars",
+                      F.length("kept_text").alias("kept_len"),
+                      F.md5("kept_text").alias("kept_md5"))
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprint selection (operators/dedup.py
     winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD 2003, the
@@ -4871,18 +4891,20 @@ def q_bm25_topk(spark, sf_dir):
 # green -> that window moved behind; manifest re-stamped at the
 # graded tree as round step 1 (5 pending r14 voids cleared), then
 # re-stamped --void for the four rows r15 edits (audio_flac,
-# unigram_tok, url_canon, warc_records). Window = 5 NEW rows
-# (video_mp4_walk, warc_pipeline, dup_spans, unigram_trained,
-# lang_id_trained — VERDICT r14 items 2-6) + those 4 voided rows +
-# 41 of the 45 r12-evidence rows (embed_pq_ann .. sliding_window).
-# The 4 r12 rows that did not fit (source_cap, split_counts,
+# unigram_tok, url_canon, warc_records). Window = 6 NEW rows
+# (video_mp4_walk, warc_pipeline, dup_spans, dup_cut,
+# unigram_trained, lang_id_trained — VERDICT r14 items 2-6 plus the
+# ExactSubstr removal half) + those 4 voided rows + 40 of the 45
+# r12-evidence rows (embed_pq_ann .. sketch_rollup). The 5 r12 rows
+# that did not fit (sliding_window, source_cap, split_counts,
 # text_stats, tfidf_terms) sit directly behind on still-valid r12
 # greens.
 # NEXT-ROUND ROTATION (r16): re-stamp the manifest at the graded
-# tree, move this window behind, lead with source_cap, split_counts,
-# text_stats, tfidf_terms (oldest evidence, r12), then fill to 50
-# with the oldest r13-graded rows (video_mp4 ..). After that grades
-# green, no row's evidence is older than r13.
+# tree, move this window behind, lead with sliding_window,
+# source_cap, split_counts, text_stats, tfidf_terms (oldest
+# evidence, r12), then fill to 50 with the oldest r13-graded rows
+# (video_mp4 ..). After that grades green, no row's evidence is
+# older than r13.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW never-green rows (r15) lead the window ---
     # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
@@ -4893,6 +4915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_mp4_walk": q_video_mp4_walk,
     "warc_pipeline": q_warc_pipeline,
     "dup_spans": q_dup_spans,
+    # dup_cut: NEW r15 — the removal half of ExactSubstr (excise the
+    # extents; kept text pinned by length + md5)
+    "dup_cut": q_dup_cut,
     "unigram_trained": q_unigram_trained,
     "lang_id_trained": q_lang_id_trained,
     # --- edited-this-round rows (evidence voided at this tree,
@@ -5655,6 +5680,59 @@ ORACLES: dict[str, str] = {
                CAST(max(p) + 20 AS INTEGER) AS span_end,
                count(*) AS n_windows
         FROM i GROUP BY doc_id, island
+    """,
+    # r15: the removal half — dup_spans' span set, kept text rebuilt
+    # from the gap slices (string_agg over pos-ordered pieces)
+    "dup_cut": """
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 19, 1) + 1))
+                       AS p
+            FROM documents),
+        g AS (SELECT doc_id, p, md5(substr(text, p, 20)) AS h
+              FROM pos WHERE p + 19 <= length(text)),
+        dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        m AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (h)),
+        b AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) <= 20
+                          THEN 0 ELSE 1 END AS brk
+              FROM m),
+        i AS (SELECT doc_id, p,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM b),
+        s AS (SELECT doc_id, min(p) AS st, max(p) + 20 AS en
+              FROM i GROUP BY doc_id, island),
+        w AS (SELECT doc_id, st, en,
+                     lag(en, 1, 1) OVER (PARTITION BY doc_id
+                                         ORDER BY st) AS pe
+              FROM s),
+        pieces AS (
+            SELECT w.doc_id, w.pe AS pos,
+                   substr(d.text, w.pe, w.st - w.pe) AS piece
+            FROM w JOIN documents d USING (doc_id)
+            UNION ALL
+            SELECT s.doc_id, max(s.en) AS pos,
+                   substr(any_value(d.text), max(s.en)) AS piece
+            FROM s JOIN documents d USING (doc_id)
+            GROUP BY s.doc_id),
+        kept AS (
+            SELECT doc_id,
+                   string_agg(piece, '' ORDER BY pos) AS kept_text
+            FROM pieces GROUP BY doc_id),
+        acct AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+                   CAST(sum(en - st) AS BIGINT) AS cut_chars
+            FROM s GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.cut_chars, 0) AS cut_chars,
+               length(coalesce(k.kept_text, d.text)) AS kept_len,
+               md5(coalesce(k.kept_text, d.text)) AS kept_md5
+        FROM documents d
+        LEFT JOIN acct a USING (doc_id)
+        LEFT JOIN kept k USING (doc_id)
     """,
     # char grams: the SAME portable fragment the Spark side evaluates
     "char_dup": f"""

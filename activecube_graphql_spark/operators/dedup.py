@@ -1478,6 +1478,58 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                     "span_end", "n_windows"))
 
 
+def cut_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_len: int = 20,
+                        min_count: int = 2) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 ExactSubstr (r15 —
+    :func:`duplicate_spans` is the detection half): excise every
+    maximal duplicated extent from every document and return the
+    cleaned text with its accounting. Lee et al.'s released tool cuts
+    ALL occurrences of a duplicated span (training keeps zero copies
+    of heavily-duplicated boilerplate; the deduplicated corpus still
+    carries the content once via the many documents where it was NOT
+    part of a long duplicate) — same semantics here.
+
+    Returns ``(id_col, text_col, n_spans, cut_chars, kept_text)`` —
+    documents with no duplicated extent pass through unchanged with
+    ``n_spans = 0``.
+
+    Scale shape: :func:`duplicate_spans`'s linear pipeline, one extra
+    id-keyed join of the (tiny) span table back to the corpus, and a
+    per-document fold over its handful of non-overlapping extents (a
+    higher-order ``aggregate`` whose lambda runs per SPAN, not per
+    character — the HOF-interpretation cost that rules lambdas out of
+    per-position work is irrelevant at per-extent cardinality)."""
+    spans = duplicate_spans(df, id_col=id_col, text_col=text_col,
+                            min_len=min_len, min_count=min_count)
+    agg = (spans.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(
+                    F.struct("span_start", "span_end"))).alias("__sp"),
+                F.count(F.lit(1)).cast("int").alias("n_spans"),
+                F.sum(F.col("span_end") - F.col("span_start"))
+                .cast("long").alias("cut_chars")))
+    out = df.join(agg, id_col, "left")
+    # fold the sorted, non-overlapping extents: emit the gap before
+    # each span, then the tail after the last one
+    kept = F.expr(
+        f"aggregate(__sp, "
+        f"named_struct('pos', 1, 'acc', ''), "
+        f"(st, s) -> named_struct("
+        f"'pos', s.span_end, "
+        f"'acc', concat(st.acc, substr({text_col}, st.pos, "
+        f"s.span_start - st.pos))), "
+        f"st -> concat(st.acc, substr({text_col}, st.pos)))")
+    return (out
+            .withColumn("kept_text",
+                        F.when(F.col("__sp").isNull(),
+                               F.col(text_col)).otherwise(kept))
+            .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)))
+            .withColumn("cut_chars",
+                        F.coalesce("cut_chars", F.lit(0).cast("long")))
+            .select(id_col, text_col, "n_spans", "cut_chars",
+                    "kept_text"))
+
+
 # ----------------------------------------------------------- winnowing
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",

@@ -235,3 +235,35 @@ def test_duplicate_spans_match_bruteforce(spark, texts):
            for r in dd.duplicate_spans(
                _df(spark, texts), min_len=L).collect()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=40),
+    min_size=2, max_size=6))
+def test_cut_duplicate_spans_matches_bruteforce(spark, texts):
+    """The removal half: excising the brute-force maximal extents from
+    each text must equal cut_duplicate_spans' kept_text exactly —
+    including full-doc cuts (kept empty), no-span docs (unchanged),
+    and extents that abut the string ends."""
+    from collections import Counter
+
+    from activecube_graphql_spark.operators import dedup as dd
+
+    L = 5
+    counts = Counter(t[i:i + L] for t in texts
+                     for i in range(len(t) - L + 1))
+    want = {}
+    for d, t in enumerate(texts):
+        marked = [i for i in range(len(t) - L + 1)
+                  if counts[t[i:i + L]] >= 2]  # 0-based
+        covered = set()
+        for p in marked:
+            covered.update(range(p, p + L))
+        want[d] = "".join(ch for i, ch in enumerate(t)
+                          if i not in covered)
+    got = {r["doc_id"]: r for r in dd.cut_duplicate_spans(
+        _df(spark, texts), min_len=L).collect()}
+    for d, t in enumerate(texts):
+        assert got[d]["kept_text"] == want[d], (t, got[d])
+        assert got[d]["cut_chars"] == len(t) - len(want[d])
