@@ -1487,8 +1487,12 @@ _URL_SYNTH = (
     "THEN ':80' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,"
     # r14: doc_id % 6 = 0 spells the same path with an unreserved
     # percent-escape ('%74' = 't', RFC 3986) -> must collapse with
-    # its bare spelling in n_canonical; %2F stays reserved-literal
+    # its bare spelling in n_canonical; %2F stays reserved-literal.
+    # r15: doc_id % 6 = 1 spells the reserved escape LOWERCASE
+    # ('%2f') -> the §6.2.2.1 case-normalization steps must
+    # canonicalize it to the %2F spelling of the % 6 = 3 branch
     "CASE WHEN doc_id % 6 = 0 THEN '/Pa%74h/' "
+    "WHEN doc_id % 6 = 1 THEN '/Path%2fsub/' "
     "WHEN doc_id % 6 = 3 THEN '/Path%2Fsub/' "
     "ELSE '/Path/' END, TO_STR(doc_id % 50),"
     "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"

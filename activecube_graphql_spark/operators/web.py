@@ -59,10 +59,12 @@ def _pct_decode_chain(col: str) -> str:
     hex contains letters) — pure string algebra valid in Spark SQL and
     DuckDB alike, so the step stays inside the ONE portable chain.
     Escapes of reserved/other characters (%2F, %3F, …) are NOT
-    equivalent to their characters and survive untouched; uppercasing
-    those remaining escapes (the other half of §6.2.2.2) needs a
-    regex-callback neither engine's shared surface has — documented
-    out of scope.
+    equivalent to their characters and survive untouched; since r15
+    their hex case IS normalized to uppercase by the ``pctup`` step
+    that follows this one (§6.2.2.1 — split on '%', fix each
+    fragment's leading hex pair; previously documented out of scope
+    when framed as a replace chain, which both exceeds DuckDB's
+    binder recursion and costs per-SPELLING instead of per-escape).
 
     Malformed-escape caveat (ADVICE r14): sequential ``replace()`` is
     not single-pass decoding — a replacement can COMPLETE a malformed
@@ -85,6 +87,8 @@ def _pct_decode_chain(col: str) -> str:
         for hx in variants:
             out = f"replace({out}, '{hx}', '{ch}')"
     return out
+
+
 
 #: Ordered canonicalization steps: (column, fragment). Each fragment
 #: may reference the url column as {url} and any PRIOR step column by
@@ -116,8 +120,28 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
     # characters ('%74' ≡ 't', both hex cases); reserved escapes
     # (%2F …) are NOT path-equivalent and survive
     ("pctpath", _pct_decode_chain("rawpath")),
-    ("path", "CASE WHEN REGEX_STRIP(pctpath, '/+$') = '' THEN '/' "
-             "ELSE REGEX_STRIP(pctpath, '/+$') END"),
+    # r15, RFC 3986 §6.2.2.1: the escapes that SURVIVE unreserved
+    # decoding (reserved/other) case-normalize to uppercase hex —
+    # '%2f' ≡ '%2F'. Shape: split on '%' and fix each fragment's
+    # LEADING two chars when they are hex (per-ESCAPE work — paths
+    # carry 0-3 escapes, so the lambda's interpreted evaluation is
+    # irrelevant; the alternative, a 228-entry replace chain over
+    # every non-canonical hex spelling, exceeds DuckDB's 128-deep
+    # binder recursion AND measured ~0.7 s/5k rows of pure
+    # expression-tree overhead). Head fragment (before any '%') is
+    # never an escape; single-pass by construction — a malformed
+    # '%7%41' stays '%7%41', unlike a replace chain.
+    ("pctsplit", "SPLIT_LIT(pctpath, '%')"),
+    ("pctup", "CASE WHEN ARRAY_LEN(pctsplit) = 1 THEN pctpath "
+              "ELSE concat(LIST_JOIN(LIST_SLICE(pctsplit, 1, 1), ''), "
+              "'%', LIST_JOIN(LIST_TRANSFORM("
+              "LIST_SLICE(pctsplit, 2, ARRAY_LEN(pctsplit) - 1), "
+              "e -> CASE WHEN length(e) >= 2 AND "
+              "REGEX_STRIP(upper(substr(e, 1, 2)), '[0-9A-F]') = '' "
+              "THEN concat(upper(substr(e, 1, 2)), substr(e, 3)) "
+              "ELSE e END), '%')) END"),
+    ("path", "CASE WHEN REGEX_STRIP(pctup, '/+$') = '' THEN '/' "
+             "ELSE REGEX_STRIP(pctup, '/+$') END"),
     ("qstr", "regexp_extract(pathq, '[?](.+)$', 1)"),
     ("qcanon", "CASE WHEN qstr = '' THEN '' ELSE concat('?', "
                "LIST_JOIN(LIST_SORT(SPLIT_LIT(qstr, '&')), '&')) END"),
@@ -141,7 +165,8 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
 #: canonical output surface
 _INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "hostbase",
                  "wwwrest", "port", "portk", "rawpath", "pctpath",
-                 "qstr", "qcanon", "psl_exc", "psl_wild", "psl_dom")
+                 "pctsplit", "pctup", "qstr", "qcanon",
+                 "psl_exc", "psl_wild", "psl_dom")
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",

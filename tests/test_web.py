@@ -173,6 +173,40 @@ def test_url_psl_wildcard_and_exception_rules(spark):
         assert dom == cases[i][1], cases[i][0]
 
 
+def test_url_pct_case_normalization(spark):
+    """r15 (RFC 3986 §6.2.2.1): escapes that survive unreserved
+    decoding case-normalize to uppercase hex — '%2f' ≡ '%2F' — so
+    both spellings reach ONE canonical URL; unreserved escapes still
+    decode regardless of case; non-escape '%' text is untouched
+    (single-pass by construction: the split-on-'%' fixer never
+    re-reads its own output, unlike a replace chain). DuckDB agrees
+    through the same portable fragment."""
+    import duckdb
+
+    cases = [
+        ("http://a.com/x%2fy", "/x%2Fy"),
+        ("http://a.com/x%2Fy", "/x%2Fy"),
+        ("http://a.com/x%aF%3d", "/x%AF%3D"),
+        # unreserved still decodes (either case), reserved uppercases
+        ("http://a.com/%74x%3f", "/tx%3F"),
+        # bare %-text without hex digits is untouched
+        ("http://a.com/100%25y%zz", "/100%25y%zz"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in
+                                enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["path"] for r in
+           web.canonicalize_urls(df, "url").collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, u
+    assert got[0] == got[1]  # the two spellings collapse
+    src = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{u}')" for i, (u, _) in enumerate(cases)
+    ) + ") AS t(i, url)"
+    sql = "SELECT i, path FROM " + web.canon_steps_sql("duckdb", src)
+    for i, path in duckdb.sql(sql).fetchall():
+        assert path == cases[i][1], cases[i][0]
+
+
 def test_url_psl_fallback_documented():
     """The fallback remains the documented APPROXIMATION for suffixes
     outside the snapshot, and the snapshot is longest-first so both
