@@ -226,3 +226,52 @@ def test_url_canonicalize_collision_guard(spark):
                                "i long, url string, host string")
     with pytest.raises(ValueError, match="host"):
         web.canonicalize_urls(df, "url")
+
+
+def test_url_steps_fuzz_cross_engine(spark):
+    """r15 hardening: RANDOM messy URLs — mixed-case schemes/hosts,
+    www prefixes, every PSL regime's suffix, ports, percent-escapes
+    in both cases (valid AND malformed), query params, fragments,
+    empty segments — must canonicalize row-identically on the Spark
+    chain and the DuckDB oracle rendering. The fixed CASES pin known
+    policy; this pins the cross-engine contract over the
+    combinatorial geometry the fixture tables never reach."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xC0FFEE)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    prefixes = ["", "www.", "WWW.cdn.", "m."]
+    suffixes = ["com", "co.uk", "github.io", "shop.ck", "www.ck",
+                "minami.kawasaki.jp", "city.kawasaki.jp", "k12.va.us",
+                "boston.ma.us", "ac.zm", "com.bd"]
+    paths = ["", "/", "/A/b", "/a//b/", "/x%2fy", "/x%2Fy", "/Pa%74h",
+             "/%7a%5A", "/100%25", "/%7%41", "/p%zzq", "/a%aFb"]
+    ports = ["", ":80", ":443", ":8080"]
+    queries = ["", "?b=2&a=1", "?a=1&b=2", "?x"]
+    frags = ["", "#F", "#a%2f"]
+    rows = []
+    for i in range(120):
+        u = (rng.choice(schemes) + "://" + rng.choice(prefixes)
+             + "host" + str(rng.randrange(3)) + "."
+             + rng.choice(suffixes) + rng.choice(ports)
+             + rng.choice(paths) + rng.choice(queries)
+             + rng.choice(frags))
+        rows.append((i, u))
+    df = spark.createDataFrame(rows, "i long, url string")
+    api = {r["i"]: (r["scheme"], r["host"], r["path"], r["canon_url"],
+                    r["domain"])
+           for r in web.canonicalize_urls(df, "url").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls_v AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{u}')" for i, u in rows)
+                + ") t(i, url)")
+    dsql = ("SELECT i, scheme, host, path, canon_url, domain FROM "
+            + web.canon_steps_sql("duckdb", "SELECT * FROM urls_v"))
+    via_duck = {r[0]: tuple(r[1:]) for r in con.sql(dsql).fetchall()}
+    assert api == via_duck
+    # spot-pin the new r15 normalizations inside the fuzz domain
+    for i, u in rows:
+        if "%2f" in u:
+            assert "%2F" in api[i][2] or "%2F" not in u, u
