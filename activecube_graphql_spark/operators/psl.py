@@ -44,7 +44,10 @@ Honest limits (documented, not hidden):
 * a host that IS a bare public suffix (``co.uk``, ``shop.ck``) has no
   registered domain; all tiers miss and the fallback reports its last
   two labels — callers doing per-domain policy never see such hosts
-  as crawl targets anyway;
+  as crawl targets anyway (hosts like ``www.co.uk`` are NOT in this
+  class: since r16 the ``www.``-strip checks the remainder against
+  :func:`bare_suffix_regex` and keeps the ``www`` as the registrable
+  label — ADVICE r15);
 * the United States locality scheme is covered for its REGULAR tier
   (r15: ``k12/cc/lib.<state>.us`` for all 50 states + DC, generated
   into :data:`PSL_US_LOCALITY` — the category registrations school
@@ -250,3 +253,31 @@ def exception_regex() -> str:
     excs = sorted(PSL_EXCEPTIONS, key=lambda s: (-s.count("."), s))
     alts = "|".join(s.replace(".", "[.]") for s in excs)
     return f"(?:^|[.])({alts})$"
+
+
+def bare_suffix_regex() -> str:
+    """Full-string test: does a (lowercased) host string consist of
+    NOTHING BUT a public suffix — explicit snapshot entry, or one
+    label over a wildcard base (``anything.ck``)? Used by the
+    ``www.``-strip guard in :mod:`.web` (ADVICE r15): for hosts like
+    ``www.co.uk`` or ``www.shop.ck`` the remainder after stripping is
+    a bare suffix, which per the PSL algorithm means ``www`` is the
+    REGISTRABLE label and must stay. Anchored ``^…$`` — unlike the
+    domain tiers this is an exact-match test, not a suffix search.
+    Exception domains (``!www.ck``) are carved back out by the caller
+    via :func:`exception_exact_regex` (RE2 has no lookahead, so the
+    exclusion cannot live inside this expression)."""
+    alts = "|".join(s.replace(".", "[.]") for s in PSL_SNAPSHOT)
+    bases = sorted(PSL_WILDCARD, key=lambda s: (-s.count("."), s))
+    walts = "|".join(s.replace(".", "[.]") for s in bases)
+    return f"^((?:{alts})|[^.]+[.](?:{walts}))$"
+
+
+def exception_exact_regex() -> str:
+    """Full-string test: is the host string EXACTLY an exception
+    domain (``www.ck``)? The companion to :func:`bare_suffix_regex` —
+    an exception domain also matches the wildcard arm of the bare-
+    suffix test, but it is a registrable domain, not a suffix."""
+    excs = sorted(PSL_EXCEPTIONS, key=lambda s: (-s.count("."), s))
+    alts = "|".join(s.replace(".", "[.]") for s in excs)
+    return f"^({alts})$"

@@ -1660,8 +1660,17 @@ def score_lang_id(docs: DataFrame, model: dict,
     bc = spark.sparkContext.broadcast(model)
     types = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                       for f in docs.schema)
+    # the score dtype follows the MODEL (ADVICE r15): an unquantized
+    # model scores in float log-probs, which a hardcoded long schema
+    # would cast-error or silently truncate under Arrow
+    quantized = all(
+        isinstance(v, int)
+        for y in model["langs"]
+        for v in (*model["logp"][y], model["default"][y],
+                  model["logprior"][y]))
     out_schema = f"{types}, {out_col} string" + (
-        f", {score_col} long" if score_col else "")
+        f", {score_col} {'long' if quantized else 'double'}"
+        if score_col else "")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc.value

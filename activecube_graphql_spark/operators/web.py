@@ -44,7 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..functions.portable import render
-from .psl import domain_regex, exception_regex, wildcard_regex
+from .psl import (bare_suffix_regex, domain_regex, exception_exact_regex,
+                  exception_regex, wildcard_regex)
 
 #: RFC 3986 unreserved characters: percent-escapes of these are
 #: equivalent to the bare character and MUST decode during
@@ -108,7 +109,18 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
     # IS the registrable label, and stripping it would leave a bare
     # TLD. No lookahead (RE2 has none): capture-the-rest + CASE.
     ("wwwrest", "regexp_extract(hostbase, '^www[.]([^.]+[.].+)$', 1)"),
+    # r16 (ADVICE r15): ALSO keep the 'www' when the remainder is
+    # itself a bare public suffix in ANY PSL tier ('www.co.uk',
+    # 'www.shop.ck', 'www.k12.va.us') — per the PSL algorithm the
+    # 'www' is then the registrable label. An exception domain
+    # ('www.ck' under !www.ck) is a registrable domain, NOT a
+    # suffix, so it is carved back out and the strip proceeds for
+    # hosts like 'www.www.ck'.
+    ("wwwsfx", f"regexp_extract(wwwrest, '{bare_suffix_regex()}', 1)"),
+    ("wwwexc", f"regexp_extract(wwwrest, '{exception_exact_regex()}',"
+               " 1)"),
     ("host", "CASE WHEN wwwrest = '' THEN hostbase "
+             "WHEN wwwsfx != '' AND wwwexc = '' THEN hostbase "
              "ELSE wwwrest END"),
     ("port", "regexp_extract(hostport, ':([0-9]+)$', 1)"),
     ("portk", "CASE WHEN port = '' "
@@ -164,9 +176,9 @@ URL_STEPS: tuple[tuple[str, str], ...] = (
 #: step columns that are intermediate plumbing, dropped from the
 #: canonical output surface
 _INTERMEDIATE = ("nofrag", "rest", "hostport", "pathq", "hostbase",
-                 "wwwrest", "port", "portk", "rawpath", "pctpath",
-                 "pctsplit", "pctup", "qstr", "qcanon",
-                 "psl_exc", "psl_wild", "psl_dom")
+                 "wwwrest", "wwwsfx", "wwwexc", "port", "portk",
+                 "rawpath", "pctpath", "pctsplit", "pctup", "qstr",
+                 "qcanon", "psl_exc", "psl_wild", "psl_dom")
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",

@@ -2215,6 +2215,18 @@ def test_lang_id_trained_multilingual_column(spark, sf_dir):
     got_f = tx.score_lang_id(hold, model, text_col="mtext").collect()
     assert {(r["doc_id"], r["lang_pred_nb"]) for r in got} == \
         {(r["doc_id"], r["lang_pred_nb"]) for r in got_f}
+    # score_col dtype follows the model (ADVICE r15): long for the
+    # quantized model, double for float log-probs — the float path
+    # must emit real float scores, not truncate under a long schema
+    sq = tx.score_lang_id(hold.limit(8), qm, text_col="mtext",
+                          score_col="s")
+    assert dict(sq.dtypes)["s"] == "bigint"
+    sf_ = tx.score_lang_id(hold.limit(8), model, text_col="mtext",
+                           score_col="s")
+    assert dict(sf_.dtypes)["s"] == "double"
+    rows = sf_.collect()
+    assert rows and all(isinstance(r["s"], float)
+                        and r["s"] != int(r["s"]) for r in rows)
 
 
 def test_lang_id_fixture_carries_no_language_signal(spark, sf_dir):

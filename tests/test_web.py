@@ -121,6 +121,12 @@ def test_url_psl_snapshot_domains(spark):
         ("http://cityhall.boston.ma.us/", "ma.us"),
         # host IS a bare suffix: no extra label to match -> fallback
         ("http://co.uk/", "co.uk"),
+        # r16 (ADVICE r15): www over a MULTI-LABEL public suffix —
+        # the 'www' is the registrable label per the PSL algorithm,
+        # so the strip must NOT fire and the domain keeps it
+        ("http://www.co.uk/", "www.co.uk"),
+        ("https://WWW.com.bd/", "www.com.bd"),
+        ("http://www.k12.va.us/", "www.k12.va.us"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in
                                 enumerate(cases)], "i long, url string")
@@ -153,6 +159,13 @@ def test_url_psl_wildcard_and_exception_rules(spark):
         ("http://app.city.kawasaki.jp/", "city.kawasaki.jp"),
         # bare wildcard suffix: no registered domain -> fallback
         ("http://shop.ck/", "shop.ck"),
+        # r16 (ADVICE r15): www over a bare WILDCARD suffix — www is
+        # the registrable label (the !www.ck exception covers only
+        # www.ck itself, not www.<other>.ck)
+        ("http://www.shop.ck/", "www.shop.ck"),
+        # ... but www over the EXCEPTION domain still strips: the
+        # remainder www.ck is a registrable domain, not a suffix
+        ("http://www.www.ck/", "www.ck"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in
                                 enumerate(cases)], "i long, url string")
@@ -252,13 +265,16 @@ def test_url_steps_fuzz_cross_engine(spark):
     queries = ["", "?b=2&a=1", "?a=1&b=2", "?x"]
     frags = ["", "#F", "#a%2f"]
     rows = []
+    chosen_path = {}
     for i in range(120):
+        p = rng.choice(paths)
         u = (rng.choice(schemes) + "://" + rng.choice(prefixes)
              + "host" + str(rng.randrange(3)) + "."
              + rng.choice(suffixes) + rng.choice(ports)
-             + rng.choice(paths) + rng.choice(queries)
+             + p + rng.choice(queries)
              + rng.choice(frags))
         rows.append((i, u))
+        chosen_path[i] = p
     df = spark.createDataFrame(rows, "i long, url string")
     api = {r["i"]: (r["scheme"], r["host"], r["path"], r["canon_url"],
                     r["domain"])
@@ -271,7 +287,14 @@ def test_url_steps_fuzz_cross_engine(spark):
             + web.canon_steps_sql("duckdb", "SELECT * FROM urls_v"))
     via_duck = {r[0]: tuple(r[1:]) for r in con.sql(dsql).fetchall()}
     assert api == via_duck
-    # spot-pin the new r15 normalizations inside the fuzz domain
+    # spot-pin the r15 escape case-normalization inside the fuzz
+    # domain (ADVICE r15: the old disjunct form was vacuous for
+    # lowercase-only inputs) — a lowercase reserved escape in the PATH
+    # must surface as uppercase %2F in the canonical path, never %2f
+    pinned = 0
     for i, u in rows:
-        if "%2f" in u:
-            assert "%2F" in api[i][2] or "%2F" not in u, u
+        if "%2f" in chosen_path[i]:
+            assert "%2F" in api[i][2] and "%2f" not in api[i][2], (
+                u, api[i][2])
+            pinned += 1
+    assert pinned > 0  # the fuzz domain actually exercises the case
