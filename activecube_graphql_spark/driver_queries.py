@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .cubes import _REVENUE_SQL, _ROW_KEY_SQL, DocsCube, EventsCube, SalesCube
 from .model import Metric, money_sum_sql
 from .operators import dedup as dd
+from .operators import quality_model as qmod
 from .operators import similarity as sim
 from .operators import text as tx
 
@@ -759,6 +760,64 @@ def q_quality_rules(spark, sf_dir):
                       "token_diversity",
                       F.col("keep").cast("int").alias("keep_flag"),
                       "reason")
+
+
+def q_quality_model(spark, sf_dir):
+    """The MODEL-BASED quality scorer graded end-to-end (r16, VERDICT
+    r15 item 3 — quality_model.py stops grading only through pytest):
+    the engine computes the synthetic integer feature rows + rule
+    label over the fixed doc_id < 240 slice IN SPARK (codegen'd
+    doc_id arithmetic — sf-independent by construction, the
+    lang_id_trained discipline applied to numeric features), collects
+    the bounded 240-row slice, and fits the exact-rational greedy
+    CART (operators/quality_model.fit_tree_exact — integer
+    cross-multiplied Gini, total tie-break, no floats in the fit).
+    The fitted tree then scores the REAL corpus (doc_id ≥ 240) as
+    nested CASE literals over exact integer text features — map-only,
+    whole-stage codegen, zero UDFs. Graded per (source, leaf,
+    per-mille purity, prediction): doc count + word-count sum — the
+    leaf boundaries pin every learned threshold, so one row moved by
+    a fit drift changes the hash. The oracle re-fits the tree in the
+    render-time pure-Python replica (bit-identical by the exact
+    integer arithmetic) and re-derives features + CASE in SQL."""
+    docs = _docs(spark, sf_dir)
+    feats = [f"{formula} AS {name}"
+             for name, formula in qmod.SYNTH_FEATURES]
+    train = (docs.filter(F.col("doc_id") < qmod.TRAIN_IDS)
+             .selectExpr("doc_id", *feats)
+             .selectExpr("*", qmod.SYNTH_LABEL + " AS y"))
+    rows = [r.asDict() for r in train.collect()]
+    tree = qmod.fit_tree_exact(rows)
+    scored = qmod.score_with_tree(
+        docs.filter(F.col("doc_id") >= qmod.TRAIN_IDS), tree)
+    return (scored.groupBy("source", "leaf_id", "prob_mille", "pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("f_words").cast("long").alias("words_sum")))
+
+
+def _quality_model_oracle() -> str:
+    """Render-time replica: same 240 synthetic rows in pure Python,
+    same exact fit, tree injected as CASE literals; features from the
+    shared portable fragments."""
+    rows = [qmod.synth_quality_row(d) for d in range(qmod.TRAIN_IDS)]
+    tree = qmod.fit_tree_exact(rows)
+    qmod.tree_leaves(tree)
+    leaf_sql = qmod.tree_case_sql(tree, lambda lf: lf["id"])
+    prob_sql = qmod.tree_case_sql(tree, lambda lf: lf["prob_mille"])
+    cols = ", ".join(
+        f"{tx.oracle_fragment(frag)} AS {name}"
+        for name, frag in qmod._int_features())
+    return f"""
+        WITH feats AS (
+            SELECT source, {cols}
+            FROM documents WHERE doc_id >= {qmod.TRAIN_IDS})
+        SELECT source, {leaf_sql} AS leaf_id,
+               {prob_sql} AS prob_mille,
+               CASE WHEN {prob_sql} >= 500 THEN 1 ELSE 0 END AS pred,
+               count(*) AS n_docs,
+               CAST(sum(f_words) AS BIGINT) AS words_sum
+        FROM feats GROUP BY 1, 2, 3, 4
+    """
 
 
 def q_decontam(spark, sf_dir):
@@ -4975,6 +5034,7 @@ def q_bm25_topk(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW never-green rows (r16) lead the window ---
     "bpe_trained": q_bpe_trained,
+    "quality_model": q_quality_model,
     # --- NEW never-green rows (r15) lead the window ---
     # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
     # warc_pipeline: item 3 (raw crawl bytes -> per-source survivors);
@@ -7080,6 +7140,10 @@ ORACLES["bm25_topk"] = tx.bm25_topk_sql(_BM25_TERMS, k=12)
 # at import, deterministic string assembly (range loops only; no set
 # iteration — the _pct_decode_chain hash-randomization lesson)
 ORACLES["bpe_trained"] = _bpe_trained_oracle()
+
+# r16 (VERDICT r15 item 3): the exact-CART quality scorer — tree
+# re-fit by the pure replica at render time, injected as CASE literals
+ORACLES["quality_model"] = _quality_model_oracle()
 
 #: exact-regime oracle: capacity exceeds the fixture vocabulary, so the
 #: sketch's lb = ub = the exact count and the plain GROUP BY twin

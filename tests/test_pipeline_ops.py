@@ -871,6 +871,41 @@ def test_quality_model_learns_rule_boundary(spark, sf_dir):
     assert a == b
 
 
+def test_exact_tree_replica_and_invariance(spark):
+    """r16 (VERDICT r15 item 3): the graded quality_model row injects
+    the tree as literals, so (a) the engine-trained tree (Spark
+    synthetic feature rows -> bounded collect -> fit_tree_exact) must
+    equal the render-time pure-Python replica bit-for-bit, (b) the
+    fit must be invariant to row order and partitioning (exact
+    integer arithmetic, total tie-break), and (c) the learned tree
+    must actually track the rule boundary it was trained on."""
+    from activecube_graphql_spark.operators import quality_model as qm
+
+    rows_py = [qm.synth_quality_row(d) for d in range(qm.TRAIN_IDS)]
+    tree_py = qm.fit_tree_exact(rows_py)
+    # (a) engine path bit-identity
+    feats = [f"{formula} AS {name}" for name, formula in qm.SYNTH_FEATURES]
+    train = (spark.range(qm.TRAIN_IDS).selectExpr("id AS doc_id")
+             .selectExpr("doc_id", *feats)
+             .selectExpr("*", qm.SYNTH_LABEL + " AS y"))
+    rows_sp = [r.asDict() for r in train.collect()]
+    assert qm.fit_tree_exact(rows_sp) == tree_py
+    # (b) order/partition invariance
+    assert qm.fit_tree_exact(list(reversed(rows_py))) == tree_py
+    rows_shuf = [r.asDict() for r in train.repartition(7).collect()]
+    assert qm.fit_tree_exact(rows_shuf) == tree_py
+    # (c) the tree recovers the integer-rule boundary on train data
+    leaves = qm.tree_leaves(tree_py)
+    assert 4 <= len(leaves) <= 16
+    hits = 0
+    for r in rows_py:
+        t = tree_py
+        while not t["leaf"]:
+            t = t["lo"] if r[t["feat"]] <= t["thr"] else t["hi"]
+        hits += int((t["prob_mille"] >= 500) == (r["y"] == 1))
+    assert hits / len(rows_py) >= 0.9, hits
+
+
 def test_exists_filter_never_widens_or_duplicates(spark):
     """Semi/anti joins keep df's schema and never fan out rows even
     when the key side has duplicate keys (the property an inner-join
