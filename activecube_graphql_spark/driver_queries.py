@@ -3639,6 +3639,28 @@ def q_trigram_lm(spark, sf_dir):
                  F.min("avg_logp3").alias("min_lp3")))
 
 
+def q_trigram_kn(spark, sf_dir):
+    """Modified-Kneser-Ney trigram LM score with the same TRAIN/SCORE
+    split as the JM row (r16, VERDICT r15 item 4 — the smoothing
+    CCNet's KenLM actually uses): continuation-count lower orders,
+    per-level D1/D2/D3+ discounts from count-of-counts as single
+    exact integer-ratio divisions (text.kn_discount_exprs), released
+    discount mass as the backoff weight, and a uniform 1/(V+1) OOV
+    floor. The entire smoothing arithmetic is ONE shared expression
+    (text.KN_SCORE_EXPR) embedded verbatim in both engines, so every
+    double agrees bit-for-bit before the 4dp emission round.
+    Summarized per source: doc count, mean/min score."""
+    docs = _docs(spark, sf_dir)
+    out = tx.trigram_kn_logprob(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train=docs.filter(F.col("doc_id") % 2 == 0),
+        carry=("source",))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("avg_kn"), 4).alias("mean_kn"),
+                 F.min("avg_kn").alias("min_kn")))
+
+
 def q_transitions(spark, sf_dir):
     """Per-user event-type transition matrix (operators/timeseries.py
     transition_counts — the Markov/funnel estimate): one user-keyed lag
@@ -4273,6 +4295,109 @@ _TRIGRAM_LM_ORACLE = _TRIGRAM_SCORE_CTES + """
     SELECT d.source, count(*) AS n_docs,
            round(avg(coalesce(p.avg_logp3, 0.0)), 4) AS mean_lp3,
            min(coalesce(p.avg_logp3, 0.0)) AS min_lp3
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    WHERE d.doc_id % 2 = 1
+    GROUP BY 1
+"""
+
+#: r16 (VERDICT r15 item 4): modified Kneser-Ney — the count frames
+#: in SQL, the smoothing arithmetic embedded VERBATIM from
+#: text.KN_SCORE_EXPR (the single-source-of-truth discipline: one
+#: shared expression text ⇒ bit-identical doubles on both engines)
+_TRIGRAM_KN_ORACLE = f"""
+    WITH train AS (
+        SELECT doc_id, {tx.oracle_fragment(tx.TOKENS)} AS t
+        FROM documents WHERE doc_id % 2 = 0),
+    score AS (
+        SELECT doc_id, source, {tx.oracle_fragment(tx.TOKENS)} AS t
+        FROM documents WHERE doc_id % 2 = 1),
+    tri_t AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+              FROM train WHERE len(t) >= 3)),
+    c_tri AS MATERIALIZED (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+        FROM tri_t GROUP BY 1, 2, 3),
+    h12 AS (
+        SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c_h12,
+               CAST(sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1t,
+               CAST(sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2t,
+               CAST(sum(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3t
+        FROM c_tri GROUP BY 1, 2),
+    cc AS MATERIALIZED (
+        SELECT w2 AS b2, w3 AS b3, CAST(count(*) AS BIGINT) AS cc23
+        FROM c_tri GROUP BY 1, 2),
+    h2 AS (
+        SELECT b2 AS h2w, CAST(sum(cc23) AS BIGINT) AS cc_h2,
+               CAST(sum(CASE WHEN cc23 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1b,
+               CAST(sum(CASE WHEN cc23 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2b,
+               CAST(sum(CASE WHEN cc23 >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3b
+        FROM cc GROUP BY 1),
+    uc AS MATERIALIZED (
+        SELECT b3 AS u3, CAST(count(*) AS BIGINT) AS ccc
+        FROM cc GROUP BY 1),
+    g_tri AS (
+        SELECT CAST(sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct1,
+               CAST(sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct2,
+               CAST(sum(CASE WHEN c123 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct3,
+               CAST(sum(CASE WHEN c123 = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct4
+        FROM c_tri),
+    g_bi AS (
+        SELECT CAST(sum(CASE WHEN cc23 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb1,
+               CAST(sum(CASE WHEN cc23 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb2,
+               CAST(sum(CASE WHEN cc23 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb3,
+               CAST(sum(CASE WHEN cc23 = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb4
+        FROM cc),
+    g_uni AS (
+        SELECT CAST(sum(CASE WHEN ccc = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cu1,
+               CAST(sum(CASE WHEN ccc = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cu2,
+               CAST(sum(CASE WHEN ccc = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cu3,
+               CAST(sum(CASE WHEN ccc = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cu4,
+               CAST(sum(CASE WHEN ccc >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cu3p,
+               CAST(sum(ccc) AS BIGINT) AS t_types
+        FROM uc),
+    g_v AS (
+        SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_size
+        FROM (SELECT unnest(t) AS term FROM train)),
+    g AS (SELECT * FROM g_tri, g_bi, g_uni, g_v),
+    tri_s AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM score WHERE len(t) >= 3)),
+    scored AS (
+        SELECT s.doc_id, {tx.KN_SCORE_EXPR} AS logp
+        FROM tri_s s
+        LEFT JOIN c_tri c USING (w1, w2, w3)
+        LEFT JOIN h12 h USING (w1, w2)
+        LEFT JOIN cc ON cc.b2 = s.w2 AND cc.b3 = s.w3
+        LEFT JOIN h2 ON h2.h2w = s.w2
+        LEFT JOIN uc ON uc.u3 = s.w3
+        CROSS JOIN g),
+    per_doc AS (
+        SELECT doc_id, round(avg(logp), 4) AS avg_kn
+        FROM scored GROUP BY 1)
+    SELECT d.source, count(*) AS n_docs,
+           round(avg(coalesce(p.avg_kn, 0.0)), 4) AS mean_kn,
+           min(coalesce(p.avg_kn, 0.0)) AS min_kn
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     WHERE d.doc_id % 2 = 1
     GROUP BY 1
@@ -5035,6 +5160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW never-green rows (r16) lead the window ---
     "bpe_trained": q_bpe_trained,
     "quality_model": q_quality_model,
+    "trigram_kn": q_trigram_kn,
     # --- NEW never-green rows (r15) lead the window ---
     # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
     # warc_pipeline: item 3 (raw crawl bytes -> per-source survivors);
@@ -5317,6 +5443,7 @@ ORACLES: dict[str, str] = {
     # r10: interpolated bigram LM (the word-order-sensitive twin)
     "bigram_lm": _BIGRAM_LM_ORACLE,
     "trigram_lm": _TRIGRAM_LM_ORACLE,
+    "trigram_kn": _TRIGRAM_KN_ORACLE,
     "trigram_buckets": _TRIGRAM_BUCKETS_ORACLE,
     "curated_survivors": _CURATED_SURVIVORS_ORACLE,
     "transitions": _TRANSITIONS_ORACLE,

@@ -934,6 +934,187 @@ def trigram_gate(train: DataFrame, min_logp: float,
     return gate
 
 
+# ------------------------------------------------- modified Kneser-Ney (r16)
+
+def kn_discount_exprs(p: str) -> tuple[str, str, str]:
+    """Modified Kneser-Ney discounts D1/D2/D3+ (Chen & Goodman 1999
+    §3 — the smoothing KenLM/CCNet actually estimates) as portable
+    SQL over one level's integer count-of-counts columns ``{p}1`` …
+    ``{p}4`` (number of n-gram types occurring exactly 1..4 times).
+
+    The textbook forms (Y = n1/(n1+2n2); D1 = 1−2Y·n2/n1;
+    D2 = 2−3Y·n3/n2; D3+ = 3−4Y·n4/n3) are algebraically collapsed
+    into ONE division of exact integer numerator/denominator each —
+
+        D1  =            n1 / (n1 + 2·n2)
+        D2  = (2·n2·(n1+2·n2) − 3·n1·n3) / (n2·(n1+2·n2))
+        D3+ = (3·n3·(n1+2·n2) − 4·n1·n4) / (n3·(n1+2·n2))
+
+    — so both engines perform a single correctly-rounded IEEE
+    division of identical BIGINTs and the doubles agree bit-for-bit
+    (the VERDICT r15 'exact integer/rational space' demand).
+    Degenerate count-of-counts (zero denominator, non-positive
+    numerator — possible only on toy corpora) fall back to the
+    classic absolute-discount constants 0.5/1.0/1.5."""
+    den = f"({p}1 + 2 * {p}2)"
+    n2 = f"(2 * {p}2 * {den} - 3 * {p}1 * {p}3)"
+    n3 = f"(3 * {p}3 * {den} - 4 * {p}1 * {p}4)"
+    return (
+        f"CASE WHEN {p}1 > 0 THEN CAST({p}1 AS DOUBLE) / {den} "
+        f"ELSE CAST(0.5 AS DOUBLE) END",
+        f"CASE WHEN {p}2 > 0 AND {n2} > 0 THEN "
+        f"CAST({n2} AS DOUBLE) / ({p}2 * {den}) "
+        f"ELSE CAST(1.0 AS DOUBLE) END",
+        f"CASE WHEN {p}3 > 0 AND {n3} > 0 THEN "
+        f"CAST({n3} AS DOUBLE) / ({p}3 * {den}) "
+        f"ELSE CAST(1.5 AS DOUBLE) END",
+    )
+
+
+def _kn_level(count: str, hist: str, d1: str, d2: str, d3: str,
+              g1: str, g2: str, g3: str, lower: str) -> str:
+    """One interpolated-KN level: discounted ratio + backoff-weight ×
+    lower-order estimate, entirely NULL-safe (unseen history backs
+    off wholesale). One fixed association — both engines evaluate
+    the identical IEEE tree."""
+    disc = (f"(CASE coalesce({count}, 0) WHEN 1 THEN {d1} "
+            f"WHEN 2 THEN {d2} ELSE {d3} END)")
+    term = (f"greatest(CAST(coalesce({count}, 0) AS DOUBLE) - {disc}, "
+            f"CAST(0.0 AS DOUBLE)) / {hist}")
+    gamma = f"(((({d1} * {g1}) + ({d2} * {g2})) + ({d3} * {g3})) / {hist})"
+    return (f"(CASE WHEN {hist} IS NULL THEN {lower} "
+            f"ELSE {term} + {gamma} * {lower} END)")
+
+
+def _kn_score_expr() -> str:
+    """The full three-level modified-KN log-probability as ONE
+    portable expression over the joined count columns (see
+    :func:`trigram_kn_logprob` for the column contract)."""
+    du1, du2, du3 = kn_discount_exprs("cu")
+    db1, db2, db3 = kn_discount_exprs("cb")
+    dt1, dt2, dt3 = kn_discount_exprs("ct")
+    # unigram base: discounted continuation counts over the bigram-
+    # type total, + uniform mass over V+1 (the +1 reserves OOV mass,
+    # keeping every score finite)
+    p1 = (f"(greatest(CAST(coalesce(ccc, 0) AS DOUBLE) - "
+          f"(CASE coalesce(ccc, 0) WHEN 1 THEN {du1} "
+          f"WHEN 2 THEN {du2} ELSE {du3} END), "
+          f"CAST(0.0 AS DOUBLE)) / t_types + "
+          f"(((({du1} * cu1) + ({du2} * cu2)) + ({du3} * cu3p)) "
+          f"/ t_types) * (CAST(1.0 AS DOUBLE) / (v_size + 1)))")
+    p2 = _kn_level("cc23", "cc_h2", db1, db2, db3,
+                   "n1b", "n2b", "n3b", p1)
+    p3 = _kn_level("c123", "c_h12", dt1, dt2, dt3,
+                   "n1t", "n2t", "n3t", p2)
+    return f"ln({p3})"
+
+
+#: rendered once — engine (F.expr) and oracle embed the SAME text
+KN_SCORE_EXPR = _kn_score_expr()
+
+
+def trigram_kn_logprob(df: DataFrame, train: DataFrame | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       carry: tuple[str, ...] = ()) -> DataFrame:
+    """Modified-Kneser-Ney interpolated TRIGRAM score per document
+    (r16, VERDICT r15 item 4 — the smoothing CCNet's KenLM actually
+    uses, beside :func:`trigram_logprob`'s Jelinek-Mercer mix):
+
+        p(w3|w1,w2) = (c(w1w2w3) − D(c))₊ / c(w1w2)
+                    + γ(w1,w2) · p(w3|w2)
+
+    with the bigram and unigram levels estimated from CONTINUATION
+    counts (the KN insight: a word's lower-order weight is how many
+    distinct contexts it completes, not how often it occurs), the
+    per-level discounts D1/D2/D3+ estimated from that level's
+    count-of-counts (:func:`kn_discount_exprs` — single exact
+    integer-ratio divisions), γ the discount mass released by the
+    history, and a uniform 1/(V+1) floor under the unigram so OOV
+    tokens score finite (the ``<unk>`` convention).
+
+    Scale shape (mirrors trigram_logprob): the count frames derive
+    from ONE trigram reduce of the train corpus (continuation counts
+    are GROUP-BYs over the c_tri TYPE frame — vocab-sized, never
+    corpus-sized), count-of-counts are four 1-row aggregates over
+    those same frames (broadcast into the scorer), and scoring is
+    LEFT joins onto the scored trigram stream + one map-side
+    expression. All smoothing arithmetic happens in the one shared
+    :data:`KN_SCORE_EXPR` — identical text on both engines, so every
+    double agrees bit-for-bit and the 4dp emission round is safe
+    (the sibling rows' ULP argument).
+
+    Emits ``n_tri`` and ``avg_kn`` (4dp; docs with <3 tokens → 0.0,
+    the left-join convention)."""
+    train = df if train is None else train
+
+    def ngrams(frame, n: int):
+        return (frame.select(F.col(id_col),
+                             _col(TOKENS, text_col).alias("toks"))
+                .filter(F.size("toks") >= n)
+                .select(F.col(id_col), F.explode(F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}), "
+                    "i -> struct(" + ", ".join(
+                        f"element_at(toks, i + {j}) as w{j + 1}"
+                        for j in range(n)) + "))")).alias("g"))
+                .select(id_col, *[F.col(f"g.w{j + 1}").alias(f"w{j + 1}")
+                                  for j in range(n)]))
+
+    one = F.count(F.lit(1))
+
+    def coc(frame, col, p):
+        return frame.agg(
+            F.sum((F.col(col) == 1).cast("long")).alias(f"{p}1"),
+            F.sum((F.col(col) == 2).cast("long")).alias(f"{p}2"),
+            F.sum((F.col(col) == 3).cast("long")).alias(f"{p}3"),
+            F.sum((F.col(col) == 4).cast("long")).alias(f"{p}4"))
+
+    c_tri = (ngrams(train, 3).groupBy("w1", "w2", "w3")
+             .agg(one.alias("c123")))
+    h12 = (c_tri.groupBy("w1", "w2")
+           .agg(F.sum("c123").alias("c_h12"),
+                F.sum((F.col("c123") == 1).cast("long")).alias("n1t"),
+                F.sum((F.col("c123") == 2).cast("long")).alias("n2t"),
+                F.sum((F.col("c123") >= 3).cast("long")).alias("n3t")))
+    cc = (c_tri.groupBy(F.col("w2").alias("b2"),
+                        F.col("w3").alias("b3"))
+          .agg(one.alias("cc23")))
+    h2 = (cc.groupBy(F.col("b2").alias("h2w"))
+          .agg(F.sum("cc23").alias("cc_h2"),
+               F.sum((F.col("cc23") == 1).cast("long")).alias("n1b"),
+               F.sum((F.col("cc23") == 2).cast("long")).alias("n2b"),
+               F.sum((F.col("cc23") >= 3).cast("long")).alias("n3b")))
+    uc = (cc.groupBy(F.col("b3").alias("u3"))
+          .agg(one.alias("ccc")))
+    g_uni = uc.agg(
+        F.sum((F.col("ccc") == 1).cast("long")).alias("cu1"),
+        F.sum((F.col("ccc") == 2).cast("long")).alias("cu2"),
+        F.sum((F.col("ccc") == 3).cast("long")).alias("cu3"),
+        F.sum((F.col("ccc") == 4).cast("long")).alias("cu4"),
+        F.sum((F.col("ccc") >= 3).cast("long")).alias("cu3p"),
+        F.sum("ccc").alias("t_types"))
+    g_v = (train.select(F.explode(_col(TOKENS, text_col)).alias("term"))
+           .agg(F.countDistinct("term").alias("v_size")))
+    globs = (coc(c_tri, "c123", "ct")
+             .crossJoin(coc(cc, "cc23", "cb"))
+             .crossJoin(g_uni).crossJoin(g_v))
+    scored = (ngrams(df, 3)
+              .join(c_tri, ["w1", "w2", "w3"], "left")
+              .join(h12, ["w1", "w2"], "left")
+              .join(cc, [F.col("w2") == F.col("b2"),
+                         F.col("w3") == F.col("b3")], "left")
+              .join(h2, F.col("w2") == F.col("h2w"), "left")
+              .join(uc, F.col("w3") == F.col("u3"), "left")
+              .crossJoin(F.broadcast(globs))
+              .withColumn("logp", F.expr(KN_SCORE_EXPR)))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tri"),
+                    F.round(F.avg("logp"), 4).alias("avg_kn")))
+    return (df.select(id_col, *carry).join(per_doc, id_col, "left")
+            .withColumn("n_tri",
+                        F.coalesce("n_tri", F.lit(0)).cast("long"))
+            .withColumn("avg_kn", F.coalesce("avg_kn", F.lit(0.0))))
+
+
 # ---------------------------------------------------------------- oracle side
 
 def oracle_fragment(fragment: str, text_col: str = "text") -> str:

@@ -2147,6 +2147,48 @@ def test_bpe_train_and_apply_contract(spark):
                 assert toks[j].endswith("</w>")
 
 
+def test_kn_trigram_is_a_proper_distribution(spark):
+    """r16 (VERDICT r15 item 4): interpolated modified-KN must be a
+    PROPER conditional distribution — for a seen history (w1,w2),
+    summing p(w|w1,w2) over the training vocabulary plus exactly one
+    OOV word must give 1 (the discounted mass is redistributed, not
+    lost: Σ(c−D)₊/c_h = 1−γ and the lower orders telescope the γ
+    mass back, with the 1/(V+1) floor holding the final OOV slot).
+    Each probe doc is one trigram 'w1 w2 x', so its avg_kn IS
+    ln p(x|w1,w2)."""
+    import math
+
+    train_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the fish"),
+        (2, "a dog sat on a log"),
+        (3, "the dog ate a bone"),
+        (4, "the cat sat on a log"),
+    ]
+    train = spark.createDataFrame(train_rows,
+                                  "doc_id long, text string")
+    vocab = sorted({w for _, t in train_rows for w in t.split()})
+    probes = vocab + ["zzz"]  # exactly one OOV slot
+    score = spark.createDataFrame(
+        [(100 + i, f"the cat {w}") for i, w in enumerate(probes)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.trigram_kn_logprob(score, train=train).collect()}
+    assert all(r["n_tri"] == 1 for r in out.values())
+    total = sum(math.exp(r["avg_kn"]) for r in out.values())
+    assert abs(total - 1.0) < 1e-2, total  # 4dp emission round slack
+    # the OOV word scores finite and below every seen-history word
+    oov = math.exp(out[100 + len(vocab)]["avg_kn"])
+    assert 0.0 < oov < max(math.exp(r["avg_kn"])
+                           for r in out.values())
+    # an unseen HISTORY backs off wholesale and still scores finite
+    back = tx.trigram_kn_logprob(
+        spark.createDataFrame([(500, "qq ww the")],
+                              "doc_id long, text string"),
+        train=train).collect()[0]
+    assert back["n_tri"] == 1 and math.isfinite(back["avg_kn"])
+
+
 def test_bpe_train_history_partition_invariant(spark):
     """r16 (VERDICT r15 item 2): the graded bpe_trained row pins the
     merge table + winning counts, so the trainer must be invariant to
