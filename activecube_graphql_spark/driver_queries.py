@@ -3107,6 +3107,105 @@ def q_multimodal_audio(spark, sf_dir):
                                      "double, rms double"))
 
 
+def _mp3_assets(spark, sf_dir):
+    """Deterministic MP3 asset table (r16, VERDICT r15 item 7): one
+    CBR MPEG-1 Layer III stream per 3 documents — bitrate index
+    1+(id mod 5) (32..64 kbps), sample rate index id mod 3
+    (44.1/48/32 kHz), mono for odd ids, 6+(id mod 7) frames with the
+    padding bit alternating per frame ((id+f) mod 2 — so every
+    stream exercises BOTH Layer III frame lengths), and an ID3v2 tag
+    on every other asset (syncsafe size, body 10+(id mod 17) bytes).
+    Frame payloads are mod-251 filler bytes ((id·31 + f·7 + j·17)
+    mod 251) — never 0xFF, so a wrong frame-length hop lands on a
+    byte that CANNOT carry frame sync and the walker raises instead
+    of mis-counting. PCM synthesis is intentionally absent: the
+    Layer III MDCT/Huffman decode stays multimodal.py's honest
+    rejection; what this fixture makes real is the container walk.
+    Exchange-free like the WAV sibling (byte assembly is too cheap
+    per id to buy back an exchange — the r14 measurement)."""
+    import pandas as _pd
+
+    from .operators import audio as au
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                bi, si = 1 + (aid % 5), aid % 3
+                kbps = au.MP3_BITRATES[bi]
+                rate = au.MP3_RATES[si]
+                out = bytearray()
+                if (aid // 3) % 2 == 0:
+                    body = 10 + (aid % 17)
+                    out += b"ID3" + bytes([3, 0, 0, 0, 0, 0, body])
+                    out += bytes((aid + j) % 128 for j in range(body))
+                for f in range(6 + (aid % 7)):
+                    pad = (aid + f) % 2
+                    flen = 144 * kbps * 1000 // rate + pad
+                    out += bytes([0xFF, 0xFB,
+                                  (bi << 4) | (si << 2) | (pad << 1),
+                                  0xC0 if aid % 2 else 0x00])
+                    out += bytes((aid * 31 + f * 7 + j * 17) % 251
+                                 for j in range(flen - 4))
+                ids.append(aid)
+                payloads.append(bytes(out))
+            yield _pd.DataFrame({"asset_id": ids, "mime": "audio/mpeg",
+                                 "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+            .mapInPandas(gen, schema=schema))
+
+
+def q_audio_mp3_walk(spark, sf_dir):
+    """MP3 metadata walk graded end-to-end (r16, VERDICT r15 item 7
+    — the WAV oracle discipline on the third audio container):
+    operators/audio.mp3_stream_info skips the ID3v2 tag via its
+    syncsafe size, verifies and hops every MPEG-1 Layer III frame
+    header (sync/version/layer/index validation, the
+    144·bitrate/rate + padding length formula), enforces CBR, and
+    accounts the stream to the exact byte. The oracle re-derives
+    every output from the synthesis formulas in pure SQL — frame
+    lengths per padding bit, the mod-251 payload byte sum (which
+    pins every length hop: one byte of drift changes it), the ID3
+    skip, and duration as the same single IEEE division."""
+    import pandas as _pd
+
+    from .operators import audio as au
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("asset_id", "n_frames", "bitrate_kbps",
+                     "sample_rate", "channel_mode", "id3_bytes",
+                     "stream_len", "payload_sum", "duration_ms")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                info = au.mp3_stream_info(bytes(payload))
+                rows["asset_id"].append(int(aid))
+                for k in ("n_frames", "bitrate_kbps", "sample_rate",
+                          "channel_mode", "id3_bytes", "stream_len",
+                          "payload_sum", "duration_ms"):
+                    rows[k].append(info[k])
+            yield _pd.DataFrame(rows)
+
+    return (_mp3_assets(spark, sf_dir)
+            .mapInPandas(run, schema="asset_id long, n_frames long, "
+                                     "bitrate_kbps long, sample_rate "
+                                     "long, channel_mode string, "
+                                     "id3_bytes long, stream_len "
+                                     "long, payload_sum long, "
+                                     "duration_ms double"))
+
+
 def _flac_assets(spark, sf_dir):
     """Deterministic FLAC asset table (r14, VERDICT r13 item 8): one
     real FLAC stream per 4 documents — 8 kHz mono 16-bit,
@@ -5161,6 +5260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_trained": q_bpe_trained,
     "quality_model": q_quality_model,
     "trigram_kn": q_trigram_kn,
+    "audio_mp3_walk": q_audio_mp3_walk,
     # --- NEW never-green rows (r15) lead the window ---
     # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
     # warc_pipeline: item 3 (raw crawl bytes -> per-source survivors);
@@ -7271,6 +7371,48 @@ ORACLES["bpe_trained"] = _bpe_trained_oracle()
 # r16 (VERDICT r15 item 3): the exact-CART quality scorer — tree
 # re-fit by the pure replica at render time, injected as CASE literals
 ORACLES["quality_model"] = _quality_model_oracle()
+
+# r16 (VERDICT r15 item 7): the MP3 fixture re-derived from its
+# synthesis formulas — frame lengths per padding bit, the mod-251
+# payload byte sum over every frame, the ID3v2 skip, and duration as
+# the identical single IEEE division
+ORACLES["audio_mp3_walk"] = """
+    WITH p AS (
+        SELECT doc_id AS aid,
+               CASE 1 + (doc_id % 5) WHEN 1 THEN 32 WHEN 2 THEN 40
+                    WHEN 3 THEN 48 WHEN 4 THEN 56 ELSE 64 END AS kbps,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS rate,
+               CASE WHEN doc_id % 2 = 1 THEN 'mono'
+                    ELSE 'stereo' END AS mode,
+               6 + (doc_id % 7) AS nf,
+               CASE WHEN (doc_id // 3) % 2 = 0
+                    THEN 20 + (doc_id % 17) ELSE 0 END AS id3
+        FROM documents WHERE doc_id % 3 = 0),
+    fr AS (
+        SELECT aid, f, 144 * kbps * 1000 // rate + (aid + f) % 2
+                   AS flen
+        FROM (SELECT aid, kbps, rate,
+                     unnest(range(nf)) AS f FROM p)),
+    pb AS (
+        SELECT aid,
+               CAST(sum((aid * 31 + f * 7 + j * 17) % 251)
+                    AS BIGINT) AS psum,
+               CAST(count(*) + 4 * count(DISTINCT f) AS BIGINT)
+                   AS frames_len
+        FROM (SELECT aid, f, unnest(range(flen - 4)) AS j FROM fr)
+        GROUP BY aid)
+    SELECT p.aid AS asset_id,
+           CAST(p.nf AS BIGINT) AS n_frames,
+           CAST(p.kbps AS BIGINT) AS bitrate_kbps,
+           CAST(p.rate AS BIGINT) AS sample_rate,
+           p.mode AS channel_mode,
+           CAST(p.id3 AS BIGINT) AS id3_bytes,
+           CAST(p.id3 AS BIGINT) + pb.frames_len AS stream_len,
+           pb.psum AS payload_sum,
+           CAST(p.nf * 1152 * 1000 AS DOUBLE) / p.rate AS duration_ms
+    FROM p JOIN pb ON p.aid = pb.aid
+"""
 
 #: exact-regime oracle: capacity exceeds the fixture vocabulary, so the
 #: sketch's lb = ub = the exact count and the plain GROUP BY twin

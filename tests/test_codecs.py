@@ -801,3 +801,79 @@ def test_flac_honest_rejections():
         FL.encode_flac(8000, [40000], bits=16)
     with pytest.raises(ValueError, match="divisible"):
         FL.encode_flac(8000, [3], wasted_bits=2)
+
+
+# ------------------------------------------------------- MP3 walk (r16)
+
+def _mk_mp3(n_frames=4, bi=3, si=0, mono=True, id3_body=None,
+            pad_fn=lambda f: f % 2, fill=37):
+    """Hand-rolled CBR MPEG-1 Layer III stream for walker tests."""
+    from activecube_graphql_spark.operators import audio as au
+    out = bytearray()
+    if id3_body is not None:
+        out += b"ID3" + bytes([3, 0, 0, 0, 0, 0, len(id3_body)])
+        out += id3_body
+    kbps, rate = au.MP3_BITRATES[bi], au.MP3_RATES[si]
+    for f in range(n_frames):
+        pad = pad_fn(f)
+        flen = 144 * kbps * 1000 // rate + pad
+        out += bytes([0xFF, 0xFB, (bi << 4) | (si << 2) | (pad << 1),
+                      0xC0 if mono else 0x00])
+        out += bytes([(fill + f + j) % 251 for j in range(flen - 4)])
+    return bytes(out)
+
+
+def test_mp3_walk_known_stream():
+    """The walker recovers every header field, hops both padding
+    lengths, skips the ID3 tag, and sums exactly the payload bytes
+    of the hand stream."""
+    from activecube_graphql_spark.operators import audio as au
+    body = bytes(range(23))
+    raw = _mk_mp3(n_frames=5, bi=3, si=1, mono=False, id3_body=body)
+    info = au.mp3_stream_info(raw)
+    assert info["n_frames"] == 5
+    assert info["bitrate_kbps"] == 48 and info["sample_rate"] == 48000
+    assert info["channel_mode"] == "stereo"
+    assert info["id3_bytes"] == 10 + len(body)
+    assert info["stream_len"] == len(raw)
+    # exact payload byte sum, independently recomputed
+    want = sum(b for f in range(5)
+               for b in _frame_payload(raw, info, f))
+    assert info["payload_sum"] == want
+    # duration is the single-division formula
+    assert info["duration_ms"] == (5 * 1152 * 1000) / 48000
+
+
+def _frame_payload(raw, info, f):
+    off = info["id3_bytes"]
+    for i in range(f + 1):
+        b2 = raw[off + 2]
+        pad = (b2 >> 1) & 1
+        flen = 144 * info["bitrate_kbps"] * 1000 \
+            // info["sample_rate"] + pad
+        if i == f:
+            return raw[off + 4:off + flen]
+        off += flen
+
+
+def test_mp3_walk_rejects_malformed():
+    """Honest-failure contract: truncation, desync, VBR switches, and
+    non-syncsafe ID3 sizes raise — never mis-count."""
+    import pytest
+
+    from activecube_graphql_spark.operators import audio as au
+    good = _mk_mp3()
+    with pytest.raises(ValueError, match="overruns"):
+        au.mp3_stream_info(good[:-3])          # truncated tail frame
+    with pytest.raises(ValueError, match="overruns"):
+        au.mp3_stream_info(good[:10])          # truncated first frame
+    with pytest.raises(ValueError, match="sync"):
+        au.mp3_stream_info(b"\x00" + good)     # leading garbage
+    with pytest.raises(ValueError, match="CBR"):
+        au.mp3_stream_info(_mk_mp3(2, bi=3) + _mk_mp3(2, bi=5))
+    bad_id3 = bytearray(_mk_mp3(id3_body=b"x" * 5))
+    bad_id3[6] = 0x80                          # non-syncsafe size
+    with pytest.raises(ValueError, match="syncsafe"):
+        au.mp3_stream_info(bytes(bad_id3))
+    with pytest.raises(ValueError, match="frames"):
+        au.mp3_stream_info(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0]))
