@@ -5249,92 +5249,61 @@ def q_bm25_topk(spark, sf_dir):
 # that did not fit (sliding_window, source_cap, split_counts,
 # text_stats, tfidf_terms) sit directly behind on still-valid r12
 # greens.
-# NEXT-ROUND ROTATION (r16): re-stamp the manifest at the graded
-# tree, move this window behind, lead with sliding_window,
-# source_cap, split_counts, text_stats, tfidf_terms (oldest
-# evidence, r12), then fill to 50 with the oldest r13-graded rows
-# (video_mp4 ..). After that grades green, no row's evidence is
-# older than r13.
+# r16 ROTATION (VERDICT r15 item 1, executed): CORRECTNESS_r15 50/50
+# green -> that window moved behind; manifest re-stamped clean at the
+# graded tree as round step 1, then re-stamped --void for the four
+# rows r16 edits (dup_spans, dup_cut, url_canon, warc_records).
+# Window = 4 NEW rows (bpe_trained, quality_model, trigram_kn,
+# audio_mp3_walk — VERDICT r15 items 2/3/4/7) + those 4 voided rows
+# + the 5 r12-evidence leftovers (sliding_window, source_cap,
+# split_counts, text_stats, tfidf_terms) + the 37 oldest r13-graded
+# rows (video_mp4 .. filter_and_list). After this grades green, no
+# row's evidence is older than r13 except the 11 r13 rows directly
+# behind the window (filter_eq .. limit_by), which lead the r17 fill.
+# WINDOW POLICY at 153 rows (VERDICT r15 item 9): the 50-row cap is
+# the DRIVER's, not ours — the lever this registry controls is tier
+# discipline, stated here as policy: (1) never-green rows strictly
+# first, (2) rows voided at the current tree next, (3) the
+# oldest-evidence tier fills the remainder in evidence-age order,
+# (4) every row behind the window must hold a manifest-current green
+# no older than three rounds. At ~150 rows and <=6 new rows/round
+# the arithmetic sustains that floor (50 graded/round x 3 rounds =
+# 150 >= registry); if the registry passes ~160, new-row additions
+# must slow to <=3/round or retire redundant rows, keeping the
+# 3-round freshness invariant — the invariant, not the count, is the
+# contract.
+# NEXT-ROUND ROTATION (r17): re-stamp the manifest at the graded
+# tree, move this window behind, lead with the 11 r13-evidence rows
+# (filter_eq, filter_like_between, trigram_lm, curated_survivors,
+# filter_null_ops, filter_ophash, fingerprint_dedup, global_agg,
+# graphql_topn, json_subfield, limit_by), then fill to 50 with the
+# oldest r14-graded rows (html_extract ..). After that grades green,
+# no row's evidence is older than r14.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- NEW never-green rows (r16) lead the window ---
+    # --- NEW never-green rows (r16) lead the window: bpe_trained
+    # --- (VERDICT r15 item 2), quality_model (item 3), trigram_kn
+    # --- (item 4), audio_mp3_walk (item 7) ---
     "bpe_trained": q_bpe_trained,
     "quality_model": q_quality_model,
     "trigram_kn": q_trigram_kn,
     "audio_mp3_walk": q_audio_mp3_walk,
-    # --- NEW never-green rows (r15) lead the window ---
-    # video_mp4_walk: VERDICT r14 item 4 (MP4 sequential-walk twin);
-    # warc_pipeline: item 3 (raw crawl bytes -> per-source survivors);
-    # dup_spans: item 2 (suffix-array-fidelity duplicated extents);
-    # unigram_trained: item 5 (the EM trainer itself, quantized);
-    # lang_id_trained: item 6 (trained NB on the multilingual column)
-    "video_mp4_walk": q_video_mp4_walk,
-    "warc_pipeline": q_warc_pipeline,
+    # --- voided at this tree (r16 edits; green in CORRECTNESS_r15 ->
+    # --- round-boundary carve-out): dup_spans/dup_cut (the persist
+    # --- release rewrote the marking as a window count, VERDICT r15
+    # --- item 5), url_canon/warc_records (the PSL-correct www-strip
+    # --- guard, ADVICE r15) ---
     "dup_spans": q_dup_spans,
-    # dup_cut: NEW r15 — the removal half of ExactSubstr (excise the
-    # extents; kept text pinned by length + md5)
     "dup_cut": q_dup_cut,
-    "unigram_trained": q_unigram_trained,
-    "lang_id_trained": q_lang_id_trained,
-    # --- edited-this-round rows (evidence voided at this tree,
-    # --- green in CORRECTNESS_r14 -> round-boundary carve-out):
-    # --- audio_flac (ADVICE r14 subframe-mode fix + STREAMINFO),
-    # --- unigram_tok (engine-side DP-depth assert), url_canon +
-    # --- warc_records (PSL wildcard/exception tiers) ---
-    "audio_flac": q_audio_flac,
-    "unigram_tok": q_unigram_tok,
     "url_canon": q_url_canon,
     "warc_records": q_warc_records,
-    # --- the oldest-evidence tier: 41 of the 45 remaining
-    # --- r12-graded rows, pulled forward per the r15 rotation
-    # --- (VERDICT r14 item 1) ---
-    "embed_pq_ann": q_embed_pq_ann,
-    "bpe_tokens": q_bpe_tokens,
-    "embed_ivfpq_ann": q_embed_ivfpq_ann,
-    "trigram_buckets": q_trigram_buckets,
-    "neardup_clusters_dist": q_neardup_clusters_dist,
-    "multimodal_png": q_multimodal_png,
-    "pii_scrub": q_pii_scrub,
-    "quantiles": q_quantiles,
-    "skew_salted_join": q_skew_salted_join,
-    "source_dup_matrix": q_source_dup_matrix,
-    "source_kl": q_source_kl,
-    "stats_moments": q_stats_moments,
-    "string_funcs": q_string_funcs,
-    "winsorized": q_winsorized,
-    "anomaly_mad": q_anomaly_mad,
-    "boilerplate": q_boilerplate,
-    "budget_fill": q_budget_fill,
-    "char_entropy": q_char_entropy,
-    "det_sample": q_det_sample,
-    "drift_kl": q_drift_kl,
-    "embed_quant": q_embed_quant,
-    "events_hourly": q_events_hourly,
-    "graphql_docs": q_graphql_docs,
-    "pack_chunks": q_pack_chunks,
-    "pipeline_survivors": q_pipeline_survivors,
-    "profile_docs": q_profile_docs,
-    "quality_pct": q_quality_pct,
-    "quality_rules": q_quality_rules,
-    "rep_signals": q_rep_signals,
-    "resampled": q_resampled,
-    "money_two_level": q_money_two_level,
-    "multimodal_decode": q_multimodal_decode,
-    "winnow_fp": q_winnow_fp,
-    "char_dup": q_char_dup,
-    "bigram_lm": q_bigram_lm,
-    "semi_anti": q_semi_anti,
-    "session_window": q_session_window,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
-    "sketch_rollup": q_sketch_rollup,
+    # --- oldest-evidence tier: the 5 rows still on r12 greens, per
+    # --- the committed r16 rotation plan ---
     "sliding_window": q_sliding_window,
-    # --- behind the window: the 4 r12-evidence rows that did
-    # --- not fit (they lead the r16 window) ---
     "source_cap": q_source_cap,
     "split_counts": q_split_counts,
     "text_stats": q_text_stats,
     "tfidf_terms": q_tfidf_terms,
-    # --- behind the window: the 48 r13-graded rows ---
+    # --- fill to 50: the 37 oldest r13-graded rows ---
     "video_mp4": q_video_mp4,
     "embed_ivfpq_res": q_embed_ivfpq_res,
     "ann_recall_audit": q_ann_recall_audit,
@@ -5372,6 +5341,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "distinct_slice": q_distinct_slice,
     "filter_and_list": q_filter_and_list,
+    # --- behind the window: the 11 r13-evidence rows that did not
+    # --- fit -- they LEAD the r17 window fill ---
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
     "trigram_lm": q_trigram_lm,
@@ -5383,7 +5354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_topn": q_graphql_topn,
     "json_subfield": q_json_subfield,
     "limit_by": q_limit_by,
-    # --- behind the window: the r14-graded rows (freshest) ---
+    # --- behind the window: the r14-graded rows ---
     "html_extract": q_html_extract,
     "multimodal_gif": q_multimodal_gif,
     "video_frames": q_video_frames,
@@ -5430,6 +5401,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "neardup_keep": q_neardup_keep,
     "ngram_jaccard": q_ngram_jaccard,
+    # --- behind the window: the r15-graded rows (freshest) ---
+    "video_mp4_walk": q_video_mp4_walk,
+    "warc_pipeline": q_warc_pipeline,
+    "unigram_trained": q_unigram_trained,
+    "lang_id_trained": q_lang_id_trained,
+    "audio_flac": q_audio_flac,
+    "unigram_tok": q_unigram_tok,
+    "embed_pq_ann": q_embed_pq_ann,
+    "bpe_tokens": q_bpe_tokens,
+    "embed_ivfpq_ann": q_embed_ivfpq_ann,
+    "trigram_buckets": q_trigram_buckets,
+    "neardup_clusters_dist": q_neardup_clusters_dist,
+    "multimodal_png": q_multimodal_png,
+    "pii_scrub": q_pii_scrub,
+    "quantiles": q_quantiles,
+    "skew_salted_join": q_skew_salted_join,
+    "source_dup_matrix": q_source_dup_matrix,
+    "source_kl": q_source_kl,
+    "stats_moments": q_stats_moments,
+    "string_funcs": q_string_funcs,
+    "winsorized": q_winsorized,
+    "anomaly_mad": q_anomaly_mad,
+    "boilerplate": q_boilerplate,
+    "budget_fill": q_budget_fill,
+    "char_entropy": q_char_entropy,
+    "det_sample": q_det_sample,
+    "drift_kl": q_drift_kl,
+    "embed_quant": q_embed_quant,
+    "events_hourly": q_events_hourly,
+    "graphql_docs": q_graphql_docs,
+    "pack_chunks": q_pack_chunks,
+    "pipeline_survivors": q_pipeline_survivors,
+    "profile_docs": q_profile_docs,
+    "quality_pct": q_quality_pct,
+    "quality_rules": q_quality_rules,
+    "rep_signals": q_rep_signals,
+    "resampled": q_resampled,
+    "money_two_level": q_money_two_level,
+    "multimodal_decode": q_multimodal_decode,
+    "winnow_fp": q_winnow_fp,
+    "char_dup": q_char_dup,
+    "bigram_lm": q_bigram_lm,
+    "semi_anti": q_semi_anti,
+    "session_window": q_session_window,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "sketch_rollup": q_sketch_rollup,
 }
 
 
