@@ -1003,3 +1003,47 @@ def test_pq_and_bpe_rows_plan_shapes(spark):
     # countDistinct adds its own expand/agg exchange; the token rollup
     # must stay at TWO exchanges max (partial-agg both levels)
     assert plan.count("Exchange") <= 2, plan[:1200]
+
+
+def test_r16_rows_plan_shapes(spark):
+    """Scale-shape pins for the r16 rows:
+
+    * audio_mp3_walk — doc_id-only pruned scan, two chained Arrow
+      stages (byte synthesis, header walk), ZERO exchanges (byte
+      assembly is too cheap per id to buy back a fan-out exchange —
+      the WAV measurement, re-confirmed for MP3).
+    * quality_model — the scoring pass is pure codegen (the tree IS
+      CASE literals): zero Python stages, and the ONLY exchange is
+      the final (source, leaf) rollup.
+    * trigram_kn — no Python anywhere, and the persisted type frames
+      actually materialize as InMemory scans (c_tri feeds five
+      consumers; without the cache the corpus reduce re-runs per
+      consumer).
+    * dup_spans — the r16 window-count shape: NO cached frame (the
+      r15 per-position persist is gone) and no Python; occurrence
+      marking + island merge + final agg are its only exchanges."""
+    import re
+
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    plan = (QUERIES["audio_mp3_walk"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert len(re.findall(r"MapInPandas", plan)) == 2
+    assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan)
+
+    plan = (QUERIES["quality_model"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    plan = (QUERIES["trigram_kn"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+
+    plan = (QUERIES["dup_spans"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    assert plan.count("InMemoryTableScan") == 0
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
