@@ -909,7 +909,8 @@ def trigram_logprob(df: DataFrame, train: DataFrame | None = None,
 
 
 def trigram_gate(train: DataFrame, min_logp: float,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 smoothing: str = "jm"):
     """The CCNet perplexity gate as a PLUGGABLE curation stage (r12,
     VERDICT r11 item 6 — thread the graded trigram scores into the
     curation surface): returns ``gate(df) -> df`` that scores each
@@ -924,11 +925,26 @@ def trigram_gate(train: DataFrame, min_logp: float,
     and reused by Spark across every scored batch (natural persistent
     preaggs — train on the reference corpus, score every crawl
     snapshot); per-batch cost is the score-side joins of
-    trigram_logprob plus one id-keyed semi join."""
+    trigram_logprob plus one id-keyed semi join.
+
+    ``smoothing='kn'`` (r16) swaps in :func:`trigram_kn_logprob` —
+    the modified-Kneser-Ney scorer — behind the same gate surface
+    (CCNet's actual KenLM configuration; thresholds are NOT
+    interchangeable between smoothings, as KN's continuation-count
+    floors sit lower than JM's add-k floor)."""
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(f"unknown smoothing {smoothing!r} (jm|kn)")
+
     def gate(df: DataFrame) -> DataFrame:
-        scored = trigram_logprob(df, train=train, id_col=id_col,
-                                 text_col=text_col)
-        keep = (scored.filter(F.col("avg_logp3") >= F.lit(min_logp))
+        if smoothing == "kn":
+            scored = trigram_kn_logprob(df, train=train, id_col=id_col,
+                                        text_col=text_col)
+            score_col = "avg_kn"
+        else:
+            scored = trigram_logprob(df, train=train, id_col=id_col,
+                                     text_col=text_col)
+            score_col = "avg_logp3"
+        keep = (scored.filter(F.col(score_col) >= F.lit(min_logp))
                 .select(id_col))
         return df.join(keep, id_col, "left_semi")
     return gate

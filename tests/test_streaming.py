@@ -749,3 +749,29 @@ def test_maintain_winnow_index_screens_per_pair_not_pooled(spark,
                                min_shared=2)
     assert 500 not in {r["doc_id"] for r in
                        spark.read.parquet(idx_conc).collect()}
+
+
+def test_trigram_gate_kn_smoothing(spark, sf_dir):
+    """r16: the KN smoothing option behind the same gate surface —
+    keeps exactly the docs whose modified-KN score clears the cut,
+    passes caller columns through unchanged, and rejects unknown
+    smoothing names loudly."""
+    import pytest
+
+    from activecube_graphql_spark.operators import text as tx
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(200))
+    train = docs.filter("doc_id % 2 = 0")
+    hold = docs.filter("doc_id % 2 = 1")
+    scores = tx.trigram_kn_logprob(hold, train=train)
+    vals = sorted(r["avg_kn"] for r in scores.collect())
+    cut = vals[len(vals) // 2]
+    got = tx.trigram_gate(train, cut, smoothing="kn")(hold)
+    assert got.columns == hold.columns
+    want = {r["doc_id"] for r in
+            scores.filter(F.col("avg_kn") >= cut).collect()}
+    assert {r["doc_id"] for r in got.collect()} == want
+    assert 0 < len(want) < hold.count()
+    with pytest.raises(ValueError, match="smoothing"):
+        tx.trigram_gate(train, cut, smoothing="katz")
