@@ -676,6 +676,7 @@ def test_no_cartesian_in_any_driver_row(spark):
         "unigram_lm",                       # same 1-row totals crossJoin
         "bigram_lm",                        # same 1-row totals crossJoin
         "trigram_lm",                       # same 1-row totals crossJoin
+        "trigram_kn",                       # same 1-row KN-globals crossJoin
         "lm_buckets",                       # 1-row threshold crossJoin
         "trigram_buckets",                  # trigram totals + 1-row thresholds
         "bloom_decontam",                   # 1-row bloom-bitmap crossJoin
