@@ -203,7 +203,12 @@ def _guard_exact_join_mass(freq: DataFrame, count_col: str,
     if max_candidate_mass == float("inf"):
         return
     from ..plans.fingerprint import plan_fingerprint
-    key = plan_fingerprint(freq) + "|" + count_col
+    # the fingerprint normalizes filesystem locations away ON PURPOSE
+    # (sf-dir stability for the manifest) — here that would alias two
+    # different corpora behind one memo key, so the leaf input-file
+    # set joins the key (a listing, not a job)
+    files = ",".join(sorted(freq.inputFiles()))
+    key = plan_fingerprint(freq) + "|" + count_col + "|" + files
     mass = _MASS_MEMO.get(key)
     if mass is None:
         mass = float(freq.agg(

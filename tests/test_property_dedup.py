@@ -325,3 +325,25 @@ def test_mass_guard_memoizes_per_plan(spark):
     # AQE may split one aggregate into several jobs — compare counts,
     # not exact job arithmetic
     assert n3 > n2, "a different plan must miss the memo and run"
+    # SAME plan shape over a DIFFERENT corpus must also miss: the
+    # fingerprint normalizes sf dirs away, so the input-file set must
+    # be part of the key (else a stale Σdf² aliases across corpora)
+    def freq_for(sf):
+        return (spark.read.parquet(f"{sf}/documents.parquet")
+                .selectExpr("doc_id % 7 AS shingle")
+                .groupBy("shingle").count()
+                .selectExpr("shingle", "count AS df"))
+    n4 = jobs_during(lambda: dd._guard_exact_join_mass(
+        freq_for("/root/testdata/sf0.001"), "df", spark, None, "m"))
+    size4 = len(dd._MASS_MEMO)
+    n5 = jobs_during(lambda: dd._guard_exact_join_mass(
+        freq_for("/root/testdata/sf0.01"), "df", spark, None, "m"))
+    assert n5 > n4, "a different corpus with the same plan must miss"
+    assert len(dd._MASS_MEMO) == size4 + 1
+    n6 = jobs_during(lambda: dd._guard_exact_join_mass(
+        freq_for("/root/testdata/sf0.01"), "df", spark, None, "m"))
+    # the repeat may still run the parquet file-LISTING job for the
+    # fresh relation (inputFiles), but never the aggregate: strictly
+    # fewer jobs than the miss, and no new memo entry
+    assert n6 - n5 < n5 - n4, "the repeat over the same corpus must hit"
+    assert len(dd._MASS_MEMO) == size4 + 1
