@@ -2604,3 +2604,45 @@ def test_bpe_carry_columns_keep_their_types(spark):
     assert dict(out.dtypes)["source"] == "string"
     got = {r["doc_id"]: r for r in out.collect()}
     assert got[0]["weight"] == 7 and got[1]["source"] == "book"
+
+
+def test_kn_cross_engine_fuzz_tiny_corpora(spark, tmp_path):
+    """r16 cross-engine fuzz for the KN row: random TINY corpora
+    drive the regimes the graded fixture never reaches — empty and
+    sub-trigram docs, unseen histories at every level, and DEGENERATE
+    count-of-counts (n1/n2/n3 of zero → the 0.5/1.0/1.5 discount
+    fallbacks) — and the full Spark query must hash-match the DuckDB
+    oracle row-for-row on the same parquet."""
+    import random
+
+    import duckdb
+
+    from activecube_graphql_spark.driver_queries import (
+        _TRIGRAM_KN_ORACLE, q_trigram_kn)
+    from tools.verify_local import canon
+
+    rng = random.Random(0xD15C0)
+    words = ["the", "cat", "sat", "mat", "dog", "log", "ate", "a"]
+    for case in range(4):
+        n_docs = rng.randrange(4, 14)
+        rows = []
+        for d in range(n_docs):
+            n_tok = rng.choice([0, 1, 2, 3, 3, 5, 8, 12])
+            text = " ".join(rng.choice(words) for _ in range(n_tok))
+            rows.append((d, f"src{d % 2}", text))
+        path = str(tmp_path / f"kn{case}")
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/documents.parquet")
+        got = sorted(
+            tuple(canon(v) for v in r)
+            for r in q_trigram_kn(spark, path)
+            .select("source", "n_docs", "mean_kn", "min_kn").collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}/documents.parquet/"
+                    f"*.parquet')")
+        want = sorted(tuple(canon(v) for v in r) for r in
+                      con.execute(_TRIGRAM_KN_ORACLE).fetchall())
+        assert got == want, (case, got, want)
