@@ -1107,6 +1107,74 @@ def q_embed_centroids(spark, sf_dir):
     return sim.label_centroids(_embeds(spark, sf_dir))
 
 
+def q_kmeans_trained(spark, sf_dir):
+    """The k-means TRAINER graded end-to-end (r16, ahead of the
+    wishlist — the injected/quantized-trainer program's clustering
+    chapter): operators/similarity.kmeans_quantized runs two
+    distributed Lloyd iterations in EXACT integer arithmetic
+    (milli-unit vector quantization → integer squared distances with
+    smallest-id tie-break → integer-sum centroid updates with one
+    round-half-up floor division; empty clusters keep their
+    centroid), seeded from the k smallest ids so the oracle derives
+    everything from data — no literal injection. The graded frame is
+    the full trained centroid MATRIX (k·dim rows) plus the final
+    assignment's member counts and exact integer inertia: a drift at
+    ANY iteration — a wrong distance, tie-break, or division — moves
+    later centroids and the hash. The oracle unrolls both Lloyd
+    iterations in SQL over the per-dimension explosion."""
+    return sim.kmeans_quantized(_embeds(spark, sf_dir), k=8, iters=2)
+
+
+def _kmeans_trained_oracle(k: int = 8, iters: int = 2,
+                           scale: int = 1000) -> str:
+    """Both Lloyd iterations unrolled — per-dimension explosion,
+    distance aggregation, row_number argmin (dist, cid tie-break),
+    and the identical (2·Σ+n)//(2·n) centroid update with the
+    empty-cluster COALESCE."""
+    parts = [f"""q AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * {scale}
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS xq
+        FROM embeddings)""", """qp AS MATERIALIZED (
+        SELECT vid, j, xq[j] AS v
+        FROM (SELECT vid, xq, unnest(range(1, len(xq) + 1)) AS j
+              FROM q))""", f"""c0 AS (
+        SELECT vid AS cid, j, v AS c FROM qp WHERE vid < {k})"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (
+        SELECT p.vid, c.cid,
+               CAST(sum((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS dist
+        FROM qp p JOIN c{i - 1} c USING (j) GROUP BY 1, 2)""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+        SELECT vid, cid, dist FROM (
+            SELECT vid, cid, dist,
+                   row_number() OVER (PARTITION BY vid
+                                      ORDER BY dist, cid) AS rn
+            FROM d{i})
+        WHERE rn = 1)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+        SELECT p.cid, p.j,
+               COALESCE((2 * (s.s + s.n * {sim._KM_OFF}) + s.n)
+                            // (2 * s.n) - {sim._KM_OFF},
+                        p.c) AS c
+        FROM c{i - 1} p LEFT JOIN (
+            SELECT a.cid, p.j, CAST(sum(p.v) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a{i} a JOIN qp p USING (vid) GROUP BY 1, 2) s
+        ON p.cid = s.cid AND p.j = s.j)""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT c.cid, CAST(c.j AS INTEGER) AS j,
+           CAST(c.c AS BIGINT) AS c_j,
+           coalesce(st.n_members, 0) AS n_members,
+           coalesce(st.inertia, 0) AS inertia
+    FROM c{iters} c LEFT JOIN (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist) AS BIGINT) AS inertia
+        FROM a{iters} GROUP BY 1) st ON c.cid = st.cid
+    """)
+
+
 def q_knn_vote(spark, sf_dir):
     """k-NN majority-vote classification (operators/similarity.py
     knn_label_vote): every 50th vector is a query; its label is the
@@ -5287,6 +5355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_model": q_quality_model,
     "trigram_kn": q_trigram_kn,
     "audio_mp3_walk": q_audio_mp3_walk,
+    "kmeans_trained": q_kmeans_trained,
     # --- voided at this tree (r16 edits; green in CORRECTNESS_r15 ->
     # --- round-boundary carve-out): dup_spans/dup_cut (the persist
     # --- release rewrote the marking as a window count, VERDICT r15
@@ -7389,6 +7458,10 @@ ORACLES["bpe_trained"] = _bpe_trained_oracle()
 # r16 (VERDICT r15 item 3): the exact-CART quality scorer — tree
 # re-fit by the pure replica at render time, injected as CASE literals
 ORACLES["quality_model"] = _quality_model_oracle()
+
+# r16 (ahead of the wishlist): both Lloyd iterations of the quantized
+# k-means trainer unrolled in SQL
+ORACLES["kmeans_trained"] = _kmeans_trained_oracle()
 
 # r16 (VERDICT r15 item 7): the MP3 fixture re-derived from its
 # synthesis formulas — frame lengths per padding bit, the mod-251

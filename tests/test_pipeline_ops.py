@@ -2646,3 +2646,49 @@ def test_kn_cross_engine_fuzz_tiny_corpora(spark, tmp_path):
         want = sorted(tuple(canon(v) for v in r) for r in
                       con.execute(_TRIGRAM_KN_ORACLE).fetchall())
         assert got == want, (case, got, want)
+
+
+def test_kmeans_quantized_invariance_and_recovery(spark):
+    """r16: the quantized Lloyd trainer is (a) partition/row-order
+    invariant (exact integer arithmetic, total tie-breaks — the
+    graded-row contract), and (b) actually clusters: on three
+    well-separated blobs every member lands with its blob and the
+    trained centroid components equal the exact rounded blob means."""
+    from activecube_graphql_spark.operators import similarity as sim
+
+    dim, per = 4, 7
+    blobs = [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 1.0]]
+    rows = []
+    vid = 0
+    # ids 0..2 are one point of each blob (the seeds), then the rest
+    for b in blobs:
+        rows.append((vid, [x + 0.001 * vid for x in b], vid))
+        vid += 1
+    for rep in range(1, per):
+        for bi, b in enumerate(blobs):
+            rows.append((vid, [x + 0.001 * (rep + bi) for x in b], bi))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {(r["cid"], r["j"]): r for r in
+           sim.kmeans_quantized(df, k=3, iters=2).collect()}
+    assert len(out) == 3 * dim
+    # every blob's members stayed together: counts are per blobs
+    counts = {cid: out[(cid, 1)]["n_members"] for cid in (0, 1, 2)}
+    assert sorted(counts.values()) == [per, per, per], counts
+    # centroid = exact rounded mean of the quantized members
+    for cid in (0, 1, 2):
+        qs = [[round(x * 1000) for x in emb]
+              for v, emb, lab in rows if lab == cid]
+        for j in range(dim):
+            s, n = sum(q[j] for q in qs), len(qs)
+            off = sim._KM_OFF
+            want = (2 * (s + n * off) + n) // (2 * n) - off
+            assert out[(cid, j + 1)]["c_j"] == want, (cid, j)
+    # invariance across partitionings
+    a = sorted(map(tuple, sim.kmeans_quantized(
+        df.repartition(1), k=3, iters=2).collect()))
+    b = sorted(map(tuple, sim.kmeans_quantized(
+        df.repartition(5), k=3, iters=2).collect()))
+    assert a == b
