@@ -4105,6 +4105,47 @@ def q_trigram_buckets(spark, sf_dir):
                  F.max("avg_logp3").alias("max_lp3")))
 
 
+def q_kn_buckets(spark, sf_dir):
+    """Perplexity-band corpus split over the GRADED modified-KN
+    scores (r16 — the trigram_buckets twin on the KN track: CCNet
+    buckets by KenLM perplexity, and KenLM is modified-KN, so THIS
+    pair is the faithful reproduction of its band loop): the exact
+    q_trigram_buckets threshold machinery (type-1 order statistics
+    over the value-keyed count frame — grid-bounded shuffle, no
+    corpus-wide window) over trigram_kn_logprob's per-doc scores
+    with the same train/score split. The oracle wraps
+    _TRIGRAM_KN_CTES verbatim — one source of truth for the scores,
+    two graded consumers."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    out = tx.trigram_kn_logprob(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train=docs.filter(F.col("doc_id") % 2 == 0),
+        carry=("source",))
+    vc = out.groupBy("avg_kn").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = (Window.orderBy("avg_kn")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy()
+    cum = (vc.withColumn("cum", F.sum("c").over(cum_w))
+           .withColumn("n", F.sum("c").over(tot_w)))
+
+    def _atk(p):
+        k = F.greatest(F.lit(1).cast("long"),
+                       F.ceil(F.lit(p) * F.col("n")).cast("long"))
+        return F.min(F.when(F.col("cum") >= k, F.col("avg_kn")))
+
+    thr = cum.agg(_atk(0.33).alias("t1"), _atk(0.67).alias("t2"))
+    j = out.crossJoin(F.broadcast(thr))
+    band = (F.when(F.col("avg_kn") <= F.col("t1"), F.lit(0))
+            .when(F.col("avg_kn") <= F.col("t2"), F.lit(1))
+            .otherwise(F.lit(2)))
+    return (j.withColumn("band", band)
+            .groupBy("source", "band")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("avg_kn").alias("min_kn"),
+                 F.max("avg_kn").alias("max_kn")))
+
+
 #: staged oracle for q_lm_buckets — the per-doc CTEs mirror
 #: _UNIGRAM_LM_ORACLE
 _LM_BUCKETS_ORACLE = f"""
@@ -4471,7 +4512,7 @@ _TRIGRAM_LM_ORACLE = _TRIGRAM_SCORE_CTES + """
 #: in SQL, the smoothing arithmetic embedded VERBATIM from
 #: text.KN_SCORE_EXPR (the single-source-of-truth discipline: one
 #: shared expression text ⇒ bit-identical doubles on both engines)
-_TRIGRAM_KN_ORACLE = f"""
+_TRIGRAM_KN_CTES = f"""
     WITH train AS (
         SELECT doc_id, {tx.oracle_fragment(tx.TOKENS)} AS t
         FROM documents WHERE doc_id % 2 = 0),
@@ -4561,13 +4602,43 @@ _TRIGRAM_KN_ORACLE = f"""
         CROSS JOIN g),
     per_doc AS (
         SELECT doc_id, round(avg(logp), 4) AS avg_kn
-        FROM scored GROUP BY 1)
+        FROM scored GROUP BY 1)"""
+
+_TRIGRAM_KN_ORACLE = _TRIGRAM_KN_CTES + """
     SELECT d.source, count(*) AS n_docs,
            round(avg(coalesce(p.avg_kn, 0.0)), 4) AS mean_kn,
            min(coalesce(p.avg_kn, 0.0)) AS min_kn
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     WHERE d.doc_id % 2 = 1
     GROUP BY 1
+"""
+
+#: r16: the CCNet perplexity-band split over the KN scores — wraps
+#: _TRIGRAM_KN_CTES verbatim (the trigram_buckets twin discipline:
+#: one source of truth for the scores, two graded consumers)
+_KN_BUCKETS_ORACLE = _TRIGRAM_KN_CTES + """,
+    alldocs AS (
+        SELECT d.source, coalesce(p.avg_kn, 0.0) AS lp
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE d.doc_id % 2 = 1),
+    ranked AS (
+        SELECT lp, row_number() OVER (ORDER BY lp) AS rn,
+               count(*) OVER () AS n
+        FROM alldocs),
+    t AS (
+        SELECT min(CASE WHEN rn = greatest(1, CAST(ceil(0.33 * n)
+                                                AS BIGINT))
+                        THEN lp END) AS t1,
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.67 * n)
+                                                AS BIGINT))
+                        THEN lp END) AS t2
+        FROM ranked)
+    SELECT source,
+           CASE WHEN lp <= t1 THEN 0 WHEN lp <= t2 THEN 1 ELSE 2 END
+               AS band,
+           count(*) AS n_docs,
+           min(lp) AS min_kn, max(lp) AS max_kn
+    FROM alldocs CROSS JOIN t GROUP BY 1, 2
 """
 
 #: r12 (VERDICT r11 item 6): the CCNet perplexity-band loop, closed —
@@ -5321,14 +5392,16 @@ def q_bm25_topk(spark, sf_dir):
 # green -> that window moved behind; manifest re-stamped clean at the
 # graded tree as round step 1, then re-stamped --void for the four
 # rows r16 edits (dup_spans, dup_cut, url_canon, warc_records).
-# Window = 4 NEW rows (bpe_trained, quality_model, trigram_kn,
-# audio_mp3_walk — VERDICT r15 items 2/3/4/7) + those 4 voided rows
+# Window = 6 NEW rows (bpe_trained, quality_model, trigram_kn,
+# audio_mp3_walk — VERDICT r15 items 2/3/4/7 — plus kmeans_trained
+# and kn_buckets, built ahead of the wishlist) + those 4 voided rows
 # + the 5 r12-evidence leftovers (sliding_window, source_cap,
-# split_counts, text_stats, tfidf_terms) + the 37 oldest r13-graded
-# rows (video_mp4 .. filter_and_list). After this grades green, no
-# row's evidence is older than r13 except the 11 r13 rows directly
-# behind the window (filter_eq .. limit_by), which lead the r17 fill.
-# WINDOW POLICY at 153 rows (VERDICT r15 item 9): the 50-row cap is
+# split_counts, text_stats, tfidf_terms) + the 35 oldest r13-graded
+# rows (video_mp4 .. dedup_exact). After this grades green, no
+# row's evidence is older than r13 except the 13 r13 rows directly
+# behind the window (distinct_slice .. limit_by), which lead the r17
+# fill.
+# WINDOW POLICY at 155 rows (VERDICT r15 item 9): the 50-row cap is
 # the DRIVER's, not ours — the lever this registry controls is tier
 # discipline, stated here as policy: (1) never-green rows strictly
 # first, (2) rows voided at the current tree next, (3) the
@@ -5341,12 +5414,13 @@ def q_bm25_topk(spark, sf_dir):
 # 3-round freshness invariant — the invariant, not the count, is the
 # contract.
 # NEXT-ROUND ROTATION (r17): re-stamp the manifest at the graded
-# tree, move this window behind, lead with the 11 r13-evidence rows
-# (filter_eq, filter_like_between, trigram_lm, curated_survivors,
-# filter_null_ops, filter_ophash, fingerprint_dedup, global_agg,
-# graphql_topn, json_subfield, limit_by), then fill to 50 with the
-# oldest r14-graded rows (html_extract ..). After that grades green,
-# no row's evidence is older than r14.
+# tree, move this window behind, lead with the 13 r13-evidence rows
+# (distinct_slice, filter_and_list, filter_eq, filter_like_between,
+# trigram_lm, curated_survivors, filter_null_ops, filter_ophash,
+# fingerprint_dedup, global_agg, graphql_topn, json_subfield,
+# limit_by), then fill to 50 with the oldest r14-graded rows
+# (html_extract ..). After that grades green, no row's evidence is
+# older than r14.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW never-green rows (r16) lead the window: bpe_trained
     # --- (VERDICT r15 item 2), quality_model (item 3), trigram_kn
@@ -5356,6 +5430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigram_kn": q_trigram_kn,
     "audio_mp3_walk": q_audio_mp3_walk,
     "kmeans_trained": q_kmeans_trained,
+    "kn_buckets": q_kn_buckets,
     # --- voided at this tree (r16 edits; green in CORRECTNESS_r15 ->
     # --- round-boundary carve-out): dup_spans/dup_cut (the persist
     # --- release rewrote the marking as a window count, VERDICT r15
@@ -5372,7 +5447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_counts": q_split_counts,
     "text_stats": q_text_stats,
     "tfidf_terms": q_tfidf_terms,
-    # --- fill to 50: the 37 oldest r13-graded rows ---
+    # --- fill to 50: the 35 oldest r13-graded rows ---
     "video_mp4": q_video_mp4,
     "embed_ivfpq_res": q_embed_ivfpq_res,
     "ann_recall_audit": q_ann_recall_audit,
@@ -5408,10 +5483,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_grouping": q_cube_grouping,
     "db_routing": q_db_routing,
     "dedup_exact": q_dedup_exact,
+    # --- behind the window: the 13 r13-evidence rows that did not
+    # --- fit -- they LEAD the r17 window fill ---
     "distinct_slice": q_distinct_slice,
     "filter_and_list": q_filter_and_list,
-    # --- behind the window: the 11 r13-evidence rows that did not
-    # --- fit -- they LEAD the r17 window fill ---
     "filter_eq": q_filter_eq,
     "filter_like_between": q_filter_like_between,
     "trigram_lm": q_trigram_lm,
@@ -5631,6 +5706,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm": _BIGRAM_LM_ORACLE,
     "trigram_lm": _TRIGRAM_LM_ORACLE,
     "trigram_kn": _TRIGRAM_KN_ORACLE,
+    "kn_buckets": _KN_BUCKETS_ORACLE,
     "trigram_buckets": _TRIGRAM_BUCKETS_ORACLE,
     "curated_survivors": _CURATED_SURVIVORS_ORACLE,
     "transitions": _TRANSITIONS_ORACLE,
