@@ -4118,10 +4118,16 @@ def q_kn_buckets(spark, sf_dir):
     two graded consumers."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
+    # persisted: the per-doc score frame feeds BOTH the threshold
+    # order-statistics and the final band join, and a KN score pass
+    # is ~2× the JM row's — unlike the position-frame caches this is
+    # a per-DOCUMENT frame (4 narrow columns), safe at any corpus
+    # scale and the natural score-once-bucket-twice materialization.
+    # Cache lifecycle: the clearCache-at-pipeline-boundary contract.
     out = tx.trigram_kn_logprob(
         docs.filter(F.col("doc_id") % 2 == 1),
         train=docs.filter(F.col("doc_id") % 2 == 0),
-        carry=("source",))
+        carry=("source",)).persist()
     vc = out.groupBy("avg_kn").agg(F.count(F.lit(1)).alias("c"))
     cum_w = (Window.orderBy("avg_kn")
              .rowsBetween(Window.unboundedPreceding, 0))
