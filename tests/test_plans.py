@@ -677,6 +677,7 @@ def test_no_cartesian_in_any_driver_row(spark):
         "bigram_lm",                        # same 1-row totals crossJoin
         "trigram_lm",                       # same 1-row totals crossJoin
         "trigram_kn",                       # same 1-row KN-globals crossJoin
+        "kn_buckets",                       # KN globals + 1-row thresholds
         "lm_buckets",                       # 1-row threshold crossJoin
         "trigram_buckets",                  # trigram totals + 1-row thresholds
         "bloom_decontam",                   # 1-row bloom-bitmap crossJoin
