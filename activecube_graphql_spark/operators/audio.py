@@ -230,3 +230,35 @@ def mp3_stream_info(payload: bytes) -> dict:
         "payload_sum": payload_sum,
         "duration_ms": (n_frames * MP3_SPF * 1000) / rate,
     }
+
+
+def audio_stream_info(payload: bytes) -> dict:
+    """Format-sniffing audio front door (r16): dispatch a payload to
+    the real decoder/walker for its container — WAV/RIFF
+    (:func:`wav_features`, full PCM decode), FLAC
+    (:mod:`.flac`'s bitstream codec via ``flac_features``), or MP3
+    (:func:`mp3_stream_info`, header walk — PCM stays the honest
+    rejection) — and return its feature dict with a ``format`` key
+    added. Unknown magic raises NotImplementedError with the
+    supported list (the multimodal.decode_image contract, applied to
+    audio)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out = wav_features(payload)
+        fmt = "wav"
+    elif payload[:4] == b"fLaC":
+        from .flac import flac_features
+        out = flac_features(payload)
+        fmt = "flac"
+    elif payload[:3] == b"ID3" or (
+            len(payload) >= 2 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0):
+        out = mp3_stream_info(payload)
+        fmt = "mp3"
+    else:
+        raise NotImplementedError(
+            "unrecognized audio container (WAV/RIFF, FLAC, and MP3 "
+            "frame streams are supported; PCM decode of MP3 is a "
+            "documented honest rejection)")
+    out = dict(out)
+    out["format"] = fmt
+    return out

@@ -1530,6 +1530,25 @@ def knn_label_vote(corpus: DataFrame, queries: DataFrame, k: int = 5,
 _KM_OFF = 1 << 22
 
 
+def _km_dist_expr(cents: dict[int, list[int]], cids: list[int]) -> str:
+    """Integer squared distances of an ``xq`` column to every centroid
+    (literal arrays) — shared by the trainer and the serving assign."""
+    arrs = ", ".join(
+        "array(" + ", ".join(str(v) for v in cents[c]) + ")"
+        for c in cids)
+    return (f"transform(array({arrs}), c -> "
+            f"aggregate(zip_with(xq, c, (a, b) -> "
+            f"(a - b) * (a - b)), 0L, (s, v) -> s + v))")
+
+
+def _km_cid_expr(cids: list[int]) -> str:
+    """Map the 1-based argmin index ``__best`` back to the centroid id."""
+    return ("CAST(" + " ".join(
+        f"CASE WHEN __best = {i + 1} THEN {c} ELSE"
+        for i, c in enumerate(cids))
+        + " -1 " + "END " * len(cids) + "AS BIGINT)")
+
+
 def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -1579,22 +1598,12 @@ def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
     cids = sorted(cents)
 
     def assign(frame):
-        arrs = ", ".join(
-            "array(" + ", ".join(str(v) for v in cents[c]) + ")"
-            for c in cids)
-        dists = (f"transform(array({arrs}), c -> "
-                 f"aggregate(zip_with(xq, c, (a, b) -> "
-                 f"(a - b) * (a - b)), 0L, (s, v) -> s + v))")
         return (frame
-                .withColumn("__d", F.expr(dists))
+                .withColumn("__d", F.expr(_km_dist_expr(cents, cids)))
                 .withColumn("__best",
                             F.expr("array_position(__d, "
                                    "array_min(__d))").cast("int"))
-                .withColumn("cid", F.expr(
-                    "CAST(" + " ".join(
-                        f"CASE WHEN __best = {i + 1} THEN {c} ELSE"
-                        for i, c in enumerate(cids))
-                    + " -1 " + "END " * len(cids) + "AS BIGINT)"))
+                .withColumn("cid", F.expr(_km_cid_expr(cids)))
                 .withColumn("dist", F.expr("element_at(__d, __best)")))
 
     assigned = None
@@ -1630,3 +1639,26 @@ def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
                         F.coalesce("n_members", F.lit(0)).cast("long"))
             .withColumn("inertia",
                         F.coalesce("inertia", F.lit(0)).cast("long")))
+
+
+def kmeans_assign(embeds: DataFrame, cents: dict[int, list[int]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = 1000) -> DataFrame:
+    """The serving half of :func:`kmeans_quantized`: assign vectors to
+    trained integer centroids — the same milli-unit quantization,
+    integer squared distance, and smallest-id tie-break as the
+    trainer, as a map-only pass (centroids ride as literals; no join,
+    no shuffle). Returns the input ids with ``cid`` and the exact
+    integer ``dist``."""
+    cids = sorted(cents)
+    return (embeds
+            .select(F.col(id_col),
+                    F.expr(f"transform({vec_col}, x -> CAST(floor("
+                           f"CAST(x AS DOUBLE) * {scale} + CAST(0.5 "
+                           f"AS DOUBLE)) AS BIGINT))").alias("xq"))
+            .withColumn("__d", F.expr(_km_dist_expr(cents, cids)))
+            .withColumn("__best", F.expr(
+                "array_position(__d, array_min(__d))").cast("int"))
+            .select(id_col,
+                    F.expr(_km_cid_expr(cids)).alias("cid"),
+                    F.expr("element_at(__d, __best)").alias("dist")))

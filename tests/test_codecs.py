@@ -877,3 +877,25 @@ def test_mp3_walk_rejects_malformed():
         au.mp3_stream_info(bytes(bad_id3))
     with pytest.raises(ValueError, match="frames"):
         au.mp3_stream_info(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0]))
+
+
+def test_audio_stream_info_dispatch():
+    """The audio front door sniffs all three containers and rejects
+    unknown magic with the supported-list message."""
+    import pytest
+
+    from activecube_graphql_spark.operators import audio as au
+    from activecube_graphql_spark.operators import flac as fl
+
+    samples = [((i * 17) % 201) - 100 for i in range(96)]
+    wav = au.audio_stream_info(au.encode_wav(8000, samples))
+    assert wav["format"] == "wav" and wav["n_frames"] == 96
+    flac = au.audio_stream_info(fl.encode_flac(8000, samples))
+    assert flac["format"] == "flac"
+    mp3 = au.audio_stream_info(_mk_mp3(n_frames=3))
+    assert mp3["format"] == "mp3" and mp3["n_frames"] == 3
+    # ID3-led MP3 sniffs by the tag magic, not frame sync
+    assert au.audio_stream_info(
+        _mk_mp3(n_frames=2, id3_body=b"meta"))["format"] == "mp3"
+    with pytest.raises(NotImplementedError, match="honest rejection"):
+        au.audio_stream_info(b"OggS....vorbis")

@@ -2692,3 +2692,29 @@ def test_kmeans_quantized_invariance_and_recovery(spark):
     b = sorted(map(tuple, sim.kmeans_quantized(
         df.repartition(5), k=3, iters=2).collect()))
     assert a == b
+
+
+def test_kmeans_assign_matches_trainer_assignment(spark):
+    """The serving assign (map-only, literal centroids) reproduces the
+    trainer's own final-iteration assignment when given the
+    PRE-update centroids it scored against."""
+    from activecube_graphql_spark.operators import similarity as sim
+
+    rows = [(i, [((i * 13 + j * 7) % 41) / 20.0 - 1.0
+                 for j in range(6)], 0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    # one-iteration trainer: its output counts describe the assignment
+    # against the SEED centroids
+    out = sim.kmeans_quantized(df, k=4, iters=1).collect()
+    counts = {r["cid"]: r["n_members"] for r in out if r["j"] == 1}
+    seeds = {int(r["vec_id"]): [round(x * 1000) for x in r["embedding"]]
+             for r in rows[:4] for r in [dict(vec_id=r[0],
+                                              embedding=r[1])]}
+    got = sim.kmeans_assign(df, seeds)
+    agg = {r["cid"]: r["cnt"] for r in
+           got.groupBy("cid").agg(F.count(F.lit(1)).alias("cnt"))
+           .collect()}
+    assert agg == {k: v for k, v in counts.items() if v}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only serving pass
