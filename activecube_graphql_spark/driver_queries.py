@@ -1125,12 +1125,13 @@ def q_kmeans_trained(spark, sf_dir):
     return sim.kmeans_quantized(_embeds(spark, sf_dir), k=8, iters=2)
 
 
-def _kmeans_trained_oracle(k: int = 8, iters: int = 2,
-                           scale: int = 1000) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 2,
+                 scale: int = 1000) -> str:
     """Both Lloyd iterations unrolled — per-dimension explosion,
     distance aggregation, row_number argmin (dist, cid tie-break),
-    and the identical (2·Σ+n)//(2·n) centroid update with the
-    empty-cluster COALESCE."""
+    and the identical offset (2·Σ+n)//(2·n) centroid update with the
+    empty-cluster COALESCE. Shared by the kmeans_trained and
+    embed_ivf_trained oracles (the CTE-twin discipline)."""
     parts = [f"""q AS MATERIALIZED (
         SELECT vec_id AS vid,
                list_transform(embedding, x ->
@@ -1163,7 +1164,12 @@ def _kmeans_trained_oracle(k: int = 8, iters: int = 2,
                    CAST(count(*) AS BIGINT) AS n
             FROM a{i} a JOIN qp p USING (vid) GROUP BY 1, 2) s
         ON p.cid = s.cid AND p.j = s.j)""")
-    return ("WITH " + ",\n    ".join(parts) + f"""
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _kmeans_trained_oracle(k: int = 8, iters: int = 2,
+                           scale: int = 1000) -> str:
+    return _kmeans_ctes(k, iters, scale) + f"""
     SELECT c.cid, CAST(c.j AS INTEGER) AS j,
            CAST(c.c AS BIGINT) AS c_j,
            coalesce(st.n_members, 0) AS n_members,
@@ -1172,7 +1178,69 @@ def _kmeans_trained_oracle(k: int = 8, iters: int = 2,
         SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
                CAST(sum(dist) AS BIGINT) AS inertia
         FROM a{iters} GROUP BY 1) st ON c.cid = st.cid
-    """)
+    """
+
+
+def _ivf_trained_oracle(k: int = 8, iters: int = 2,
+                        n_queries: int = 5, nprobe: int = 2,
+                        topk: int = 5, scale: int = 1000) -> str:
+    """embed_ivf_trained: the kmeans CTEs + corpus cell assignment vs
+    the TRAINED centroids, per-query probe selection, and the exact
+    integer re-rank — tie-breaks (dist, cid) / (dist, vid) mirror the
+    engine's argmin/row_number exactly."""
+    return _kmeans_ctes(k, iters, scale) + f""",
+    ad AS MATERIALIZED (
+        SELECT p.vid, c.cid,
+               CAST(sum((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS dist
+        FROM qp p JOIN c{iters} c USING (j) GROUP BY 1, 2),
+    acell AS (
+        SELECT vid, cid FROM (
+            SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                       ORDER BY dist, cid) AS rn FROM ad)
+        WHERE rn = 1),
+    probes AS (
+        SELECT vid AS qid, cid FROM (
+            SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                       ORDER BY dist, cid) AS rn
+            FROM ad WHERE vid < {n_queries}) t
+        WHERE rn <= {nprobe}),
+    cand AS (
+        SELECT pr.qid, ac.vid
+        FROM probes pr JOIN acell ac USING (cid)
+        WHERE ac.vid != pr.qid),
+    cd AS (
+        SELECT c.qid, c.vid,
+               CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist
+        FROM cand c
+        JOIN qp a ON a.vid = c.qid
+        JOIN qp b ON b.vid = c.vid AND b.j = a.j
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT qid, vid, dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist, vid) AS rk
+        FROM cd)
+    SELECT qid, CAST(rk AS INTEGER) AS rank, vid AS vec_id, dist
+    FROM ranked WHERE rk <= {topk}
+    """
+
+
+def q_embed_ivf_trained(spark, sf_dir):
+    """IVF ANN over SELF-TRAINED centroids graded end-to-end (r16 —
+    the trained-index composition: embed_ivf_ann probes
+    injected-constant cells; this row TRAINS its coarse quantizer on
+    the corpus with the quantized Lloyd trainer and still
+    hash-checks, because training, cell assignment, probe selection,
+    and the candidate re-rank all run in exact integer space with
+    total tie-breaks). operators/similarity.ivf_trained_topk: the
+    corpus never shuffles (literal centroids; Q·nprobe probe rows
+    broadcast); the only exchange carries the candidate sliver to the
+    per-query top-k window. The oracle composes the kmeans CTEs with
+    the assignment/probe/re-rank chain — one source of truth with
+    kmeans_trained for the training arithmetic."""
+    return sim.ivf_trained_topk(_embeds(spark, sf_dir), k_clusters=8,
+                                iters=2, n_queries=5, nprobe=2,
+                                topk=5)
 
 
 def q_knn_vote(spark, sf_dir):
@@ -5398,16 +5466,16 @@ def q_bm25_topk(spark, sf_dir):
 # green -> that window moved behind; manifest re-stamped clean at the
 # graded tree as round step 1, then re-stamped --void for the four
 # rows r16 edits (dup_spans, dup_cut, url_canon, warc_records).
-# Window = 6 NEW rows (bpe_trained, quality_model, trigram_kn,
-# audio_mp3_walk — VERDICT r15 items 2/3/4/7 — plus kmeans_trained
-# and kn_buckets, built ahead of the wishlist) + those 4 voided rows
-# + the 5 r12-evidence leftovers (sliding_window, source_cap,
-# split_counts, text_stats, tfidf_terms) + the 35 oldest r13-graded
-# rows (video_mp4 .. dedup_exact). After this grades green, no
-# row's evidence is older than r13 except the 13 r13 rows directly
-# behind the window (distinct_slice .. limit_by), which lead the r17
+# Window = 7 NEW rows (bpe_trained, quality_model, trigram_kn,
+# audio_mp3_walk — VERDICT r15 items 2/3/4/7 — plus kmeans_trained,
+# kn_buckets, and embed_ivf_trained, built ahead of the wishlist) +
+# those 4 voided rows + the 5 r12-evidence leftovers (sliding_window,
+# source_cap, split_counts, text_stats, tfidf_terms) + the 34 oldest
+# r13-graded rows (video_mp4 .. db_routing). After this grades green,
+# no row's evidence is older than r13 except the 14 r13 rows directly
+# behind the window (dedup_exact .. limit_by), which lead the r17
 # fill.
-# WINDOW POLICY at 155 rows (VERDICT r15 item 9): the 50-row cap is
+# WINDOW POLICY at 156 rows (VERDICT r15 item 9): the 50-row cap is
 # the DRIVER's, not ours — the lever this registry controls is tier
 # discipline, stated here as policy: (1) never-green rows strictly
 # first, (2) rows voided at the current tree next, (3) the
@@ -5420,8 +5488,8 @@ def q_bm25_topk(spark, sf_dir):
 # 3-round freshness invariant — the invariant, not the count, is the
 # contract.
 # NEXT-ROUND ROTATION (r17): re-stamp the manifest at the graded
-# tree, move this window behind, lead with the 13 r13-evidence rows
-# (distinct_slice, filter_and_list, filter_eq, filter_like_between,
+# tree, move this window behind, lead with the 14 r13-evidence rows
+# (dedup_exact, distinct_slice, filter_and_list, filter_eq, filter_like_between,
 # trigram_lm, curated_survivors, filter_null_ops, filter_ophash,
 # fingerprint_dedup, global_agg, graphql_topn, json_subfield,
 # limit_by), then fill to 50 with the oldest r14-graded rows
@@ -5437,6 +5505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_mp3_walk": q_audio_mp3_walk,
     "kmeans_trained": q_kmeans_trained,
     "kn_buckets": q_kn_buckets,
+    "embed_ivf_trained": q_embed_ivf_trained,
     # --- voided at this tree (r16 edits; green in CORRECTNESS_r15 ->
     # --- round-boundary carve-out): dup_spans/dup_cut (the persist
     # --- release rewrote the marking as a window count, VERDICT r15
@@ -5453,7 +5522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_counts": q_split_counts,
     "text_stats": q_text_stats,
     "tfidf_terms": q_tfidf_terms,
-    # --- fill to 50: the 35 oldest r13-graded rows ---
+    # --- fill to 50: the 34 oldest r13-graded rows ---
     "video_mp4": q_video_mp4,
     "embed_ivfpq_res": q_embed_ivfpq_res,
     "ann_recall_audit": q_ann_recall_audit,
@@ -5488,9 +5557,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_distinct": q_count_distinct,
     "cube_grouping": q_cube_grouping,
     "db_routing": q_db_routing,
-    "dedup_exact": q_dedup_exact,
-    # --- behind the window: the 13 r13-evidence rows that did not
+    # --- behind the window: the 14 r13-evidence rows that did not
     # --- fit -- they LEAD the r17 window fill ---
+    "dedup_exact": q_dedup_exact,
     "distinct_slice": q_distinct_slice,
     "filter_and_list": q_filter_and_list,
     "filter_eq": q_filter_eq,
@@ -7544,6 +7613,7 @@ ORACLES["quality_model"] = _quality_model_oracle()
 # r16 (ahead of the wishlist): both Lloyd iterations of the quantized
 # k-means trainer unrolled in SQL
 ORACLES["kmeans_trained"] = _kmeans_trained_oracle()
+ORACLES["embed_ivf_trained"] = _ivf_trained_oracle()
 
 # r16 (VERDICT r15 item 7): the MP3 fixture re-derived from its
 # synthesis formulas — frame lengths per padding bit, the mod-251

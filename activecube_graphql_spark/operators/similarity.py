@@ -1549,11 +1549,16 @@ def _km_cid_expr(cids: list[int]) -> str:
         + " -1 " + "END " * len(cids) + "AS BIGINT)")
 
 
-def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding",
-                     scale: int = 1000) -> DataFrame:
-    """DISTRIBUTED Lloyd k-means, trained in EXACT integer arithmetic
+def kmeans_fit(embeds: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               scale: int = 1000):
+    """The fit loop of :func:`kmeans_quantized`, exposed for
+    composition (the IVF-with-trained-centroids row): returns
+    ``(cents, assigned)`` — the trained integer centroid dict and the
+    final-iteration assignment frame (vid, xq, cid, dist; lazy, built
+    against the PRE-update centroids, as Lloyd defines it).
+
+    DISTRIBUTED Lloyd k-means, trained in EXACT integer arithmetic
     (r16 — the quantize-before-cross-partition-aggregation discipline
     that made the unigram-EM and NB trainers oracle-exact, applied to
     clustering): vectors quantize per-component to integer
@@ -1585,7 +1590,6 @@ def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
     after the LAST update, with the final assignment's member count
     and exact integer inertia — k·dim rows pinning the whole
     trajectory (a drift at any iteration moves later centroids)."""
-    spark = embeds.sparkSession
     q = embeds.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS "
@@ -1627,6 +1631,22 @@ def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
             new[int(r["cid"])][int(r["j0"])] = \
                 (2 * (s + n * _KM_OFF) + n) // (2 * n) - _KM_OFF
         cents = new
+    return cents, assigned
+
+
+def kmeans_quantized(embeds: DataFrame, k: int = 8, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     scale: int = 1000) -> DataFrame:
+    """The graded trainer surface over :func:`kmeans_fit`: one row per
+    (cid, j) — trained centroid component + final-assignment member
+    count + exact integer inertia (see kmeans_fit's docstring and the
+    q_kmeans_trained row for the full contract and scale shape)."""
+    spark = embeds.sparkSession
+    cents, assigned = kmeans_fit(embeds, k=k, iters=iters,
+                                 id_col=id_col, vec_col=vec_col,
+                                 scale=scale)
+    cids = sorted(cents)
     stats = (assigned.groupBy("cid")
              .agg(F.count(F.lit(1)).alias("n_members"),
                   F.sum("dist").alias("inertia")))
@@ -1662,3 +1682,68 @@ def kmeans_assign(embeds: DataFrame, cents: dict[int, list[int]],
             .select(id_col,
                     F.expr(_km_cid_expr(cids)).alias("cid"),
                     F.expr("element_at(__d, __best)").alias("dist")))
+
+
+def ivf_trained_topk(embeds: DataFrame, k_clusters: int = 8,
+                     iters: int = 2, n_queries: int = 5,
+                     nprobe: int = 2, topk: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     scale: int = 1000) -> DataFrame:
+    """IVF approximate nearest neighbors over SELF-TRAINED centroids
+    (r16 — the trained-index composition: every other ANN row probes
+    injected-constant structures; this one trains its coarse
+    quantizer ON the corpus via :func:`kmeans_fit` and is still
+    exactly oracle-checkable, because the whole chain — training,
+    cell assignment, probe selection, candidate re-rank — runs in the
+    quantized integer space with total tie-breaks).
+
+    Pipeline: fit k centroids (two integer Lloyd iterations) → assign
+    every corpus vector to its cell (map-only; centroids are
+    literals) → for each query (the ``n_queries`` smallest ids),
+    probe the ``nprobe`` nearest cells by centroid distance →
+    exact integer re-rank of the probed cells' members (dist, id
+    tie-break) → top-``topk`` per query, self-matches excluded.
+
+    Scale shape: the corpus never shuffles for assignment (literal
+    centroids fold into codegen); the probe table is Q·nprobe rows
+    BROADCAST into the candidate join, so the corpus-side join is
+    map-only too; the only exchange carries the candidate sliver to
+    the per-query top-k window — the IVF contract (probed cells'
+    members, not the corpus)."""
+    cents, _ = kmeans_fit(embeds, k=k_clusters, iters=iters,
+                          id_col=id_col, vec_col=vec_col, scale=scale)
+    cids = sorted(cents)
+    q = embeds.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS "
+               f"DOUBLE) * {scale} + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+               ).alias("xq"))
+    corpus = (q.withColumn("__d", F.expr(_km_dist_expr(cents, cids)))
+              .withColumn("__best", F.expr(
+                  "array_position(__d, array_min(__d))").cast("int"))
+              .select("vid", "xq",
+                      F.expr(_km_cid_expr(cids)).alias("cid")))
+    cid_arr = "array(" + ", ".join(str(c) for c in cids) + ")"
+    probes = (q.filter(F.col("vid") < n_queries)
+              .withColumn("__d", F.expr(_km_dist_expr(cents, cids)))
+              .select(F.col("vid").alias("qid"),
+                      F.col("xq").alias("qxq"),
+                      F.posexplode("__d").alias("ci", "cdist"))
+              .withColumn("cid", F.expr(
+                  f"element_at({cid_arr}, ci + 1)").cast("long"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("qid")
+                  .orderBy("cdist", "cid")))
+              .filter(F.col("rn") <= nprobe)
+              .select("qid", "qxq", "cid"))
+    cand = (corpus.join(F.broadcast(probes), "cid")
+            .filter(F.col("vid") != F.col("qid"))
+            .withColumn("dist", F.expr(
+                "aggregate(zip_with(qxq, xq, (a, b) -> "
+                "(a - b) * (a - b)), 0L, (s, v) -> s + v)")))
+    ranked = cand.withColumn("rank", F.row_number().over(
+        Window.partitionBy("qid").orderBy("dist", "vid")))
+    return (ranked.filter(F.col("rank") <= topk)
+            .select("qid", F.col("rank").cast("int").alias("rank"),
+                    F.col("vid").alias(id_col), "dist"))

@@ -2718,3 +2718,46 @@ def test_kmeans_assign_matches_trainer_assignment(spark):
     assert agg == {k: v for k, v in counts.items() if v}
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only serving pass
+
+
+def test_ivf_trained_topk_structure_and_recall(spark, sf_dir):
+    """r16: the trained-IVF row's structural contract — per query
+    exactly topk ranked candidates, distances exactly re-computable
+    from the quantized vectors, ranking totally ordered by
+    (dist, vec_id), no self-matches — plus the ANN quality floor:
+    nprobe=2 of 8 trained cells recovers most of the exact top-5
+    (recall measured 0.8-1.0 per query on the fixture)."""
+    import collections
+
+    from activecube_graphql_spark.operators import similarity as sim
+
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # engine-identical quantization for the replica distances
+    rows = {int(r["vec_id"]): [int(math.floor(float(x) * 1000 + 0.5))
+                               for x in r["embedding"]]
+            for r in emb.collect()}
+    got = sim.ivf_trained_topk(emb).collect()
+    by_q = collections.defaultdict(list)
+    for r in got:
+        by_q[r["qid"]].append((r["rank"], r["vec_id"], r["dist"]))
+
+    def d(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(rows[a], rows[b]))
+
+    recalls = []
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == list(range(1, 6))
+        assert all(v != qid for _, v, _dd in lst)
+        for _, v, dist in lst:
+            assert dist == d(qid, v), (qid, v)
+        # ranking is (dist, vec_id)-sorted
+        keys = [(dist, v) for _, v, dist in lst]
+        assert keys == sorted(keys)
+        exact = {v for _, v in sorted(
+            ((d(qid, v), v) for v in rows if v != qid))[:5]}
+        recalls.append(len(exact & {v for _, v, _dd in lst}) / 5)
+    assert len(by_q) == 5
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
