@@ -1049,3 +1049,15 @@ def test_r16_rows_plan_shapes(spark):
     assert "MapInPandas" not in plan and "PythonUDF" not in plan
     assert plan.count("InMemoryTableScan") == 0
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+    # embed_ivf_trained — the probe table joins BROADCAST (the corpus
+    # side never shuffles for the candidate join; the only hash
+    # exchanges feed the per-query windows), assignment is pure
+    # codegen (literal centroids), zero Python, zero nested-loop
+    plan = (QUERIES["embed_ivf_trained"](spark,
+                                         "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
