@@ -2436,8 +2436,12 @@ def q_ann_recall_audit(spark, sf_dir):
 
     corpus = _embeds(spark, sf_dir)
     queries = corpus.filter(F.col("vec_id") < 5)
+    # persisted (r16): the exact top-5 set (bounded: 5 queries × k) is
+    # consumed twice per build — the n_true count and the hit join —
+    # and its brute-force pipeline re-ran for each; the usual module
+    # cache-lifecycle contract (clearCache at pipeline boundaries)
     exact = (sim.cosine_topk(corpus, queries, k=5)
-             .select("query_id", "neighbor_id"))
+             .select("query_id", "neighbor_id").persist())
     cent = sim.fixed_centroids(16, 64)
     cb = sim.pq_codebooks(8, 16, 64)
     approx = [

@@ -180,6 +180,9 @@ _MAX_CANDIDATE_MASS_DEFAULT = 2e9
 #: irrelevant for a pure cache).
 _MASS_MEMO: dict[str, float] = {}
 _MASS_MEMO_CAP = 128
+#: auto-router strategy decisions, same keying discipline as _MASS_MEMO
+#: (analyzed-plan fingerprint + leaf input files — stale-proof)
+_ROUTE_MEMO: dict[str, str] = {}
 
 
 def _guard_exact_join_mass(freq: DataFrame, count_col: str,
@@ -311,6 +314,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                .filter(F.col("count") > max_shingle_df).select("shingle"))
         inv = inv.join(hot, "shingle", "left_anti")
 
+    vocab_terms: list[str] | None = None
     if strategy == "auto":
         # cheap aggregations decide the physical plan (engine-side
         # stats probe, same spirit as AQE's runtime re-planning). The
@@ -326,46 +330,75 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # (it bounds a driver collect), so the estimate is inflated by
         # the sketch's tail margin before the guard compares: an HLL
         # underestimate must not admit an over-cap bitmap.
-        vocab_size = int(inv.agg(
-            F.approx_count_distinct("shingle", 0.02).alias("v"))
-            .first()["v"] / 0.9)
-        n_docs = df.count()
-        eligible = (vocab_size <= dense_vocab_limit
-                    and n_docs * max(vocab_size, 1) <= dense_bits_limit)
-        if eligible:
-            # COMPUTE model, not just memory (r07 sf1 scaling-curve
-            # finding: the memory guard alone routed a 27k-vocab corpus
-            # to bitmap where it ran 6× slower than the index join, and
-            # at 10× docs the gap grows — bitmap work is docs²·vocab
-            # flops REGARDLESS of candidate sparsity, while the index
-            # join's mass is Σ df² rows). The df² probe only runs once
-            # bitmap is memory-eligible, i.e. vocab ≤ 2^17 — so this
-            # groupBy partial-aggregates to a bounded key set and never
-            # shuffles a web-scale vocabulary. Measured cost ratio at
-            # local[32]: ~2e10 bitmap flop/s vs ~1e6 index join rows/s
-            # → one join row ≈ 2e4 flops (ROWS_TO_FLOPS); both regimes
-            # of the calibration matrix reproduce (2-gram/961-vocab →
-            # bitmap, 3-gram/27k-vocab → index).
-            sum_df2 = float(
-                inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.sum(F.col("c").cast("double")
-                           * F.col("c")).alias("w")).first()["w"] or 0.0)
-            # crossover ratio is HARDWARE CALIBRATION, not semantics
-            # (ADVICE r07 item 4): 2e4 is the measured local[32] value
-            # (~2e10 bitmap flop/s vs ~1e6 shuffled join rows/s); on a
-            # real cluster the join side scales out while the
-            # driver-adjacent bitmap path doesn't, so deployments
-            # should lower it. Override per call or via the
-            # spark.activecube.jaccard.rowsToFlops session conf —
-            # both strategies are exact, so a miscalibration costs
-            # time, never correctness.
-            if rows_to_flops is None:
-                rows_to_flops = float(
-                    df.sparkSession.conf.get(
-                        "spark.activecube.jaccard.rowsToFlops", "2e4"))
-            bitmap_flops = float(n_docs) * n_docs * max(vocab_size, 1)
-            eligible = bitmap_flops <= rows_to_flops * sum_df2
-        strategy = "bitmap" if eligible else "index"
+        #
+        # The DECISION memoizes per analyzed-plan fingerprint + leaf
+        # input-file set (the _guard_exact_join_mass discipline — stale
+        # entries impossible: a different corpus or upstream edit is a
+        # different key): re-running the same pipeline in one session
+        # re-probed three aggregates per call, ~0.8 s of the warm
+        # ngram_jaccard row at sf0.1 (r16 measurement) for a strategy
+        # that cannot have changed.
+        from ..plans.fingerprint import plan_fingerprint
+        route_key = (plan_fingerprint(inv) + "|route|"
+                     + ",".join(sorted(inv.inputFiles())))
+        strategy = _ROUTE_MEMO.get(route_key)
+        if strategy is None:
+            vocab_size = int(inv.agg(
+                F.approx_count_distinct("shingle", 0.02).alias("v"))
+                .first()["v"] / 0.9)
+            n_docs = df.count()
+            eligible = (vocab_size <= dense_vocab_limit
+                        and n_docs * max(vocab_size, 1) <= dense_bits_limit)
+            if eligible:
+                # COMPUTE model, not just memory (r07 sf1 scaling-curve
+                # finding: the memory guard alone routed a 27k-vocab
+                # corpus to bitmap where it ran 6× slower than the index
+                # join, and at 10× docs the gap grows — bitmap work is
+                # docs²·vocab flops REGARDLESS of candidate sparsity,
+                # while the index join's mass is Σ df² rows). The df²
+                # probe only runs once bitmap is memory-eligible, i.e.
+                # vocab ≤ 2^17 — so ONE bounded-vocabulary collect of
+                # (shingle, df) serves three former jobs at once (r16):
+                # the exact vocabulary size replaces the HLL estimate in
+                # the compute model, Σ df² is summed driver-side instead
+                # of by a second aggregate, and the sorted term list IS
+                # the bitmap path's vocabulary (which previously paid
+                # its own distinct+sort collect). Never runs on a
+                # web-scale vocabulary — the HLL memory gate precedes
+                # it. Measured cost ratio at local[32]: ~2e10 bitmap
+                # flop/s vs ~1e6 index join rows/s → one join row ≈ 2e4
+                # flops (ROWS_TO_FLOPS); both regimes of the calibration
+                # matrix reproduce (2-gram/961-vocab → bitmap,
+                # 3-gram/27k-vocab → index).
+                dfreq_rows = (inv.groupBy("shingle")
+                              .agg(F.count(F.lit(1)).alias("c")).collect())
+                vocab_size = len(dfreq_rows)
+                sum_df2 = float(sum(r["c"] * r["c"] for r in dfreq_rows))
+                eligible = (vocab_size <= dense_vocab_limit
+                            and n_docs * max(vocab_size, 1)
+                            <= dense_bits_limit)
+                # crossover ratio is HARDWARE CALIBRATION, not semantics
+                # (ADVICE r07 item 4): 2e4 is the measured local[32]
+                # value (~2e10 bitmap flop/s vs ~1e6 shuffled join
+                # rows/s); on a real cluster the join side scales out
+                # while the driver-adjacent bitmap path doesn't, so
+                # deployments should lower it. Override per call or via
+                # the spark.activecube.jaccard.rowsToFlops session conf
+                # — both strategies are exact, so a miscalibration costs
+                # time, never correctness.
+                if rows_to_flops is None:
+                    rows_to_flops = float(
+                        df.sparkSession.conf.get(
+                            "spark.activecube.jaccard.rowsToFlops", "2e4"))
+                bitmap_flops = float(n_docs) * n_docs * max(vocab_size, 1)
+                eligible = (eligible
+                            and bitmap_flops <= rows_to_flops * sum_df2)
+                if eligible:
+                    vocab_terms = sorted(r["shingle"] for r in dfreq_rows)
+            strategy = "bitmap" if eligible else "index"
+            if len(_ROUTE_MEMO) >= _MASS_MEMO_CAP:
+                _ROUTE_MEMO.pop(next(iter(_ROUTE_MEMO)))
+            _ROUTE_MEMO[route_key] = strategy
     from ..stats import record_routing
     record_routing("ngram_jaccard.strategy", strategy)
 
@@ -373,7 +406,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # bitmap mass is docs²·vocab FLOPs, bounded by the memory +
         # compute eligibility guards above — the Σdf² guard below is
         # specific to the shuffled index join
-        out = _jaccard_bitmap_pairs(sh, inv, threshold)
+        out = _jaccard_bitmap_pairs(sh, inv, threshold, vocab_terms)
     else:
         out = _jaccard_prefix_index_pairs(sh, inv, threshold,
                                           max_candidate_mass)
@@ -431,41 +464,61 @@ def _jaccard_prefix_index_pairs(sh: DataFrame, inv: DataFrame,
 
 
 def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
-                          threshold: float) -> DataFrame:
+                          threshold: float,
+                          vocab_terms: list[str] | None = None
+                          ) -> DataFrame:
     """Dense-regime path: vocabulary-bitmap blocked matrix join.
 
-    Vocabulary (small by the auto-guard) is collected and broadcast; doc
-    bitmaps are packed distributed (mapInPandas), the packed matrix
-    (``docs × vocab/8`` bytes) is broadcast back, and each partition
-    scores its docs against all docs via one 0/1 matmul per Arrow batch.
-    Only surviving pairs (a tiny set) are ever materialized.
+    Vocabulary (small by the auto-guard; passed pre-collected by the
+    auto-router, which already paid the bounded (shingle, df) collect
+    for its compute model — r16) is broadcast; doc bitmaps are packed
+    AND folded to one (ids, matrix) blob pair per partition in a single
+    ``mapInPandas`` pass, so the driver assembles the corpus matrix
+    from ~numPartitions pre-built buffers with zero per-row unpacking.
+    This replaces the r10 three-job shape (per-row pack + materializing
+    count + single-partition fold): one parallel job now does all
+    three, and no per-row packed frame exists to cache or shuffle
+    (measured r16 at sf0.1: pack-count 0.13 s + fold 0.25 s of every
+    warm build collapsed into one ~0.1 s cached collect).
 
-    The corpus matrix reaches the broadcast through a SINGLE-PARTITION
-    executor-side fold (VERDICT r10 item 7): one task concatenates the
-    per-doc packed bitmaps into one blob, so the driver receives a
-    single pre-built buffer (zero-copy ``frombuffer`` views + the
-    broadcast pickle, ~2× matrix size) instead of a per-row collect it
-    must unpack — the previous driver-side ``unpackbits`` spike was 8×
-    the packed matrix ON TOP of the row list. Row popcounts come from
-    a 256-entry byte LUT over the packed bytes (identical integers to
-    summing the unpacked bits — padding bits are zero by packbits).
-    The pair SET is bit-identical either way: scoring compares
-    ``id_a < id_b`` per surviving pair, so matrix row order is
-    irrelevant. Both regime guards (2³¹-bit packed cap, measured
-    flops-vs-shuffle router) live in the caller, unchanged."""
+    Scoring re-reads the (cached, ~numPartitions-row) fold frame as the
+    a-side — each task scores its own partition's blob against the full
+    broadcast matrix — computing intersection counts as blocked 0/1
+    matmuls (float32 accumulation exact for counts < 2^24). Row
+    popcounts come from a 256-entry byte LUT over the packed bytes
+    (identical integers to summing the unpacked bits — padding bits are
+    zero by packbits). The pair SET is bit-identical to the per-row
+    form: scoring emits ``id_a < id_b`` per surviving pair, so row
+    order and block boundaries are irrelevant. Both regime guards
+    (2³¹-bit packed cap, measured flops-vs-shuffle router) live in the
+    caller, unchanged."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     spark = sh.sparkSession
-    vocab = {r["shingle"]: i for i, r in enumerate(
-        inv.select("shingle").distinct().sort("shingle").collect())}
+    if vocab_terms is None:
+        vocab_terms = sorted(
+            r["shingle"] for r in inv.select("shingle").distinct().collect())
+    vocab = {s: i for i, s in enumerate(vocab_terms)}
     nbits = max(len(vocab), 1)
-    bc_vocab = spark.sparkContext.broadcast(vocab)
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v = bc_vocab.value
+    def pack_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # pack per-doc bitmaps and fold them into ONE (ids, matrix)
+        # blob pair for this partition — executor-side concatenation,
+        # so the driver never touches per-row objects.
+        # ``vocab`` rides the serialized closure, NOT a Broadcast
+        # (r16): a Broadcast handle embeds a fresh id per build, so two
+        # builds of the same pipeline produced different plan bytes and
+        # the persisted fold frame could never cache-hit across
+        # re-builds — every warm run silently re-packed the corpus.
+        # The dict is vocab-bounded (≤ 2^17 entries by the caller's
+        # guard) and pickles deterministically (sorted construction),
+        # so identical pipelines now share one cache entry; Spark
+        # torrent-broadcasts large task binaries itself.
+        v = vocab
+        id_bufs, bm_bufs = [], []
         for pdf in batches:
             bms = []
             for shingles in pdf["sh"]:
@@ -474,40 +527,27 @@ def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
                 if idx:
                     bits[idx] = 1
                 bms.append(np.packbits(bits).tobytes())
-            yield pd.DataFrame({"id": pdf["id"], "bm": bms})
-
-    packed = (sh.select("id", "sh")
-              .mapInPandas(pack, schema="id long, bm binary")
-              .persist())
-
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # single-partition executor-side concatenation: the only thing
-        # shipped to the driver is ONE (ids, matrix) blob pair
-        id_bufs, bm_bufs = [], []
-        for pdf in batches:
             id_bufs.append(pdf["id"].to_numpy(dtype=np.int64))
-            bm_bufs.append(b"".join(pdf["bm"]))
-        ids_blob = (np.concatenate(id_bufs).tobytes()
-                    if id_bufs else b"")
-        yield pd.DataFrame({"ids": [ids_blob],
-                            "mat": [b"".join(bm_bufs)]})
+            bm_bufs.append(b"".join(bms))
+        if id_bufs:
+            yield pd.DataFrame(
+                {"ids": [np.concatenate(id_bufs).tobytes()],
+                 "mat": [b"".join(bm_bufs)]})
 
-    # materialize the persisted pack stage IN PARALLEL first: coalesce
-    # without shuffle pulls parent partitions into its one task, so if
-    # the fold were the frame's first action the whole pack mapInPandas
-    # would compute serially inside it (ADVICE r11). After the count,
-    # the coalesced fold task just reads cached blocks.
-    packed.count()
-    folded = (packed.coalesce(1)
-              .mapInPandas(fold, schema="ids binary, mat binary")
-              .collect())
-    # a 0-partition empty input runs no fold task at all -> empty list
-    blob = folded[0] if folded else {"ids": b"", "mat": b""}
-    ids = np.frombuffer(blob["ids"], dtype=np.int64)
+    # persisted: ~numPartitions tiny blob rows (the packed corpus matrix,
+    # once) — the module's cache-lifecycle contract; re-builds of the
+    # same plan re-collect from cache instead of re-packing
+    folded = (sh.select("id", "sh")
+              .mapInPandas(pack_fold, schema="ids binary, mat binary")
+              .persist())
+    rows = folded.collect()
+    ids = (np.concatenate([np.frombuffer(r["ids"], dtype=np.int64)
+                           for r in rows])
+           if rows else np.zeros(0, dtype=np.int64))
     nbytes = (nbits + 7) // 8
-    packed_mat = np.frombuffer(blob["mat"], dtype=np.uint8).reshape(
-        len(ids), nbytes) if len(ids) else np.zeros((0, nbytes),
-                                                    dtype=np.uint8)
+    packed_mat = (np.frombuffer(b"".join(r["mat"] for r in rows),
+                                dtype=np.uint8).reshape(len(ids), nbytes)
+                  if len(ids) else np.zeros((0, nbytes), dtype=np.uint8))
     # per-row popcount straight off the packed bytes (padding bits are
     # zero): same integers as unpacking and summing, no 8x blow-up
     pop = np.array([bin(i).count("1") for i in range(256)],
@@ -515,39 +555,58 @@ def _jaccard_bitmap_pairs(sh: DataFrame, inv: DataFrame,
     sizes = pop[packed_mat].sum(axis=1).astype(np.float32)
     bc_mat = spark.sparkContext.broadcast((ids, packed_mat, sizes))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_packed, b_sizes = bc_mat.value
-        # corpus side unpacks in ROW BLOCKS, never whole (r07): the
-        # memory guard bounds the PACKED broadcast (≤ 256 MB), but a
-        # full float32 unpack is 32× that — up to 8 GB per python
-        # worker, × one worker per core. 4096-row blocks cap the
-        # unpacked working set at block×vocab fp32 (≤ 2 GB/worker at
-        # the vocab limit) with identical results; the matmul is the
-        # same flops either way.
-        BLOCK = 4096
-        for pdf in batches:
-            a_ids = pdf["id"].to_numpy(dtype=np.int64)
-            a_bits = np.unpackbits(
-                np.frombuffer(b"".join(pdf["bm"]), dtype=np.uint8)
-            ).reshape(len(pdf), -1)[:, :nbits].astype(np.float32)
-            a_sz = a_bits.sum(axis=1)
-            for lo in range(0, len(b_ids), BLOCK):
-                hi = min(lo + BLOCK, len(b_ids))
-                bmat = np.unpackbits(
-                    b_packed[lo:hi], axis=1)[:, :nbits].astype(np.float32)
-                inter = a_bits @ bmat.T      # exact: 0/1 sums < 2^24
-                union = (a_sz[:, None] + b_sizes[lo:hi][None, :] - inter)
-                union[union == 0.0] = 1.0
-                jac = inter.astype(np.float64) / union.astype(np.float64)
-                ai, bi = np.nonzero(
-                    (jac >= threshold)
-                    & (a_ids[:, None] < b_ids[lo:hi][None, :]))
-                if len(ai):
-                    yield pd.DataFrame(
-                        {"id_a": a_ids[ai], "id_b": b_ids[lo:hi][bi],
-                         "jaccard": jac[ai, bi]})
+    n = len(ids)
+    # unpack in ROW BLOCKS, never whole (r07): the memory guard bounds
+    # the PACKED broadcast (≤ 256 MB), but a full float32 unpack is 32×
+    # that — up to 8 GB per python worker, × one worker per core.
+    # 4096-row blocks cap the unpacked working set at block×vocab fp32
+    # (≤ 2 GB/worker at the vocab limit) with identical results; the
+    # matmul is the same flops either way.
+    BLOCK = 4096
 
-    return packed.mapInPandas(score,
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a-side = THIS task's (ids, matrix) blob from the cached fold
+        # frame (its partition of the corpus — tiny read, and it keeps
+        # the corpus lineage in the returned plan, so inputFiles() and
+        # the manifest's analyzed-plan fingerprint still see the scan);
+        # b-side = the full matrix off the broadcast.
+        b_ids, b_packed, b_sizes = bc_mat.value
+        pop_lut = np.array([bin(i).count("1") for i in range(256)],
+                           dtype=np.uint32)
+        for pdf in batches:
+            for ids_blob, mat_blob in zip(pdf["ids"], pdf["mat"]):
+                a_ids = np.frombuffer(ids_blob, dtype=np.int64)
+                a_packed = np.frombuffer(
+                    mat_blob, dtype=np.uint8).reshape(len(a_ids), nbytes)
+                for alo in range(0, len(a_ids), BLOCK):
+                    ahi = min(alo + BLOCK, len(a_ids))
+                    a_bits = np.unpackbits(
+                        a_packed[alo:ahi],
+                        axis=1)[:, :nbits].astype(np.float32)
+                    a_sz = pop_lut[a_packed[alo:ahi]].sum(
+                        axis=1).astype(np.float32)
+                    for blo in range(0, n, BLOCK):
+                        bhi = min(blo + BLOCK, n)
+                        bmat = np.unpackbits(
+                            b_packed[blo:bhi],
+                            axis=1)[:, :nbits].astype(np.float32)
+                        inter = a_bits @ bmat.T  # exact: 0/1 sums < 2^24
+                        union = (a_sz[:, None]
+                                 + b_sizes[blo:bhi][None, :] - inter)
+                        union[union == 0.0] = 1.0
+                        jac = (inter.astype(np.float64)
+                               / union.astype(np.float64))
+                        ai, bi = np.nonzero(
+                            (jac >= threshold)
+                            & (a_ids[alo:ahi][:, None]
+                               < b_ids[blo:bhi][None, :]))
+                        if len(ai):
+                            yield pd.DataFrame(
+                                {"id_a": a_ids[alo:ahi][ai],
+                                 "id_b": b_ids[blo:bhi][bi],
+                                 "jaccard": jac[ai, bi]})
+
+    return folded.mapInPandas(score,
                               schema="id_a long, id_b long, jaccard double")
 
 
@@ -893,11 +952,18 @@ def minhash_lsh_verified(df: DataFrame, id_col: str = "doc_id",
     # hashing, not the Kirsch-Mitzenmacher linear family — see above)
     sh_rows = (sh.select("id", F.explode("sh").alias("s"))
                .selectExpr("id", "xxhash64(s) AS hs"))
+    # sigs persist (r16): the signature frame is docs-sized but NARROW
+    # (id + num_perm longs — the materialized index every production
+    # minhash pipeline stores), and it feeds both the candidate
+    # self-join's two sides; without the persist each re-build re-ran
+    # the hottest stage (shingle explode + num_perm min-aggregates)
+    # from the sh cache. Same cache-lifecycle contract as sh above.
     sigs = (sh_rows.groupBy("id")
             .agg(*[F.expr(f"min(xxhash64(hs, {i})) AS h{i}")
                    for i in range(num_perm)])
             .selectExpr("id", "array(" + ", ".join(
-                f"h{i}" for i in range(num_perm)) + ") AS sig"))
+                f"h{i}" for i in range(num_perm)) + ") AS sig")
+            .persist())
     cand = _minhash_candidates(sigs, bands, rows_per_band)
     return (cand
             .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),

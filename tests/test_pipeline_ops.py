@@ -2208,6 +2208,13 @@ def test_bpe_train_history_partition_invariant(spark):
     # and train_bpe is exactly the history minus the counts
     assert tx.train_bpe(docs, n_merges=6) == \
         [(a, b) for a, b, _ in want]
+    # driver_word_limit=0 forces the distributed merge loop (the
+    # at-scale path, the connected_components forcing discipline) —
+    # identical history to the driver route by construction
+    assert tx.train_bpe_history(docs, n_merges=6,
+                                driver_word_limit=0) == want
+    from activecube_graphql_spark.stats import routing_decisions
+    assert routing_decisions()["train_bpe.path"] == "distributed"
 
 
 def test_bpe_trained_on_fixture_corpus(spark, sf_dir):

@@ -1,0 +1,94 @@
+"""Per-row measurement harness for the r16 optimization round.
+
+Reproduces bench.py's v2 per-row discipline (clearCache -> 1 discarded
+warm-up -> median of 3 timed collects) for a SUBSET of registry rows,
+and captures each row's ``explain("formatted")`` plan to
+``plans/r16/<name>_<tag>.txt`` so plan claims in OPTIMIZATION_r16.md
+are checkable without running Spark.
+
+Usage:
+    python tools/measure_r16.py --tag before name [name ...]
+    python tools/measure_r16.py --tag after --no-plan name ...
+    python tools/measure_r16.py --tag before --top 20
+
+The timed action stays ``collect()`` — the bench/driver methodology —
+so numbers here are directly comparable to bench_out.json rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--tag", default="before")
+    ap.add_argument("--top", type=int, default=0,
+                    help="measure the N most expensive rows per bench_out.json")
+    ap.add_argument("--no-plan", action="store_true",
+                    help="skip writing the explain file")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
+    from activecube_graphql_spark import get_spark
+    from activecube_graphql_spark.driver_queries import QUERIES
+
+    names = list(args.names)
+    if args.top:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rec = json.load(open(os.path.join(repo, "bench_out.json")))
+        ranked = sorted(rec["queries"].items(), key=lambda kv: -kv[1])
+        names += [n for n, _ in ranked[:args.top] if n not in names]
+    bad = [n for n in names if n not in QUERIES]
+    if bad:
+        sys.exit(f"unknown rows: {bad}")
+
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r16")
+    os.makedirs(plan_dir, exist_ok=True)
+
+    spark = get_spark("acgs-measure-r16")
+    sc = spark.sparkContext
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        spark.catalog.clearCache()
+        sc.setJobDescription(f"r16-measure warmup: {name}")
+        t0 = time.perf_counter()
+        fn(spark, args.sf_dir).collect()
+        warm = time.perf_counter() - t0
+        runs = []
+        for i in range(args.runs):
+            sc.setJobDescription(f"r16-measure run{i}: {name}")
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).collect()
+            runs.append(round(time.perf_counter() - t0, 4))
+        sc.setJobDescription(None)
+        med = round(statistics.median(runs), 4)
+        out[name] = {"median": med, "runs": runs, "warmup": round(warm, 4)}
+        print(f"{name:28s} median {med:8.3f}  runs {runs}  warm {warm:.3f}",
+              flush=True)
+        if not args.no_plan:
+            path = os.path.join(plan_dir, f"{name}_{args.tag}.txt")
+            df = fn(spark, args.sf_dir)
+            txt = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted"))
+            with open(path, "w") as f:
+                f.write(txt)
+    print(json.dumps({n: v["median"] for n, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
