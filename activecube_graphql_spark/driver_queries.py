@@ -2436,12 +2436,15 @@ def q_ann_recall_audit(spark, sf_dir):
 
     corpus = _embeds(spark, sf_dir)
     queries = corpus.filter(F.col("vec_id") < 5)
-    # persisted (r16): the exact top-5 set (bounded: 5 queries × k) is
-    # consumed twice per build — the n_true count and the hit join —
-    # and its brute-force pipeline re-ran for each; the usual module
-    # cache-lifecycle contract (clearCache at pipeline boundaries)
+    # NOT persisted (r16 measured): caching the exact top-5 set looked
+    # like a free win (it is consumed twice — the n_true count and the
+    # hit join) but measured 3.6 → 6.1 s at sf0.1: the InMemoryRelation
+    # boundary replaced the broadcast-side estimate and blocked the
+    # exchange reuse Catalyst already applies to the duplicated
+    # brute-force subtree, while the cache fill materialized the full
+    # un-pruned pipeline as its own job. Left lazy on purpose.
     exact = (sim.cosine_topk(corpus, queries, k=5)
-             .select("query_id", "neighbor_id").persist())
+             .select("query_id", "neighbor_id"))
     cent = sim.fixed_centroids(16, 64)
     cb = sim.pq_codebooks(8, 16, 64)
     approx = [

@@ -1170,8 +1170,10 @@ def connected_components(pairs: DataFrame, left: str, right: str,
     needed ≈ graph diameter, which for near-dup graphs is tiny (dup
     groups are cliques or short chains from transitive similarity).
     ``localCheckpoint`` truncates the growing lineage each round;
-    convergence is detected by counting label changes (one lightweight
-    action per round).
+    convergence is detected by the exact label-sum invariant (labels
+    only ever decrease, so an unchanged Σ comp means a fixpoint) in the
+    same aggregate action that materializes the round's checkpoint —
+    one job per round.
     """
     edges = (pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
              .union(pairs.select(F.col(right).alias("src"),
@@ -1216,34 +1218,47 @@ def connected_components(pairs: DataFrame, left: str, right: str,
         return pairs.sparkSession.createDataFrame(rows, schema)
 
     record_routing("connected_components.path", "distributed")
+    # convergence by MONOTONE LABEL SUM (r16): each round's new label is
+    # min(own old label, neighbor labels) — elementwise ≤ the old label,
+    # over the same node set — so Σ comp is strictly decreasing until
+    # the fixpoint and equal sums ⟺ no label changed. That turns the
+    # former per-round convergence probe (a node-keyed join + count —
+    # its own shuffle job) into one exact decimal aggregate, and that
+    # aggregate IS the action that materializes the round's LAZY
+    # localCheckpoint: one job per round where there were three
+    # (checkpoint materialization, then the change-count join). Decimal
+    # accumulation keeps the sum exact for any node-id range (a long
+    # sum could wrap and alias two different labelings).
+    label_sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
-              .localCheckpoint())
-    changed = 0
+              .localCheckpoint(eager=False))
+    prev_sum = labels.agg(label_sum).first()["s"]
+    converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge src<-dst bring dst's current comp
         nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                .select(F.col("src").alias("node"), "comp"))
         new_labels = (nbr.unionByName(labels)
                       .groupBy("node").agg(F.min("comp").alias("comp"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+                      .localCheckpoint(eager=False))
+        cur_sum = new_labels.agg(label_sum).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
     # labels is localCheckpoint-ed, so the result no longer reads edges —
     # release the cached blocks instead of leaking them across calls in a
     # long-lived session (unpersist even on the non-convergence raise)
     edges.unpersist()
-    if changed != 0:
+    if not converged:
         # silently returning split components would make downstream
         # canonicalization under-delete duplicates — fail loudly instead
         # (a graph whose diameter exceeds max_iter needs a bigger budget)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter")
+            f"iterations (label sum still decreasing); raise max_iter")
     return labels.select("node", "comp")
 
 

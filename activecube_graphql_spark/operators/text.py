@@ -758,11 +758,15 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     output) → history counts derived FROM the bigram counts (second
     shuffle is vocab-sized, not corpus-sized) → joins back onto the
     exploded stream (AQE broadcasts at toy scale, keyed joins at web
-    scale) → per-doc partial-agg mean. No Python, no driver state; the
-    vocab-bounded count frames persist (r16 — the c_tri type-table
-    preagg class; the r10 no-persist finding targeted CORPUS-sized
-    caches, which this still never creates); every frame that shuffles
-    is vocab- or corpus-bigram-sized."""
+    scale) → per-doc partial-agg mean. No Python, no driver state, no
+    persist (same convention as unigram_logprob: the explode is a
+    cheap map stage, and an un-released corpus-sized cache per call
+    would leak across a long-lived session — r10 review finding;
+    persisting the vocab-bounded count frames was TRIED in r16 and
+    measured slower — the InMemoryRelation boundaries broke the
+    exchange reuse Catalyst applies to the duplicated count subtrees
+    and added cache-fill jobs); every frame that shuffles is vocab- or
+    corpus-bigram-sized."""
     toks = df.select(F.col(id_col),
                      _col(TOKENS, text_col).alias("toks"))
     big = (toks.filter(F.size("toks") >= 2)
@@ -772,26 +776,14 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                "element_at(toks, i + 1) as w2))")).alias("b"))
            .select(id_col, F.col("b.w1").alias("w1"),
                    F.col("b.w2").alias("w2")))
-    # count frames persist (r16): all four are VOCAB-bounded (bigram
-    # types / unigram types / one row) — the train-time model constants
-    # a score-many deployment materializes once — and every re-build of
-    # the scorer otherwise re-ran their aggregation chains as separate
-    # AQE stage-jobs (the trigram_kn_logprob measurement). The r10
-    # no-persist convention targeted CORPUS-sized caches; these are the
-    # type-table preagg class c_tri established. Module cache-lifecycle
-    # contract applies (caller clearCache at pipeline boundaries).
-    c_bi = (big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
-            .persist())
-    c_hist = (c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_h"))
-              .persist())
+    c_bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    c_hist = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_h"))
     # unigram arm over ALL tokens (incl. doc-final), exactly the
     # unigram_logprob training distribution
     uni = df.select(F.explode(_col(TOKENS, text_col)).alias("term"))
-    vocab = (uni.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
-             .persist())
-    totals = (vocab.agg(F.sum("c_uni").alias("n_corpus"),
-                        F.count(F.lit(1)).alias("v_size"))
-              .persist())
+    vocab = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    totals = vocab.agg(F.sum("c_uni").alias("n_corpus"),
+                       F.count(F.lit(1)).alias("v_size"))
     k, l = float(smooth), float(lam)
     scored = (big.join(c_bi, ["w1", "w2"])
               .join(c_hist, "w1")
@@ -862,9 +854,10 @@ def trigram_logprob(df: DataFrame, train: DataFrame | None = None,
     history shuffles are vocab-sized, not corpus-sized) → LEFT joins
     back onto the scored trigram stream (AQE broadcasts at toy scale,
     keyed joins at web scale; the count frames are natural persistent
-    preaggs for score-many deployments, and since r16 they DO persist
-    — vocab-bounded, the c_tri type-table class) → per-doc partial-agg
-    mean. No Python, no driver state, no corpus-sized cache."""
+    preaggs for score-many deployments) → per-doc partial-agg mean.
+    No Python, no driver state, no persist (persisting the count
+    frames was tried in r16 and measured slower at sf0.1 — see
+    bigram_logprob's note on InMemoryRelation vs exchange reuse)."""
     train = df if train is None else train
 
     def ngrams(frame, n: int):
@@ -879,28 +872,18 @@ def trigram_logprob(df: DataFrame, train: DataFrame | None = None,
                 .select(id_col, *[F.col(f"g.w{j + 1}").alias(f"w{j + 1}")
                                   for j in range(n)]))
 
-    # count frames persist (r16): n-gram-type/vocab-bounded model
-    # constants (the c_tri preagg class — see bigram_logprob's note);
-    # without the persists every scorer re-build re-ran six aggregation
-    # chains as separate AQE stage-jobs from the raw corpus.
     c_tri = (ngrams(train, 3).groupBy("w1", "w2", "w3")
-             .agg(F.count(F.lit(1)).alias("c_tri"))
-             .persist())
-    c_h12 = (c_tri.groupBy("w1", "w2").agg(F.sum("c_tri").alias("c_h12"))
-             .persist())
+             .agg(F.count(F.lit(1)).alias("c_tri")))
+    c_h12 = c_tri.groupBy("w1", "w2").agg(F.sum("c_tri").alias("c_h12"))
     c_bi = (ngrams(train, 2)
             .select(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
-            .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c_bi"))
-            .persist())
+            .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c_bi")))
     c_h2 = (c_bi.groupBy("b1").agg(F.sum("c_bi").alias("c_h2"))
-            .withColumnRenamed("b1", "h1")  # lineage-distinct key name
-            .persist())
+            .withColumnRenamed("b1", "h1"))  # lineage-distinct key name
     uni = train.select(F.explode(_col(TOKENS, text_col)).alias("term"))
-    vocab = (uni.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
-             .persist())
-    totals = (vocab.agg(F.sum("c_uni").alias("n_corpus"),
-                        F.count(F.lit(1)).alias("v_size"))
-              .persist())
+    vocab = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    totals = vocab.agg(F.sum("c_uni").alias("n_corpus"),
+                       F.count(F.lit(1)).alias("v_size"))
 
     k, l3, l2 = float(smooth), float(lam3), float(lam2)
     zero = F.lit(0.0)
@@ -1121,22 +1104,18 @@ def trigram_kn_logprob(df: DataFrame, train: DataFrame | None = None,
     c_tri = (ngrams(train, 3).groupBy("w1", "w2", "w3")
              .agg(one.alias("c123"))
              .persist())
-    # h12/h2/uc/globs persist too (r16): they are the SAME class of
-    # vocab-bounded type-table preagg as c_tri/cc — train-time model
-    # constants a score-many deployment materializes once — but being
-    # derived lazily, every re-build of the scorer re-ran their whole
-    # aggregation chains under AQE (measured at sf0.1: 24 stage-jobs
-    # per warm run, the four count-of-counts chains and five broadcast
-    # build sides re-aggregating from the c_tri/cc caches each time;
-    # persisting the derived frames cuts a warm scoring run to the
-    # scored-stream pipeline + cache-fed broadcast builds). Same
-    # cache-lifecycle contract as c_tri (module docstring).
+    # h12/h2/uc/globs deliberately NOT persisted (r16 measured):
+    # persisting these derived frames alongside c_tri/cc looked like
+    # the same type-table preagg class, but measured SLOWER at sf0.1
+    # (kn_buckets 1.32 → 2.10 s) — the extra InMemoryRelation
+    # boundaries added cache-fill jobs and blocked the exchange reuse
+    # Catalyst applies to the shared c_tri/cc subtrees. Only the two
+    # frames with multiple corpus-scale consumers stay cached.
     h12 = (c_tri.groupBy("w1", "w2")
            .agg(F.sum("c123").alias("c_h12"),
                 F.sum((F.col("c123") == 1).cast("long")).alias("n1t"),
                 F.sum((F.col("c123") == 2).cast("long")).alias("n2t"),
-                F.sum((F.col("c123") >= 3).cast("long")).alias("n3t"))
-           .persist())
+                F.sum((F.col("c123") >= 3).cast("long")).alias("n3t")))
     cc = (c_tri.groupBy(F.col("w2").alias("b2"),
                         F.col("w3").alias("b3"))
           .agg(one.alias("cc23"))
@@ -1145,11 +1124,9 @@ def trigram_kn_logprob(df: DataFrame, train: DataFrame | None = None,
           .agg(F.sum("cc23").alias("cc_h2"),
                F.sum((F.col("cc23") == 1).cast("long")).alias("n1b"),
                F.sum((F.col("cc23") == 2).cast("long")).alias("n2b"),
-               F.sum((F.col("cc23") >= 3).cast("long")).alias("n3b"))
-          .persist())
+               F.sum((F.col("cc23") >= 3).cast("long")).alias("n3b")))
     uc = (cc.groupBy(F.col("b3").alias("u3"))
-          .agg(one.alias("ccc"))
-          .persist())
+          .agg(one.alias("ccc")))
     g_uni = uc.agg(
         F.sum((F.col("ccc") == 1).cast("long")).alias("cu1"),
         F.sum((F.col("ccc") == 2).cast("long")).alias("cu2"),
@@ -1161,8 +1138,7 @@ def trigram_kn_logprob(df: DataFrame, train: DataFrame | None = None,
            .agg(F.countDistinct("term").alias("v_size")))
     globs = (coc(c_tri, "c123", "ct")
              .crossJoin(coc(cc, "cc23", "cb"))
-             .crossJoin(g_uni).crossJoin(g_v)
-             .persist())
+             .crossJoin(g_uni).crossJoin(g_v))
     scored = (ngrams(df, 3)
               .join(c_tri, ["w1", "w2", "w3"], "left")
               .join(h12, ["w1", "w2"], "left")

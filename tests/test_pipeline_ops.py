@@ -317,6 +317,13 @@ def test_connected_components_vs_union_find(spark):
                 for r in dd.connected_components(
                     pairs, "a", "b", driver_edge_limit=0).collect()}
     assert got_dist == want
+    # the r16 label-sum convergence probe must still detect NON-convergence
+    # loudly: the 11-node chain needs ~10 propagation rounds, so a 2-round
+    # budget leaves the sum still decreasing and must raise, not return
+    # split components
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, "a", "b",
+                                driver_edge_limit=0, max_iter=2)
 
 
 def test_neardup_canonicalize_keeps_one_per_group(spark, sf_dir):

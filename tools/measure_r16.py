@@ -38,7 +38,36 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each row in its OWN subprocess/JVM — multi-row "
+                    "sessions contaminate later rows (kn_buckets read 8.1 s "
+                    "mid-batch vs 1.76 s solo; leaked JVM/GC state survives "
+                    "clearCache), so decisive readings should be isolated")
     args = ap.parse_args()
+
+    if args.isolate and len(args.names) + (args.top or 0) > 1:
+        import subprocess
+        base = [sys.executable, os.path.abspath(__file__),
+                "--tag", args.tag, "--sf-dir", args.sf_dir,
+                "--runs", str(args.runs)]
+        if args.no_plan:
+            base.append("--no-plan")
+        names = list(args.names)
+        if args.top:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            rec = json.load(open(os.path.join(repo, "bench_out.json")))
+            ranked = sorted(rec["queries"].items(), key=lambda kv: -kv[1])
+            names += [n for n, _ in ranked[:args.top] if n not in names]
+        merged: dict[str, float] = {}
+        for name in names:
+            p = subprocess.run(base + [name], capture_output=True, text=True)
+            for line in p.stdout.splitlines():
+                if line.lstrip().startswith("{"):
+                    merged.update(json.loads(line))
+                elif "median" in line:
+                    print(line, flush=True)
+        print(json.dumps(merged))
+        return
 
     os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
     from activecube_graphql_spark import get_spark
