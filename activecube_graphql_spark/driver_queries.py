@@ -2462,14 +2462,25 @@ def q_ann_recall_audit(spark, sf_dir):
                 [df.select(F.lit(name).alias("method"),
                            "query_id", "neighbor_id")
                  for name, df in approx])
-    n_true = exact.count()              # bounded: 5 queries x k
+    # n_true (bounded: 5 queries × k) was an EAGER driver count() —
+    # a full brute-force exact-top-k job per build, run before the
+    # query's own action even started (r16 optimization). It is now a
+    # 1-row in-plan aggregate broadcast into the audit: the exact
+    # subtree that count duplicated eagerly is instead deduped by the
+    # same exchange reuse Catalyst already applies to the lazy form,
+    # and the recall arithmetic is unchanged — a long count cast to
+    # double is the same exactly-representable divisor the old
+    # float(n_true) literal spelled.
+    n_true = exact.agg(F.count(F.lit(1)).cast("double").alias("n_true"))
     hits = un.join(exact.withColumn("__hit", F.lit(1)),
                    ["query_id", "neighbor_id"], "left")
     return (hits.groupBy("method")
             .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
-                 F.count(F.lit(1)).alias("n_returned"),
-                 F.round(F.coalesce(F.sum("__hit"), F.lit(0))
-                         / F.lit(float(n_true)), 4).alias("recall"))
+                 F.count(F.lit(1)).alias("n_returned"))
+            .crossJoin(F.broadcast(n_true))
+            .select("method", "n_hits", "n_returned",
+                    F.round(F.col("n_hits") / F.col("n_true"), 4)
+                    .alias("recall"))
             .orderBy("method"))
 
 

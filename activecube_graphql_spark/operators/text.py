@@ -1083,13 +1083,6 @@ def trigram_kn_logprob(df: DataFrame, train: DataFrame | None = None,
 
     one = F.count(F.lit(1))
 
-    def coc(frame, col, p):
-        return frame.agg(
-            F.sum((F.col(col) == 1).cast("long")).alias(f"{p}1"),
-            F.sum((F.col(col) == 2).cast("long")).alias(f"{p}2"),
-            F.sum((F.col(col) == 3).cast("long")).alias(f"{p}3"),
-            F.sum((F.col(col) == 4).cast("long")).alias(f"{p}4"))
-
     # persisted: the trigram TYPE frame feeds FIVE consumers (the
     # scorer join, h12, and cc — which itself feeds h2/uc and the
     # scorer); without the cache the corpus-sized ngrams explode +
@@ -1127,18 +1120,42 @@ def trigram_kn_logprob(df: DataFrame, train: DataFrame | None = None,
                F.sum((F.col("cc23") >= 3).cast("long")).alias("n3b")))
     uc = (cc.groupBy(F.col("b3").alias("u3"))
           .agg(one.alias("ccc")))
-    g_uni = uc.agg(
-        F.sum((F.col("ccc") == 1).cast("long")).alias("cu1"),
-        F.sum((F.col("ccc") == 2).cast("long")).alias("cu2"),
-        F.sum((F.col("ccc") == 3).cast("long")).alias("cu3"),
-        F.sum((F.col("ccc") == 4).cast("long")).alias("cu4"),
-        F.sum((F.col("ccc") >= 3).cast("long")).alias("cu3p"),
-        F.sum("ccc").alias("t_types"))
-    g_v = (train.select(F.explode(_col(TOKENS, text_col)).alias("term"))
-           .agg(F.countDistinct("term").alias("v_size")))
-    globs = (coc(c_tri, "c123", "ct")
-             .crossJoin(coc(cc, "cc23", "cb"))
-             .crossJoin(g_uni).crossJoin(g_v))
+    # KN globals folded into ONE aggregation pass (r16 optimization):
+    # the four 1-row stats frames (count-of-counts over c_tri and cc,
+    # continuation-unigram stats over uc, vocabulary size over the
+    # token stream) were separate aggregate chains crossJoined
+    # together — each its own AQE job per build. A tagged UNION of the
+    # three vocab-bounded frames + the exploded token stream folds
+    # them into one aggregate producing the identical values: integer
+    # conditional sums and an exact distinct count are partition- and
+    # grouping-invariant, and the per-branch `when` guards preserve
+    # the empty-frame NULL semantics of the separate aggregates (an
+    # empty branch contributes only NULLs, so its sums stay NULL
+    # exactly as an agg over the empty frame did), so every double
+    # downstream of KN_SCORE_EXPR is bit-identical.
+    _nl = F.lit(None).cast("long")
+    _ns = F.lit(None).cast("string")
+    u = (c_tri.select(F.lit(0).alias("s"), F.col("c123").alias("v"), _ns.alias("t"))
+         .unionAll(cc.select(F.lit(1), F.col("cc23"), _ns))
+         .unionAll(uc.select(F.lit(2), F.col("ccc"), _ns))
+         .unionAll(train.select(
+             F.lit(3), _nl, F.explode(_col(TOKENS, text_col)))))
+
+    def _bsum(s, cond):
+        return F.sum(F.when(F.col("s") == s, cond.cast("long")))
+
+    v = F.col("v")
+    globs = u.agg(
+        _bsum(0, v == 1).alias("ct1"), _bsum(0, v == 2).alias("ct2"),
+        _bsum(0, v == 3).alias("ct3"), _bsum(0, v == 4).alias("ct4"),
+        _bsum(1, v == 1).alias("cb1"), _bsum(1, v == 2).alias("cb2"),
+        _bsum(1, v == 3).alias("cb3"), _bsum(1, v == 4).alias("cb4"),
+        _bsum(2, v == 1).alias("cu1"), _bsum(2, v == 2).alias("cu2"),
+        _bsum(2, v == 3).alias("cu3"), _bsum(2, v == 4).alias("cu4"),
+        _bsum(2, v >= 3).alias("cu3p"),
+        F.sum(F.when(F.col("s") == 2, v)).alias("t_types"),
+        F.countDistinct(F.when(F.col("s") == 3, F.col("t")))
+        .alias("v_size"))
     scored = (ngrams(df, 3)
               .join(c_tri, ["w1", "w2", "w3"], "left")
               .join(h12, ["w1", "w2"], "left")

@@ -114,18 +114,26 @@ def test_mmr_rerank_matches_bruteforce_greedy(spark, vs):
                   key=lambda i: (-_cos(vs[qid], vs[i]), i))[:4]
     rel = {i: round(_cos(vs[qid], vs[i]), 4) for i in pool}
 
-    def unit(v):
-        n = math.sqrt(sum(x * x for x in v))
-        return [x / n for x in v]
-
-    uvs = {i: unit(vs[i]) for i in pool}
+    # the penalty matrix must be computed with the ENGINE's arithmetic
+    # (numpy unit-matrix matmul over the pool in ranked order), not a
+    # sequential pure-Python dot: unit vectors are irrational, the two
+    # summation orders differ by ~1 ULP, and a greedy score landing on
+    # a 5th-decimal midpoint then 4dp-rounds differently (hypothesis
+    # found vs=[[0,0,0,1],[0,1,2,2],[0,1,2,2]]: engine -0.1666 vs
+    # sequential replica -0.1667 on an exactly -0.16665 score).
+    import numpy as np
+    V = np.array([vs[i] for i in pool], dtype=np.float64)
+    if len(pool):
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        S = (V / nrm[:, None]) @ (V / nrm[:, None]).T
+    ix = {i: p for p, i in enumerate(pool)}
     avail, selected, want = list(pool), [], []
     while avail and len(selected) < 2:
         def score(i):
             if not selected:
                 return 0.5 * rel[i]
-            pen = max(sum(a * b for a, b in zip(uvs[i], uvs[s]))
-                      for s in selected)
+            pen = max(S[ix[i], ix[s]] for s in selected)
             return 0.5 * rel[i] - 0.5 * pen
         best = min(avail, key=lambda i: (-score(i), i))
         s4 = math.floor(score(best) * 10000.0 + 0.5) / 10000.0
