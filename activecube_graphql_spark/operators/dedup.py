@@ -1233,7 +1233,16 @@ def connected_components(pairs: DataFrame, left: str, right: str,
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=False))
-    prev_sum = labels.agg(label_sum).first()["s"]
+    # No separate init-sum job (r16): round 0 always strictly decreases
+    # the sum on a non-empty edge set (for any edge (a, b) with a < b,
+    # node b's label drops to ≤ a), so comparing against the initial
+    # sum never detects convergence there — the first decisive
+    # comparison is round 1 vs round 0. Skipping the eager initial
+    # aggregate folds the node-distinct + initial checkpoint into
+    # round 0's job: one fewer action per build at any scale. (Empty
+    # edge set: every round's sum is NULL, round 1 observes equality —
+    # one extra trivial job on a case the driver route handles anyway.)
+    prev_sum = _UNSET = object()
     converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge src<-dst bring dst's current comp
@@ -1244,7 +1253,7 @@ def connected_components(pairs: DataFrame, left: str, right: str,
                       .localCheckpoint(eager=False))
         cur_sum = new_labels.agg(label_sum).first()["s"]
         labels = new_labels
-        if cur_sum == prev_sum:
+        if prev_sum is not _UNSET and cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
