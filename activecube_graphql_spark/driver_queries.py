@@ -1962,12 +1962,16 @@ def q_warc_pipeline(spark, sf_dir):
     the extracted text from the slice formulas, then applies the SAME
     portable quality/fingerprint fragments — a one-byte framing slip,
     a mis-kept block, or a wrong survivor all change id_sum."""
-    from .operators import htmltext as ht
     from .operators import warc as W
 
-    resp = W.warc_responses(_warc_assets(spark, sf_dir), "payload",
+    # record walk + extraction FUSED into one Arrow pass (r16
+    # optimization, guide §4.1): warc_extracted runs the same two
+    # pure-python kernels the chained warc_responses→extract_text_df
+    # form ran, without the decoded body string crossing the Python
+    # boundary between them (row-identity pinned in tests/test_warc.py)
+    ext = (W.warc_extracted(_warc_assets(spark, sf_dir), "payload",
                             carry=("doc_id", "source"))
-    ext = ht.extract_text_df(resp, "body", carry=("doc_id", "source"))
+           .select("doc_id", "source", "text", "n_blocks", "n_kept"))
     q = tx.with_quality_rules(ext).filter(F.col("keep"))
     surv = dd.exact_dedup(tx.with_fingerprint(q), ["fingerprint"],
                           "doc_id")

@@ -43,7 +43,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 
 __all__ = ["encode_warc", "parse_warc", "split_http_response",
-           "warc_responses"]
+           "warc_responses", "warc_extracted"]
 
 _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
@@ -196,6 +196,62 @@ def warc_responses(df: DataFrame, payload_col: str = "payload",
                     rows["status"].append(status)
                     rows["n_records"].append(len(recs))
                     rows["body"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def warc_extracted(df: DataFrame, payload_col: str = "payload",
+                   carry: Iterable[str] = ("doc_id",),
+                   min_len: int = 25,
+                   max_link_density: float = 0.33) -> DataFrame:
+    """:func:`warc_responses` + ``htmltext.extract_text`` fused into
+    ONE Arrow pass (r16 optimization, guide §4.1 — cross the Python
+    boundary once): chaining ``extract_text_df(warc_responses(df))``
+    is two back-to-back ``mapInPandas`` stages, so every decoded body
+    string crosses JVM→Python→JVM→Python before extraction.  The
+    fused kernel calls the SAME two pure-python helpers
+    (:func:`parse_warc`/:func:`split_http_response`, then
+    ``htmltext.extract_text``) per response record, so the output is
+    row-identical to the chained form while the body string never
+    crosses the boundary at all.
+
+    Emits (carry…, url, status, n_records, text, n_blocks, n_kept) —
+    the chained form's columns with ``body`` replaced by its
+    extraction."""
+    import pandas as pd
+
+    from .htmltext import extract_text
+
+    carry = tuple(carry)
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    fields = "".join(f"{c} {types[c]}, " for c in carry)
+    schema = (fields + "url string, status int, n_records int, "
+              "text string, n_blocks int, n_kept int")
+
+    def run(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in carry}
+            rows.update({"url": [], "status": [], "n_records": [],
+                         "text": [], "n_blocks": [], "n_kept": []})
+            for i in range(len(pdf)):
+                recs = parse_warc(bytes(pdf[payload_col].iloc[i]))
+                for rec in recs:
+                    if rec["type"] != "response":
+                        continue
+                    status, _hdrs, body = split_http_response(
+                        rec["payload"])
+                    r = extract_text(body.decode("utf-8", "replace"),
+                                     min_len=min_len,
+                                     max_link_density=max_link_density)
+                    for c in carry:
+                        rows[c].append(pdf[c].iloc[i])
+                    rows["url"].append(rec["uri"])
+                    rows["status"].append(status)
+                    rows["n_records"].append(len(recs))
+                    rows["text"].append(r["text"])
+                    rows["n_blocks"].append(r["n_blocks"])
+                    rows["n_kept"].append(r["n_kept"])
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=schema)

@@ -970,7 +970,9 @@ def test_warc_pipeline_plan_shape(spark):
 
     plan = (QUERIES["warc_pipeline"](spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution().executedPlan().toString())
-    assert len(re.findall(r"MapInPandas", plan)) == 3
+    # 2, not 3 (r16): the record walk + extraction stages fused into
+    # one warc_extracted pass — the asset-synthesis stage stays its own
+    assert len(re.findall(r"MapInPandas", plan)) == 2
     # two hash-partitioned exchanges: fingerprint dedup + source rollup
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, \
         plan[:1500]

@@ -85,3 +85,53 @@ def test_warc_responses_df(spark):
     plan = (W.warc_responses(df, "payload")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_warc_extracted_equals_chained(spark):
+    """The r16 fused walk+extraction pass is ROW-IDENTICAL to the
+    chained warc_responses -> htmltext.extract_text_df form (same
+    pure-python kernels, one Arrow crossing instead of two) and stays
+    a single map-only stage."""
+    from activecube_graphql_spark.operators import htmltext as ht
+
+    html_a = ("<html><body><div>" + "real content sentence here. " * 4
+              + "</div><div><a href='/x'>nav nav nav</a></div>"
+              + "<p>short</p></body></html>")
+    html_b = ("<html><body><p>" + "another long paragraph of text. " * 5
+              + "</p><ul><li><a href='/y'>l</a></li></ul></body></html>")
+    members = [
+        (1, "s1", bytearray(W.encode_warc([
+            {"type": "warcinfo", "payload": b"software: t\r\n"},
+            {"type": "response", "uri": "http://a.com/1",
+             "payload": b"HTTP/1.1 200 OK\r\n\r\n"
+                        + html_a.encode("utf-8")},
+        ]))),
+        (2, "s2", bytearray(W.encode_warc([
+            {"type": "response", "uri": "http://b.com/2",
+             "payload": b"HTTP/1.1 404 NF\r\n\r\n"
+                        + html_b.encode("utf-8")},
+            {"type": "response", "uri": "http://b.com/3",
+             "payload": b"HTTP/1.1 200 OK\r\n\r\n<p>tiny</p>"},
+        ]))),
+    ]
+    df = spark.createDataFrame(
+        members, "doc_id long, source string, payload binary")
+
+    fused = W.warc_extracted(df, "payload", carry=("doc_id", "source"))
+    chained = ht.extract_text_df(
+        W.warc_responses(df, "payload", carry=("doc_id", "source")),
+        "body", carry=("doc_id", "source"))
+
+    cols = ["doc_id", "source", "text", "n_blocks", "n_kept"]
+    got = sorted(map(tuple, fused.select(*cols).collect()))
+    want = sorted(map(tuple, chained.select(*cols).collect()))
+    assert got == want and len(got) == 3
+    # the fused form also carries the walk's record metadata
+    meta = {(r["doc_id"], r["url"]): (r["status"], r["n_records"])
+            for r in fused.collect()}
+    assert meta[(1, "http://a.com/1")] == (200, 2)
+    assert meta[(2, "http://b.com/2")] == (404, 2)
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
