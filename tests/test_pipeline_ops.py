@@ -264,6 +264,27 @@ def test_fingerprint_whitespace_invariant(spark, sf_dir):
     assert out[1] == out[2] != out[3]
 
 
+def test_ngram_jaccard_index_length_filter_exact(spark):
+    """The index route's length bound (r16: jaccard <= min/max sizes,
+    applied inside the candidate join) prunes length-skewed collisions
+    without losing a single true pair: a short doc embedded in a much
+    longer one shares prefix shingles (so the un-filtered join emits
+    the pair) but can never reach t=0.5 — only the genuine near-dup
+    pair may survive, identically on both physical strategies."""
+    base = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, base),                                   # true pair with 1
+        (1, base + " zeta"),                         # j = 4/6 ~ 0.67
+        (2, base + " " + " ".join(                   # shingle superset,
+            chr(ord("a") + i) * 3 for i in range(24))),  # -> length-pruned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for strategy in ("index", "bitmap"):
+        got = sorted(map(tuple, dd.ngram_jaccard_pairs(
+            df, n=2, threshold=0.5, strategy=strategy).collect()))
+        assert [(a, b) for a, b, _ in got] == [(0, 1)], (strategy, got)
+
+
 def test_ngram_jaccard_strategies_agree(spark, sf_dir):
     """Both physical strategies (dense-vocab bitmap matmul and sparse-regime
     prefix-filtered index join) must produce the identical exact pair set —
