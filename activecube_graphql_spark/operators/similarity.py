@@ -442,11 +442,22 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     joined = c.join(F.broadcast(q), "bucket")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    cand = joined.select("query_id", "q_vec", "neighbor_id", "c_vec") \
-                 .dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
-    # (vectors here are raw, not pre-normalized: the bucket signature needs
-    # the original vector and candidates are few post-LSH)
+    # score BEFORE the pair-dedup (r16, guide §2.3: shuffle keys and
+    # metadata, not payloads): every duplicate of a (query, neighbor)
+    # pair — one per shared table — carries bit-identical vectors, so
+    # the cosine expression yields the identical double on each and
+    # deduping after scoring returns the same value while the distinct
+    # exchange now moves (ids, cosine) instead of two dim-length
+    # vectors per candidate row (~40× narrower at dim=64). A pair
+    # colliding in t tables is dotted t times — cheap whole-stage-
+    # codegen work traded for the payload shuffle, the right side of
+    # the bargain at any scale. (vectors are raw, not pre-normalized:
+    # the bucket signature needs the original vector and candidates
+    # are few post-LSH)
+    scored = (joined
+              .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+              .select("query_id", "neighbor_id", "cosine")
+              .dropDuplicates(["query_id", "neighbor_id"]))
     return _query_topk(scored, k)
 
 
