@@ -1887,6 +1887,76 @@ def _warc_assets(spark, sf_dir):
                             "doc_id long, source string, payload binary")
 
 
+def _warc_extracted_synth(spark, sf_dir):
+    """``warc.warc_extracted(_warc_assets(...))`` fused into ONE Arrow
+    pass (r17, guide §4.1 — VERDICT r16 item 5): the chained form ran
+    the fixture synthesis and the walk+extraction as two mapInPandas
+    stages, so every WARC member (the pipeline's heaviest column)
+    crossed Python→JVM→Python between them.  This kernel builds the
+    member bytes AND walks them in the same invocation — the payload
+    never crosses the boundary at all — by calling the SAME kernels
+    (``encode_warc``; the shared ``response_records`` walk;
+    ``htmltext.extract_text``), so rows are identical to the chained
+    form (pinned in tests/test_warc.py).  The WARC encoder and parser
+    both still run on every member: nothing is faked, only the
+    transport is gone."""
+    import pandas as _pd
+
+    from .functions.portable import render as _render
+    from .operators import warc as W
+    from .operators.htmltext import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.selectExpr(
+        "doc_id", "source",
+        _render(_WARC_URL_SYNTH, "spark") + " AS url",
+        _render(_HTML_SYNTH, "spark") + " AS html")
+
+    def gen_extract(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "source": [], "url": [], "status": [],
+                "n_records": [], "text": [], "n_blocks": [],
+                "n_kept": []}
+            for i in range(len(pdf)):
+                doc_id = int(pdf["doc_id"].iloc[i])
+                url = str(pdf["url"].iloc[i])
+                html = str(pdf["html"].iloc[i])
+                request = (b"GET /warc HTTP/1.1\r\nHost: decoy\r\n\r\n"
+                           b"WARC/1.0\r\nWARC-Type: response\r\n"
+                           b"Content-Length: 0\r\n\r\n\r\n\r\ndecoy")
+                response = (b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n"
+                            b"Server: synth\r\n\r\n" + html.encode())
+                payload = W.encode_warc([
+                    {"type": "warcinfo",
+                     "payload": b"software: acgs-warc-fixture\r\n"
+                                b"format: WARC file version 1.0\r\n",
+                     "content_type": "application/warc-fields"},
+                    {"type": "request", "uri": url, "payload": request,
+                     "content_type": "application/http;msgtype=request"},
+                    {"type": "response", "uri": url, "payload": response,
+                     "content_type": "application/http;msgtype=response"},
+                ])
+                for r_url, status, n_recs, body in W.response_records(
+                        payload):
+                    r = extract_text(body.decode("utf-8", "replace"))
+                    rows["doc_id"].append(doc_id)
+                    rows["source"].append(str(pdf["source"].iloc[i]))
+                    rows["url"].append(r_url)
+                    rows["status"].append(status)
+                    rows["n_records"].append(n_recs)
+                    rows["text"].append(r["text"])
+                    rows["n_blocks"].append(r["n_blocks"])
+                    rows["n_kept"].append(r["n_kept"])
+            yield _pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_extract, "doc_id long, source string, url string, "
+                     "status int, n_records int, text string, "
+                     "n_blocks int, n_kept int")
+
+
 def q_warc_records(spark, sf_dir):
     """WARC → url_canon → html_extract, the pipeline's true front door
     graded end-to-end (r14, VERDICT r13 item 4): the length-prefixed
@@ -1962,15 +2032,12 @@ def q_warc_pipeline(spark, sf_dir):
     the extracted text from the slice formulas, then applies the SAME
     portable quality/fingerprint fragments — a one-byte framing slip,
     a mis-kept block, or a wrong survivor all change id_sum."""
-    from .operators import warc as W
-
-    # record walk + extraction FUSED into one Arrow pass (r16
-    # optimization, guide §4.1): warc_extracted runs the same two
-    # pure-python kernels the chained warc_responses→extract_text_df
-    # form ran, without the decoded body string crossing the Python
-    # boundary between them (row-identity pinned in tests/test_warc.py)
-    ext = (W.warc_extracted(_warc_assets(spark, sf_dir), "payload",
-                            carry=("doc_id", "source"))
+    # synthesis + record walk + extraction FUSED into one Arrow pass
+    # (r16 fused walk+extraction; r17 folds the fixture synthesis in
+    # too — guide §4.1): the WARC member bytes are built and parsed in
+    # the same kernel invocation, so the payload column never crosses
+    # the JVM↔Python boundary (row-identity pinned in tests/test_warc.py)
+    ext = (_warc_extracted_synth(spark, sf_dir)
            .select("doc_id", "source", "text", "n_blocks", "n_kept"))
     q = tx.with_quality_rules(ext).filter(F.col("keep"))
     surv = dd.exact_dedup(tx.with_fingerprint(q), ["fingerprint"],
@@ -2451,16 +2518,36 @@ def q_ann_recall_audit(spark, sf_dir):
              .select("query_id", "neighbor_id"))
     cent = sim.fixed_centroids(16, 64)
     cb = sim.pq_codebooks(8, 16, 64)
+    # SHARED member inputs (r17, VERDICT r16 item 1): the five members
+    # each re-derived their corpus encode (IVF cells, PQ codes, LSH
+    # signatures) and three of them re-collected the same unit-query
+    # rows — five corpus-wide Python passes and three eager driver
+    # jobs per build. ann_corpus_encode runs the members' exact
+    # kernels in ONE fused pass (bit-identity pinned in
+    # tests/test_pipeline_ops.py); persisting it is the multi-consumer
+    # persist class (five consumers in ONE returned plan), and its
+    # closure captures plain arrays so the plan bytes are build-stable
+    # (the r16 bitmap-route lesson — the cache survives re-builds).
+    # Query-side stages stay per-member: their arithmetic (SQL _unit
+    # vs numpy normalize) is member-specific and must stay
+    # bit-identical to each member's solo form.
+    shared = sim.ann_corpus_encode(corpus, cent, cb).persist()
+    qrows = sim.unit_query_rows(queries)
     approx = [
         ("ivf", sim.ivf_ann_topk(corpus, queries, k=5,
-                                 centroids=cent)),
+                                 centroids=cent,
+                                 corpus_assign=shared)),
         ("ivfpq", sim.ivf_pq_topk(corpus, queries, k=5,
-                                  centroids=cent, codebooks=cb)),
+                                  centroids=cent, codebooks=cb,
+                                  corpus_enc=shared, q_rows=qrows)),
         ("ivfpq_res", sim.ivf_pq_topk(corpus, queries, k=5,
                                       centroids=cent, codebooks=cb,
-                                      residual=True)),
-        ("lsh", sim.lsh_ann_topk(corpus, queries, k=5)),
-        ("pq", sim.pq_adc_topk(corpus, queries, k=5, codebooks=cb)),
+                                      residual=True,
+                                      corpus_enc=shared, q_rows=qrows)),
+        ("lsh", sim.lsh_ann_topk(corpus, queries, k=5,
+                                 corpus_sig=shared)),
+        ("pq", sim.pq_adc_topk(corpus, queries, k=5, codebooks=cb,
+                               corpus_codes=shared, q_rows=qrows)),
     ]
     un = reduce(lambda a, b: a.unionByName(b),
                 [df.select(F.lit(name).alias("method"),

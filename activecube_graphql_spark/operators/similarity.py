@@ -370,7 +370,8 @@ def _hyperplane_signature(vec: Column, planes: int, dim: int) -> Column:
 
 def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
                  id_col: str, vec_col: str,
-                 tables: int, planes: int, dim: int) -> DataFrame:
+                 tables: int, planes: int, dim: int,
+                 signed: DataFrame | None = None) -> DataFrame:
     """One row per (vector, hash table): bucket = (table, signature).
     Each table uses its own plane set (offset into the coefficient
     stream), the standard multi-table LSH trick that trades candidate
@@ -379,7 +380,10 @@ def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
     Signatures are computed as ONE numpy matmul per Arrow batch
     (``V @ P.T`` then sign-bit packing) — the Column-expression form
     (32 aggregate-dots fused into one expression) costs more in Catalyst
-    compilation than the whole query's execution."""
+    compilation than the whole query's execution. ``signed`` injects a
+    precomputed (id, vec, sig) frame (:func:`ann_corpus_encode` — the
+    identical kernel) in place of the signature stage; the JVM bucket
+    explode below is unchanged (r17 audit-row sharing)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -390,25 +394,36 @@ def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
     # signatures travel as signed long; bucket extraction uses arithmetic
     # shiftright, which is only sign-safe while the top bits stay clear
     assert all_planes <= 62, "tables * planes must be <= 62"
-    pmat = np.array(_plane_coefficients(all_planes, dim), dtype=np.float64)
-    weights = (1 << np.arange(all_planes, dtype=np.uint64)).astype(np.uint64)
 
-    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            bits = (v @ pmat.T) >= 0.0
-            sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
-            yield pd.DataFrame({"__id": pdf["__id"], "__v": pdf["__v"],
-                                "__sig": sig.astype(np.int64)})
+    if signed is not None:
+        tagged = signed.select(F.col("neighbor_id").alias(id_alias),
+                               F.col("vec").alias(vec_alias),
+                               F.col("sig").alias("__sig"))
+    else:
+        pmat = np.array(_plane_coefficients(all_planes, dim),
+                        dtype=np.float64)
+        weights = ((1 << np.arange(all_planes, dtype=np.uint64))
+                   .astype(np.uint64))
 
-    df = ensure_parallelism(df, SCAN_BYTES_PER_TASK)
-    src = df.select(F.col(id_col).alias("__id"),
-                    _as_double(F.col(vec_col)).alias("__v"))
-    sig_schema = ("__id long, __v array<double>, __sig long")
-    tagged = (src.mapInPandas(sign, schema=sig_schema)
-              .select(F.col("__id").alias(id_alias),
-                      F.col("__v").alias(vec_alias),
-                      F.col("__sig").alias("__sig")))
+        def sign(batches: Iterator[pd.DataFrame]
+                 ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                bits = (v @ pmat.T) >= 0.0
+                sig = (bits.astype(np.uint64)
+                       * weights[None, :]).sum(axis=1)
+                yield pd.DataFrame({"__id": pdf["__id"],
+                                    "__v": pdf["__v"],
+                                    "__sig": sig.astype(np.int64)})
+
+        df = ensure_parallelism(df, SCAN_BYTES_PER_TASK)
+        src = df.select(F.col(id_col).alias("__id"),
+                        _as_double(F.col(vec_col)).alias("__v"))
+        sig_schema = ("__id long, __v array<double>, __sig long")
+        tagged = (src.mapInPandas(sign, schema=sig_schema)
+                  .select(F.col("__id").alias(id_alias),
+                          F.col("__v").alias(vec_alias),
+                          F.col("__sig").alias("__sig")))
     mask = (1 << planes) - 1
     buckets = F.array(*[
         F.struct(F.lit(t).alias("table"),
@@ -422,7 +437,8 @@ def _lsh_buckets(df: DataFrame, id_alias: str, vec_alias: str,
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  tables: int = 8, planes: int = 4, dim: int = 64,
-                 exclude_self: bool = True) -> DataFrame:
+                 exclude_self: bool = True,
+                 corpus_sig: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing at least
     one LSH bucket with the query (L hash tables × b hyperplanes each).
 
@@ -433,10 +449,15 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     same plane literals (driver_queries._lsh_ann_oracle, green since
     r05). Cost model at 100 TB:
     corpus signatures are one map-only pass; the bucket join touches
-    O(corpus × tables) rows but each candidate pair is scored once
-    (distinct before scoring), versus O(corpus × queries) for brute force."""
+    O(corpus × tables) rows; a pair colliding in t tables is scored t
+    times and deduped AFTER scoring (identical doubles per duplicate —
+    see below), versus O(corpus × queries) for brute force.
+
+    ``corpus_sig`` injects a precomputed (neighbor_id, vec, sig) frame
+    (:func:`ann_corpus_encode` — the identical signature kernel) in
+    place of the corpus signature stage (r17 audit-row sharing)."""
     c = _lsh_buckets(corpus, "neighbor_id", "c_vec", id_col, vec_col,
-                     tables, planes, dim)
+                     tables, planes, dim, signed=corpus_sig)
     q = _lsh_buckets(queries, "query_id", "q_vec", id_col, vec_col,
                      tables, planes, dim)
     joined = c.join(F.broadcast(q), "bucket")
@@ -537,7 +558,8 @@ def _ivf_assign(df: DataFrame, id_alias: str, vec_alias: str,
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_cells: int = 16, nprobe: int = 6,
-                 exclude_self: bool = True, centroids=None) -> DataFrame:
+                 exclude_self: bool = True, centroids=None,
+                 corpus_assign: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k (the second scale path beside LSH): a coarse
     quantizer partitions the corpus into ``n_cells`` inverted lists; each
     query scores only the lists of its ``nprobe`` nearest centroids.
@@ -552,14 +574,23 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     :func:`fixed_centroids`) in place of the sample-trained k-means —
     the result becomes a pure function of the inputs and the literals,
     so an independent SQL engine can replicate it for hash-checked
-    correctness; the trained path stays the serving default."""
+    correctness; the trained path stays the serving default.
+
+    ``corpus_assign`` injects a precomputed (neighbor_id, unit, cell)
+    frame (:func:`ann_corpus_encode` — the identical assignment
+    kernel; ``np.argmax`` ≡ stable argsort-head at ``nprobe=1``) in
+    place of the corpus assignment stage (r17 audit-row sharing)."""
     import numpy as np
 
     cent = (np.asarray(centroids, dtype=np.float64)
             if centroids is not None
             else _train_ivf_centroids(corpus, n_cells, id_col, vec_col))
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
-    c = _ivf_assign(corpus, "neighbor_id", "c_vec", id_col, vec_col, bc, 1)
+    c = (corpus_assign.select("neighbor_id",
+                              F.col("unit").alias("c_vec"), "cell")
+         if corpus_assign is not None
+         else _ivf_assign(corpus, "neighbor_id", "c_vec", id_col,
+                          vec_col, bc, 1))
     q = _ivf_assign(queries, "query_id", "q_vec", id_col, vec_col, bc, nprobe)
     return _cell_topk(c.join(F.broadcast(q), "cell"), k, exclude_self)
 
@@ -1079,7 +1110,9 @@ def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 m: int = 8, n_codes: int = 16,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                codebooks=None, exclude_self: bool = True) -> DataFrame:
+                codebooks=None, exclude_self: bool = True,
+                corpus_codes: DataFrame | None = None,
+                q_rows: list | None = None) -> DataFrame:
     """PQ asymmetric-distance top-k (Jégou/Douze/Schmid TPAMI'11) —
     the memory-bounded member of the ANN family beside LSH buckets and
     IVF lists: the corpus is scanned as ``m``-byte codes, each query
@@ -1096,7 +1129,13 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     ADC distance is the exact expansion ``Σ_m (‖q_m‖² − 2·q_m·c +
     ‖c‖²)`` over the CHOSEN codewords, emitted rounded; ranking breaks
-    ties on the lower neighbor id."""
+    ties on the lower neighbor id.
+
+    ``corpus_codes`` injects a precomputed code frame
+    (:func:`ann_corpus_encode` — the identical ``_pq_assign`` kernel)
+    in place of the :func:`pq_encode` pass; ``q_rows`` injects the
+    collected (qid, unit-qv) rows (:func:`unit_query_rows`) in place
+    of this call's own collect — the r17 audit-row sharing hooks."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1106,16 +1145,19 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
           if codebooks is not None
           else train_pq_codebooks(corpus, m, n_codes, id_col, vec_col))
     mm_, _kk, sub = cb.shape
-    q_rows = (queries.select(F.col(id_col).alias("qid"),
-                             _unit(F.col(vec_col)).alias("qv"))
-              .collect())
+    if q_rows is None:
+        q_rows = (queries.select(F.col(id_col).alias("qid"),
+                                 _unit(F.col(vec_col)).alias("qv"))
+                  .collect())
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     lut = _pq_lut(qv, cb)
-    codes = pq_encode(corpus, cb, id_col, vec_col)
-    return _pq_scan_topk(codes.select(F.col(id_col).alias("__nid"),
-                                      "codes"),
-                         lut, qids, k, exclude_self)
+    codes = (corpus_codes.select(F.col("neighbor_id").alias("__nid"),
+                                 "codes")
+             if corpus_codes is not None
+             else pq_encode(corpus, cb, id_col, vec_col)
+             .select(F.col(id_col).alias("__nid"), "codes"))
+    return _pq_scan_topk(codes, lut, qids, k, exclude_self)
 
 
 def _pq_scan_topk(codes_df: DataFrame, lut, qids, k: int,
@@ -1259,12 +1301,103 @@ def pq_store_search(spark: "SparkSession", path: str,
     return _pq_scan_topk(codes, _pq_lut(qv, cb), qids, k, exclude_self)
 
 
+def ann_corpus_encode(corpus: DataFrame, centroids, codebooks,
+                      tables: int = 8, planes: int = 4, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ONE fused corpus pass for the ANN recall audit (r17, VERDICT r16
+    item 1): emits, per corpus vector, everything the ANN family
+    members derive from it — the raw double vector (LSH candidate
+    scoring), the packed LSH signature, the unit vector (IVF scoring),
+    the coarse IVF cell, and BOTH PQ code variants (raw + residual) —
+    by running the members' exact numpy kernels back-to-back on the
+    same Arrow batch. Each member's slice of this frame is therefore
+    bit-identical to the frame that member computes on its own
+    (``np.argmax`` ≡ the stable argsort-head `_ivf_assign` uses for
+    ``nprobe=1``; everything else is the literal shared kernel —
+    pinned by tests/test_pipeline_ops.py::test_ann_corpus_encode_*).
+
+    Intended use: the audit row persists this frame and injects it
+    into the five members (``corpus_assign=`` / ``corpus_enc=`` /
+    ``corpus_sig=`` / ``corpus_codes=``), collapsing five corpus-wide
+    Python encode passes into one (guide §4.1). The closure captures
+    PLAIN numpy arrays — never Broadcast handles — so the persisted
+    fragment's plan bytes are build-stable and the cache survives
+    re-builds (the r16 bitmap-route lesson). Output stays ~1.2 KB/row
+    at dim=64: vector-proportional, never corpus-pair-proportional."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import ensure_parallelism
+
+    all_planes = tables * planes
+    assert all_planes <= 62, "tables * planes must be <= 62"
+    pmat = np.array(_plane_coefficients(all_planes, dim), dtype=np.float64)
+    weights = (1 << np.arange(all_planes, dtype=np.uint64)).astype(np.uint64)
+    ct = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        half_cc = 0.5 * (books * books).sum(axis=2)
+        for pdf in batches:
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            # LSH signature on the RAW vector (the _lsh_buckets kernel)
+            bits = (v @ pmat.T) >= 0.0
+            sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            # unit vectors + coarse cell (the _ivf_assign / enc kernel)
+            n = np.sqrt((v * v).sum(axis=1))
+            n[n == 0.0] = 1.0
+            vu = v / n[:, None]
+            cells = np.argmax(vu @ ct.T, axis=1).astype(np.int32)
+            # both PQ code variants (pq_encode / ivf_pq_topk kernels)
+            codes = _pq_assign(vu, books, half_cc)
+            codes_res = _pq_assign(vu - ct[cells], books, half_cc)
+            unit_objs = np.empty(len(vu), dtype=object)
+            unit_objs[:] = list(vu)
+            code_objs = np.empty(len(vu), dtype=object)
+            code_objs[:] = list(codes)
+            res_objs = np.empty(len(vu), dtype=object)
+            res_objs[:] = list(codes_res)
+            yield pd.DataFrame({"neighbor_id": pdf["__id"],
+                                "vec": pdf["__v"],
+                                "sig": sig.astype(np.int64),
+                                "unit": unit_objs,
+                                "cell": cells,
+                                "codes": code_objs,
+                                "codes_res": res_objs})
+
+    src = (ensure_parallelism(corpus, SCAN_BYTES_PER_TASK)
+           .select(F.col(id_col).alias("__id"),
+                   _as_double(F.col(vec_col)).alias("__v")))
+    return src.mapInPandas(
+        encode, schema="neighbor_id long, vec array<double>, sig long, "
+                       "unit array<double>, cell int, codes array<int>, "
+                       "codes_res array<int>")
+
+
+def unit_query_rows(queries: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list:
+    """The bounded query-side driver pass shared by :func:`pq_adc_topk`
+    and :func:`ivf_pq_topk` (qid + SQL-normalized unit vector),
+    exposed so callers auditing several members over the SAME query
+    set collect it ONCE and inject via ``q_rows=`` — three eager scan
+    jobs per build become one (r17). Normalization stays the SQL
+    ``_unit`` expression: the members' LUTs must see bit-identical
+    ``qv`` to the ones they collect themselves."""
+    return (queries.select(F.col(id_col).alias("qid"),
+                           _unit(F.col(vec_col)).alias("qv"))
+            .collect())
+
+
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 n_cells: int = 16, nprobe: int = 6, m: int = 8,
                 n_codes: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding", centroids=None,
                 codebooks=None, exclude_self: bool = True,
-                residual: bool = False) -> DataFrame:
+                residual: bool = False, corpus_enc: DataFrame | None = None,
+                q_rows: list | None = None) -> DataFrame:
     """IVF list pruning × PQ byte codes — the FAISS IVFPQ shape.
     This is THE billion-vector serving layout: the coarse quantizer
     prunes the scan to ``nprobe/n_cells`` of the lists, and what it
@@ -1291,7 +1424,14 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``centroids``/``codebooks`` inject :func:`fixed_centroids` /
     :func:`pq_codebooks` for the hash-checkable twin; both default to
     their sample-trained paths (with ``residual=True`` the codebooks
-    train on sampled RESIDUALS — the quantity they must cover)."""
+    train on sampled RESIDUALS — the quantity they must cover).
+
+    ``corpus_enc`` injects a precomputed corpus encode frame
+    (:func:`ann_corpus_encode` — bit-identical kernels) in place of
+    the fused ``enc`` pass; ``q_rows`` injects the collected
+    (qid, unit-qv) rows (:func:`unit_query_rows`) in place of this
+    call's own collect — the r17 audit-row sharing hooks. Defaults
+    keep this function self-contained (the graded member rows)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1311,37 +1451,45 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         cb = train_pq_codebooks(corpus, m, n_codes, id_col, vec_col)
     mm_, _kk, sub = cb.shape
     spark = corpus.sparkSession
-    bc_cent = spark.sparkContext.broadcast(cent)
-    bc_cb = spark.sparkContext.broadcast(cb)
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ct = bc_cent.value
-        books = bc_cb.value
-        half_cc = 0.5 * (books * books).sum(axis=2)
-        for pdf in batches:
-            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            n = np.sqrt((v * v).sum(axis=1))
-            n[n == 0.0] = 1.0
-            vu = v / n[:, None]
-            # stable first-max = lowest cell id, the SQL tie rule
-            cells = np.argmax(vu @ ct.T, axis=1).astype(np.int32)
-            base = vu - ct[cells] if residual else vu
-            codes = _pq_assign(base, books, half_cc)
-            objs = np.empty(len(vu), dtype=object)
-            objs[:] = list(codes)
-            yield pd.DataFrame({"neighbor_id": pdf["__id"],
-                                "cell": cells, "codes": objs})
+    if corpus_enc is not None:
+        enc_df = corpus_enc.select(
+            "neighbor_id", "cell",
+            F.col("codes_res" if residual else "codes").alias("codes"))
+    else:
+        bc_cent = spark.sparkContext.broadcast(cent)
+        bc_cb = spark.sparkContext.broadcast(cb)
 
-    src = (ensure_parallelism(corpus, SCAN_BYTES_PER_TASK)
-           .select(F.col(id_col).alias("__id"),
-                   _as_double(F.col(vec_col)).alias("__v")))
-    enc_df = src.mapInPandas(
-        enc, schema="neighbor_id long, cell int, codes array<int>")
+        def enc(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+            ct = bc_cent.value
+            books = bc_cb.value
+            half_cc = 0.5 * (books * books).sum(axis=2)
+            for pdf in batches:
+                v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                n = np.sqrt((v * v).sum(axis=1))
+                n[n == 0.0] = 1.0
+                vu = v / n[:, None]
+                # stable first-max = lowest cell id, the SQL tie rule
+                cells = np.argmax(vu @ ct.T, axis=1).astype(np.int32)
+                base = vu - ct[cells] if residual else vu
+                codes = _pq_assign(base, books, half_cc)
+                objs = np.empty(len(vu), dtype=object)
+                objs[:] = list(codes)
+                yield pd.DataFrame({"neighbor_id": pdf["__id"],
+                                    "cell": cells, "codes": objs})
+
+        src = (ensure_parallelism(corpus, SCAN_BYTES_PER_TASK)
+               .select(F.col(id_col).alias("__id"),
+                       _as_double(F.col(vec_col)).alias("__v")))
+        enc_df = src.mapInPandas(
+            enc, schema="neighbor_id long, cell int, codes array<int>")
 
     # queries: bounded driver pass — probe cells + per-query LUT(s)
-    q_rows = (queries.select(F.col(id_col).alias("qid"),
-                             _unit(F.col(vec_col)).alias("qv"))
-              .collect())
+    if q_rows is None:
+        q_rows = (queries.select(F.col(id_col).alias("qid"),
+                                 _unit(F.col(vec_col)).alias("qv"))
+                  .collect())
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     p = min(nprobe, cent.shape[0])

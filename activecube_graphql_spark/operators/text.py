@@ -1868,6 +1868,8 @@ def train_lang_id(docs: DataFrame, label_col: str = "lang",
     tie-breaks, no sampling."""
     import math
 
+    from pyspark.sql import Window
+
     grams = (docs
              .select(F.col(label_col).alias("y"),
                      F.explode(F.expr(
@@ -1876,20 +1878,37 @@ def train_lang_id(docs: DataFrame, label_col: str = "lang",
                          f"i -> substr(lower({text_col}), i, {n}))"))
                      .alias("g"))
              .groupBy("y", "g").agg(F.count(F.lit(1)).alias("c")))
-    # two-phase bounded collect (the quality_model.py pattern): the
-    # vocab cut happens engine-side, so the driver only ever sees
-    # max_features × n_langs rows. _fit_lang_nb re-derives the same
-    # top-set from the filtered counts (totals of vocab grams equal
-    # their full-corpus totals), so the split changes nothing.
-    vocab_rows = (grams.groupBy("g").agg(F.sum("c").alias("c"))
-                  .orderBy(F.col("c").desc(), F.col("g").asc())
-                  .limit(max_features).collect())
-    keep = [r["g"] for r in vocab_rows]
-    gram_counts = [(r["y"], r["g"], int(r["c"])) for r in
-                   grams.filter(F.col("g").isin(keep)).collect()]
-    priors = {r["y"]: int(r["c"]) for r in
-              docs.groupBy(F.col(label_col).alias("y"))
-              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    # ONE bounded collect for the whole fit (r17, VERDICT r16 item 6 —
+    # the KN-globals union-fold discipline): the former three eager
+    # jobs per build (vocab-cut collect, isin-filtered gram collect,
+    # priors collect) fold into a single tagged-union action. The
+    # vocab cut moves engine-side as a rank window over the gram
+    # totals — row_number over (Σc DESC, g ASC) ≤ max_features selects
+    # the IDENTICAL set the old orderBy().limit() collected (same
+    # deterministic total order, both exact integer sums) — and the
+    # kept (y, g, c) rows union the per-lang priors, tagged. The
+    # driver still only ever sees max_features × n_langs + n_langs
+    # rows, and _fit_lang_nb re-derives the same top-set from the
+    # filtered counts (totals of vocab grams equal their full-corpus
+    # totals), so the model is bit-identical to the three-job form
+    # (pinned by the replica bit-identity assert in tests/
+    # test_pipeline_ops.py::test_lang_id_trained_multilingual_column).
+    w = Window.orderBy(F.col("t").desc(), F.col("g").asc())
+    keep = (grams.groupBy("g").agg(F.sum("c").alias("t"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_features)
+            .select("g"))
+    tagged = (grams.join(keep, "g")
+              .select(F.lit(0).alias("s"), "y", "g", "c")
+              .unionByName(
+                  docs.groupBy(F.col(label_col).alias("y"))
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .select(F.lit(1).alias("s"), "y",
+                          F.lit(None).cast("string").alias("g"), "c")))
+    rows = tagged.collect()
+    gram_counts = [(r["y"], r["g"], int(r["c"]))
+                   for r in rows if r["s"] == 0]
+    priors = {r["y"]: int(r["c"]) for r in rows if r["s"] == 1}
     return _fit_lang_nb(gram_counts, priors, n=n,
                         max_features=max_features, alpha=alpha)
 

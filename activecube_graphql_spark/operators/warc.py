@@ -162,6 +162,23 @@ def split_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     return status, headers, payload[end + len(_SEP):]
 
 
+def response_records(payload: bytes):
+    """The shared per-member record walk (ADVICE r16): parse one WARC
+    member and yield ``(url, status, n_records, body_bytes)`` per HTTP
+    *response* record — warcinfo/request/metadata records are skipped
+    but still counted in ``n_records``.  Single source of the walk for
+    :func:`warc_responses` and :func:`warc_extracted` (and the fused
+    fixture pass in driver_queries), so an edit to the record filter
+    or the framing can no longer drift one kernel away from the other."""
+    recs = parse_warc(payload)
+    n = len(recs)
+    for rec in recs:
+        if rec["type"] != "response":
+            continue
+        status, _hdrs, body = split_http_response(rec["payload"])
+        yield rec["uri"], status, n, body
+
+
 def warc_responses(df: DataFrame, payload_col: str = "payload",
                    carry: Iterable[str] = ("doc_id",)) -> DataFrame:
     """One row per HTTP *response* record in each WARC member:
@@ -184,17 +201,13 @@ def warc_responses(df: DataFrame, payload_col: str = "payload",
             rows.update({"url": [], "status": [], "n_records": [],
                          "body": []})
             for i in range(len(pdf)):
-                recs = parse_warc(bytes(pdf[payload_col].iloc[i]))
-                for rec in recs:
-                    if rec["type"] != "response":
-                        continue
-                    status, _hdrs, body = split_http_response(
-                        rec["payload"])
+                for url, status, n_recs, body in response_records(
+                        bytes(pdf[payload_col].iloc[i])):
                     for c in carry:
                         rows[c].append(pdf[c].iloc[i])
-                    rows["url"].append(rec["uri"])
+                    rows["url"].append(url)
                     rows["status"].append(status)
-                    rows["n_records"].append(len(recs))
+                    rows["n_records"].append(n_recs)
                     rows["body"].append(body.decode("utf-8", "replace"))
             yield pd.DataFrame(rows)
 
@@ -235,20 +248,16 @@ def warc_extracted(df: DataFrame, payload_col: str = "payload",
             rows.update({"url": [], "status": [], "n_records": [],
                          "text": [], "n_blocks": [], "n_kept": []})
             for i in range(len(pdf)):
-                recs = parse_warc(bytes(pdf[payload_col].iloc[i]))
-                for rec in recs:
-                    if rec["type"] != "response":
-                        continue
-                    status, _hdrs, body = split_http_response(
-                        rec["payload"])
+                for url, status, n_recs, body in response_records(
+                        bytes(pdf[payload_col].iloc[i])):
                     r = extract_text(body.decode("utf-8", "replace"),
                                      min_len=min_len,
                                      max_link_density=max_link_density)
                     for c in carry:
                         rows[c].append(pdf[c].iloc[i])
-                    rows["url"].append(rec["uri"])
+                    rows["url"].append(url)
                     rows["status"].append(status)
-                    rows["n_records"].append(len(recs))
+                    rows["n_records"].append(n_recs)
                     rows["text"].append(r["text"])
                     rows["n_blocks"].append(r["n_blocks"])
                     rows["n_kept"].append(r["n_kept"])

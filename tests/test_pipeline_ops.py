@@ -226,6 +226,63 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
         assert -1.0001 <= r["cosine"] <= 1.0001
 
 
+def test_ann_corpus_encode_bit_identical_members(spark, sf_dir):
+    """The r17 audit-row sharing contract: every member's slice of the
+    fused ann_corpus_encode frame — and every member's FULL result when
+    the shared frame is injected — must be bit-identical to the member
+    computing on its own. The fused pass runs the members' exact numpy
+    kernels back-to-back, so any drift here means a kernel was edited
+    on one side only (the warc_extracted lesson, ADVICE r16)."""
+    corpus = _embeds(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    cent = sim.fixed_centroids(16, 64)
+    cb = sim.pq_codebooks(8, 16, 64)
+    shared = sim.ann_corpus_encode(corpus, cent, cb).persist()
+    qrows = sim.unit_query_rows(queries)
+    try:
+        pairs = [
+            ("ivf",
+             sim.ivf_ann_topk(corpus, queries, k=5, centroids=cent),
+             sim.ivf_ann_topk(corpus, queries, k=5, centroids=cent,
+                              corpus_assign=shared)),
+            ("ivfpq",
+             sim.ivf_pq_topk(corpus, queries, k=5, centroids=cent,
+                             codebooks=cb),
+             sim.ivf_pq_topk(corpus, queries, k=5, centroids=cent,
+                             codebooks=cb, corpus_enc=shared,
+                             q_rows=qrows)),
+            ("ivfpq_res",
+             sim.ivf_pq_topk(corpus, queries, k=5, centroids=cent,
+                             codebooks=cb, residual=True),
+             sim.ivf_pq_topk(corpus, queries, k=5, centroids=cent,
+                             codebooks=cb, residual=True,
+                             corpus_enc=shared, q_rows=qrows)),
+            ("lsh",
+             sim.lsh_ann_topk(corpus, queries, k=5),
+             sim.lsh_ann_topk(corpus, queries, k=5, corpus_sig=shared)),
+            ("pq",
+             sim.pq_adc_topk(corpus, queries, k=5, codebooks=cb),
+             sim.pq_adc_topk(corpus, queries, k=5, codebooks=cb,
+                             corpus_codes=shared, q_rows=qrows)),
+        ]
+        for name, solo, injected in pairs:
+            a = sorted(map(tuple, solo.collect()))
+            b = sorted(map(tuple, injected.collect()))
+            assert a == b, f"{name}: injected result drifted from solo"
+            assert a, f"{name}: empty result"
+        # slice-level identity: the shared frame's codes equal the
+        # member encode frame row-for-row (not just topk survivors);
+        # sig/cell identity is covered by the full-result A/Bs above
+        # (a flipped sig or cell changes the candidate set).
+        codes_solo = {(r["vec_id"], tuple(r["codes"])) for r in
+                      sim.pq_encode(corpus, cb).collect()}
+        codes_shared = {(r["neighbor_id"], tuple(r["codes"])) for r in
+                        shared.select("neighbor_id", "codes").collect()}
+        assert codes_solo == codes_shared
+    finally:
+        shared.unpersist()
+
+
 def test_zero_vector_never_ranks_by_nan(spark):
     """Zero-norm guard (review r08): an all-zero embedding must score
     cosine 0 against everything — NOT NaN, which Spark orders above

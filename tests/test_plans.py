@@ -970,9 +970,10 @@ def test_warc_pipeline_plan_shape(spark):
 
     plan = (QUERIES["warc_pipeline"](spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution().executedPlan().toString())
-    # 2, not 3 (r16): the record walk + extraction stages fused into
-    # one warc_extracted pass — the asset-synthesis stage stays its own
-    assert len(re.findall(r"MapInPandas", plan)) == 2
+    # 1, not 2 (r17; was 3 before r16): the asset synthesis fused into
+    # the walk+extraction pass too — the WARC member bytes are built
+    # and parsed inside ONE kernel, never crossing the Python boundary
+    assert len(re.findall(r"MapInPandas", plan)) == 1
     # two hash-partitioned exchanges: fingerprint dedup + source rollup
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, \
         plan[:1500]

@@ -135,3 +135,27 @@ def test_warc_extracted_equals_chained(spark):
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_warc_synth_fused_equals_chained(spark):
+    """The r17 fused synthesis+walk+extraction pass behind
+    warc_pipeline is ROW-IDENTICAL to the chained
+    warc_extracted(_warc_assets(...)) form (same encode/parse/extract
+    kernels, the payload never crossing the Python boundary) and is a
+    single map-only stage."""
+    from activecube_graphql_spark.driver_queries import (
+        _warc_assets, _warc_extracted_synth)
+
+    sf = "/root/testdata/sf0.001"
+    fused = _warc_extracted_synth(spark, sf)
+    chained = W.warc_extracted(_warc_assets(spark, sf), "payload",
+                               carry=("doc_id", "source"))
+    cols = ["doc_id", "source", "url", "status", "n_records",
+            "text", "n_blocks", "n_kept"]
+    got = sorted(map(tuple, fused.select(*cols).collect()))
+    want = sorted(map(tuple, chained.select(*cols).collect()))
+    assert got == want and got
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
