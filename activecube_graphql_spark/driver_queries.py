@@ -32,6 +32,7 @@ from .operators import dedup as dd
 from .operators import quality_model as qmod
 from .operators import similarity as sim
 from .operators import text as tx
+from .sources.registry import read_parquet
 
 #: Rendered money-sum oracle fragment (= Metric.money_sum emission +
 #: the driver-side `_round(…, 2)`), embedded into the revenue oracles
@@ -554,7 +555,7 @@ def _docs(spark, sf_dir):
 
 
 def _embeds(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -692,7 +693,7 @@ def q_lang_id_trained(spark, sf_dir):
     just cases where the argmax flips. The oracle re-derives
     everything from the injected literal model (the render-time
     pure-Python training replica) over the same generated texts."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     ml = docs.selectExpr("doc_id", _ml_lang_sql() + " AS lang",
                          _ml_text_sql() + " AS mtext")
     model = tx.train_lang_id(
@@ -1721,7 +1722,7 @@ def q_url_canon(spark, sf_dir):
     from .operators import web
     from .functions.portable import render as _render
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     urls = docs.selectExpr(
         "doc_id", "source",
         _render(_URL_SYNTH, "spark") + " AS url")
@@ -1793,7 +1794,7 @@ def q_html_extract(spark, sf_dir):
     from .functions.portable import render as _render
     from .operators import htmltext as ht
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     html = docs.selectExpr(
         "doc_id", _render(_HTML_SYNTH, "spark") + " AS html")
     out = ht.extract_text_df(html, "html", carry=("doc_id",))
@@ -1848,7 +1849,7 @@ def _warc_assets(spark, sf_dir):
     from .functions.portable import render as _render
     from .operators import warc as W
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     base = docs.selectExpr(
         "doc_id", "source",
         _render(_WARC_URL_SYNTH, "spark") + " AS url",
@@ -1906,7 +1907,7 @@ def _warc_extracted_synth(spark, sf_dir):
     from .operators import warc as W
     from .operators.htmltext import extract_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     base = docs.selectExpr(
         "doc_id", "source",
         _render(_WARC_URL_SYNTH, "spark") + " AS url",
@@ -2600,7 +2601,7 @@ def _assets(spark, sf_dir):
     """Deterministic multimodal asset table synthesized from documents:
     payload = utf8 bytes of text, typed metadata in plain columns
     (operators/multimodal.py ASSET_SCHEMA convention)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
@@ -2647,7 +2648,7 @@ def _ppm_assets(spark, sf_dir):
                                  "mime": "image/x-portable-pixmap",
                                  "payload": payloads})
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
@@ -2703,7 +2704,7 @@ def _png_assets(spark, sf_dir):
                                  "mime": "image/png",
                                  "payload": payloads})
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
@@ -2817,7 +2818,7 @@ def _jpeg_assets(spark, sf_dir):
 
     from .operators.dedup import ensure_parallelism
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # codec work amplifies each doc_id ~1000× (encode+decode per
     # asset): fan the 8-split scan out to every core BEFORE the Arrow
     # stages — the exchange carries bare doc_ids, never payloads
@@ -2912,7 +2913,7 @@ def _gif_assets(spark, sf_dir):
 
     from .operators.dedup import ensure_parallelism
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # r14: the LZW encode+decode amplifies each doc_id like the JPEG
     # rows — fan the 8-split narrow id scan out to every core first
     # (one round-robin exchange of bare ids; payloads never shuffle)
@@ -3021,7 +3022,7 @@ def _avi_assets(spark, sf_dir):
 
     from .operators.dedup import ensure_parallelism
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # r14: one video per 8 docs but n_frames PPM rasters per video —
     # fan the narrow id scan out before the codec stages (JPEG-row
     # discipline; bare ids only)
@@ -3178,7 +3179,7 @@ def _mp4_assets(spark, sf_dir):
 
     from .operators.dedup import ensure_parallelism
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # one video per 8 docs but n_frames JPEG passes per video: fan the
     # narrow id scan out to every core before the codec stages
     return (ensure_parallelism(
@@ -3304,7 +3305,7 @@ def _wav_assets(spark, sf_dir):
             yield _pd.DataFrame({"asset_id": ids, "mime": "audio/wav",
                                  "payload": payloads})
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # r14: the sibling codec fixtures fan the id scan out
     # (ensure_parallelism), but MEASURED here the exchange costs more
     # than the parallelism buys — PCM synth + RIFF build is too cheap
@@ -3406,7 +3407,7 @@ def _mp3_assets(spark, sf_dir):
             yield _pd.DataFrame({"asset_id": ids, "mime": "audio/mpeg",
                                  "payload": payloads})
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return (docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
             .mapInPandas(gen, schema=schema))
 
@@ -3493,7 +3494,7 @@ def _flac_assets(spark, sf_dir):
                                  "mime": "audio/flac",
                                  "payload": payloads})
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return (ensure_parallelism(
                 docs.select("doc_id").filter(F.col("doc_id") % 4 == 1))
             .mapInPandas(gen, "asset_id long, mime string, "
@@ -4195,7 +4196,12 @@ def q_lm_buckets(spark, sf_dir):
     count or an extreme of already-4dp-rounded grid values
     (bit-stable across engine summation orders by construction).
     STAGED for the r06 window; oracle `_LM_BUCKETS_ORACLE`."""
-    out = tx.unigram_logprob(_docs(spark, sf_dir), carry=("source",))
+    # persisted (r17 — the kn_buckets "score once, bucket twice"
+    # pattern applied to the unigram twin): the per-doc score frame
+    # feeds BOTH the threshold order-statistics and the band join;
+    # narrow per-document frame, clearCache-at-boundary lifecycle.
+    out = tx.unigram_logprob(_docs(spark, sf_dir),
+                             carry=("source",)).persist()
     # thresholds are type-1 ORDER STATISTICS (rank max(1, ceil(p*n))
     # ascending), NOT interpolated quantiles: interpolation manufactures
     # values with engine-specific float arithmetic — at sf0.1 Spark
@@ -4255,9 +4261,16 @@ def q_trigram_buckets(spark, sf_dir):
     rows share one source of truth for the scores."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
+    # persisted (r17 — the kn_buckets "score once, bucket twice"
+    # pattern, r15 commit 0b15937, applied to its own JM twin): the
+    # per-doc score frame feeds BOTH the threshold order-statistics
+    # and the final band join, and without the cache the whole
+    # trigram scoring pipeline (ngram explode + model joins) ran
+    # twice per build. Narrow per-DOCUMENT frame (4 columns), safe at
+    # any corpus scale; clearCache-at-pipeline-boundary lifecycle.
     out = tx.trigram_logprob(docs.filter(F.col("doc_id") % 2 == 1),
                              train=docs.filter(F.col("doc_id") % 2 == 0),
-                             carry=("source",))
+                             carry=("source",)).persist()
     vc = out.groupBy("avg_logp3").agg(F.count(F.lit(1)).alias("c"))
     cum_w = (Window.orderBy("avg_logp3")
              .rowsBetween(Window.unboundedPreceding, 0))

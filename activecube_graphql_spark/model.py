@@ -684,7 +684,8 @@ class Cube:
         registry table; representation joins applied unpruned — reps are
         pre-joined by construction)."""
         if rep.path is not None:
-            df = self.spark.read.parquet(rep.path)
+            from .sources.registry import read_parquet
+            df = read_parquet(self.spark, rep.path)
         else:
             df = self.source.read(self.spark, database, rep.table)
         for j in rep.joins:

@@ -50,7 +50,10 @@ def main() -> None:
 
     spark = get_spark("acgs-jobs-per-build")
     sc = spark.sparkContext
-    next_id = sc._jsc.sc().dagScheduler().nextJobId()
+
+    def next_id_get() -> int:
+        """Read the DAGScheduler's monotone job counter (non-mutating)."""
+        return sc._jsc.sc().dagScheduler().nextJobId()
 
     out: dict[str, dict] = {}
     for name in names:
@@ -59,14 +62,14 @@ def main() -> None:
         # warm-up: fills per-row persists exactly as the bench does, so
         # the measured build reflects the timed-run steady state
         fn(spark, args.sf_dir).collect()
-        j0 = next_id.get()
+        j0 = next_id_get()
         t0 = time.perf_counter()
         df = fn(spark, args.sf_dir)
         t1 = time.perf_counter()
-        j1 = next_id.get()
+        j1 = next_id_get()
         df.collect()
         t2 = time.perf_counter()
-        j2 = next_id.get()
+        j2 = next_id_get()
         out[name] = {"build_jobs": j1 - j0, "action_jobs": j2 - j1,
                      "build_sec": round(t1 - t0, 3),
                      "action_sec": round(t2 - t1, 3)}
